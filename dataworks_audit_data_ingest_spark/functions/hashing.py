@@ -1,0 +1,35 @@
+"""Cross-engine deterministic hashing.
+
+Spark's ``hash``/``xxhash64`` and DuckDB's ``hash`` use different algorithms,
+so every hash that feeds a correctness-checked result (minhash, simhash,
+LSH buckets, fingerprints) is built from MD5 — identical in both engines —
+with the first 8 hex chars reinterpreted as a 32-bit integer.
+
+Each helper returns a pair of SQL snippets: one in Spark SQL (``CONV`` does
+hex→decimal) and one in DuckDB SQL (``'0x…'`` cast does it). Values are equal
+by construction.
+"""
+
+from __future__ import annotations
+
+
+def spark_hash32(expr: str, seed: str = "") -> str:
+    """32-bit MD5-derived hash of a string expression (Spark SQL dialect)."""
+    salted = f"CONCAT('{seed}|', {expr})" if seed else expr
+    return f"CAST(CONV(SUBSTRING(MD5({salted}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def duckdb_hash32(expr: str, seed: str = "") -> str:
+    """Same value as :func:`spark_hash32`, DuckDB dialect."""
+    salted = f"CONCAT('{seed}|', {expr})" if seed else expr
+    return f"CAST('0x' || SUBSTRING(MD5({salted}), 1, 8) AS BIGINT)"
+
+
+def spark_bit(expr: str, j: int) -> str:
+    """Bit ``j`` of a non-negative integer expression (Spark SQL)."""
+    return f"(SHIFTRIGHT({expr}, {j}) % 2)"
+
+
+def duckdb_bit(expr: str, j: int) -> str:
+    """Bit ``j`` of a non-negative integer expression (DuckDB SQL)."""
+    return f"(({expr} >> {j}) & 1)"

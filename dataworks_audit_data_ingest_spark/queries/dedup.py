@@ -1,0 +1,425 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup
+(north-star extensions per SURVEY.md §2.2 last row; the reference has no
+dedup notion — its nearest analog is idempotent S3 overwrite on re-run,
+`audit_data_ingest.py:65-68`).
+
+The fixture corpus has no natural duplicates, so the near-dup queries build
+perturbed variants *inside the query* (drop trailing words / rescale vectors)
+and must rediscover the (original, variant) pairs. All hashing is MD5-derived
+(see ``functions.hashing``) so Spark and the DuckDB oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duckdb_hash32, spark_hash32
+from ..tables import table
+from .base import register
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q50_dedup_exact",
+    sql="""
+    WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+    SELECT source,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT text) AS n_unique_texts,
+           MIN(doc_id) AS min_doc_id
+    FROM doubled
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("dedup", "exact"),
+)
+def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: the corpus is doubled (simulating a
+    re-ingest) and distinct text counts prove the dedup key.
+
+    At 100 TB this is a single hash shuffle on the dedup key; for long texts
+    dedup on md5(text) instead to shrink the shuffle payload.
+    """
+    d = table(spark, sf_dir, "documents")
+    doubled = d.unionByName(d)
+    return (
+        doubled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("text").alias("n_unique_texts"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_N_SEEDS = 12  # minhash signature length
+_BANDS = 4  # LSH bands of 3 rows each
+_ROWS = _N_SEEDS // _BANDS
+_VARIANT_OFFSET = 1_000_000
+_N_VARIANT_DOCS = 50  # doc_id < 50 get a near-dup variant (drop last 5 words)
+
+
+def _minhash_sql() -> str:
+    """DuckDB oracle mirroring the Spark minhash pipeline exactly."""
+    mins = ",\n             ".join(
+        f"MIN({duckdb_hash32('shingle', f's{i}')}) AS mh_{i}" for i in range(_N_SEEDS)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band_idx, MD5(CONCAT_WS(',', {cols})) AS band_hash FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh_{b * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_VARIANT_OFFSET} AS doc_id,
+             ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:LEN(STRING_SPLIT(text, ' ')) - 5], ' ') AS text
+      FROM documents WHERE doc_id < {_N_VARIANT_DOCS}
+    ), positions AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS words,
+             UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1)) AS i
+      FROM corpus
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+    ), shingled AS (
+      SELECT doc_id, ARRAY_TO_STRING(words[i:i+2], ' ') AS shingle
+      FROM positions
+    ), sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM shingled
+      GROUP BY doc_id
+    ), bands AS (
+{band_rows}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("q51_dedup_minhash_lsh", sql=_minhash_sql(), tags=("dedup", "minhash", "lsh"))
+def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: word 3-shingles → 12-permutation MinHash →
+    4-band LSH → bucket self-join → candidate pairs.
+
+    Scale shape: signatures are one groupBy over exploded shingles (map-side
+    combine keeps the shuffle at |docs|×12 ints), and the LSH join shuffles
+    on (band, bucket) — never the all-pairs cross product.
+    """
+    d = table(spark, sf_dir, "documents")
+    variants = d.filter(F.col("doc_id") < _N_VARIANT_DOCS).select(
+        (F.col("doc_id") + _VARIANT_OFFSET).alias("doc_id"),
+        F.expr(
+            "ARRAY_JOIN(SLICE(SPLIT(text, ' '), 1, SIZE(SPLIT(text, ' ')) - 5), ' ')"
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(variants)
+    shingled = (
+        corpus.withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "TRANSFORM(SEQUENCE(1, SIZE(words) - 2), i -> ARRAY_JOIN(SLICE(words, i, 3), ' '))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    sigs = shingled.groupBy("doc_id").agg(
+        *[
+            F.expr(f"MIN({spark_hash32('shingle', f's{i}')})").alias(f"mh_{i}")
+            for i in range(_N_SEEDS)
+        ]
+    )
+    stack_args = ", ".join(
+        "{b}, MD5(CONCAT_WS(',', {cols}))".format(
+            b=b,
+            cols=", ".join(f"CAST(mh_{b * _ROWS + r} AS STRING)" for r in range(_ROWS)),
+        )
+        for b in range(_BANDS)
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.expr(f"STACK({_BANDS}, {stack_args}) AS (band_idx, band_hash)"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIM_BITS = 32
+
+
+def _simhash_sql() -> str:
+    h = duckdb_hash32("token", "sim")
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (({h} >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(_SIM_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s_{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(_SIM_BITS)
+    )
+    return f"""
+    WITH tokens AS (
+      SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents
+    ), bitsums AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM tokens
+      GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, {sig} AS simhash FROM bitsums
+    )
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM sigs
+    GROUP BY simhash
+    ORDER BY simhash
+    """
+
+
+@register("q52_dedup_simhash", sql=_simhash_sql(), tags=("dedup", "simhash"))
+def q52_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document signatures: 32-bit sign-of-sums over distinct-token
+    hashes, then duplicate-cluster histogram (same signature = near-dup
+    cluster).
+
+    Scale shape: explode tokens → one partial+final agg keyed by doc_id;
+    signature comparison is a groupBy on the 32-bit signature — no pairwise
+    scan. Hamming-<=k retrieval bands the signature bytes like q51.
+    """
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    h = spark_hash32("token", "sim")
+    bitsums = tokens.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"SUM(CASE WHEN SHIFTRIGHT({h}, {j}) % 2 = 1 THEN 1 ELSE -1 END)"
+            ).alias(f"s_{j}")
+            for j in range(_SIM_BITS)
+        ]
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s_{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(_SIM_BITS)
+    )
+    return (
+        bitsums.select("doc_id", F.expr(sig).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q53_dedup_ngram_jaccard",
+    sql="""
+    WITH positions AS (
+      SELECT doc_id, source, text,
+             UNNEST(RANGE(1, LENGTH(text) - 1)) AS i
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, source, SUBSTRING(text, i, 3) AS gram
+      FROM positions
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM grams a JOIN grams b
+        ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE)
+             / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE)
+            / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) >= 0.62
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "ngram", "jaccard"),
+)
+def q53_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard similarity over same-source candidate pairs.
+
+    Scale shape: the gram⨝gram join is keyed by (gram, source) — the blocking
+    key bounds the candidate set; the all-pairs product never materializes.
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|) from exact integer counts.
+    """
+    d = table(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "TRANSFORM(SEQUENCE(1, LENGTH(text) - 2), i -> SUBSTRING(text, i, 3))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.62)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+# Dot products are order-sensitive in floating point, so every pairwise term
+# x*y is rounded once (deterministic IEEE double) and summed in DECIMAL —
+# associative, hence identical under any partitioning and in both engines.
+_DOT_DEC = "DECIMAL(28,18)"
+
+
+def spark_cosine(a: str, b: str) -> str:
+    """Spark SQL cosine between two array<double> columns, decimal-exact."""
+
+    def ssum(x: str, y: str) -> str:
+        return (
+            f"AGGREGATE(ZIP_WITH({x}, {y}, (p, q) -> CAST(p * q AS {_DOT_DEC})), "
+            f"CAST(0 AS {_DOT_DEC}), (acc, v) -> CAST(acc + v AS {_DOT_DEC}))"
+        )
+
+    return (
+        f"CAST({ssum(a, b)} AS DOUBLE) / "
+        f"(SQRT(CAST({ssum(a, a)} AS DOUBLE)) * SQRT(CAST({ssum(b, b)} AS DOUBLE)))"
+    )
+
+
+@register(
+    "q54_dedup_embedding_cosine",
+    sql=f"""
+    WITH base AS (
+      SELECT vec_id, label,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_VARIANT_OFFSET} AS vec_id, label,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * 1.5) AS emb
+      FROM embeddings WHERE vec_id < 25
+    ), pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+             a.emb AS ea, b.emb AS eb
+      FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+    ), indexed AS (
+      SELECT vec_a, vec_b, label, ea, eb,
+             UNNEST(RANGE(1, LEN(ea) + 1)) AS i
+      FROM pairs
+    ), terms AS (
+      SELECT vec_a, vec_b, label,
+             CAST(ea[i] * eb[i] AS {_DOT_DEC}) AS xy,
+             CAST(ea[i] * ea[i] AS {_DOT_DEC}) AS xx,
+             CAST(eb[i] * eb[i] AS {_DOT_DEC}) AS yy
+      FROM indexed
+    )
+    SELECT vec_a, vec_b, label
+    FROM terms
+    GROUP BY vec_a, vec_b, label
+    HAVING CAST(SUM(xy) AS DOUBLE)
+             / (SQRT(CAST(SUM(xx) AS DOUBLE)) * SQRT(CAST(SUM(yy) AS DOUBLE))) >= 0.999
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("dedup", "embedding", "cosine"),
+)
+def q54_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cosine ≥ 0.999 pairs, blocked by label.
+
+    The label acts as the blocking key (in production: an LSH or IVF bucket),
+    so the pair space is per-bucket, not global. Cosine runs entirely JVM-side
+    as a ZIP_WITH/AGGREGATE expression over the array column — no Python UDF.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    orig = e.select(
+        "vec_id",
+        "label",
+        F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    variants = (
+        e.filter(F.col("vec_id") < 25)
+        .select(
+            (F.col("vec_id") + _VARIANT_OFFSET).alias("vec_id"),
+            "label",
+            F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * 1.5)").alias("emb"),
+        )
+    )
+    base = orig.unionByName(variants)
+    a, b = base.alias("a"), base.alias("b")
+    cos = spark_cosine("a.emb", "b.emb")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.expr(cos).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.999)
+        .select("vec_a", "vec_b", "label")
+        .orderBy("vec_a", "vec_b")
+    )

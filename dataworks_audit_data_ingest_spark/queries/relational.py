@@ -1,0 +1,664 @@
+"""Relational operator surface: scans, filters, aggregations, joins, set ops,
+scalar functions (SURVEY.md §2.2 build targets — the reference implements only
+scan + partition-range filter, `audit_data_ingest.py:26-33,129-150`; everything
+else here is the north-star extension expressed on Spark built-ins so Catalyst
+handles pushdown, pruning, join selection and whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+from .base import davg, dsum, q4, register
+
+# Shared portable expressions (identical text runs in Spark SQL and DuckDB).
+_DISC_PRICE = q4(
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)))"
+)
+_CHARGE = q4(
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))"
+    " * CAST(1 + l_tax AS DECIMAL(18,4)))"
+)
+_DISC_REVENUE = q4(
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)))"
+)
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum('l_quantity', 'sum_qty')},
+           {dsum('l_extendedprice', 'sum_base_price')},
+           {_DISC_PRICE} AS sum_disc_price,
+           {_CHARGE} AS sum_charge,
+           {davg('l_quantity', 'avg_qty')},
+           {davg('l_extendedprice', 'avg_price')},
+           {davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan → filter → hash agg → sort.
+
+    Pure built-ins: the shipdate predicate is pushed into the parquet scan and
+    the aggregation is a partial+final hash aggregate (map-side combine), so
+    at 100 TB the only shuffle is the tiny post-combine exchange on the
+    low-cardinality (returnflag, linestatus) key.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(dsum("l_quantity", "sum_qty")),
+            F.expr(dsum("l_extendedprice", "sum_base_price")),
+            F.expr(f"{_DISC_PRICE} AS sum_disc_price"),
+            F.expr(f"{_CHARGE} AS sum_charge"),
+            F.expr(davg("l_quantity", "avg_qty")),
+            F.expr(davg("l_extendedprice", "avg_price")),
+            F.expr(davg("l_discount", "avg_disc")),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q04_revenue_forecast",
+    sql=f"""
+    SELECT {_DISC_REVENUE} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.08
+      AND l_quantity < 24
+    """,
+    tags=("agg", "filter"),
+)
+def q04_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped single-row aggregate over a multi-predicate filter.
+
+    All four predicates push to the parquet scan (PushedFilters); the global
+    agg is a two-stage partial/final sum with no keyed shuffle at all.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.04, 0.08)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.expr(f"{_DISC_REVENUE} AS revenue"))
+
+
+@register(
+    "q08_distinct_agg",
+    sql=f"""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           {dsum('o_totalprice', 'total_price')},
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "distinct"),
+)
+def q08_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate alongside plain aggregates (expand-based plan)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(dsum("o_totalprice", "total_price")),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q09_rollup",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           {dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def q09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals: (flag, status), (flag), ()."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr(dsum("l_quantity", "sum_qty")),
+    )
+
+
+@register(
+    "q10_cube",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def q10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority — all 4 grouping sets."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "q11_grouping_sets",
+    sql=f"""
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_customers,
+           {dsum('c_acctbal', 'sum_acctbal')}
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def q11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two independent rollup dimensions in one pass."""
+    c = table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("q11_customer")
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_customers,
+               {dsum('c_acctbal', 'sum_acctbal')}
+        FROM q11_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q02_top_orders_by_revenue",
+    sql=f"""
+    SELECT l_orderkey,
+           {_DISC_PRICE} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q02_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: filtered 3-way equi-join → agg → top-k.
+
+    customer is tiny relative to lineitem, so it broadcasts (AQE picks this
+    up from stats; the explicit hint makes it deterministic at 100 TB where
+    orders⋈lineitem remains the single shuffle on orderkey).
+    """
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(f"{_DISC_PRICE} AS revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q03_regional_revenue",
+    sql=f"""
+    SELECT n_name,
+           {_DISC_PRICE} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "agg", "broadcast"),
+)
+def q03_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way star join with broadcast dimensions.
+
+    region/nation/supplier are broadcast (no shuffle); the only shuffles are
+    the fact-fact orders⋈lineitem exchange and the final small agg — the
+    right shape for a 1000-executor run.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.expr(f"{_DISC_PRICE} AS revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "q05_order_priority_semi",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "semi"),
+)
+def q05_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped LEFT SEMI join (EXISTS) with a non-equi residual."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q06_customers_without_orders",
+    sql="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers, MIN(c_custkey) AS min_custkey
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("join", "anti"),
+)
+def q06_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers that never ordered."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").alias("min_custkey"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_TOTAL_SPENT = q4("COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0)")
+
+
+@register(
+    "q07_customer_order_stats",
+    sql=f"""
+    SELECT c_custkey, c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           {_TOTAL_SPENT} AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    ORDER BY c_custkey
+    """,
+    tags=("join", "outer"),
+)
+def q07_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving order-less customers, with NULL-safe totals."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.expr(f"{_TOTAL_SPENT} AS total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q24_price_band_join",
+    sql=f"""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+             ('high', 150000.0, 300000.0), ('lux', 300000.0, 1e18)
+    )
+    SELECT band, COUNT(*) AS n_orders,
+           {dsum('o_totalprice', 'band_total')}
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    ORDER BY band
+    """,
+    tags=("join", "range"),
+)
+def q24_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: fact rows against broadcast interval dimension.
+
+    Non-equi join → BroadcastNestedLoopJoin over a 4-row side: zero shuffle;
+    at 100 TB this stays a map-only pass over orders.
+    """
+    o = table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("low", 0.0, 50_000.0),
+            ("mid", 50_000.0, 150_000.0),
+            ("high", 150_000.0, 300_000.0),
+            ("lux", 300_000.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(dsum("o_totalprice", "band_total")),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_set_operations",
+    sql="""
+    SELECT 'both' AS tag, n_nationkey FROM (
+        SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+        INTERSECT
+        SELECT DISTINCT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'cust_only' AS tag, n_nationkey FROM (
+        SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+        EXCEPT
+        SELECT DISTINCT s_nationkey FROM supplier)
+    ORDER BY tag, n_nationkey
+    """,
+    tags=("setop",),
+)
+def q18_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over nation-key domains."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    ).distinct()
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")
+    ).distinct()
+    both = c.intersect(s).select(F.lit("both").alias("tag"), "n_nationkey")
+    cust_only = c.exceptAll(s).select(F.lit("cust_only").alias("tag"), "n_nationkey")
+    return both.unionByName(cust_only).orderBy("tag", "n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q26_top_parts_global",
+    sql="""
+    SELECT p_partkey, p_name, p_brand, CAST(p_retailprice AS DOUBLE) AS p_retailprice
+    FROM part
+    ORDER BY p_retailprice DESC, p_partkey
+    LIMIT 15
+    """,
+    tags=("sort", "limit", "topk"),
+)
+def q26_top_parts_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition heap
+    then driver merge of k rows, never a full sort at 100 TB."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q19_string_functions",
+    sql="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           SUBSTRING(p_name, 1, 8) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           LENGTH(p_name) - LENGTH(REPLACE(p_name, ' ', '')) + 1 AS n_words,
+           REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_word,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           TRIM(CONCAT('  ', p_brand, '  ')) AS brand_trim
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("scalar", "string"),
+)
+def q19_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery: case, substring, concat, regexp, pad, trim."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        (
+            F.length("p_name") - F.length(F.regexp_replace("p_name", " ", "")) + F.lit(1)
+        ).alias("n_words"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("brand_trim"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "q20_date_functions",
+    sql="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(QUARTER(o_orderdate) AS INT) AS order_quarter,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE) AS due_date,
+           DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date_str
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "date"),
+)
+def q20_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery: parts, trunc, arithmetic, formatting."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q21_json_functions",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("scalar", "json"),
+)
+def q21_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props payload column."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q22_case_and_nulls",
+    sql="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS size_class,
+           NULLIF(o_orderstatus, 'O') AS status_or_null,
+           COUNT(*) AS n_orders,
+           COUNT(NULLIF(o_orderstatus, 'O')) AS n_nonopen,
+           COALESCE(NULLIF(o_orderstatus, 'O'), '-') AS status_filled
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY size_class, status_or_null NULLS FIRST
+    """,
+    tags=("scalar", "conditional"),
+)
+def q22_case_and_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN buckets + NULLIF/COALESCE null semantics."""
+    o = table(spark, sf_dir, "orders")
+    size_class = (
+        F.when(F.col("o_totalprice") < 50_000, "small")
+        .when(F.col("o_totalprice") < 200_000, "medium")
+        .otherwise("large")
+        .alias("size_class")
+    )
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null")
+    return (
+        o.select(size_class, status_or_null)
+        .groupBy("size_class", "status_or_null")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("status_or_null").alias("n_nonopen"),
+            F.coalesce(F.col("status_or_null"), F.lit("-")).alias("status_filled"),
+        )
+        .orderBy(F.col("size_class"), F.col("status_or_null").asc_nulls_first())
+    )
+
+
+@register(
+    "q23_math_functions",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - 50000) AS price_dev,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_bucket,
+           CAST(l_orderkey % 97 AS BIGINT) AS key_mod,
+           GREATEST(l_tax, l_discount) AS max_rate,
+           LEAST(l_tax, l_discount) AS min_rate,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           SQRT(l_quantity) AS qty_sqrt
+    FROM lineitem
+    WHERE l_orderkey < 500
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("scalar", "math"),
+)
+def q23_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function battery (only IEEE-exact ops, so doubles match bit-wise)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50_000).alias("price_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
+        (F.col("l_orderkey") % 97).alias("key_mod"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -1,0 +1,161 @@
+"""Event-time window operators in their batch form (SURVEY.md §2.2 "Streaming:
+windows" — the reference's only analog is per-day batching,
+`audit_data_ingest.py:50-68`).
+
+The same ``F.window`` / ``session_window`` expressions run unchanged under
+``readStream`` (see ``streaming/jobs.py``); evaluating them in batch makes
+them oracle-checkable against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+from .base import dsum, register
+
+
+@register(
+    "q30_tumbling_daily",
+    sql=f"""
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    tags=("streaming", "window", "tumbling"),
+)
+def q30_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time window — identical expression works under
+    readStream + withWatermark."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(dsum("value", "sum_value")),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "q31_sliding_hourly",
+    sql="""
+    SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) - o.off * INTERVAL 1 HOUR AS window_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events, (VALUES (0), (1)) AS o(off)
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def q31_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 2-hour duration, 1-hour slide (each event lands in two
+    overlapping windows)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "q32_session_windows",
+    sql=f"""
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN LAG(CAST(ts AS TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR CAST(ts AS TIMESTAMP)
+                          - LAG(CAST(ts AS TIMESTAMP))
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {dsum('value', 'sum_value')}
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "window", "session"),
+)
+def q32_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap via ``session_window``
+    (window end = last event + gap, matching the gaps-and-islands oracle).
+
+    In streaming this is the `session_window` + watermark stateful operator;
+    batch evaluation pins its exact semantics.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(dsum("value", "sum_value")),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "q33_dedup_within_watermark",
+    sql="""
+    SELECT user_id, event_type, COUNT(*) AS n_slots
+    FROM (
+      SELECT DISTINCT user_id, event_type,
+             DATE_TRUNC('minute', CAST(ts AS TIMESTAMP)) AS minute_slot
+      FROM events)
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def q33_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed deduplication — batch shape of dropDuplicates; under streaming
+    the same keys feed dropDuplicatesWithinWatermark."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.date_trunc("minute", "ts").alias("minute_slot"),
+        )
+        .dropDuplicates(["user_id", "event_type", "minute_slot"])
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_slots"))
+        .orderBy("user_id", "event_type")
+    )

@@ -1,0 +1,196 @@
+"""Text-analysis operators over ``documents``: language-ID heuristic, quality
+scoring, token counting, document fingerprinting (north-star extensions;
+no analog in the reference, which never parses file contents —
+`audit_data_ingest.py:118-120`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+from .base import register
+
+# Marker/stopword list for the heuristics — fixed vocabulary, identical in
+# both dialects.
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on")
+_SW_SQL_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    "q60_lang_id_heuristic",
+    sql=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ({_SW_SQL_LIST}))) AS n_stop
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.04
+                    THEN 1 ELSE 0 END) AS n_pred_en,
+           SUM(n_tokens) AS total_tokens,
+           SUM(n_stop) AS total_stopwords
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("text", "lang-id"),
+)
+def q60_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: a document whose English
+    function-word ratio clears a threshold is classified English; results are
+    rolled up against the labeled ``lang`` column."""
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(
+            F.filter(
+                F.split("text", " "),
+                lambda w: w.isin(*_STOPWORDS),
+            )
+        ).alias("n_stop"),
+    )
+    pred_en = (F.col("n_stop").cast("double") / F.col("n_tokens") >= 0.04).cast("int")
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(pred_en).alias("n_pred_en"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_stop").alias("total_stopwords"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q61_quality_score",
+    sql=f"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LENGTH(text) AS n_chars,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ({_SW_SQL_LIST}))) AS n_stop,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> LENGTH(w) >= 6)) AS n_long
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_word_len,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_long AS DOUBLE) / n_tokens AS long_word_ratio,
+           CASE WHEN n_tokens >= 40
+                     AND CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.5
+                THEN 'keep' ELSE 'drop' END AS quality_verdict
+    FROM feats
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def q61_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length, word-shape, stopword ratios)
+    and a keep/drop verdict — the filter stage of a training-data pipeline.
+    Pure built-ins over the split array; ratios are int/int double divisions,
+    deterministic everywhere."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tokens = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
+    n_long = F.size(F.filter(words, lambda w: F.length(w) >= 6))
+    feats = d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        n_stop.alias("n_stop"),
+        n_long.alias("n_long"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return feats.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (
+            (F.col("n_chars") - F.col("n_tokens") + F.lit(1)).cast("double")
+            / F.col("n_tokens")
+        ).alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        (F.col("n_long").cast("double") / F.col("n_tokens")).alias("long_word_ratio"),
+        F.when(
+            (F.col("n_tokens") >= 40) & stop_ratio.between(0.01, 0.5), "keep"
+        )
+        .otherwise("drop")
+        .alias("quality_verdict"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q62_token_count",
+    sql="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(LEN(STRING_SPLIT(text, ' '))) AS ws_tokens,
+           SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+'))) AS word_tokens,
+           SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]{1,4}'))) AS bpe_ish_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("text", "tokens"),
+)
+def q62_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, word-regex, and a
+    BPE-ish greedy ≤4-char chunking — the cost model for LLM data budgets."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            F.size(F.split("text", " ")).alias("ws"),
+            F.size(F.expr("REGEXP_EXTRACT_ALL(text, '[a-z]+', 0)")).alias("words"),
+            F.size(F.expr("REGEXP_EXTRACT_ALL(text, '[a-z]{1,4}', 0)")).alias("bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("words").alias("word_tokens"),
+            F.sum("bpe").alias("bpe_ish_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q63_fingerprint",
+    sql="""
+    WITH fp AS (
+      SELECT doc_id,
+             MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM fp
+    GROUP BY fingerprint
+    HAVING COUNT(*) > 1
+    ORDER BY fingerprint
+    """,
+    tags=("text", "fingerprint"),
+)
+def q63_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words document fingerprint (sorted distinct tokens → MD5):
+    word-order-insensitive duplicate clusters, the cheap complement to
+    MinHash for template/boilerplate detection."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+    )
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )

@@ -1,0 +1,270 @@
+"""Window-function operator surface: ranking, offsets, frames, top-k per
+group, and the as-of join (SURVEY.md §2.2 "Window functions" / "range & as-of"
+rows — absent from the reference, built on Spark Window / union tricks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+from .base import q4, q4_col, register
+
+
+@register(
+    "q12_topk_per_customer",
+    sql="""
+    SELECT c_custkey, o_orderkey, price_rank,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+      FROM orders)
+    WHERE price_rank <= 3
+    ORDER BY c_custkey, price_rank
+    """,
+    tags=("window", "topk"),
+)
+def q12_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ROW_NUMBER — the scalable alternative to a global
+    sort: one hash shuffle on the group key, heap per partition."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("price_rank"),
+        )
+        .filter(F.col("price_rank") <= 3)
+        .orderBy("c_custkey", "price_rank")
+    )
+
+
+@register(
+    "q13_running_total",
+    sql=f"""
+    SELECT event_id, user_id,
+           {q4('''SUM(CAST(value AS DECIMAL(18,4)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS running_value
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "running"),
+)
+def q13_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per user over event time."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        q4_col(F.sum(F.col("value").cast("decimal(18,4)")).over(w)).alias(
+            "running_value"
+        ),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "q14_event_gaps",
+    sql="""
+    SELECT event_id, user_id,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+           LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "lag"),
+)
+def q14_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD offsets: inter-event gap in microseconds per user."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "q15_moving_average",
+    sql=f"""
+    SELECT event_id, user_id,
+           {q4('''SUM(CAST(value AS DECIMAL(18,4)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)''')}
+             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "frame"),
+)
+def q15_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS frame: 4-event moving average per user (exact decimal
+    numerator so results are partition-order independent)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            q4_col(F.sum(F.col("value").cast("decimal(18,4)")).over(w))
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "q16_acctbal_deciles",
+    sql="""
+    SELECT decile, COUNT(*) AS n_customers,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+    FROM (
+      SELECT c_acctbal,
+             NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer)
+    GROUP BY decile
+    ORDER BY decile
+    """,
+    tags=("window", "ntile"),
+)
+def q16_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE deciles of account balance.
+
+    Note: an unpartitioned NTILE funnels through one task; at 100 TB the
+    engine-recommended path is approxQuantile / percentile_approx — this query
+    exists to pin exact NTILE semantics.
+    """
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "q17_nation_rank",
+    sql="""
+    SELECT c_nationkey, c_custkey,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           bal_rank, bal_dense_rank
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
+             DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS bal_dense_rank
+      FROM customer)
+    WHERE bal_rank <= 2
+    ORDER BY c_nationkey, bal_rank
+    """,
+    tags=("window", "rank"),
+)
+def q17_nation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK vs DENSE_RANK per nation, keeping the two richest customers."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.rank().over(w).alias("bal_rank"),
+            F.dense_rank().over(w).alias("bal_dense_rank"),
+        )
+        .filter(F.col("bal_rank") <= 2)
+        .orderBy("c_nationkey", "bal_rank")
+    )
+
+
+@register(
+    "q25_asof_join",
+    sql="""
+    WITH purchases AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS event_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ), errors AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT e.event_id AS error_id, e.user_id,
+           p.event_id AS last_purchase_id,
+           epoch_us(e.ts) - epoch_us(p.ts) AS staleness_us
+    FROM errors e ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    ORDER BY error_id
+    """,
+    tags=("join", "asof", "window"),
+)
+def q25_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event matched to the user's latest purchase at
+    or before it.
+
+    Implemented with the union + last_value(ignore nulls) trick: tag both
+    sides, sort within user by (ts, side), and carry the last-seen purchase
+    forward. One shuffle on user_id, no range explosion — this is the shape
+    that survives 100 TB, unlike an inequality join + max.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+        .select("user_id", "ts", "event_id", F.lit(0).alias("side"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("side")
+    )
+    # purchase rows sort before error rows at equal ts (side 0 < 1), so an
+    # equal-timestamp purchase is visible to the error — matching ASOF's >=.
+    unioned = purchases.unionByName(errors)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p_id = F.when(F.col("side") == 0, F.col("event_id"))
+    p_ts = F.when(F.col("side") == 0, F.col("ts"))
+    return (
+        unioned.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "side",
+            F.last(p_id, ignorenulls=True).over(w).alias("last_purchase_id"),
+            F.last(p_ts, ignorenulls=True).over(w).alias("last_purchase_ts"),
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            "last_purchase_id",
+            (F.unix_micros("ts") - F.unix_micros("last_purchase_ts")).alias(
+                "staleness_us"
+            ),
+        )
+        .orderBy("error_id")
+    )

@@ -1,0 +1,42 @@
+"""Fixture-table loaders.
+
+One parquet file per table under ``{sf_dir}/{name}.parquet`` (see TESTDATA.md).
+``events.ts`` is INT64 TIMESTAMP(NANOS) in the footer — Spark's reader rejects
+nanos, so we read it as LONG (``spark.sql.legacy.parquet.nanosAsLong``) and
+rebuild a microsecond timestamp with integer arithmetic (``DIV 1000`` — a
+double division would lose precision: 2024 epoch-nanos ≈ 1.7e18 > 2^53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import tune
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing types to match the DuckDB oracle."""
+    tune(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos → micros, truncating toward zero exactly like DuckDB's ns→us cast
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
