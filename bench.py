@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop write (full materialization, no
+driver collect bottleneck). A JVM/cache warm-up pass runs one tiny query
+first so measured times are steady-state plan+execute, not sessionstart.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from dataworks_audit_data_ingest_spark.queries import all_queries
+from dataworks_audit_data_ingest_spark.session import get_spark
+
+# Headline set: one per operator family, heaviest variants.
+BENCH_QUERIES = [
+    "q01_pricing_summary",  # scan + hash agg
+    "q02_top_orders_by_revenue",  # 3-way join + agg + top-k
+    "q03_regional_revenue",  # 6-way star join, broadcast dims
+    "q05_order_priority_semi",  # semi join w/ residual
+    "q12_topk_per_customer",  # window ranking
+    "q13_running_total",  # running window agg
+    "q25_asof_join",  # as-of join (union+last_value)
+    "q31_sliding_hourly",  # sliding event-time window
+    "q32_session_windows",  # session windows
+    "q51_dedup_minhash_lsh",  # minhash + LSH bucket join
+    "q52_dedup_simhash",  # simhash signatures
+    "q55_ann_bruteforce_topk",  # similarity search
+    "q62_token_count",  # text analysis
+    "q70_multimodal_decode",  # Arrow mapInPandas decode
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+
+    # warm-up: JVM, parquet footers, Python worker pool
+    registry["q26_top_parts_global"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""The ingest pipeline: Spark-first rebuild of the reference's driver loop
+(`audit_data_ingest.py:36-68` and the CLI block `:235-313`).
+
+Shape (SURVEY.md §3.4): ``binaryFile`` scan → ``day`` partition filter
+(strictly greater than the watermark) → per-record compress+encrypt
+(Arrow-batched ``mapInPandas``) → ``foreachPartition`` S3 sink with
+per-object envelope metadata → per-day all-or-nothing watermark commit.
+
+What the reference hand-rolled and Spark absorbs (SURVEY.md §4):
+- `hdfs dfs -ls` subprocess (`:134-139`)  → distributed file index
+- `copyToLocal` staging + cleanup (`:153-166`, `:207-210`) → eliminated;
+  executors read source splits directly
+- ThreadPoolExecutor fan-out (`:82-90`) → task scheduling, one task per
+  input partition
+- all-or-nothing day verdict (`:96-104`) → Spark job success/failure
+"""
+
+from __future__ import annotations
+
+import base64
+import logging
+from dataclasses import dataclass, field
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+from .crypto import EnvelopeEncryptor
+from .watermark import find_start_date, update_progress_file
+
+logger = logging.getLogger(__name__)
+
+_ENC_SCHEMA = (
+    "day string, basename string, ciphertext binary, "
+    "iv string, encrypted_key string, key_id string"
+)
+
+
+@dataclass
+class IngestConfig:
+    """Job config tuple — (source, prefix, watermark-id) parameterization,
+    mirroring how the reference deploys the same script for audit and
+    equalities datasets (`ci/meta.yml:179-186`, SURVEY.md §3.3)."""
+
+    src_dir: str
+    s3_bucket: str
+    # NB: concatenated to the day with NO inserted '/' — the prefix carries
+    # its own trailing separator (`audit_data_ingest.py:172-173`, quirk 5).
+    s3_prefix: str
+    hsm_key_id: str  # "cloudhsm:privkeyid:pubkeyid" format (`:267-271`)
+    rsa_public_key_pem: bytes
+    progress_file: str
+    aws_region: str = "eu-west-2"  # CLI default (`:275-280`)
+    retries: int = 10  # botocore standard mode (`:190-197`, `:260-265`)
+    s3_endpoint_url: str | None = None  # test seam (moto)
+    extra_boto_kwargs: dict = field(default_factory=dict)
+
+
+def fetch_hsm_key(
+    param_name: str, region: str, endpoint_url: str | None = None
+) -> bytes:
+    """SSM-parameter fetch of the base64 RSA public key, driver-side once per
+    run (`audit_data_ingest.py:200-204`; decoded at `:78`). The decoded bytes
+    travel to executors via task closures (the broadcast analog of `:86-88`)."""
+    import boto3
+
+    ssm = boto3.client("ssm", region_name=region, endpoint_url=endpoint_url)
+    value = ssm.get_parameter(Name=param_name, WithDecryption=True)["Parameter"][
+        "Value"
+    ]
+    return base64.b64decode(value)
+
+
+def scan_source(spark: SparkSession, src_dir: str) -> DataFrame:
+    """R1: the `hdfs dfs -ls` + copy of the reference collapses into one
+    distributed ``binaryFile`` scan; `day` is derived from the immediate
+    parent directory name, exactly what ``filter_date`` parses
+    (`audit_data_ingest.py:26-33`). Non-date directories yield NULL and are
+    skipped (warn-and-exclude semantics, `:30-32`)."""
+    tune(spark)
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(src_dir)
+    )
+    return df.select(
+        "path",
+        F.element_at(F.split("path", "/"), -1).alias("basename"),
+        F.expr(
+            r"TRY_TO_DATE(REGEXP_EXTRACT(path, '([^/]+)/[^/]+$', 1), 'yyyy-MM-dd')"
+        ).alias("day"),
+        "content",
+    )
+
+
+def filter_after_watermark(df: DataFrame, watermark: date | None) -> DataFrame:
+    """R2: strictly-greater partition predicate — the committed day itself is
+    never reprocessed on resume (`audit_data_ingest.py:33`). With a Hive
+    `day=` layout this is pure partition pruning; here it prunes via the
+    derived column."""
+    df = df.filter(F.col("day").isNotNull())
+    if watermark is not None:
+        df = df.filter(F.col("day") > F.lit(watermark))
+    return df
+
+
+def encrypt_files(df: DataFrame, pem: bytes, key_id: str) -> DataFrame:
+    """R4+R5: zlib compress + AES-128-EAX envelope encrypt, Arrow-batched.
+
+    ``mapInPandas`` amortizes Python-crossing over whole record batches; the
+    RSA public key is constructed once per batch iterator (per task), the
+    broadcast-equivalent of the reference's single driver-side key fetch
+    fanned out to workers (`audit_data_ingest.py:78,86-88`)."""
+
+    def batches(it):
+        import pandas as pd
+
+        enc = EnvelopeEncryptor(pem, key_id)
+        for pdf in it:
+            recs = [enc.encrypt_record(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "day": pdf["day"].astype(str),
+                    "basename": pdf["basename"],
+                    "ciphertext": [r.ciphertext for r in recs],
+                    "iv": [r.iv for r in recs],
+                    "encrypted_key": [r.encrypted_key for r in recs],
+                    "key_id": [r.key_id for r in recs],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=_ENC_SCHEMA)
+
+
+def upload_partition_factory(cfg: IngestConfig):
+    """R6+R11: metadata-bearing S3 sink. Per-object metadata is outside
+    DataFrameWriter's model, so the sink is a ``foreachPartition`` function
+    with one boto3 client per partition and botocore standard-mode retries
+    (`audit_data_ingest.py:169-197`)."""
+
+    def upload(rows) -> None:
+        import boto3
+        from botocore.config import Config
+
+        client = boto3.client(
+            "s3",
+            region_name=cfg.aws_region,
+            endpoint_url=cfg.s3_endpoint_url,
+            config=Config(retries={"max_attempts": cfg.retries, "mode": "standard"}),
+            **cfg.extra_boto_kwargs,
+        )
+        for row in rows:
+            # key layout: f"{prefix}{day}/{basename}.gz.enc" — no separator
+            # inserted after the prefix, suffix says .gz but framing is zlib
+            # (`audit_data_ingest.py:117,:172-173`; quirks 1 & 5).
+            key = f"{cfg.s3_prefix}{row['day']}/{row['basename']}.gz.enc"
+            client.put_object(
+                Bucket=cfg.s3_bucket,
+                Key=key,
+                Body=bytes(row["ciphertext"]),
+                Metadata={
+                    "iv": row["iv"],
+                    "ciphertext": row["encrypted_key"],
+                    "datakeyencryptionkeyid": row["key_id"],
+                },
+            )
+
+    return upload
+
+
+def run_ingest(spark: SparkSession, cfg: IngestConfig) -> list[date]:
+    """R13: the per-day driver loop. Days are processed in ascending order;
+    each day is one Spark action; the watermark is committed only after the
+    whole day succeeded — any task failure fails the job and the day is
+    retried wholesale on the next run (at-least-once over an idempotent
+    overwrite sink, `audit_data_ingest.py:49-68,96-104`).
+
+    Returns the list of committed days.
+    """
+    watermark = find_start_date(cfg.progress_file)
+    scanned = filter_after_watermark(scan_source(spark, cfg.src_dir), watermark)
+    days = [r["day"] for r in scanned.select("day").distinct().orderBy("day").collect()]
+    if not days:
+        logger.info("nothing newer than %s under %s", watermark, cfg.src_dir)
+        return []
+
+    committed: list[date] = []
+    for day in days:
+        day_df = scanned.filter(F.col("day") == F.lit(day))
+        enc = encrypt_files(day_df, cfg.rsa_public_key_pem, cfg.hsm_key_id)
+        enc.foreachPartition(upload_partition_factory(cfg))
+        # reaching here means every task of the day's job succeeded
+        update_progress_file(cfg.progress_file, day)
+        committed.append(day)
+        logger.info("committed day %s", day)
+    return committed

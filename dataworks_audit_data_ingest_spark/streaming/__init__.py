@@ -1,0 +1,10 @@
+"""Structured Streaming surface (SURVEY.md §7 M3)."""
+
+from .jobs import (  # noqa: F401
+    dedup_events_within_watermark,
+    sessionized_events,
+    sliding_user_counts,
+    start_encrypted_ingest_stream,
+    stream_events_json,
+    tumbling_event_counts,
+)

@@ -1,0 +1,149 @@
+"""Structured Streaming jobs.
+
+The production source is Kafka (the reference ingests "UC Kafka audit data",
+`README.md:5`) — swap ``stream_events_json`` for ``readStream.format("kafka")``
++ ``from_json(value)`` with the same downstream code. Tests drive the file
+source with ``trigger(availableNow=True)``, the streaming analog of the
+reference's 12-hourly batch run (`ci/resources.yml:20-23`): each tick drains
+everything new and stops, resuming from the checkpoint — which subsumes the
+reference's progress-file watermark (`audit_data_ingest.py:71-73`).
+
+Window/sessionization expressions are the same ones pinned in batch by
+q30-q33 (queries/streaming_shaped.py), so their semantics are oracle-checked
+even though streaming runs aren't SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..ingest.pipeline import IngestConfig, encrypt_files, upload_partition_factory
+from ..session import tune
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events_json(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of event JSON lines (Kafka stand-in)."""
+    tune(spark)
+    reader = spark.readStream.schema(EVENT_SCHEMA).format("json")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(src_dir)
+
+
+def tumbling_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-day window counts with late-data bound (q30's expression)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def sliding_user_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Sliding 2h/1h distinct-ish user counts (q31's expression; streaming
+    uses approx_count_distinct — exact distinct isn't incremental)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "approx_users")
+    )
+
+
+def sessionized_events(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Stateful session windows per user (q32's expression)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_events_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon: the streaming
+    dedup operator whose batch shape is q33. State for a key is dropped once
+    the watermark passes it — bounded memory at 100 TB/day rates."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def start_encrypted_ingest_stream(
+    spark: SparkSession,
+    cfg: IngestConfig,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming twin of ``ingest.run_ingest``: binaryFile stream →
+    compress+encrypt → per-batch metadata-bearing S3 sink.
+
+    ``foreachBatch`` reuses the batch pipeline's encrypt stage and sink
+    function unchanged; the commit log in ``checkpoint_dir`` provides the
+    once-per-file guarantee the reference built by hand with its progress
+    file + all-or-nothing day loop (`audit_data_ingest.py:50-68`).
+    """
+    tune(spark)
+    # streaming sources require an explicit schema; this is binaryFile's fixed one
+    binary_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("recursiveFileLookup", "true")
+        .load(cfg.src_dir)
+        .select(
+            "path",
+            F.element_at(F.split("path", "/"), -1).alias("basename"),
+            F.expr(
+                r"TRY_TO_DATE(REGEXP_EXTRACT(path, '([^/]+)/[^/]+$', 1), 'yyyy-MM-dd')"
+            ).alias("day"),
+            "content",
+        )
+        .filter(F.col("day").isNotNull())
+    )
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        enc = encrypt_files(batch_df, cfg.rsa_public_key_pem, cfg.hsm_key_id)
+        enc.foreachPartition(upload_partition_factory(cfg))
+
+    writer = files.writeStream.foreachBatch(sink_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

