@@ -11,6 +11,7 @@ from .base import REGISTRY, Query, register  # noqa: F401
 
 # Importing the modules populates REGISTRY via their @register decorators.
 from . import relational  # noqa: E402,F401
+from . import advanced  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
 from . import streaming_shaped  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401

@@ -1,0 +1,287 @@
+"""Second relational batch: pivot/unpivot, exact percentiles, scalar
+subqueries, array/map expressions, value-window functions, distribution
+ranks, and sketch aggregates (SURVEY.md §2.2 coverage rows with no reference
+analog — all pure Spark built-ins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+from .base import register
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q34_pivot",
+    sql=f"""
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           {", ".join(f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}" for t in _EVENT_TYPES)}
+    FROM events
+    GROUP BY 1
+    ORDER BY day
+    """,
+    tags=("agg", "pivot"),
+)
+def q34_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: event_type counts widened to one column per type.
+
+    The value list is explicit, so Spark skips the extra distinct-values job
+    — at 100 TB an unlisted pivot would scan the fact table twice.
+    """
+    ev = table(spark, sf_dir, "events")
+    piv = (
+        ev.select(F.date_trunc("day", "ts").cast("date").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return piv.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    ).orderBy("day")
+
+
+@register(
+    "q35_unpivot",
+    sql="""
+    SELECT p_partkey, measure, value FROM (
+      SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS value FROM part
+    )
+    WHERE p_partkey < 50
+    ORDER BY p_partkey, measure
+    """,
+    tags=("unpivot", "melt"),
+)
+def q35_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide measures to long (measure, value) pairs."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 50)
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retailprice"),
+        )
+        .unpivot("p_partkey", ["size", "retailprice"], "measure", "value")
+        .orderBy("p_partkey", "measure")
+    )
+
+
+@register(
+    "q28_percentiles",
+    sql="""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           MAX(CASE WHEN rn = 1 + CAST(FLOOR(0.25 * (n - 1)) AS BIGINT) THEN o_totalprice END) AS p25,
+           MAX(CASE WHEN rn = 1 + CAST(FLOOR(0.50 * (n - 1)) AS BIGINT) THEN o_totalprice END) AS p50,
+           MAX(CASE WHEN rn = 1 + CAST(FLOOR(0.75 * (n - 1)) AS BIGINT) THEN o_totalprice END) AS p75,
+           MAX(n) AS n_orders
+    FROM ranked
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "percentile"),
+)
+def q28_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles as order statistics (lower value at
+    position 1+⌊q·(n−1)⌋) — engine-portable, no interpolation-rule drift.
+
+    At 100 TB: one shuffle on the group key; for global percentiles prefer
+    percentile_approx (t-digest sketch, q42) — this exact form is per-group.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("rn")
+            == 1 + F.floor(F.lit(q) * (F.col("n") - 1)).cast("bigint"),
+            F.col("o_totalprice"),
+        )
+    )
+    return (
+        ranked.groupBy("o_orderstatus")
+        .agg(
+            pick(0.25).alias("p25"),
+            pick(0.50).alias("p50"),
+            pick(0.75).alias("p75"),
+            F.max("n").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q29_scalar_subquery",
+    sql="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_above_avg
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("subquery", "filter"),
+)
+def q29_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate: orders above the global mean.
+
+    The mean's floating rounding could differ across engines, but it only
+    thresholds a comparison — safe unless a row sits within 1 ulp of it
+    (impossible here: prices have few digits, the mean has many).
+    """
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("q29_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_above_avg
+        FROM q29_orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM q29_orders)
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "q27_array_functions",
+    sql="""
+    SELECT n_nationkey,
+           segs AS segments,
+           LEN(segs) AS n_segments,
+           segs[1] AS first_segment,
+           ARRAY_TO_STRING(segs, '|') AS seg_csv,
+           LIST_CONTAINS(segs, 'BUILDING') AS has_building
+    FROM (
+      SELECT c_nationkey AS n_nationkey,
+             LIST_SORT(LIST_DISTINCT(LIST(c_mktsegment))) AS segs
+      FROM customer
+      GROUP BY c_nationkey)
+    ORDER BY n_nationkey
+    """,
+    tags=("array", "agg"),
+)
+def q27_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation + array expressions: collect_set sorted for
+    determinism, then size/index/join/contains."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(F.col("c_nationkey").alias("n_nationkey"))
+        .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("segs"))
+        .select(
+            "n_nationkey",
+            F.col("segs").alias("segments"),
+            F.size("segs").alias("n_segments"),
+            F.element_at("segs", 1).alias("first_segment"),
+            F.array_join("segs", "|").alias("seg_csv"),
+            F.array_contains("segs", "BUILDING").alias("has_building"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "q36_first_last_window",
+    sql="""
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(event_id) OVER w AS first_event,
+           LAST_VALUE(event_id)  OVER w AS last_event,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           NTH_VALUE(event_id, 2) OVER w AS second_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY user_id
+    """,
+    tags=("window", "value"),
+)
+def q36_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE over an unbounded frame: each
+    user's first and last events in one pass."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_id").over(w).alias("first_event"),
+            F.last("event_id").over(w).alias("last_event"),
+            F.first("event_type").over(w).alias("first_type"),
+            F.nth_value("event_id", 2).over(w).alias("second_event"),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q37_distribution_ranks",
+    sql="""
+    SELECT s_suppkey, s_name,
+           PERCENT_RANK() OVER (ORDER BY s_acctbal, s_suppkey) AS bal_pct_rank,
+           CUME_DIST()    OVER (ORDER BY s_acctbal, s_suppkey) AS bal_cume_dist
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    tags=("window", "rank"),
+)
+def q37_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK / CUME_DIST — distribution positions (exact integer-ratio
+    doubles, portable)."""
+    s = table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_name",
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    ).orderBy("s_suppkey")
+
+
+@register(
+    "q42_approx_distinct_sketch",
+    sql=None,  # HLL++ sketch values are engine-specific — rows-only check
+    tags=("agg", "sketch", "approx"),
+)
+def q42_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event_type, with the exact
+    count alongside and the relative error surfaced.
+
+    No SQL oracle: sketch estimates are implementation-specific (Spark HLL++
+    vs DuckDB HLL differ by design); the query instead self-reports
+    |approx−exact|/exact, which the rows-only check records.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .withColumn(
+            "rel_error",
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users"),
+        )
+        .orderBy("event_type")
+    )

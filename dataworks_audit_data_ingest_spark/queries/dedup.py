@@ -174,6 +174,139 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_jaccard_sql() -> str:
+    """Candidate pairs from q51's LSH, with signature-estimated Jaccard."""
+    mins = ",\n             ".join(
+        f"MIN({duckdb_hash32('shingle', f's{i}')}) AS mh_{i}" for i in range(_N_SEEDS)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band_idx, MD5(CONCAT_WS(',', {cols})) AS band_hash FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh_{b * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(_N_SEEDS)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_VARIANT_OFFSET} AS doc_id,
+             ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:LEN(STRING_SPLIT(text, ' ')) - 5], ' ') AS text
+      FROM documents WHERE doc_id < {_N_VARIANT_DOCS}
+    ), positions AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS words,
+             UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1)) AS i
+      FROM corpus
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+    ), shingled AS (
+      SELECT doc_id, ARRAY_TO_STRING(words[i:i+2], ' ') AS shingle
+      FROM positions
+    ), sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM shingled
+      GROUP BY doc_id
+    ), bands AS (
+{band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST({agree} AS DOUBLE) / {_N_SEEDS} AS est_jaccard
+    FROM cand
+      JOIN sigs a ON a.doc_id = doc_a
+      JOIN sigs b ON b.doc_id = doc_b
+    WHERE CAST({agree} AS DOUBLE) / {_N_SEEDS} >= 0.5
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "q57_minhash_jaccard_estimate",
+    sql=_minhash_jaccard_sql(),
+    tags=("dedup", "minhash", "similarity"),
+)
+def q57_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-based Jaccard estimation over LSH candidates: the fraction
+    of agreeing minhash components estimates J(A,B) — the verify stage that
+    filters LSH false positives without touching the original texts.
+
+    At 100 TB the signatures (12 ints/doc) are the only thing joined —
+    the documents themselves are never re-read.
+    """
+    d = table(spark, sf_dir, "documents")
+    variants = d.filter(F.col("doc_id") < _N_VARIANT_DOCS).select(
+        (F.col("doc_id") + _VARIANT_OFFSET).alias("doc_id"),
+        F.expr(
+            "ARRAY_JOIN(SLICE(SPLIT(text, ' '), 1, SIZE(SPLIT(text, ' ')) - 5), ' ')"
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(variants)
+    shingled = (
+        corpus.withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "TRANSFORM(SEQUENCE(1, SIZE(words) - 2), i -> ARRAY_JOIN(SLICE(words, i, 3), ' '))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    sigs = shingled.groupBy("doc_id").agg(
+        *[
+            F.expr(f"MIN({spark_hash32('shingle', f's{i}')})").alias(f"mh_{i}")
+            for i in range(_N_SEEDS)
+        ]
+    )
+    stack_args = ", ".join(
+        "{b}, MD5(CONCAT_WS(',', {cols}))".format(
+            b=b,
+            cols=", ".join(f"CAST(mh_{b * _ROWS + r} AS STRING)" for r in range(_ROWS)),
+        )
+        for b in range(_BANDS)
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.expr(f"STACK({_BANDS}, {stack_args}) AS (band_idx, band_hash)"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(_N_SEEDS)
+    )
+    sa, sb = sigs.alias("a"), sigs.alias("b")
+    return (
+        cand.join(sa, cand.doc_a == F.col("a.doc_id"))
+        .join(sb, cand.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"CAST({agree} AS DOUBLE) / {_N_SEEDS}").alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

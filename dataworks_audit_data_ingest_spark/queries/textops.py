@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import duckdb_hash32, spark_hash32
 from ..tables import table
 from .base import register
 
@@ -193,4 +194,29 @@ def q63_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .filter(F.col("n_docs") > 1)
         .orderBy("fingerprint")
+    )
+
+
+@register(
+    "q64_deterministic_sample",
+    sql=f"""
+    SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_doc_id
+    FROM documents
+    WHERE {duckdb_hash32('text', 'sample')} % 10 = 0
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("text", "sampling"),
+)
+def q64_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sampling by content hash — the reproducible
+    alternative to TABLESAMPLE for training-data splits: the same document
+    always lands in the same split, across engines, runs, and repartitions.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.expr(f"{spark_hash32('text', 'sample')} % 10 = 0"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("lang")
     )

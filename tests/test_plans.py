@@ -1,0 +1,101 @@
+"""Physical-plan regression tests: the scale properties the engine promises
+(predicate pushdown, column pruning, broadcast joins, top-k without full
+sort, no accidental cartesian products) asserted against the optimized
+plans — these are what make the queries survive 100 TB, independent of the
+row-level correctness the oracle checks.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from dataworks_audit_data_ingest_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+REGISTRY = all_queries()
+
+
+def plan_of(spark, name: str) -> str:
+    return REGISTRY[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    plan = formatted_plan(spark, "q01_pricing_summary")
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters:.*LessThanOrEqual\(l_shipdate", plan)
+
+
+def test_q01_column_pruning(spark):
+    plan = formatted_plan(spark, "q01_pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # 11-column table, 7 needed — the scan must not read the other 4
+    assert "l_orderkey" not in read_cols
+    assert "l_partkey" not in read_cols
+    assert read_cols >= {"l_quantity", "l_extendedprice", "l_returnflag"}
+
+
+def test_q03_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "q03_regional_revenue")
+    assert "BroadcastHashJoin" in plan
+    # the star join must not sort-merge the tiny dims
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q24_band_join_is_broadcast_nested_loop(spark):
+    plan = plan_of(spark, "q24_price_band_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q26_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "q26_top_parts_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q05_semi_and_q06_anti_join_types(spark):
+    assert "LeftSemi" in plan_of(spark, "q05_order_priority_semi")
+    assert "LeftAnti" in plan_of(spark, "q06_customers_without_orders")
+
+
+def test_q55_ann_has_no_python_udf(spark):
+    """Similarity scoring must stay JVM-side (ZIP_WITH/AGGREGATE), not fall
+    into BatchEvalPython."""
+    plan = plan_of(spark, "q55_ann_bruteforce_topk")
+    assert "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n in sorted(REGISTRY) if n not in ("q24_price_band_join",)],
+)
+def test_no_cartesian_products(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_ingest_scan_prunes_content_until_needed(spark, tmp_path):
+    """The day-discovery pass must not read file contents: selecting only
+    `day` from the binaryFile scan keeps `content` out of the ReadSchema."""
+    from dataworks_audit_data_ingest_spark.ingest.pipeline import scan_source
+
+    src = tmp_path / "s"
+    (src / "2020-01-01").mkdir(parents=True)
+    (src / "2020-01-01" / "x.bin").write_bytes(b"payload")
+    df = scan_source(spark, str(src)).select("day")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "content" not in m.group(1)
