@@ -47,8 +47,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
 
-    # warm-up: JVM, parquet footers, Python worker pool
-    registry["q26_top_parts_global"].fn(spark, sf_dir).write.format("noop").mode(
+    # warm-up: JVM, parquet footers for every table, Python worker pool
+    from dataworks_audit_data_ingest_spark.tables import TABLE_NAMES, table
+
+    for t in TABLE_NAMES:
+        table(spark, sf_dir, t).count()
+    registry["q70_multimodal_decode"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
 

@@ -378,6 +378,59 @@ def q52_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q58_dedup_clusters",
+    sql=None,  # iterative fixpoint — not SQL-expressible; rows-only check
+    tags=("dedup", "clustering", "iterative"),
+)
+def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components clustering of near-dup pairs: every document in a
+    duplicate cluster is labeled with the cluster's minimum doc_id — the
+    "keep one representative per cluster" step after LSH candidate discovery.
+
+    Iterative min-label propagation (alternating join + min-agg until
+    fixpoint), the standard large-graph CC pattern: each round is one shuffle
+    keyed on doc_id; lineage is cut per round via localCheckpoint so plans
+    don't grow with iterations. Deterministic output, so the rows-only hash
+    is stable across runs.
+    """
+    pairs = q51_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # undirected edge list, both directions
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
+    labels = nodes.withColumn("label", F.col("doc_id"))
+    for _ in range(20):  # diameter bound; fixpoint reached far earlier
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.select("doc_id", F.col("label").alias("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard
 # ---------------------------------------------------------------------------

@@ -8,6 +8,8 @@ as *runtime* conf via :func:`tune` (legal on any live session).
 from __future__ import annotations
 
 import os
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -29,6 +31,31 @@ _RUNTIME_CONF = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Closures in mapInPandas/foreachPartition reference module-level symbols,
+    which cloudpickle serializes *by reference* — the worker must import the
+    module. When the driving application runs from a different cwd (the
+    correctness driver, a notebook), the package isn't on the workers' path,
+    so we zip it and addPyFile it once per session. On a real cluster this is
+    what --py-files/pip-install does at submit time.
+    """
+    if getattr(spark, "_dwadi_pkg_shipped", False):
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = Path("/tmp") / f"dwadi_pkg_{os.getpid()}.zip"
+    if not zip_path.exists():
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for py in pkg_dir.rglob("*.py"):
+                zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
+    try:
+        spark.sparkContext.addPyFile(str(zip_path))
+    except Exception:
+        pass  # e.g. Connect sessions without addPyFile; submit-time py-files apply
+    spark._dwadi_pkg_shipped = True
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs; safe and idempotent on externally-owned sessions."""
     for k, v in _RUNTIME_CONF.items():
@@ -38,6 +65,7 @@ def tune(spark: SparkSession) -> SparkSession:
             # Conf not settable at runtime in this deployment — keep going;
             # individual loaders have fallbacks where it matters.
             pass
+    _ship_package(spark)
     return spark
 
 

@@ -1,0 +1,63 @@
+"""Batch source readers.
+
+The reference's only source is an HDFS directory of opaque files
+(`audit_data_ingest.py:129-150`); the engine generalizes to the formats the
+analytical layer reads after decrypt (JSON audit payloads per
+`tests/data/audit-data-1.json`), plus columnar fixtures. All readers take
+explicit schemas where inference would mean an extra data pass — at 100 TB
+schema inference is a full scan you don't want.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..session import tune
+from ..tables import table as _table
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fixture-table reader (type-normalizing, see tables.py)."""
+    return _table(spark, sf_dir, name)
+
+
+def read_binary_dir(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-as-record reader: (path, basename, day, content) rows — the
+    reference's data model as a DataFrame (SURVEY.md §1.4)."""
+    from ..ingest.pipeline import scan_source
+
+    return scan_source(spark, src_dir)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame:
+    """JSON-lines reader with mandatory schema (no inference pass)."""
+    tune(spark)
+    return spark.read.schema(schema).json(path)
+
+
+def read_events_json(spark: SparkSession, path: str) -> DataFrame:
+    """Audit-event JSON reader sharing the streaming source's schema, so the
+    batch and streaming paths parse identically."""
+    from ..streaming.jobs import EVENT_SCHEMA
+
+    return read_json(spark, path, EVENT_SCHEMA)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV reader with mandatory schema."""
+    tune(spark)
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .csv(path)
+    )
