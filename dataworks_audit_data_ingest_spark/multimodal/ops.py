@@ -85,3 +85,34 @@ def decode_media_batches(df: DataFrame, mode: str = "fake") -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(decode, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling for video-shaped media: explode each record's frame
+    indices, keeping every k-th frame — pure built-ins (SEQUENCE + FILTER),
+    so sampling adds no Python cost on top of decode. One output row per
+    sampled frame, ready for a per-frame feature extractor."""
+    return media.filter(F.col("n_frames") > 0).select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(0), F.col("n_frames") - 1),
+                lambda i: i % every_k == 0,
+            )
+        ).alias("frame_idx"),
+    )
+
+
+def resize_media(df: DataFrame, max_width: int = 224, max_height: int = 224) -> DataFrame:
+    """Resize planning: computes clamped target dimensions per record (the
+    arithmetic half of a resize — the pixel transform belongs in the real
+    decoder, see decode_media_batches(mode="real"))."""
+    scale = F.least(
+        F.lit(1.0),
+        F.least(
+            F.lit(max_width) / F.col("width"), F.lit(max_height) / F.col("height")
+        ),
+    )
+    return df.withColumn("target_width", F.floor(F.col("width") * scale).cast("int")) \
+             .withColumn("target_height", F.floor(F.col("height") * scale).cast("int"))

@@ -220,3 +220,61 @@ def q64_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("min_doc_id"))
         .orderBy("lang")
     )
+
+
+@register(
+    "q65_tfidf_top_terms",
+    sql="""
+    WITH tf AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents
+    ), term_freq AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term
+    ), doc_freq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n_docs AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), scored AS (
+      SELECT doc_id, term, tf, df,
+             CAST(tf AS DOUBLE) * n / df AS tfidf_lin
+      FROM term_freq JOIN doc_freq USING (term) CROSS JOIN n_docs
+    )
+    SELECT doc_id, term, tf, df, tfidf_lin, term_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_lin DESC, term) AS term_rank
+      FROM scored)
+    WHERE term_rank <= 3 AND doc_id < 100
+    ORDER BY doc_id, term_rank
+    """,
+    tags=("text", "tfidf"),
+)
+def q65_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top terms per document (linearized idf: tf·N/df instead of
+    tf·ln(N/df) — same ranking for fixed tf, and libm-free so both engines
+    agree bit-for-bit; swap in log for production scoring).
+
+    Scale shape: two aggs (term-per-doc, doc-freq) + a broadcast-sized
+    doc-freq join keyed by term; the corpus is read once.
+    """
+    d = table(spark, sf_dir, "documents")
+    tf = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    term_freq = tf.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_lin"), F.asc("term"))
+    return (
+        term_freq.join(F.broadcast(doc_freq), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf").cast("double") * n_docs / F.col("df")).alias("tfidf_lin"),
+        )
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter((F.col("term_rank") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "term", "tf", "df", "tfidf_lin", "term_rank")
+        .orderBy("doc_id", "term_rank")
+    )

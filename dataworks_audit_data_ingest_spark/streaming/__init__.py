@@ -8,3 +8,5 @@ from .jobs import (  # noqa: F401
     stream_events_json,
     tumbling_event_counts,
 )
+from .kafka import parse_kafka_events, read_kafka  # noqa: F401
+from .stateful import running_user_profiles  # noqa: F401

@@ -86,3 +86,22 @@ def test_real_decode_is_explicit_stub(spark):
     d = with_media_payload(table(spark, "/root/testdata/sf0.001", "documents"))
     with pytest.raises(NotImplementedError, match="decoder"):
         decode_media_batches(d, mode="real")
+
+
+def test_sample_frames_and_resize(spark):
+    from dataworks_audit_data_ingest_spark.multimodal.ops import (
+        resize_media,
+        sample_frames,
+    )
+    from dataworks_audit_data_ingest_spark.tables import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents").limit(30)
+    media = decode_media_batches(with_media_payload(d))
+    frames = sample_frames(media, every_k=2).collect()
+    assert frames, "expected at least one sampled frame"
+    for r in frames:
+        assert r.frame_idx % 2 == 0 and 0 <= r.frame_idx < r.n_frames
+    resized = resize_media(media, max_width=64, max_height=64).collect()
+    for r in resized:
+        assert r.target_width <= 64 and r.target_height <= 64
+        assert r.target_width >= 1 and r.target_height >= 1
