@@ -33,3 +33,22 @@ def spark_bit(expr: str, j: int) -> str:
 def duckdb_bit(expr: str, j: int) -> str:
     """Bit ``j`` of a non-negative integer expression (DuckDB SQL)."""
     return f"(({expr} >> {j}) & 1)"
+
+
+# Universal-hash family over one base hash: h_i(x) = (a_i·H(x) + b_i) mod p.
+# One MD5 per input feeds any number of minhash permutations — 12× fewer
+# digest computations than salting MD5 per seed. p is the largest prime
+# below 2^32; a_i < 2^6 keeps a_i·H < 2^38, far inside BIGINT. The
+# arithmetic is identical (exact) in Spark SQL and DuckDB.
+_UH_P = 4_294_967_291
+
+
+def _uh_coeffs(i: int) -> tuple[int, int]:
+    return 2 * i + 1, 1_000_003 * i + 12_345
+
+
+def universal_hash(base_expr: str, i: int) -> str:
+    """Permutation ``i`` of the family applied to a base-hash expression —
+    dialect-free (pure integer SQL)."""
+    a, b = _uh_coeffs(i)
+    return f"(({a} * {base_expr} + {b}) % {_UH_P})"

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import duckdb_hash32, spark_hash32
+from ..functions.hashing import duckdb_hash32, spark_hash32, universal_hash
 from ..tables import table
 from .base import register
 
@@ -70,9 +70,13 @@ _N_VARIANT_DOCS = 50  # doc_id < 50 get a near-dup variant (drop last 5 words)
 
 
 def _minhash_sql() -> str:
-    """DuckDB oracle mirroring the Spark minhash pipeline exactly."""
+    """DuckDB oracle mirroring the Spark minhash pipeline exactly.
+
+    One MD5 per shingle (``h``); the 12 permutations are universal-hash
+    transforms of it — same digest economy as the Spark side.
+    """
     mins = ",\n             ".join(
-        f"MIN({duckdb_hash32('shingle', f's{i}')}) AS mh_{i}" for i in range(_N_SEEDS)
+        f"MIN({universal_hash('h', i)}) AS mh_{i}" for i in range(_N_SEEDS)
     )
     band_rows = "\n      UNION ALL\n".join(
         "      SELECT doc_id, {b} AS band_idx, MD5(CONCAT_WS(',', {cols})) AS band_hash FROM sigs".format(
@@ -96,7 +100,8 @@ def _minhash_sql() -> str:
       FROM corpus
       WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
     ), shingled AS (
-      SELECT doc_id, ARRAY_TO_STRING(words[i:i+2], ' ') AS shingle
+      SELECT doc_id,
+             {duckdb_hash32("ARRAY_TO_STRING(words[i:i+2], ' ')", 'mh')} AS h
       FROM positions
     ), sigs AS (
       SELECT doc_id,
@@ -131,35 +136,7 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = d.select("doc_id", "text").unionByName(variants)
-    shingled = (
-        corpus.withColumn("words", F.split("text", " "))
-        .filter(F.size("words") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "TRANSFORM(SEQUENCE(1, SIZE(words) - 2), i -> ARRAY_JOIN(SLICE(words, i, 3), ' '))"
-                )
-            ).alias("shingle"),
-        )
-    )
-    sigs = shingled.groupBy("doc_id").agg(
-        *[
-            F.expr(f"MIN({spark_hash32('shingle', f's{i}')})").alias(f"mh_{i}")
-            for i in range(_N_SEEDS)
-        ]
-    )
-    stack_args = ", ".join(
-        "{b}, MD5(CONCAT_WS(',', {cols}))".format(
-            b=b,
-            cols=", ".join(f"CAST(mh_{b * _ROWS + r} AS STRING)" for r in range(_ROWS)),
-        )
-        for b in range(_BANDS)
-    )
-    bands = sigs.select(
-        "doc_id",
-        F.expr(f"STACK({_BANDS}, {stack_args}) AS (band_idx, band_hash)"),
-    )
+    bands = _spark_bands(_spark_sigs(corpus))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -174,10 +151,49 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spark_sigs(corpus: DataFrame) -> DataFrame:
+    """(doc_id, mh_0..mh_N) minhash signatures: one MD5 per shingle, the N
+    permutations as universal-hash transforms (a·H+b mod p) — identical
+    digest economy on both engines."""
+    shingled = (
+        corpus.withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "TRANSFORM(SEQUENCE(1, SIZE(words) - 2), i -> ARRAY_JOIN(SLICE(words, i, 3), ' '))"
+                )
+            ).alias("shingle"),
+        )
+        .select("doc_id", F.expr(spark_hash32("shingle", "mh")).alias("h"))
+    )
+    return shingled.groupBy("doc_id").agg(
+        *[
+            F.expr(f"MIN({universal_hash('h', i)})").alias(f"mh_{i}")
+            for i in range(_N_SEEDS)
+        ]
+    )
+
+
+def _spark_bands(sigs: DataFrame) -> DataFrame:
+    stack_args = ", ".join(
+        "{b}, MD5(CONCAT_WS(',', {cols}))".format(
+            b=b,
+            cols=", ".join(f"CAST(mh_{b * _ROWS + r} AS STRING)" for r in range(_ROWS)),
+        )
+        for b in range(_BANDS)
+    )
+    return sigs.select(
+        "doc_id",
+        F.expr(f"STACK({_BANDS}, {stack_args}) AS (band_idx, band_hash)"),
+    )
+
+
 def _minhash_jaccard_sql() -> str:
     """Candidate pairs from q51's LSH, with signature-estimated Jaccard."""
     mins = ",\n             ".join(
-        f"MIN({duckdb_hash32('shingle', f's{i}')}) AS mh_{i}" for i in range(_N_SEEDS)
+        f"MIN({universal_hash('h', i)}) AS mh_{i}" for i in range(_N_SEEDS)
     )
     band_rows = "\n      UNION ALL\n".join(
         "      SELECT doc_id, {b} AS band_idx, MD5(CONCAT_WS(',', {cols})) AS band_hash FROM sigs".format(
@@ -204,7 +220,8 @@ def _minhash_jaccard_sql() -> str:
       FROM corpus
       WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
     ), shingled AS (
-      SELECT doc_id, ARRAY_TO_STRING(words[i:i+2], ' ') AS shingle
+      SELECT doc_id,
+             {duckdb_hash32("ARRAY_TO_STRING(words[i:i+2], ' ')", 'mh')} AS h
       FROM positions
     ), sigs AS (
       SELECT doc_id,
@@ -250,35 +267,8 @@ def q57_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = d.select("doc_id", "text").unionByName(variants)
-    shingled = (
-        corpus.withColumn("words", F.split("text", " "))
-        .filter(F.size("words") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "TRANSFORM(SEQUENCE(1, SIZE(words) - 2), i -> ARRAY_JOIN(SLICE(words, i, 3), ' '))"
-                )
-            ).alias("shingle"),
-        )
-    )
-    sigs = shingled.groupBy("doc_id").agg(
-        *[
-            F.expr(f"MIN({spark_hash32('shingle', f's{i}')})").alias(f"mh_{i}")
-            for i in range(_N_SEEDS)
-        ]
-    )
-    stack_args = ", ".join(
-        "{b}, MD5(CONCAT_WS(',', {cols}))".format(
-            b=b,
-            cols=", ".join(f"CAST(mh_{b * _ROWS + r} AS STRING)" for r in range(_ROWS)),
-        )
-        for b in range(_BANDS)
-    )
-    bands = sigs.select(
-        "doc_id",
-        F.expr(f"STACK({_BANDS}, {stack_args}) AS (band_idx, band_hash)"),
-    )
+    sigs = _spark_sigs(corpus)
+    bands = _spark_bands(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

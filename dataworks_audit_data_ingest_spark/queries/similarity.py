@@ -19,23 +19,28 @@ _TOP_K = 5
 @register(
     "q55_ann_bruteforce_topk",
     sql=f"""
-    WITH base AS (
+    WITH base0 AS (
       SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings
+    ), norm_terms AS (
+      SELECT vec_id, emb, UNNEST(RANGE(1, LEN(emb) + 1)) AS i FROM base0
+    ), base AS (
+      SELECT vec_id, ANY_VALUE(emb) AS emb,
+             SQRT(CAST(SUM(CAST(emb[i] * emb[i] AS {_DOT_DEC})) AS DOUBLE)) AS nrm
+      FROM norm_terms GROUP BY vec_id
     ), pairs AS (
       SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
-             q.emb AS eq, t.emb AS et
+             q.emb AS eq, t.emb AS et, q.nrm AS nq, t.nrm AS nt
       FROM base q JOIN base t ON t.vec_id != q.vec_id
       WHERE q.vec_id < {_N_QUERIES}
     ), indexed AS (
-      SELECT query_id, neighbor_id, eq, et,
+      SELECT query_id, neighbor_id, eq, et, nq, nt,
              UNNEST(RANGE(1, LEN(eq) + 1)) AS i
       FROM pairs
     ), scored AS (
       SELECT query_id, neighbor_id,
              CAST(SUM(CAST(eq[i] * et[i] AS {_DOT_DEC})) AS DOUBLE)
-               / (SQRT(CAST(SUM(CAST(eq[i] * eq[i] AS {_DOT_DEC})) AS DOUBLE))
-                  * SQRT(CAST(SUM(CAST(et[i] * et[i] AS {_DOT_DEC})) AS DOUBLE))) AS cosine
+               / (ANY_VALUE(nq) * ANY_VALUE(nt)) AS cosine
       FROM indexed
       GROUP BY query_id, neighbor_id
     ), ranked AS (
@@ -56,24 +61,44 @@ def q55_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The cosine is a JVM-side ZIP_WITH/AGGREGATE expression (no Python UDF,
     stays in whole-stage codegen); queries broadcast against the corpus so
-    the corpus is scanned exactly once. This is the exact baseline the
-    IVF/LSH variants (q56, q51) are measured against.
+    the corpus is scanned exactly once, and each vector's norm is computed
+    once up front — the pair stage does a single dot product. This is the
+    exact baseline the IVF/LSH variants (q56, q51) are measured against.
     """
     e = table(spark, sf_dir, "embeddings")
+    norm = (
+        f"SQRT(CAST(AGGREGATE(TRANSFORM(emb, x -> CAST(x * x AS {_DOT_DEC})), "
+        f"CAST(0 AS {_DOT_DEC}), (acc, v) -> CAST(acc + v AS {_DOT_DEC})) AS DOUBLE))"
+    )
     base = e.select(
         "vec_id",
         F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
-    )
+    ).withColumn("nrm", F.expr(norm))
     q = base.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("eq")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("eq"),
+        F.col("nrm").alias("nq"),
     )
-    t = base.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("et"))
-    cos = spark_cosine("eq", "et")
+    t = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("et"),
+        F.col("nrm").alias("nt"),
+    )
+    dot = (
+        f"AGGREGATE(ZIP_WITH(eq, et, (p, v) -> CAST(p * v AS {_DOT_DEC})), "
+        f"CAST(0 AS {_DOT_DEC}), (acc, v) -> CAST(acc + v AS {_DOT_DEC}))"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         F.broadcast(q)
         .join(t, F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.expr(cos).alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.expr(f"CAST({dot} AS DOUBLE)") / (F.col("nq") * F.col("nt"))).alias(
+                "cosine"
+            ),
+        )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
         .select(
