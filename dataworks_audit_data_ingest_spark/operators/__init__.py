@@ -1,0 +1,27 @@
+"""Operator surface façade.
+
+The engine's operators are registered as named queries in
+``dataworks_audit_data_ingest_spark.queries`` (each a PySpark builder +
+ANSI-SQL oracle pair); this package re-exports the registry under the
+architecture's ``operators/`` entry point together with the non-query
+operator entry points (ingest kernels, streaming operators, multimodal
+ops).
+"""
+
+from ..ingest.crypto import EnvelopeEncryptor  # noqa: F401
+from ..ingest.largefile import encrypt_and_upload_large  # noqa: F401
+from ..ingest.pipeline import encrypt_files, run_ingest  # noqa: F401
+from ..multimodal.ops import decode_media_batches, resize_media, sample_frames  # noqa: F401
+from ..queries import REGISTRY, Query, all_queries  # noqa: F401
+from ..streaming.jobs import (  # noqa: F401
+    dedup_events_within_watermark,
+    sessionized_events,
+    sliding_user_counts,
+    tumbling_event_counts,
+)
+from ..streaming.stateful import running_user_profiles  # noqa: F401
+
+
+def by_tag(tag: str) -> dict[str, Query]:
+    """Operators filtered by family tag ('join', 'window', 'dedup', ...)."""
+    return {n: q for n, q in all_queries().items() if tag in q.tags}

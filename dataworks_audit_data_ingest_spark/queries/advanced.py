@@ -285,3 +285,93 @@ def q42_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q38_full_outer_join",
+    sql="""
+    WITH c AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+      FROM customer GROUP BY c_nationkey
+    ), s AS (
+      SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers,
+           CASE WHEN c.nationkey IS NULL THEN 'supplier_only'
+                WHEN s.nationkey IS NULL THEN 'customer_only'
+                ELSE 'both' END AS presence
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    ORDER BY nationkey
+    """,
+    tags=("join", "outer", "full"),
+)
+def q38_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join preserving unmatched rows on both sides, with
+    NULL-safe coalescing — completes the outer-join family (left: q07)."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    ca, sa = c.alias("c"), s.alias("s")
+    return (
+        ca.join(sa, F.col("c.nationkey") == F.col("s.nationkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.when(F.col("c.nationkey").isNull(), "supplier_only")
+            .when(F.col("s.nationkey").isNull(), "customer_only")
+            .otherwise("both")
+            .alias("presence"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "q39_map_functions",
+    sql="""
+    SELECT user_id,
+           STRING_AGG(event_type || ':' || n, ',' ORDER BY event_type) AS type_counts,
+           COUNT(*) AS n_types
+    FROM (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type)
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("map", "agg"),
+)
+def q39_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed aggregation: per-user event_type→count map built with
+    map_from_entries, then serialized to a sorted canonical string (maps
+    have no cross-engine wire equality; the canonical form does)."""
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("event_type", "n")))
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "ARRAY_JOIN(TRANSFORM(MAP_ENTRIES(m), e -> CONCAT(e.key, ':', e.value)), ',')"
+            ).alias("type_counts"),
+            F.size(F.map_keys("m")).alias("n_types"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,94 @@
+"""Sinks, pandas_udf surface, and operators façade tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataworks_audit_data_ingest_spark.functions.udfs import (
+    byte_length,
+    normalize_text,
+    normalized_fingerprint,
+)
+from dataworks_audit_data_ingest_spark.sinks import (
+    start_parquet_stream_sink,
+    write_partitioned_parquet,
+)
+from dataworks_audit_data_ingest_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partitioned_parquet_roundtrip_prunes(spark, tmp_path):
+    ev = table(spark, SF, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    out = str(tmp_path / "lake")
+    write_partitioned_parquet(ev, out, partition_by=("day",), files_per_partition=2)
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    # partition pruning: a day filter must touch one partition directory
+    one_day = back.filter(F.col("day") == "2024-01-05")
+    plan = one_day._sc._jvm.PythonSQLUtils.explainString(
+        one_day._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert one_day.count() == ev.filter(F.col("day") == "2024-01-05").count()
+
+
+def test_streaming_parquet_sink(spark, tmp_path):
+    import json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = table(spark, SF, "events").limit(50).collect()
+    with open(src / "e.json", "w") as f:
+        for r in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": r.event_id,
+                        "ts": r.ts.isoformat(sep=" "),
+                        "user_id": r.user_id,
+                        "event_type": r.event_type,
+                        "value": r.value,
+                        "props": r.props,
+                    }
+                )
+                + "\n"
+            )
+    from dataworks_audit_data_ingest_spark.streaming import stream_events_json
+
+    q = start_parquet_stream_sink(
+        stream_events_json(spark, str(src)),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 50
+
+
+def test_pandas_udfs(spark):
+    df = spark.createDataFrame(
+        [("  Hello   WORLD  ",), ("ünï  code",)], "s string"
+    )
+    out = df.select(
+        normalize_text("s").alias("norm"),
+        byte_length("s").alias("blen"),
+        normalized_fingerprint("s").alias("fp"),
+    ).collect()
+    assert out[0].norm == "hello world"
+    assert out[1].norm == "ünï code"
+    assert out[0].blen == len("  Hello   WORLD  ".encode())
+    import hashlib
+
+    assert out[0].fp == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_operators_facade():
+    from dataworks_audit_data_ingest_spark import operators
+
+    assert len(operators.all_queries()) >= 55
+    joins = operators.by_tag("join")
+    assert "q03_regional_revenue" in joins and "q25_asof_join" in joins
+    assert callable(operators.run_ingest)
+    assert callable(operators.running_user_profiles)
