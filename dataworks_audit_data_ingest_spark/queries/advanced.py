@@ -375,3 +375,34 @@ def q39_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q43_correlated_min",
+    sql="""
+    SELECT p_brand, p_partkey, p_name,
+           CAST(p_retailprice AS DOUBLE) AS p_retailprice
+    FROM part p
+    WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                           WHERE p2.p_brand = p.p_brand)
+    ORDER BY p_brand, p_partkey
+    """,
+    tags=("subquery", "correlated"),
+)
+def q43_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2 shape): rows matching their
+    group's minimum. Catalyst de-correlates this into an aggregate + join —
+    one shuffle on the correlation key, not a per-row subquery execution.
+    """
+    p = table(spark, sf_dir, "part")
+    p.createOrReplaceTempView("q43_part")
+    return spark.sql(
+        """
+        SELECT p_brand, p_partkey, p_name,
+               CAST(p_retailprice AS DOUBLE) AS p_retailprice
+        FROM q43_part p
+        WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM q43_part p2
+                               WHERE p2.p_brand = p.p_brand)
+        ORDER BY p_brand, p_partkey
+        """
+    )

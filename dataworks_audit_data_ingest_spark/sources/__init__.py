@@ -5,5 +5,6 @@ from .readers import (  # noqa: F401
     read_csv,
     read_events_json,
     read_json,
+    read_json_with_quarantine,
     read_parquet_table,
 )

@@ -11,6 +11,7 @@ schema inference is a full scan you don't want.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..session import tune
@@ -61,3 +62,29 @@ def read_csv(
         .option("delimiter", delimiter)
         .csv(path)
     )
+
+
+def read_json_with_quarantine(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSON read split into (good, quarantined) — corrupt lines
+    land in the quarantine frame with their raw text instead of failing the
+    job, the batch twin of the Kafka parse policy (streaming/kafka.py)."""
+    tune(spark)
+    schema_with_corrupt = (
+        spark.read.schema(schema).json(path).schema.add("_corrupt_record", "string")
+        if not isinstance(schema, StructType)
+        else schema.add("_corrupt_record", "string")
+    )
+    df = (
+        spark.read.schema(schema_with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw")
+    )
+    return good, bad

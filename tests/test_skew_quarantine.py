@@ -1,0 +1,66 @@
+"""Skew-salting helpers and corrupt-record quarantine tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataworks_audit_data_ingest_spark.functions.skew import salted_agg, salted_join
+from dataworks_audit_data_ingest_spark.sources import read_json_with_quarantine
+from dataworks_audit_data_ingest_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    ev = table(spark, SF, "events")
+    partials = salted_agg(
+        ev,
+        "event_type",
+        [F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")],
+        salt_buckets=8,
+    )
+    merged = {
+        r.event_type: (r.n, r.s)
+        for r in partials.groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .collect()
+    }
+    plain = {
+        r.event_type: (r.n, r.s)
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s"))
+        .collect()
+    }
+    assert merged == plain
+    # stage 1 genuinely spread keys over multiple salt buckets
+    assert partials.count() > len(plain)
+
+
+def test_salted_join_equals_plain_join(spark):
+    ev = table(spark, SF, "events")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("error", 5.0), ("purchase", 2.0), ("signup", 0.5), ("view", 0.1)],
+        "event_type string, weight double",
+    )
+    salted = salted_join(ev, dim, "event_type", salt_buckets=4)
+    plain = ev.join(dim, "event_type")
+    assert salted.count() == plain.count()
+    a = sorted((r.event_id, r.weight) for r in salted.select("event_id", "weight").collect())
+    b = sorted((r.event_id, r.weight) for r in plain.select("event_id", "weight").collect())
+    assert a == b
+
+
+def test_json_quarantine_splits_good_and_bad(spark, tmp_path):
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"a": 1, "b": "x"}\n'
+        "THIS IS NOT JSON\n"
+        '{"a": 2, "b": "y"}\n'
+        '{"a": "not-an-int", "b": 3}\n'
+    )
+    good, bad = read_json_with_quarantine(spark, str(p), "a int, b string")
+    g = sorted((r.a, r.b) for r in good.collect())
+    assert g == [(1, "x"), (2, "y")]
+    raws = [r.raw for r in bad.collect()]
+    assert len(raws) == 2
+    assert any("NOT JSON" in r for r in raws)
