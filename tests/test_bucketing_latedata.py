@@ -1,0 +1,151 @@
+"""Bucketed co-located joins (shuffle-free fact-fact join), streaming
+late-data drop semantics, and small-file compaction.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataworks_audit_data_ingest_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Both fact tables bucketed+sorted on the join key ⇒ the sort-merge
+    join reads co-located buckets with NO Exchange — the recurring-workload
+    answer to the orders⋈lineitem shuffle at 100 TB (PERF.md)."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    assert warehouse  # native catalog present
+    o = table(spark, SF, "orders")
+    li = table(spark, SF, "lineitem")
+    for df, name, key in ((o, "b_orders", "o_orderkey"), (li, "b_lineitem", "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # a previous crashed run can leave the managed location behind
+        import shutil
+        from urllib.parse import urlparse
+
+        loc = urlparse(warehouse).path or warehouse
+        shutil.rmtree(f"{loc}/{name}", ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    # disable auto-broadcast so the fact-fact shape (what exists at 100 TB,
+    # where neither side broadcasts) is what gets planned here
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("b_orders")
+            .join(
+                spark.table("b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+        # the join itself must not shuffle either side (only the tiny final
+        # agg exchanges on o_orderstatus)
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # results still correct
+    got = {r.o_orderstatus: r.n for r in joined.collect()}
+    want = {
+        r.o_orderstatus: r.n
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Aggregation state for a window is finalized once the watermark passes
+    it; an event arriving after that is dropped, not double-counted."""
+    src = tmp_path / "late"
+    src.mkdir()
+
+    def write_file(name, rows):
+        with open(src / name, "w") as f:
+            for eid, ts, uid in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": eid,
+                            "ts": ts,
+                            "user_id": uid,
+                            "event_type": "click",
+                            "value": 1.0,
+                            "props": "{}",
+                        }
+                    )
+                    + "\n"
+                )
+
+    # batch 1: events in hour 00 and hour 05 → watermark advances to 04:50
+    write_file("b1.json", [(1, "2024-01-01 00:10:00", 1), (2, "2024-01-01 05:00:00", 1)])
+    from dataworks_audit_data_ingest_spark.streaming import stream_events_json
+
+    stream = stream_events_json(spark, str(src), max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # batch 2 (new run, same checkpoint): one punctual event + one VERY late
+    # event for the already-finalized hour-00 window
+    write_file(
+        "b2.json", [(3, "2024-01-01 05:30:00", 1), (4, "2024-01-01 00:20:00", 1)]
+    )
+    drain()
+    rows = {}
+    for r in spark.read.parquet(out).collect():
+        rows[r.ws.isoformat()] = rows.get(r.ws.isoformat(), 0) + r.n
+    # hour-00 window was finalized in run 1 with count 1: event 4 was dropped,
+    # never re-emitted or double-counted
+    assert rows.get("2024-01-01T00:00:00") == 1
+
+
+def test_compaction_reduces_files(spark, tmp_path):
+    from dataworks_audit_data_ingest_spark.sinks.writers import (
+        compact_parquet_partition,
+    )
+
+    out = str(tmp_path / "frag")
+    ev = table(spark, SF, "events")
+    ev.repartition(16).write.parquet(out)
+    import glob
+
+    before = len(glob.glob(out + "/*.parquet"))
+    n = compact_parquet_partition(spark, out, target_files=2)
+    after = len(glob.glob(out + "/*.parquet"))
+    assert n == ev.count()
+    assert before >= 16 and after <= 2
+    assert spark.read.parquet(out).count() == n
