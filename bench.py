@@ -32,10 +32,13 @@ BENCH_QUERIES = [
     "q25_asof_join",  # as-of join (union+last_value)
     "q31_sliding_hourly",  # sliding event-time window
     "q32_session_windows",  # session windows
+    "q46_interval_self_join",  # bucketed theta join
     "q51_dedup_minhash_lsh",  # minhash + LSH bucket join
     "q52_dedup_simhash",  # simhash signatures
     "q55_ann_bruteforce_topk",  # similarity search
+    "q56_ann_ivf_topk",  # IVF centroid-routed ANN
     "q62_token_count",  # text analysis
+    "q65_tfidf_top_terms",  # tf-idf
     "q70_multimodal_decode",  # Arrow mapInPandas decode
 ]
 

@@ -19,6 +19,7 @@ from . import similarity  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
 from . import ingest_shaped  # noqa: E402,F401
 from . import multimodal_shaped  # noqa: E402,F401
+from . import interval  # noqa: E402,F401
 
 
 def all_queries() -> dict[str, Query]:

@@ -147,3 +147,32 @@ def start_encrypted_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def purchases_to_errors_stream_join(
+    purchases: DataFrame, errors: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each error event matched to purchase events
+    of the same user in the preceding ``within`` interval.
+
+    Both sides carry watermarks, and the join condition bounds the event-time
+    range — that bound is what lets Spark evict join state (without it,
+    stream-stream state grows forever). State size is O(events within the
+    interval horizon) per side.
+    """
+    p = purchases.withWatermark("ts", within).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = errors.withWatermark("ts", within).select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    return p.join(
+        e,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("p_user", "purchase_id", "error_id", "p_ts", "e_ts")

@@ -158,3 +158,50 @@ def test_encrypted_stream_checkpoint_resume(
         "stream/2021-01-01/f1.json.gz.enc",
         "stream/2021-01-02/f2.json.gz.enc",
     }
+
+
+def test_stream_stream_join(spark, tmp_path, events_json_dir):
+    """Stream-stream inner join with event-time bounds matches the batch
+    join over the same data."""
+    from dataworks_audit_data_ingest_spark.streaming.jobs import (
+        purchases_to_errors_stream_join,
+    )
+
+    base = stream_events_json(spark, events_json_dir)
+    purchases = base.filter(F.col("event_type") == "purchase")
+    errors = base.filter(F.col("event_type") == "error")
+    q = (
+        purchases_to_errors_stream_join(purchases, errors, "30 minutes")
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.purchase_id, r.error_id)
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    ev = table(spark, SF, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    want = {
+        (r.purchase_id, r.error_id)
+        for r in p.join(
+            e,
+            (F.col("p_user") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("p_ts"))
+            & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
