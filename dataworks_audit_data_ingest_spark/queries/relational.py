@@ -662,3 +662,34 @@ def q23_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
         F.sqrt("l_quantity").alias("qty_sqrt"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "q45_cross_join",
+    sql="""
+    SELECT a.r_name AS region_a, b.r_name AS region_b,
+           CASE WHEN a.r_regionkey = b.r_regionkey THEN 1 ELSE 0 END AS is_same
+    FROM region a CROSS JOIN region b
+    ORDER BY region_a, region_b
+    """,
+    tags=("join", "cross"),
+)
+def q45_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN (tiny×tiny): all region pairs.
+
+    Legitimate only when at least one side is broadcast-small — Spark plans
+    BroadcastNestedLoopJoin here; the no-cartesian plan test exempts this
+    query by design.
+    """
+    r = table(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("region_a"), F.col("r_regionkey").alias("ka"))
+    b = r.select(F.col("r_name").alias("region_b"), F.col("r_regionkey").alias("kb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            "region_a",
+            "region_b",
+            F.when(F.col("ka") == F.col("kb"), 1).otherwise(0).alias("is_same"),
+        )
+        .orderBy("region_a", "region_b")
+    )

@@ -78,7 +78,7 @@ def test_q55_ann_has_no_python_udf(spark):
 
 @pytest.mark.parametrize(
     "name",
-    [n for n in sorted(REGISTRY) if n not in ("q24_price_band_join",)],
+    [n for n in sorted(REGISTRY) if n not in ("q24_price_band_join", "q45_cross_join")],
 )
 def test_no_cartesian_products(spark, name):
     plan = plan_of(spark, name)

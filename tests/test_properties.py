@@ -24,11 +24,13 @@ def test_eax_roundtrip_property(key, nonce, msg):
     assert eax_decrypt(key, nonce, eax_encrypt(key, nonce, msg)) == msg
 
 
-@given(key=KEY, nonce=NONCE, msg=st.binary(min_size=1, max_size=2048))
+@given(key=KEY, nonce=NONCE, msg=st.binary(min_size=16, max_size=2048))
 @settings(max_examples=30, deadline=None)
 def test_eax_ciphertext_differs_from_plaintext(key, nonce, msg):
     ct = eax_encrypt(key, nonce, msg)
     assert len(ct) == len(msg)  # CTR is length-preserving
+    # a short message CAN coincide with its keystream (hypothesis found the
+    # 1-byte case); at >=16 bytes the probability is 2^-128 — never
     assert ct != msg
 
 
