@@ -20,6 +20,7 @@ from . import textops  # noqa: E402,F401
 from . import ingest_shaped  # noqa: E402,F401
 from . import multimodal_shaped  # noqa: E402,F401
 from . import interval  # noqa: E402,F401
+from . import tpch_deep  # noqa: E402,F401
 
 
 def all_queries() -> dict[str, Query]:

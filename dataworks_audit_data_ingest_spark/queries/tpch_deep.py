@@ -1,0 +1,173 @@
+"""Deeper TPC-H-shaped workloads: multi-fact joins with conditional
+aggregation (Q7/Q8/Q10 shapes) — the benchmark-grade relational depth on top
+of the operator-by-operator coverage in relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+from .base import q4, register
+
+_VOLUME = q4(
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)))"
+)
+_COND_VOLUME_ASIA = q4(
+    "SUM(CASE WHEN r_name = 'ASIA' THEN CAST(l_extendedprice AS DECIMAL(18,4)) "
+    "* CAST(1 - l_discount AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)"
+)
+
+
+@register(
+    "q71_nation_trade_volume",
+    sql=f"""
+    SELECT supp_nation, cust_nation, order_year,
+           {_VOLUME} AS volume,
+           COUNT(*) AS n_items
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(YEAR(o_orderdate) AS INT) AS order_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE n1.n_name IN ('NATION_0', 'NATION_1')
+        AND n2.n_name IN ('NATION_0', 'NATION_1')
+        AND n1.n_name != n2.n_name)
+    GROUP BY supp_nation, cust_nation, order_year
+    ORDER BY supp_nation, cust_nation, order_year
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q71_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: bilateral trade volume by year between two nations.
+
+    Five-way join with two roles of the same dimension (nation n1/n2) —
+    both broadcast; the only large exchange is orders⋈lineitem.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    nations = ("NATION_0", "NATION_1")
+    n1 = n.select(F.col("n_nationkey").alias("k1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("k2"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("k1"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("k2"))
+        .filter(
+            F.col("supp_nation").isin(*nations)
+            & F.col("cust_nation").isin(*nations)
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").alias("order_year"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        .groupBy("supp_nation", "cust_nation", "order_year")
+        .agg(
+            F.expr(f"{_VOLUME} AS volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "order_year")
+    )
+
+
+@register(
+    "q72_region_market_share",
+    sql=f"""
+    SELECT order_year,
+           {_COND_VOLUME_ASIA} / {_VOLUME} AS asia_share,
+           {_VOLUME} AS total_volume
+    FROM (
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+             r_name, l_extendedprice, l_discount
+      FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey)
+    GROUP BY order_year
+    ORDER BY order_year
+    """,
+    tags=("join", "agg", "tpch", "share"),
+)
+def q72_region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: conditional volume over total volume
+    per year — the numerator is a CASE inside the same aggregate pass, so
+    share needs no self-join."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            "r_name",
+            "l_extendedprice",
+            "l_discount",
+        )
+        .groupBy("order_year")
+        .agg(
+            F.expr(f"{_COND_VOLUME_ASIA} / {_VOLUME} AS asia_share"),
+            F.expr(f"{_VOLUME} AS total_volume"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@register(
+    "q73_returned_item_customers",
+    sql=f"""
+    SELECT c_custkey, c_name, c_mktsegment,
+           {_VOLUME} AS revenue_lost,
+           COUNT(*) AS n_returned_items
+    FROM customer
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_mktsegment
+    ORDER BY revenue_lost DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "tpch", "topk"),
+)
+def q73_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: customers who returned the most revenue in a year —
+    filtered fact join, per-customer agg, top-k."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.expr(f"{_VOLUME} AS revenue_lost"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+        .orderBy(F.desc("revenue_lost"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -1,0 +1,115 @@
+"""KNN join API — the programmatic form of q55/q56.
+
+``knn_join(queries, corpus, k)`` returns the top-k cosine neighbors per
+query vector. Methods:
+
+- ``brute``: exact — queries broadcast against one corpus scan; right up to
+  ~10⁶ queries × any corpus size (the corpus is the streamed side).
+- ``ivf``: approximate — route each query to its ``n_probe`` nearest cells
+  and search only those; the corpus should be stored partitioned by
+  ``cell_col`` so the probe is partition pruning, not a scan.
+
+Cosines run as JVM ZIP_WITH/AGGREGATE expressions with decimal-exact sums
+(deterministic under any partitioning); no Python in the scoring path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "DECIMAL(28,18)"
+
+
+def _fold(expr: str) -> str:
+    return (
+        f"AGGREGATE({expr}, CAST(0 AS {_DEC}), (acc, v) -> CAST(acc + v AS {_DEC}))"
+    )
+
+
+def cosine_expr(a: str, b: str, na: str, nb: str) -> str:
+    """Cosine from two array<double> columns and their precomputed norms."""
+    dot = _fold(f"ZIP_WITH({a}, {b}, (p, v) -> CAST(p * v AS {_DEC}))")
+    return f"CAST({dot} AS DOUBLE) / ({na} * {nb})"
+
+
+def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
+    sq = _fold(f"TRANSFORM({vec_col}, x -> CAST(x * x AS {_DEC}))")
+    return df.withColumn(vec_col, F.expr(f"TRANSFORM({vec_col}, x -> CAST(x AS DOUBLE))")).withColumn(
+        "_nrm", F.expr(f"SQRT(CAST({sq} AS DOUBLE))")
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "brute",
+    cell_col: str | None = None,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Top-k neighbors per query: (query_id, neighbor_id, rnk, cosine)."""
+    q = _with_norm(
+        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col)), vec_col
+    ).select("query_id", F.col(vec_col).alias("_qv"), F.col("_nrm").alias("_qn"))
+    c = _with_norm(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(vec_col),
+            *([F.col(cell_col).alias("_cell")] if cell_col else []),
+        ),
+        vec_col,
+    ).select(
+        "neighbor_id",
+        F.col(vec_col).alias("_cv"),
+        F.col("_nrm").alias("_cn"),
+        *(["_cell"] if cell_col else []),
+    )
+
+    cos = cosine_expr("_qv", "_cv", "_qn", "_cn")
+    if method == "brute":
+        pairs = F.broadcast(q).join(c, F.col("neighbor_id") != F.col("query_id"))
+    elif method == "ivf":
+        if not cell_col:
+            raise ValueError("ivf requires cell_col (the corpus partition/cell key)")
+        # centroids in long form → exact decimal means (q56's routing)
+        elems = c.select(
+            "_cell", F.posexplode("_cv").alias("pos", "v")
+        )
+        centroids = elems.groupBy("_cell", "pos").agg(
+            (F.sum(F.col("v").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias("cv")
+        )
+        q_elems = q.select("query_id", F.posexplode("_qv").alias("pos", "qv"))
+        routing = (
+            q_elems.join(F.broadcast(centroids), "pos")
+            .groupBy("query_id", "_cell")
+            .agg(
+                (
+                    F.sum(F.expr(f"CAST(qv * cv AS {_DEC})")).cast("double")
+                ).alias("dot")
+            )
+        )
+        w_route = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("_cell"))
+        probes = (
+            routing.withColumn("_pr", F.row_number().over(w_route))
+            .filter(F.col("_pr") <= n_probe)
+            .select("query_id", "_cell")
+        )
+        pairs = (
+            F.broadcast(q.join(probes, "query_id"))
+            .join(c, ["_cell"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", F.expr(cos).alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+    )
