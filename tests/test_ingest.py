@@ -145,3 +145,18 @@ def test_encryptor_deterministic_with_injected_rng(rsa_keypair):
     plain = eax_decrypt(fixed, fixed, r1.ciphertext)
     assert plain[:2] == b"\x78\x9c"
     assert zlib.decompress(plain) == b"hello world"
+
+
+def test_failed_day_does_not_commit_watermark(spark, moto_s3, rsa_keypair, src_tree, tmp_path):
+    """R7/R8 parity, negative path: any task failure in a day's job fails the
+    run BEFORE the watermark commit, so the next run retries the whole day
+    (`audit_data_ingest.py:65-68,96-104`)."""
+    _, pub_pem = rsa_keypair
+    cfg = _cfg(src_tree, tmp_path, moto_s3, pub_pem, bucket="failure-bucket")
+    broken = IngestConfig(**{**cfg.__dict__, "s3_bucket": "does-not-exist"})
+    with pytest.raises(Exception):
+        run_ingest(spark, broken)
+    assert find_start_date(cfg.progress_file) is None  # nothing committed
+
+    # the retry with a working bucket processes both days from scratch
+    assert run_ingest(spark, cfg) == [date(2020, 10, 9), date(2020, 10, 10)]

@@ -92,3 +92,27 @@ def test_operators_facade():
     assert "q03_regional_revenue" in joins and "q25_asof_join" in joins
     assert callable(operators.run_ingest)
     assert callable(operators.running_user_profiles)
+
+
+def test_chunk_document_udtf(spark):
+    from dataworks_audit_data_ingest_spark.functions.udtfs import ChunkDocument
+
+    spark.udtf.register("chunk_document", ChunkDocument)
+    d = table(spark, SF, "documents")
+    d.createOrReplaceTempView("udtf_docs")
+    out = spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.n_tokens
+        FROM udtf_docs, LATERAL chunk_document(text, 16) AS c
+        WHERE doc_id < 20
+        """
+    ).collect()
+    assert out
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    src = {r.doc_id: len(r.text.split(" ")) for r in d.filter("doc_id < 20").collect()}
+    for doc_id, chunks in by_doc.items():
+        assert sum(c.n_tokens for c in chunks) == src[doc_id]
+        assert all(c.n_tokens <= 16 for c in chunks)
+        assert sorted(c.chunk_idx for c in chunks) == list(range(len(chunks)))
