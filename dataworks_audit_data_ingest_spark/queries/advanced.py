@@ -406,3 +406,76 @@ def q43_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p_brand, p_partkey
         """
     )
+
+
+@register(
+    "q74_percentile_sketch",
+    sql=None,  # t-digest / interpolation sketches are engine-specific — rows-only
+    tags=("agg", "sketch", "percentile"),
+)
+def q74_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (t-digest-style sketch) — the global-percentile
+    scale path the exact order-statistics query (q28) points to: mergeable
+    partial sketches, no global sort. Self-reports deviation from the exact
+    per-group p50 so the rows-only check captures accuracy."""
+    o = table(spark, sf_dir, "orders")
+    approx = o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10_000).alias("p50_approx"),
+        F.expr("PERCENTILE(o_totalprice, 0.5)").alias("p50_exact"),
+    )
+    return approx.select(
+        "o_orderstatus",
+        "p50_approx",
+        "p50_exact",
+        (F.abs(F.col("p50_approx") - F.col("p50_exact")) / F.col("p50_exact")).alias(
+            "rel_dev"
+        ),
+    ).orderBy("o_orderstatus")
+
+
+@register(
+    "q75_data_profile",
+    sql="""
+    SELECT 'o_totalprice' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(o_totalprice) AS n_nonnull,
+           COUNT(DISTINCT o_totalprice) AS n_distinct,
+           CAST(MIN(o_totalprice) AS VARCHAR) AS min_value,
+           CAST(MAX(o_totalprice) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    ORDER BY column_name
+    """,
+    tags=("profile", "quality"),
+)
+def q75_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column row/null/distinct/min/max in one pass per
+    column set — the data-quality health check run before any pipeline
+    stage. (At 100 TB swap exact distinct for approx_count_distinct.)"""
+    o = table(spark, sf_dir, "orders")
+
+    def profile(col: str):
+        return o.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_value"),
+            F.max(col).cast("string").alias("max_value"),
+        )
+
+    return (
+        profile("o_totalprice")
+        .unionByName(profile("o_orderstatus"))
+        .unionByName(profile("o_custkey"))
+        .orderBy("column_name")
+    )
