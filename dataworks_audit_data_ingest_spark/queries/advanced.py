@@ -479,3 +479,40 @@ def q75_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile("o_custkey"))
         .orderBy("column_name")
     )
+
+
+@register(
+    "q77_schema_evolution_union",
+    sql="""
+    SELECT src, o_orderkey, o_totalprice, o_orderpriority
+    FROM (
+      SELECT 'v1' AS src, o_orderkey, o_totalprice,
+             CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders WHERE o_orderkey < 100
+      UNION ALL
+      SELECT 'v2', o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200)
+    ORDER BY o_orderkey
+    """,
+    tags=("setop", "schema-evolution"),
+)
+def q77_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: an old extract missing a column unions with
+    the current shape via unionByName(allowMissingColumns=True) — absent
+    fields become NULLs instead of positional mis-binds."""
+    o = table(spark, sf_dir, "orders")
+    v1 = (
+        o.filter(F.col("o_orderkey") < 100)
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("src", F.lit("v1"))
+    )
+    v2 = (
+        o.filter(F.col("o_orderkey").between(100, 199))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .withColumn("src", F.lit("v2"))
+    )
+    return (
+        v1.unionByName(v2, allowMissingColumns=True)
+        .select("src", "o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )

@@ -268,3 +268,69 @@ def q25_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("error_id")
     )
+
+
+@register(
+    "q76_asof_join_forward",
+    sql="""
+    WITH purchases AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MIN(event_id) AS event_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ), errors AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT e.event_id AS error_id, e.user_id,
+           (SELECT p.event_id FROM purchases p
+            WHERE p.user_id = e.user_id AND p.ts >= e.ts
+            ORDER BY p.ts, p.event_id LIMIT 1) AS next_purchase_id
+    FROM errors e
+    ORDER BY error_id
+    """,
+    tags=("join", "asof", "window"),
+)
+def q76_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each error matched to the user's NEXT purchase at
+    or after it (q25's mirror — the direction DuckDB's ASOF can't express,
+    so the oracle is a correlated subquery).
+
+    Same union + carry trick as q25 but ordered descending with
+    first-upcoming semantics: one shuffle on user, linear in rows.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("event_id"))
+        .select("user_id", "ts", "event_id", F.lit(0).alias("side"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("side")
+    )
+    unioned = purchases.unionByName(errors)
+    # descending time: the "last seen" purchase while walking backward is the
+    # next-upcoming one in forward time; purchase sorts before error at equal
+    # ts (side asc within desc ts ordering via secondary key trick)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("side"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p_id = F.when(F.col("side") == 0, F.col("event_id"))
+    return (
+        unioned.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "side",
+            F.last(p_id, ignorenulls=True).over(w).alias("next_purchase_id"),
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            "next_purchase_id",
+        )
+        .orderBy("error_id")
+    )
