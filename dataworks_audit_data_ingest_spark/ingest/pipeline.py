@@ -134,6 +134,57 @@ def encrypt_files(df: DataFrame, pem: bytes, key_id: str) -> DataFrame:
     return df.mapInPandas(batches, schema=_ENC_SCHEMA)
 
 
+_AUDIT_SCHEMA = "day string, basename string, s3_key string, n_bytes long"
+
+
+def encrypt_and_upload(df: DataFrame, cfg: IngestConfig) -> DataFrame:
+    """Fused R4+R5+R6: compress+encrypt+upload in ONE Python stage.
+
+    The composable two-stage form (``encrypt_files`` → sink) round-trips
+    every ciphertext byte Python→JVM→Python through Arrow twice; measured
+    locally that transfer, not crypto, was the ceiling (PERF.md). Fusing
+    keeps ciphertext inside the task that produced it — only small audit
+    rows (key, size) cross back. An action on the returned frame drives the
+    upload; all-or-nothing day semantics are unchanged (any task failure
+    fails the job before the watermark commit).
+    """
+    pem, key_id = cfg.rsa_public_key_pem, cfg.hsm_key_id
+
+    def batches(it):
+        import boto3
+        import pandas as pd
+        from botocore.config import Config
+
+        client = boto3.client(
+            "s3",
+            region_name=cfg.aws_region,
+            endpoint_url=cfg.s3_endpoint_url,
+            config=Config(retries={"max_attempts": cfg.retries, "mode": "standard"}),
+            **cfg.extra_boto_kwargs,
+        )
+        enc = EnvelopeEncryptor(pem, key_id)
+        for pdf in it:
+            out = {"day": [], "basename": [], "s3_key": [], "n_bytes": []}
+            for day, basename, content in zip(
+                pdf["day"].astype(str), pdf["basename"], pdf["content"]
+            ):
+                rec = enc.encrypt_record(bytes(content))
+                key = f"{cfg.s3_prefix}{day}/{basename}.gz.enc"
+                client.put_object(
+                    Bucket=cfg.s3_bucket,
+                    Key=key,
+                    Body=rec.ciphertext,
+                    Metadata=rec.metadata(),
+                )
+                out["day"].append(day)
+                out["basename"].append(basename)
+                out["s3_key"].append(key)
+                out["n_bytes"].append(len(rec.ciphertext))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=_AUDIT_SCHEMA)
+
+
 def upload_partition_factory(cfg: IngestConfig):
     """R6+R11: metadata-bearing S3 sink. Per-object metadata is outside
     DataFrameWriter's model, so the sink is a ``foreachPartition`` function
@@ -203,10 +254,14 @@ def run_ingest(spark: SparkSession, cfg: IngestConfig) -> list[date]:
     committed: list[date] = []
     for day in days:
         day_df = scanned.filter(F.col("day") == F.lit(day))
-        enc = encrypt_files(day_df, cfg.rsa_public_key_pem, cfg.hsm_key_id)
-        enc.foreachPartition(upload_partition_factory(cfg))
+        n_uploaded = encrypt_and_upload(day_df, cfg).count()
         # reaching here means every task of the day's job succeeded
         update_progress_file(cfg.progress_file, day)
         committed.append(day)
-        logger.info("committed day %s (%d bytes)", day, day_stats[day])
+        logger.info(
+            "committed day %s (%d objects, %d bytes in)",
+            day,
+            n_uploaded,
+            day_stats[day],
+        )
     return committed
