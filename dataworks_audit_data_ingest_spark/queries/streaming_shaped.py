@@ -196,3 +196,57 @@ def q44_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q34b_funnel_conversion",
+    sql="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'   THEN CAST(ts AS TIMESTAMP) END) AS first_signup,
+             MIN(CASE WHEN event_type = 'view'     THEN CAST(ts AS TIMESTAMP) END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(first_signup) AS n_signed_up,
+           COUNT(CASE WHEN first_view > first_signup THEN 1 END) AS n_viewed_after,
+           COUNT(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_purchased_after,
+           COUNT(CASE WHEN first_purchase > first_view
+                       AND first_view > first_signup THEN 1 END) AS n_full_funnel
+    FROM per_user
+    """,
+    tags=("funnel", "agg", "events"),
+)
+def q34b_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: signup → view → purchase ordering per user, computed
+    from one conditional-min aggregation pass (no joins, no per-step scans —
+    the one-pass funnel shape that holds at 100 TB)."""
+    ev = table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("first_signup"),
+        first_ts("view").alias("first_view"),
+        first_ts("purchase").alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        F.count(
+            F.when(F.col("first_view") > F.col("first_signup"), 1)
+        ).alias("n_viewed_after"),
+        F.count(
+            F.when(F.col("first_purchase") > F.col("first_signup"), 1)
+        ).alias("n_purchased_after"),
+        F.count(
+            F.when(
+                (F.col("first_purchase") > F.col("first_view"))
+                & (F.col("first_view") > F.col("first_signup")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )

@@ -278,3 +278,37 @@ def q65_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "tfidf_lin", "term_rank")
         .orderBy("doc_id", "term_rank")
     )
+
+
+@register(
+    "q66_fuzzy_brand_match",
+    sql="""
+    WITH brands AS (SELECT DISTINCT p_brand FROM part)
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           levenshtein(a.p_brand, b.p_brand) AS edit_dist
+    FROM brands a JOIN brands b ON a.p_brand < b.p_brand
+    WHERE levenshtein(a.p_brand, b.p_brand) <= 2
+    ORDER BY brand_a, brand_b
+    """,
+    tags=("text", "fuzzy", "levenshtein"),
+)
+def q66_fuzzy_brand_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching via edit distance: near-identical label pairs — the
+    typo/variant-detection primitive for entity resolution. Blocked here by
+    the distinct-values set (25 brands), the general pattern at scale:
+    dedupe the value domain first, compare the tiny domain, broadcast the
+    mapping back."""
+    p = table(spark, sf_dir, "part")
+    brands = p.select("p_brand").distinct()
+    a = brands.select(F.col("p_brand").alias("brand_a"))
+    b = brands.select(F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(F.broadcast(b), F.col("brand_a") < F.col("brand_b"))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.levenshtein("brand_a", "brand_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .orderBy("brand_a", "brand_b")
+    )
