@@ -201,52 +201,70 @@ def q44_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q34b_funnel_conversion",
     sql="""
-    WITH per_user AS (
-      SELECT user_id,
-             MIN(CASE WHEN event_type = 'signup'   THEN CAST(ts AS TIMESTAMP) END) AS first_signup,
-             MIN(CASE WHEN event_type = 'view'     THEN CAST(ts AS TIMESTAMP) END) AS first_view,
-             MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+    WITH staged AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END)
+               OVER (PARTITION BY user_id) AS first_signup
       FROM events
+    ), per_user AS (
+      SELECT user_id,
+             MIN(first_signup) AS first_signup,
+             MIN(CASE WHEN event_type = 'view'
+                       AND ts > first_signup THEN ts END) AS view_after,
+             MIN(CASE WHEN event_type = 'purchase'
+                       AND ts > first_signup THEN ts END) AS purchase_after
+      FROM staged
       GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
            COUNT(first_signup) AS n_signed_up,
-           COUNT(CASE WHEN first_view > first_signup THEN 1 END) AS n_viewed_after,
-           COUNT(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_purchased_after,
-           COUNT(CASE WHEN first_purchase > first_view
-                       AND first_view > first_signup THEN 1 END) AS n_full_funnel
+           COUNT(view_after) AS n_viewed_after,
+           COUNT(purchase_after) AS n_purchased_after,
+           COUNT(CASE WHEN purchase_after > view_after THEN 1 END) AS n_full_funnel
     FROM per_user
     """,
     tags=("funnel", "agg", "events"),
 )
 def q34b_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Funnel analysis: signup → view → purchase ordering per user, computed
-    from one conditional-min aggregation pass (no joins, no per-step scans —
-    the one-pass funnel shape that holds at 100 TB)."""
+    """Funnel analysis: signup → view → purchase ordering per user.
+
+    Step timestamps are the first occurrence AFTER the previous step (a view
+    that predates signup doesn't complete the funnel, but a later re-view
+    does) — computed with one window to pin first_signup and one aggregation
+    pass, both keyed on user_id, so the plan has a single exchange.
+    """
     ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
 
-    def first_ts(t: str):
-        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    w = Window.partitionBy("user_id")
+    staged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+        .over(w)
+        .alias("first_signup"),
+    )
 
-    per_user = ev.groupBy("user_id").agg(
-        first_ts("signup").alias("first_signup"),
-        first_ts("view").alias("first_view"),
-        first_ts("purchase").alias("first_purchase"),
+    def first_after(t: str):
+        return F.min(
+            F.when(
+                (F.col("event_type") == t) & (F.col("ts") > F.col("first_signup")),
+                F.col("ts"),
+            )
+        )
+
+    per_user = staged.groupBy("user_id").agg(
+        F.min("first_signup").alias("first_signup"),
+        first_after("view").alias("view_after"),
+        first_after("purchase").alias("purchase_after"),
     )
     return per_user.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.count("first_signup").alias("n_signed_up"),
+        F.count("view_after").alias("n_viewed_after"),
+        F.count("purchase_after").alias("n_purchased_after"),
         F.count(
-            F.when(F.col("first_view") > F.col("first_signup"), 1)
-        ).alias("n_viewed_after"),
-        F.count(
-            F.when(F.col("first_purchase") > F.col("first_signup"), 1)
-        ).alias("n_purchased_after"),
-        F.count(
-            F.when(
-                (F.col("first_purchase") > F.col("first_view"))
-                & (F.col("first_view") > F.col("first_signup")),
-                1,
-            )
+            F.when(F.col("purchase_after") > F.col("view_after"), 1)
         ).alias("n_full_funnel"),
     )

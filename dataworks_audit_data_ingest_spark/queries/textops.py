@@ -287,19 +287,23 @@ def q65_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
            levenshtein(a.p_brand, b.p_brand) AS edit_dist
     FROM brands a JOIN brands b ON a.p_brand < b.p_brand
-    WHERE levenshtein(a.p_brand, b.p_brand) <= 2
+    WHERE levenshtein(a.p_brand, b.p_brand) <= 1
     ORDER BY brand_a, brand_b
     """,
     tags=("text", "fuzzy", "levenshtein"),
 )
 def q66_fuzzy_brand_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy matching via edit distance: near-identical label pairs — the
-    typo/variant-detection primitive for entity resolution. Blocked here by
-    the distinct-values set (25 brands), the general pattern at scale:
-    dedupe the value domain first, compare the tiny domain, broadcast the
-    mapping back."""
+    typo/variant-detection primitive for entity resolution. The pattern at
+    scale: dedupe the value domain first (one scan), compare within the tiny
+    domain driver-side, broadcast the mapping back. Threshold ≤1 so the
+    predicate is observable on this fixture (every Brand#NN pair is within
+    distance 2; distance-1 pairs differ in exactly one digit)."""
     p = table(spark, sf_dir, "part")
-    brands = p.select("p_brand").distinct()
+    # tiny value domain: collect once, build both join sides locally — the
+    # part table is scanned exactly once
+    values = sorted(r[0] for r in p.select("p_brand").distinct().collect())
+    brands = spark.createDataFrame([(v,) for v in values], "p_brand string")
     a = brands.select(F.col("p_brand").alias("brand_a"))
     b = brands.select(F.col("p_brand").alias("brand_b"))
     return (
@@ -309,6 +313,6 @@ def q66_fuzzy_brand_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_b",
             F.levenshtein("brand_a", "brand_b").alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= 2)
+        .filter(F.col("edit_dist") <= 1)
         .orderBy("brand_a", "brand_b")
     )
