@@ -516,3 +516,73 @@ def q77_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "o_orderkey", "o_totalprice", "o_orderpriority")
         .orderBy("o_orderkey")
     )
+
+
+_MOMENTS = (
+    "CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0",
+    "CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))), 6) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0",
+)
+
+
+@register(
+    "q37b_zscore_outliers",
+    sql=f"""
+    WITH moments AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             {_MOMENTS[0]} AS s1,
+             {_MOMENTS[1]} AS s2
+      FROM events GROUP BY event_type
+    ), stats AS (
+      SELECT event_type, n,
+             s1 / n AS mean,
+             SQRT((n * s2 - s1 * s1) / (n * (n - 1.0))) AS std
+      FROM moments
+    )
+    SELECT e.event_type, MAX(s.n) AS n_events,
+           MAX(s.mean) AS mean_value,
+           MAX(s.std) AS std_value,
+           COUNT(CASE WHEN ABS(e.value - s.mean) > 2 * s.std THEN 1 END) AS n_outliers
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    tags=("agg", "stddev", "outliers"),
+)
+def q37b_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per group: mean/std from exact decimal
+    moments (Σx, Σx² — associative, partition-order independent; the final
+    formula runs in identical double arithmetic on both engines), then a
+    second pass counts |x−μ| > 2σ. Variance via the moments identity is the
+    distributed-friendly form — no per-group sort, two scans or one with a
+    broadcast of the tiny stats table."""
+    ev = table(spark, sf_dir, "events")
+    moments = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"{_MOMENTS[0]} AS s1"),
+        F.expr(f"{_MOMENTS[1]} AS s2"),
+    )
+    stats = moments.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+            / (F.col("n") * (F.col("n") - F.lit(1.0)))
+        ).alias("std"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.max("mean").alias("mean_value"),
+            F.max("std").alias("std_value"),
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("mean")) > 2 * F.col("std"), 1
+                )
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

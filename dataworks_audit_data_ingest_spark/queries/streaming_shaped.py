@@ -268,3 +268,106 @@ def q34b_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("purchase_after") > F.col("view_after"), 1)
         ).alias("n_full_funnel"),
     )
+
+
+@register(
+    "q35b_session_bounce_rate",
+    sql="""
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN LAG(CAST(ts AS TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR CAST(ts AS TIMESTAMP)
+                          - LAG(CAST(ts AS TIMESTAMP))
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ), sized AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT COUNT(*) AS n_sessions,
+           COUNT(CASE WHEN n_events = 1 THEN 1 END) AS n_bounces,
+           CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
+             / COUNT(*) AS bounce_rate,
+           MAX(n_events) AS longest_session
+    FROM sized
+    """,
+    tags=("streaming", "session", "funnel"),
+)
+def q35b_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session quality metrics: bounce rate (single-event sessions / total)
+    over 30-minute-gap sessionization — q32's sessions rolled up to the
+    product metric."""
+    ev = table(spark, sf_dir, "events")
+    sized = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return sized.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
+        (
+            F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("bounce_rate"),
+        F.max("n_events").alias("longest_session"),
+    )
+
+
+@register(
+    "q36b_retention_cohorts",
+    sql="""
+    WITH user_weeks AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(DATEDIFF('day', DATE '2024-01-01',
+                                 CAST(CAST(ts AS TIMESTAMP) AS DATE)) / 7) AS BIGINT) AS week
+      FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(week) AS first_week FROM user_weeks GROUP BY user_id
+    )
+    SELECT c.first_week, w.week,
+           COUNT(*) AS n_active,
+           CAST(COUNT(*) AS DOUBLE)
+             / MAX(cs.cohort_size) AS retention
+    FROM cohort c
+      JOIN user_weeks w ON w.user_id = c.user_id
+      JOIN (SELECT first_week AS fw, COUNT(*) AS cohort_size
+            FROM cohort GROUP BY first_week) cs ON cs.fw = c.first_week
+    GROUP BY c.first_week, w.week
+    ORDER BY c.first_week, w.week
+    """,
+    tags=("retention", "cohort", "agg"),
+)
+def q36b_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-active week, tracked
+    across subsequent weeks — the activation/retention analysis every event
+    pipeline serves. Distinct (user, week) pairs keep the matrix exact; the
+    cohort-size dimension broadcasts."""
+    ev = table(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("bigint")
+    user_weeks = ev.select("user_id", week.alias("week")).distinct()
+    cohort = user_weeks.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    sizes = cohort.groupBy(F.col("first_week").alias("fw")).agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        cohort.join(user_weeks, "user_id")
+        .join(F.broadcast(sizes), F.col("first_week") == F.col("fw"))
+        .groupBy("first_week", "week")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            (F.count(F.lit(1)).cast("double") / F.max("cohort_size")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("first_week", "week")
+    )

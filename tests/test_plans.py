@@ -85,6 +85,21 @@ def test_no_cartesian_products(spark, name):
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
 
+# q70 is the sanctioned Python kernel (media decode via mapInPandas)
+_PYTHON_ALLOWED = {"q70_multimodal_decode"}
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(REGISTRY) if n not in _PYTHON_ALLOWED]
+)
+def test_no_python_eval_outside_sanctioned_kernels(spark, name):
+    """Engine policy (PERF.md): the query surface stays in whole-stage
+    codegen — no row/batch Python evaluation sneaks into a hot path."""
+    plan = plan_of(spark, name)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in plan, f"{name} plans {node}"
+
+
 def test_ingest_scan_prunes_content_until_needed(spark, tmp_path):
     """The day-discovery pass must not read file contents: selecting only
     `day` from the binaryFile scan keeps `content` out of the ReadSchema."""
