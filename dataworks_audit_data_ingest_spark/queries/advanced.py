@@ -164,7 +164,6 @@ def q29_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q27_array_functions",
     sql="""
     SELECT n_nationkey,
-           segs AS segments,
            LEN(segs) AS n_segments,
            segs[1] AS first_segment,
            ARRAY_TO_STRING(segs, '|') AS seg_csv,
@@ -187,7 +186,6 @@ def q27_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("segs"))
         .select(
             "n_nationkey",
-            F.col("segs").alias("segments"),
             F.size("segs").alias("n_segments"),
             F.element_at("segs", 1).alias("first_segment"),
             F.array_join("segs", "|").alias("seg_csv"),

@@ -49,7 +49,7 @@ def q40_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(OCTET_LENGTH(ENCODE(text))) AS total_bytes,
+           CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS total_bytes,
            MAX(OCTET_LENGTH(ENCODE(text))) AS max_bytes
     FROM documents
     GROUP BY source

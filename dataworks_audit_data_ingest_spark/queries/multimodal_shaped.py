@@ -29,9 +29,9 @@ from .base import register
     )
     SELECT source,
            COUNT(*) AS n_media,
-           SUM(n_bytes) AS total_bytes,
-           SUM(width * height) AS total_pixels,
-           SUM(n_frames) AS total_frames,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(width * height) AS BIGINT) AS total_pixels,
+           CAST(SUM(n_frames) AS BIGINT) AS total_frames,
            COUNT(DISTINCT checksum) AS n_distinct
     FROM media
     GROUP BY source

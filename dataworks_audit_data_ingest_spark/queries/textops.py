@@ -30,10 +30,10 @@ _SW_SQL_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.04
-                    THEN 1 ELSE 0 END) AS n_pred_en,
-           SUM(n_tokens) AS total_tokens,
-           SUM(n_stop) AS total_stopwords
+           CAST(SUM(CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.04
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_stop) AS BIGINT) AS total_stopwords
     FROM scored
     GROUP BY lang
     ORDER BY lang
@@ -133,9 +133,9 @@ def q61_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(LEN(STRING_SPLIT(text, ' '))) AS ws_tokens,
-           SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+'))) AS word_tokens,
-           SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]{1,4}'))) AS bpe_ish_tokens
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+'))) AS BIGINT) AS word_tokens,
+           CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]{1,4}'))) AS BIGINT) AS bpe_ish_tokens
     FROM documents
     GROUP BY lang
     ORDER BY lang

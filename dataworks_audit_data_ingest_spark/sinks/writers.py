@@ -59,25 +59,78 @@ def start_parquet_stream_sink(
 
 
 def compact_parquet_partition(
-    spark, path: str, target_files: int = 1, partition_filter: str | None = None
+    spark,
+    path: str,
+    target_files: int = 1,
+    partition_filter: str | None = None,
+    partition_by: tuple[str, ...] = (),
 ) -> int:
-    """Small-file compaction: rewrite a parquet location (optionally one
-    partition predicate) into ``target_files`` files per partition dir.
+    """Small-file compaction: rewrite a parquet location (optionally only the
+    partitions matching ``partition_filter``) into ``target_files`` files per
+    partition dir, preserving the Hive ``key=value`` layout.
 
     The small-files problem is the chronic failure mode of incremental
     sinks (every micro-batch adds files); compaction restores scan
     efficiency. Returns the number of rows rewritten. Rewrite is
-    staged-then-swapped so readers never see a half-written directory.
+    staged-then-swapped so readers never see a half-written directory;
+    with ``partition_filter`` only the matching partition directories are
+    swapped — every other partition's files are untouched.
     """
+    import os
     import shutil
     import tempfile
+
+    if partition_filter and not partition_by:
+        raise ValueError(
+            "partition_filter requires partition_by so the rewrite can be "
+            "scoped to the matching partition directories"
+        )
 
     df = spark.read.parquet(path)
     if partition_filter:
         df = df.filter(partition_filter)
     n = df.count()
+
+    # One output task per partition value (hash-repartition on the partition
+    # key) keeps each Hive dir at <= target_files files without a global
+    # coalesce bottleneck.
+    if partition_by:
+        out = df.repartition(max(target_files, 1), *partition_by)
+    else:
+        out = df.coalesce(max(target_files, 1))
+
     staged = tempfile.mkdtemp(prefix="compact_")
-    df.coalesce(target_files).write.mode("overwrite").parquet(staged)
-    shutil.rmtree(path)
-    shutil.move(staged, path)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staged)
+
+    if not partition_filter:
+        shutil.rmtree(path)
+        shutil.move(staged, path)
+        return n
+
+    # Swap only the partition dirs present in the staged output: walk to the
+    # depth of the partition spec collecting key=value relative paths.
+    def _partition_dirs(root: str, depth: int) -> list[str]:
+        rels = [""]
+        for _ in range(depth):
+            nxt = []
+            for rel in rels:
+                base = os.path.join(root, rel) if rel else root
+                for name in os.listdir(base):
+                    if "=" in name and os.path.isdir(os.path.join(base, name)):
+                        nxt.append(os.path.join(rel, name) if rel else name)
+            rels = nxt
+        return rels
+
+    try:
+        for rel in _partition_dirs(staged, len(partition_by)):
+            dest = os.path.join(path, rel)
+            if os.path.exists(dest):
+                shutil.rmtree(dest)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.move(os.path.join(staged, rel), dest)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
     return n

@@ -149,3 +149,66 @@ def test_compaction_reduces_files(spark, tmp_path):
     assert n == ev.count()
     assert before >= 16 and after <= 2
     assert spark.read.parquet(out).count() == n
+
+
+def test_compaction_partition_filter_preserves_other_partitions(spark, tmp_path):
+    """Compacting ONE day= partition must leave every other partition's
+    files byte-untouched and keep the Hive layout (round-2 ADVICE: the old
+    path rewrote the whole location with only the filtered rows)."""
+    import glob
+    import os
+
+    from dataworks_audit_data_ingest_spark.sinks.writers import (
+        compact_parquet_partition,
+    )
+
+    out = str(tmp_path / "hive")
+    ev = table(spark, SF, "events").withColumn("day", F.to_date("ts"))
+    ev.repartition(8).write.partitionBy("day").parquet(out)
+
+    days = sorted(d for d in os.listdir(out) if d.startswith("day="))
+    assert len(days) >= 2
+    target, others = days[0], days[1:]
+    total_before = spark.read.parquet(out).count()
+    target_rows = spark.read.parquet(out).filter(
+        f"day = '{target.split('=')[1]}'"
+    ).count()
+    other_files_before = {
+        d: sorted(
+            (p, os.path.getmtime(p))
+            for p in glob.glob(os.path.join(out, d, "*.parquet"))
+        )
+        for d in others
+    }
+    before_files = len(glob.glob(os.path.join(out, target, "*.parquet")))
+
+    n = compact_parquet_partition(
+        spark,
+        out,
+        target_files=1,
+        partition_filter=f"day = '{target.split('=')[1]}'",
+        partition_by=("day",),
+    )
+    assert n == target_rows
+
+    # target partition compacted, layout intact
+    after_files = len(glob.glob(os.path.join(out, target, "*.parquet")))
+    assert after_files <= before_files and after_files >= 1
+    # other partitions byte-untouched (same file names + mtimes)
+    for d in others:
+        now = sorted(
+            (p, os.path.getmtime(p))
+            for p in glob.glob(os.path.join(out, d, "*.parquet"))
+        )
+        assert now == other_files_before[d], f"partition {d} was disturbed"
+    # no rows lost anywhere
+    assert spark.read.parquet(out).count() == total_before
+
+
+def test_compaction_requires_partition_by_with_filter(spark, tmp_path):
+    from dataworks_audit_data_ingest_spark.sinks.writers import (
+        compact_parquet_partition,
+    )
+
+    with pytest.raises(ValueError):
+        compact_parquet_partition(spark, str(tmp_path), partition_filter="day = '2024-01-01'")
