@@ -294,25 +294,49 @@ def q65_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q66_fuzzy_brand_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy matching via edit distance: near-identical label pairs — the
-    typo/variant-detection primitive for entity resolution. The pattern at
-    scale: dedupe the value domain first (one scan), compare within the tiny
-    domain driver-side, broadcast the mapping back. Threshold ≤1 so the
-    predicate is observable on this fixture (every Brand#NN pair is within
-    distance 2; distance-1 pairs differ in exactly one digit)."""
+    typo/variant-detection primitive for entity resolution.
+
+    Scale-safe, fully-distributed form (no driver-side collect of the value
+    domain): every distinct value emits O(len) blocking keys — the raw
+    string, each mask-at-i variant, and each delete-at-i variant. Any pair
+    at edit distance <=1 shares at least one key (substitution pairs share a
+    masked key; insert/delete pairs share raw-vs-deletion), so an equi-join
+    on the key followed by an exact ``levenshtein`` residual is lossless.
+    Candidate fan-out is bounded by string length, never by domain size —
+    this survives a 10^8-value domain where an all-pairs or collect-based
+    plan cannot. Threshold <=1 so the predicate is observable on this
+    fixture (distance-1 brand pairs differ in exactly one digit)."""
     p = table(spark, sf_dir, "part")
-    # tiny value domain: collect once, build both join sides locally — the
-    # part table is scanned exactly once
-    values = sorted(r[0] for r in p.select("p_brand").distinct().collect())
-    brands = spark.createDataFrame([(v,) for v in values], "p_brand string")
-    a = brands.select(F.col("p_brand").alias("brand_a"))
-    b = brands.select(F.col("p_brand").alias("brand_b"))
+    vals = p.select("p_brand").distinct()
+    # \x01 never occurs in the data; it marks a masked position.
+    keys = vals.select(
+        "p_brand",
+        F.explode(
+            F.expr(
+                """
+                array_union(
+                  array(p_brand),
+                  array_union(
+                    transform(sequence(1, length(p_brand)),
+                              i -> concat(substr(p_brand, 1, i-1), '\x01',
+                                          substr(p_brand, i+1))),
+                    transform(sequence(1, length(p_brand)),
+                              i -> concat(substr(p_brand, 1, i-1),
+                                          substr(p_brand, i+1)))))
+                """
+            )
+        ).alias("bkey"),
+    )
+    a = keys.select(F.col("p_brand").alias("brand_a"), "bkey")
+    b = keys.select(F.col("p_brand").alias("brand_b"), "bkey")
+    pairs = (
+        a.join(b, ["bkey"])
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .select("brand_a", "brand_b")
+        .distinct()
+    )
     return (
-        a.join(F.broadcast(b), F.col("brand_a") < F.col("brand_b"))
-        .select(
-            "brand_a",
-            "brand_b",
-            F.levenshtein("brand_a", "brand_b").alias("edit_dist"),
-        )
+        pairs.withColumn("edit_dist", F.levenshtein("brand_a", "brand_b"))
         .filter(F.col("edit_dist") <= 1)
         .orderBy("brand_a", "brand_b")
     )

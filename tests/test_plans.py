@@ -114,3 +114,14 @@ def test_ingest_scan_prunes_content_until_needed(spark, tmp_path):
     )
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and "content" not in m.group(1)
+
+
+def test_q66_is_fully_distributed(spark):
+    """q66 must not collect the value domain to the driver: no
+    LocalTableScan (createDataFrame residue) and no CartesianProduct /
+    BroadcastNestedLoop — the blocked self-join is an equi-join on the
+    neighborhood key (round-2 fix of the round-1 collect anti-pattern)."""
+    plan = plan_of(spark, "q66_fuzzy_brand_match")
+    assert "LocalTableScan" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
