@@ -257,6 +257,54 @@ def q37_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q37s_distribution_ranks_scale",
+    sql="""
+    SELECT s_suppkey, s_name,
+           PERCENT_RANK() OVER (ORDER BY s_acctbal) AS bal_pct_rank,
+           CUME_DIST()    OVER (ORDER BY s_acctbal) AS bal_cume_dist
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    tags=("window", "rank", "scale-path"),
+)
+def q37s_distribution_ranks_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of q37: exact two-pass PERCENT_RANK / CUME_DIST with
+    standard ties semantics, no full-table single-task sort.
+
+    The only ordered window runs over the **distinct-value histogram**
+    (|values| rows, not |table| rows): groupBy(value) → cumulative count →
+    join ranks back on the value. With standard SQL ties semantics
+    (rank = rows strictly below + 1, shared by ties) this is exactly
+    PERCENT_RANK/CUME_DIST — and oracle-able, unlike an approximate rank.
+    At 100 TB the table never passes through one task; only the bounded
+    value domain does. (Single-row table would hit the n-1 = 0 division;
+    PERCENT_RANK is defined as 0 there — callers guard if that's live.)"""
+    s = table(spark, sf_dir, "supplier")
+    hist = s.groupBy("s_acctbal").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.orderBy("s_acctbal")
+    cum = hist.select(
+        "s_acctbal", "cnt", F.sum("cnt").over(wv).alias("cum_n")
+    )
+    tot = hist.agg(F.sum("cnt").alias("n_total"))
+    return (
+        s.join(cum, "s_acctbal")
+        .join(F.broadcast(tot))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (
+                (F.col("cum_n") - F.col("cnt")).cast("double")
+                / (F.col("n_total") - 1)
+            ).alias("bal_pct_rank"),
+            (F.col("cum_n").cast("double") / F.col("n_total")).alias(
+                "bal_cume_dist"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
     "q42_approx_distinct_sketch",
     sql=None,  # HLL++ sketch values are engine-specific — rows-only check
     tags=("agg", "sketch", "approx"),

@@ -167,6 +167,46 @@ def q16_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q16s_acctbal_deciles_scale",
+    sql=None,  # approximate boundaries are engine-specific — rows-only check
+    tags=("window", "ntile", "approx", "scale-path"),
+)
+def q16s_acctbal_deciles_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of q16: bucketed deciles via ``percentile_approx``.
+
+    q16's exact NTILE funnels the whole table through one task
+    (unpartitioned window sort). This is the production form at 100 TB:
+    pass 1 computes the 9 decile boundaries with a partial-aggregated
+    sketch (no global sort, no single-task stage); pass 2 assigns each row
+    its bucket with a pure JVM expression over the broadcast 1-row bounds
+    and aggregates per bucket. Both passes are embarrassingly parallel.
+    ``tests/test_windows_scalepath.py`` pins agreement with exact q16."""
+    c = table(spark, sf_dir, "customer")
+    bounds = c.agg(
+        F.percentile_approx(
+            "c_acctbal", [i / 10.0 for i in range(1, 10)], 100_000
+        ).alias("bounds")
+    )
+    bucketed = c.join(F.broadcast(bounds)).select(
+        "c_acctbal",
+        F.aggregate(
+            "bounds",
+            F.lit(1),
+            lambda acc, b: acc + F.when(F.col("c_acctbal") > b, 1).otherwise(0),
+        ).alias("decile"),
+    )
+    return (
+        bucketed.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
     "q17_nation_rank",
     sql="""
     SELECT c_nationkey, c_custkey,
