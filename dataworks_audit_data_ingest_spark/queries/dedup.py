@@ -67,6 +67,20 @@ _BANDS = 4  # LSH bands of 3 rows each
 _ROWS = _N_SEEDS // _BANDS
 _VARIANT_OFFSET = 1_000_000
 _N_VARIANT_DOCS = 50  # doc_id < 50 get a near-dup variant (drop last 5 words)
+# Skew guard for the LSH self-join: a (band, band_hash) bucket holding more
+# than this many docs is excluded from pair generation on BOTH engines.
+# Boilerplate-heavy corpora concentrate near-identical docs into a handful of
+# buckets whose pair count grows quadratically; dropping them bounds any
+# bucket's contribution to cap^2 pairs. 32 is far above any organic bucket in
+# the fixtures (test pins capped == uncapped there) while turning the 100 TB
+# worst case from O(hot^2) into a no-op.
+_LSH_BUCKET_CAP = 32
+# Stop-gram guard for the n-gram Jaccard join: a 3-gram occurring in more
+# than this many docs of one source is boilerplate ("the", "ing", markup) —
+# it is removed from every doc's gram set (both engines) before sizes and
+# intersections, exactly like stopword removal. This bounds the join fan-out
+# per (source, gram) key at cap^2 instead of |source|^2 at 100 TB.
+_GRAM_DF_CAP = 64
 
 
 def _minhash_sql() -> str:
@@ -93,7 +107,8 @@ def _minhash_sql() -> str:
       UNION ALL
       SELECT doc_id + {_VARIANT_OFFSET} AS doc_id,
              ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:LEN(STRING_SPLIT(text, ' ')) - 5], ' ') AS text
-      FROM documents WHERE doc_id < {_N_VARIANT_DOCS}
+      FROM documents
+      WHERE doc_id < {_N_VARIANT_DOCS} AND LEN(STRING_SPLIT(text, ' ')) > 5
     ), positions AS (
       SELECT doc_id, STRING_SPLIT(text, ' ') AS words,
              UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1)) AS i
@@ -110,33 +125,55 @@ def _minhash_sql() -> str:
       GROUP BY doc_id
     ), bands AS (
 {band_rows}
+    ), hot AS (
+      SELECT band_idx, band_hash FROM bands
+      GROUP BY band_idx, band_hash HAVING COUNT(*) > {_LSH_BUCKET_CAP}
+    ), kept AS (
+      SELECT bands.* FROM bands
+      ANTI JOIN hot ON bands.band_idx = hot.band_idx
+                   AND bands.band_hash = hot.band_hash
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM kept a JOIN kept b
       ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
     ORDER BY doc_a, doc_b
     """
 
 
-@register("q51_dedup_minhash_lsh", sql=_minhash_sql(), tags=("dedup", "minhash", "lsh"))
-def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection: word 3-shingles → 12-permutation MinHash →
-    4-band LSH → bucket self-join → candidate pairs.
 
-    Scale shape: signatures are one groupBy over exploded shingles (map-side
-    combine keeps the shuffle at |docs|×12 ints), and the LSH join shuffles
-    on (band, bucket) — never the all-pairs cross product.
-    """
-    d = table(spark, sf_dir, "documents")
-    variants = d.filter(F.col("doc_id") < _N_VARIANT_DOCS).select(
+def _variants(d: DataFrame) -> DataFrame:
+    """Near-dup variants: drop the last 5 words of the first N docs. Docs of
+    <= 5 words are excluded on both engines (SLICE with a non-positive
+    length is an error in Spark and an end-relative slice in DuckDB)."""
+    return d.filter(
+        (F.col("doc_id") < _N_VARIANT_DOCS) & (F.size(F.split("text", " ")) > 5)
+    ).select(
         (F.col("doc_id") + _VARIANT_OFFSET).alias("doc_id"),
         F.expr(
             "ARRAY_JOIN(SLICE(SPLIT(text, ' '), 1, SIZE(SPLIT(text, ' ')) - 5), ' ')"
         ).alias("text"),
     )
-    corpus = d.select("doc_id", "text").unionByName(variants)
-    bands = _spark_bands(_spark_sigs(corpus))
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame, bucket_cap: int | None = _LSH_BUCKET_CAP
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from an LSH bands table, excluding
+    buckets larger than ``bucket_cap`` (skew guard — see _LSH_BUCKET_CAP).
+
+    The hot-bucket list is tiny by construction (only buckets > cap), so it
+    broadcast-anti-joins against the bands; the self-join then shuffles on
+    (band_idx, band_hash) with every bucket's pair count bounded by cap^2.
+    """
+    if bucket_cap is not None:
+        hot = (
+            bands.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > bucket_cap)
+            .select("band_idx", "band_hash")
+        )
+        bands = bands.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -147,8 +184,24 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+
+
+@register("q51_dedup_minhash_lsh", sql=_minhash_sql(), tags=("dedup", "minhash", "lsh"))
+def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: word 3-shingles → 12-permutation MinHash →
+    4-band LSH → bucket self-join → candidate pairs.
+
+    Scale shape: signatures are one groupBy over exploded shingles (map-side
+    combine keeps the shuffle at |docs|×12 ints), and the LSH join shuffles
+    on (band, bucket) — never the all-pairs cross product. Buckets larger
+    than _LSH_BUCKET_CAP are excluded on both engines (boilerplate skew
+    guard; see lsh_candidate_pairs).
+    """
+    d = table(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(_variants(d))
+    bands = _spark_bands(_spark_sigs(corpus))
+    return lsh_candidate_pairs(bands).orderBy("doc_a", "doc_b")
 
 
 def _spark_sigs(corpus: DataFrame) -> DataFrame:
@@ -213,7 +266,8 @@ def _minhash_jaccard_sql() -> str:
       UNION ALL
       SELECT doc_id + {_VARIANT_OFFSET} AS doc_id,
              ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:LEN(STRING_SPLIT(text, ' ')) - 5], ' ') AS text
-      FROM documents WHERE doc_id < {_N_VARIANT_DOCS}
+      FROM documents
+      WHERE doc_id < {_N_VARIANT_DOCS} AND LEN(STRING_SPLIT(text, ' ')) > 5
     ), positions AS (
       SELECT doc_id, STRING_SPLIT(text, ' ') AS words,
              UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1)) AS i
@@ -260,13 +314,7 @@ def q57_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents themselves are never re-read.
     """
     d = table(spark, sf_dir, "documents")
-    variants = d.filter(F.col("doc_id") < _N_VARIANT_DOCS).select(
-        (F.col("doc_id") + _VARIANT_OFFSET).alias("doc_id"),
-        F.expr(
-            "ARRAY_JOIN(SLICE(SPLIT(text, ' '), 1, SIZE(SPLIT(text, ' ')) - 5), ' ')"
-        ).alias("text"),
-    )
-    corpus = d.select("doc_id", "text").unionByName(variants)
+    corpus = d.select("doc_id", "text").unionByName(_variants(d))
     sigs = _spark_sigs(corpus)
     bands = _spark_bands(sigs)
     a, b = bands.alias("a"), bands.alias("b")
@@ -428,14 +476,22 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q53_dedup_ngram_jaccard",
-    sql="""
+    sql=f"""
     WITH positions AS (
       SELECT doc_id, source, text,
              UNNEST(RANGE(1, LENGTH(text) - 1)) AS i
       FROM documents
-    ), grams AS (
+      WHERE LENGTH(text) >= 3
+    ), all_grams AS (
       SELECT DISTINCT doc_id, source, SUBSTRING(text, i, 3) AS gram
       FROM positions
+    ), stop_grams AS (
+      SELECT source, gram FROM all_grams
+      GROUP BY source, gram HAVING COUNT(*) > {_GRAM_DF_CAP}
+    ), grams AS (
+      SELECT all_grams.* FROM all_grams
+      ANTI JOIN stop_grams ON all_grams.source = stop_grams.source
+                          AND all_grams.gram = stop_grams.gram
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
     ), inter AS (
@@ -461,11 +517,17 @@ def q53_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the gram⨝gram join is keyed by (gram, source) — the blocking
     key bounds the candidate set; the all-pairs product never materializes.
+    Stop-grams (document frequency > _GRAM_DF_CAP within a source) are
+    removed from every gram set on both engines before sizing and joining,
+    so no single key can fan out quadratically with corpus size. Texts
+    shorter than 3 chars are excluded on both engines (Spark's SEQUENCE
+    would emit a descending range where DuckDB's RANGE is empty).
     Jaccard = |A∩B| / (|A|+|B|-|A∩B|) from exact integer counts.
     """
     d = table(spark, sf_dir, "documents")
-    grams = (
-        d.select(
+    all_grams = (
+        d.filter(F.length("text") >= 3)
+        .select(
             "doc_id",
             "source",
             F.explode(
@@ -476,6 +538,15 @@ def q53_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # stop-gram removal (see _GRAM_DF_CAP): the hot-gram list is tiny, so a
+    # broadcast anti-join prunes it before both the sizes agg and the join
+    stop_grams = (
+        all_grams.groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _GRAM_DF_CAP)
+        .select("source", "gram")
+    )
+    grams = all_grams.join(F.broadcast(stop_grams), ["source", "gram"], "left_anti")
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
