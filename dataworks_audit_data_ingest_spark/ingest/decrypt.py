@@ -55,11 +55,24 @@ def read_encrypted_objects(
     Listing is a driver-side metadata pass (keys + sizes only); object
     bodies are fetched and decrypted by executor tasks. ``key_provider``
     (executor-side callable) overrides the closure-shipped private key for
-    KMS-style deployments.
+    KMS-style deployments — without it the PEM travels inside the task
+    closure, so RPC encryption should be on (warned below).
     """
     import boto3
 
     tune(spark)
+    if key_provider is None and (
+        spark.conf.get("spark.io.encryption.enabled", "false").lower() != "true"
+    ):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "read_encrypted_objects: RSA private key ships to executors in "
+            "the task closure and spark.io.encryption.enabled is not true — "
+            "the key crosses the wire unencrypted. Pass key_provider= (an "
+            "executor-side fetch, e.g. from KMS/SSM) or enable RPC "
+            "encryption in production."
+        )
     client = boto3.client(
         "s3",
         region_name=cfg.aws_region,

@@ -99,7 +99,17 @@ def filter_after_watermark(df: DataFrame, watermark: date | None) -> DataFrame:
     """R2: strictly-greater partition predicate — the committed day itself is
     never reprocessed on resume (`audit_data_ingest.py:33`). With a Hive
     `day=` layout this is pure partition pruning; here it prunes via the
-    derived column."""
+    derived column.
+
+    Deliberate deviation from the reference's first run: with no progress
+    file the reference skips ``filter_date`` entirely and would process
+    every listed path, non-dated directories included
+    (`audit_data_ingest.py:145-146`); the warn-and-exclude of non-dated
+    dirs (`:30-32`) only applies once a start date exists. Here non-dated
+    directories are ALWAYS dropped (``day IS NOT NULL``) — a non-dated dir
+    can never be watermark-committed, so processing it on run 1 and then
+    re-processing it on every subsequent run is the less defensible
+    behavior; excluding it uniformly keeps runs idempotent."""
     df = df.filter(F.col("day").isNotNull())
     if watermark is not None:
         df = df.filter(F.col("day") > F.lit(watermark))

@@ -71,10 +71,12 @@ def read_json_with_quarantine(
     land in the quarantine frame with their raw text instead of failing the
     job, the batch twin of the Kafka parse policy (streaming/kafka.py)."""
     tune(spark)
+    # copy before .add: StructType.add mutates in place, and the caller's
+    # schema must not permanently grow a _corrupt_record field
     schema_with_corrupt = (
         spark.read.schema(schema).json(path).schema.add("_corrupt_record", "string")
         if not isinstance(schema, StructType)
-        else schema.add("_corrupt_record", "string")
+        else StructType(list(schema.fields)).add("_corrupt_record", "string")
     )
     df = (
         spark.read.schema(schema_with_corrupt)

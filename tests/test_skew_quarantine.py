@@ -64,3 +64,19 @@ def test_json_quarantine_splits_good_and_bad(spark, tmp_path):
     raws = [r.raw for r in bad.collect()]
     assert len(raws) == 2
     assert any("NOT JSON" in r for r in raws)
+
+
+def test_quarantine_does_not_mutate_caller_schema(spark, tmp_path):
+    """StructType.add mutates in place; the reader must copy first so the
+    caller's schema object survives repeated calls unchanged."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    p = tmp_path / "rows.json"
+    p.write_text('{"a": 1, "b": "x"}\n')
+    schema = StructType(
+        [StructField("a", IntegerType()), StructField("b", StringType())]
+    )
+    for _ in range(2):
+        good, bad = read_json_with_quarantine(spark, str(p), schema)
+        assert good.count() == 1 and bad.count() == 0
+    assert [f.name for f in schema.fields] == ["a", "b"]
