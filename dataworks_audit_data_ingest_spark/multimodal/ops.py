@@ -57,11 +57,30 @@ def decode_media_batches(df: DataFrame, mode: str = "fake") -> DataFrame:
     with executors and never funnels through the driver.
     """
     if mode == "real":
-        raise NotImplementedError(
-            "real media decode needs PIL/ffmpeg/torchaudio, not present in "
-            "this environment; wire the decoder here and keep the same "
-            "batch iterator shape"
-        )
+        try:  # fail fast on the driver; executors re-import inside decode
+            import PIL  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real media decode needs Pillow (images; audio/video would "
+                "add ffmpeg/torchaudio), not present in this environment — "
+                "install Pillow or use mode='fake'"
+            ) from exc
+
+    def real_decode_record(payload: bytes) -> dict:
+        """PIL-backed image decode: true dimensions, format, frame count
+        (animated formats expose n_frames; stills are 1 frame)."""
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as img:
+            return {
+                "media_type": (img.format or "image").lower(),
+                "n_bytes": len(payload),
+                "width": img.width,
+                "height": img.height,
+                "n_frames": int(getattr(img, "n_frames", 1)),
+            }
 
     def decode(batches: Iterator) -> Iterator:
         import hashlib
@@ -69,11 +88,16 @@ def decode_media_batches(df: DataFrame, mode: str = "fake") -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            metas = [fake_decode_record(bytes(p)) for p in pdf["payload"]]
+            if mode == "real":
+                metas = [real_decode_record(bytes(p)) for p in pdf["payload"]]
+                types = [m["media_type"] for m in metas]
+            else:
+                metas = [fake_decode_record(bytes(p)) for p in pdf["payload"]]
+                types = ["image"] * len(pdf)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "media_type": ["image"] * len(pdf),
+                    "media_type": types,
                     "n_bytes": [m["n_bytes"] for m in metas],
                     "width": [m["width"] for m in metas],
                     "height": [m["height"] for m in metas],

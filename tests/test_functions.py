@@ -80,12 +80,40 @@ def test_decode_media_batches_plumbing(spark):
         assert r.media_type == "image"
 
 
-def test_real_decode_is_explicit_stub(spark):
+def test_real_decode_gates_on_pillow(spark):
+    """mode='real' decodes true image metadata when Pillow exists, and
+    raises a NotImplementedError naming the dependency when it doesn't."""
     from dataworks_audit_data_ingest_spark.tables import table
 
-    d = with_media_payload(table(spark, "/root/testdata/sf0.001", "documents"))
-    with pytest.raises(NotImplementedError, match="decoder"):
-        decode_media_batches(d, mode="real")
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    if not have_pil:
+        d = with_media_payload(table(spark, "/root/testdata/sf0.001", "documents"))
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_media_batches(d, mode="real")
+        return
+
+    # Pillow available: build real PNGs and decode their true dimensions
+    import io
+
+    from PIL import Image
+
+    def png_bytes(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (1, 2, 3)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, png_bytes(8, 6)), (2, png_bytes(3, 5))]
+    d = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_media_batches(d, mode="real").collect()}
+    assert (got[1].width, got[1].height) == (8, 6)
+    assert (got[2].width, got[2].height) == (3, 5)
+    assert got[1].media_type == "png" and got[1].n_frames == 1
 
 
 def test_sample_frames_and_resize(spark):
