@@ -53,3 +53,21 @@ def test_entry_contract(spark):
     df = E.entry(spark)
     assert len(df.collect()) > 0
     assert set(E.oracle_sql()) <= set(E.queries())
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, q in REGISTRY.items() if q.sql is not None)
+)
+def test_oracle_output_types_are_hashable(name, spark):
+    """Invariant 5 (STATUS.md), codified: an oracle-backed query's output
+    must contain no array/map/struct/binary, no decimal, no float32 —
+    types the driver's pandas canonicalizer either crashes on (round-1
+    q27: unhashable list) or hashes engine-dependently. Serialize
+    (array_join / cast) instead."""
+    schema = REGISTRY[name].fn(spark, SF).schema
+    banned = ("array", "map", "struct", "binary", "decimal", "float")
+    for f in schema.fields:
+        t = f.dataType.simpleString()
+        assert not t.startswith(banned), (
+            f"{name}.{f.name} has driver-unhashable type {t}"
+        )
