@@ -162,18 +162,21 @@ def lsh_candidate_pairs(
     """(doc_a, doc_b) candidate pairs from an LSH bands table, excluding
     buckets larger than ``bucket_cap`` (skew guard — see _LSH_BUCKET_CAP).
 
-    The hot-bucket list is tiny by construction (only buckets > cap), so it
-    broadcast-anti-joins against the bands; the self-join then shuffles on
-    (band_idx, band_hash) with every bucket's pair count bounded by cap^2.
+    The bucket size is computed as a window count partitioned by the join
+    key itself — it rides the exact shuffle the self-join needs anyway (no
+    second lineage over the signature pipeline, and AQE's exchange reuse
+    still sees two identical sides), and the filter bounds every bucket's
+    pair count at cap^2.
     """
     if bucket_cap is not None:
-        hot = (
-            bands.groupBy("band_idx", "band_hash")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > bucket_cap)
-            .select("band_idx", "band_hash")
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band_idx", "band_hash")
+        bands = (
+            bands.withColumn("_bucket_n", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bucket_n") <= bucket_cap)
+            .drop("_bucket_n")
         )
-        bands = bands.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
