@@ -21,6 +21,7 @@ from . import ingest_shaped  # noqa: E402,F401
 from . import multimodal_shaped  # noqa: E402,F401
 from . import interval  # noqa: E402,F401
 from . import tpch_deep  # noqa: E402,F401
+from . import curation  # noqa: E402,F401
 
 
 # The external correctness driver evaluates only the FIRST 50 registry

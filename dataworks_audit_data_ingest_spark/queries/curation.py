@@ -1,0 +1,352 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond dedup: PII redaction, repetition-based quality filtering, benchmark
+decontamination, and deterministic source mixing (north-star extensions —
+the reference has no text notion; its payloads are opaque blobs,
+`audit_data_ingest.py:118-120`).
+
+The fixture corpus is clean word-soup, so (like queries/dedup.py) the
+queries plant deterministic contamination/PII in-query and must find
+exactly it — making every operator oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duckdb_hash32, spark_hash32
+from ..tables import table
+from .base import register
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Same regexes on both engines (Java regex and RE2 agree on this subset).
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@register(
+    "q80_pii_redaction",
+    sql=f"""
+    WITH seeded AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  WHEN doc_id % 11 = 0
+                  THEN text || ' call 555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE text END AS text
+      FROM documents
+    ), redacted AS (
+      SELECT doc_id, source, text,
+             REGEXP_REPLACE(REGEXP_REPLACE(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                            '{_PHONE_RE}', '[PHONE]', 'g') AS clean
+      FROM seeded
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN text LIKE '%@example.com%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_email_docs,
+           CAST(SUM(CASE WHEN clean LIKE '%[PHONE]%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_phone_docs,
+           CAST(SUM(LENGTH(text) - LENGTH(clean)) AS BIGINT) AS chars_removed
+    FROM redacted
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("curation", "pii", "regex"),
+)
+def q80_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: plant synthetic emails/phone numbers, strip them with
+    the standard regex pass, report per-source counts and bytes removed.
+
+    At 100 TB this is a pure map stage (regexp_replace is JVM codegen —
+    no Python, no shuffle before the final small agg)."""
+    d = table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    redacted = seeded.withColumn(
+        "clean",
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+        ),
+    )
+    return (
+        redacted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("text").contains("@example.com"), 1).otherwise(0)
+            ).alias("n_email_docs"),
+            F.sum(F.when(F.col("clean").contains("[PHONE]"), 1).otherwise(0)).alias(
+                "n_phone_docs"
+            ),
+            F.sum(F.length("text") - F.length("clean")).alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality (Gopher-style rules)
+# ---------------------------------------------------------------------------
+
+_TOP_WORD_MAX = 0.12  # drop if the most frequent word exceeds this fraction
+_DUP_WORD_MAX = 0.70  # drop if 1 - distinct/total exceeds this
+
+
+@register(
+    "q81_repetition_quality",
+    sql=f"""
+    WITH words AS (
+      SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, source, w, COUNT(*) AS c
+      FROM words GROUP BY doc_id, source, w
+    ), per_doc AS (
+      SELECT doc_id, source,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(MAX(c) AS BIGINT) AS top_c,
+             COUNT(*) AS n_distinct
+      FROM wc GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN CAST(top_c AS DOUBLE) / total > {_TOP_WORD_MAX}
+                           OR 1.0 - CAST(n_distinct AS DOUBLE) / total > {_DUP_WORD_MAX}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN CAST(top_c AS DOUBLE) / total > {_TOP_WORD_MAX}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_top_word_fail,
+           CAST(SUM(CASE WHEN 1.0 - CAST(n_distinct AS DOUBLE) / total > {_DUP_WORD_MAX}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_word_fail
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("curation", "quality", "repetition"),
+)
+def q81_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate (Gopher-style): a document fails when
+    its most frequent word exceeds 12% of tokens or its duplicate-word
+    fraction exceeds 70%. Reported as per-source drop counts.
+
+    Scale shape: explode → two partial-aggregated groupBys keyed by doc —
+    shuffle bytes ∝ distinct words per doc, never all-pairs anything."""
+    d = table(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = wc.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("total"),
+        F.max("c").alias("top_c"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    top_fail = (F.col("top_c").cast("double") / F.col("total")) > _TOP_WORD_MAX
+    dup_fail = (
+        F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("total")
+    ) > _DUP_WORD_MAX
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(top_fail | dup_fail, 1).otherwise(0)).alias("n_dropped"),
+            F.sum(F.when(top_fail, 1).otherwise(0)).alias("n_top_word_fail"),
+            F.sum(F.when(dup_fail, 1).otherwise(0)).alias("n_dup_word_fail"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_NGRAM = 8  # word n-gram length for contamination matching
+_BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
+_SEED_MOD = 50  # doc_id % 50 == 3 get benchmark text planted (observability)
+
+
+@register(
+    "q82_decontamination",
+    sql=f"""
+    WITH probe AS (
+      SELECT ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:{_NGRAM}], ' ') AS g0
+      FROM documents WHERE doc_id = 0
+    ), seeded AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % {_SEED_MOD} = 3 AND doc_id % {_BENCH_MOD} <> 0
+                  THEN text || ' ' || g0 ELSE text END AS text
+      FROM documents CROSS JOIN probe
+    ), words AS (
+      SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws
+      FROM seeded
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= {_NGRAM}
+    ), grams AS (
+      SELECT DISTINCT doc_id, source,
+             ARRAY_TO_STRING(ws[i:i+{_NGRAM - 1}], ' ') AS gram
+      FROM (SELECT doc_id, source, ws,
+                   UNNEST(RANGE(1, LEN(ws) - {_NGRAM - 2})) AS i
+            FROM words)
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+    ), contaminated AS (
+      SELECT DISTINCT g.doc_id, g.source
+      FROM grams g SEMI JOIN bench b ON g.gram = b.gram
+      WHERE g.doc_id % {_BENCH_MOD} <> 0
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated
+    FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    tags=("curation", "decontamination", "ngram"),
+)
+def q82_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    8-gram with a held-out benchmark set (docs with doc_id % 97 == 0 play
+    the benchmark; docs with doc_id % 50 == 3 get a benchmark 8-gram
+    planted so the detector is observable on the clean fixture). The
+    standard pre-training hygiene pass.
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus —
+    broadcast semi-join against it; corpus grams stream through one
+    projection, nothing corpus-sized ever shuffles on the gram key."""
+    d = table(spark, sf_dir, "documents")
+    probe = (
+        d.filter(F.col("doc_id") == 0)
+        .select(
+            F.expr(
+                f"ARRAY_JOIN(SLICE(SPLIT(text, ' '), 1, {_NGRAM}), ' ')"
+            ).alias("g0")
+        )
+    )
+    seeded = d.join(F.broadcast(probe)).select(
+        "doc_id",
+        "source",
+        F.when(
+            (F.col("doc_id") % _SEED_MOD == 3) & (F.col("doc_id") % _BENCH_MOD != 0),
+            F.concat_ws(" ", F.col("text"), F.col("g0")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    grams = (
+        seeded.filter(F.size(F.split("text", " ")) >= _NGRAM)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"TRANSFORM(SEQUENCE(1, SIZE(SPLIT(text, ' ')) - {_NGRAM - 1}), "
+                    f"i -> ARRAY_JOIN(SLICE(SPLIT(text, ' '), i, {_NGRAM}), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0).select("gram").distinct()
+    )
+    contaminated = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        d.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic source mixing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q83_source_mixing",
+    sql=f"""
+    WITH rated AS (
+      SELECT doc_id, source, lang, n_chars,
+             CASE WHEN source IN ('src0', 'src1') THEN 10000
+                  WHEN lang = 'en' THEN 5000
+                  ELSE 2500 END AS rate_bp,
+             {duckdb_hash32("CAST(doc_id AS VARCHAR)", "mix")} % 10000 AS u
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN u < rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN u < rate_bp THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_kept
+    FROM rated
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("curation", "sampling", "mixing"),
+)
+def q83_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixing sampler: per-source/lang target rates
+    (prio sources 100%, English 50%, rest 25%) applied via a portable
+    MD5-uniform on doc_id — the same doc survives on every engine and every
+    re-run, the property a reproducible training-data pipeline needs.
+
+    Scale shape: pure map + one small agg; the sample decision never
+    shuffles and the rate table is a CASE expression (broadcast-free)."""
+    d = table(spark, sf_dir, "documents")
+    rated = d.select(
+        "source",
+        "n_chars",
+        F.when(F.col("source").isin("src0", "src1"), 10000)
+        .when(F.col("lang") == "en", 5000)
+        .otherwise(2500)
+        .alias("rate_bp"),
+        (
+            F.expr(spark_hash32("CAST(doc_id AS STRING)", "mix")) % 10000
+        ).alias("u"),
+    )
+    kept = F.col("u") < F.col("rate_bp")
+    return (
+        rated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
