@@ -29,8 +29,9 @@ from . import curation  # noqa: E402,F401
 # registration order indices 0-49). Registration order is import order, which
 # groups by module — that starved the dedup/similarity/text/multimodal family
 # (registered last) of driver rows. DRIVER_PRIORITY pins an explicit order:
-# the 26 queries with no round-1 driver row first, then 24 previously-green
-# category representatives (including q21/q27, fixed this round). Queries
+# the 26 queries with no round-1 driver row first, then the 5 new round-2
+# queries, then 19 previously-green category representatives (including
+# q21/q27, fixed this round). Queries
 # beyond position 50 stay registered and pytest-verified; rotate them forward
 # in later rounds so every query accumulates a driver row.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -61,6 +62,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q71_nation_trade_volume",
     "q72_region_market_share",
     "q73_returned_item_customers",
+    # -- new this round (never driver-run) --
+    "q80_pii_redaction",
+    "q81_repetition_quality",
+    "q82_decontamination",
+    "q83_source_mixing",
+    "q37s_distribution_ranks_scale",
     # -- previously-green representatives re-confirmed this round --
     "q21_json_functions",  # fixed: oracle HUGEINT -> BIGINT cast
     "q27_array_functions",  # fixed: raw array column dropped from output
@@ -70,7 +77,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q05_order_priority_semi",
     "q06_customers_without_orders",
     "q07_customer_order_stats",
-    "q09_rollup",
     "q12_topk_per_customer",
     "q13_running_total",
     "q18_set_operations",
@@ -80,12 +86,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q23_math_functions",
     "q24_price_band_join",
     "q25_asof_join",
-    "q26_top_parts_global",
     "q30_tumbling_daily",
     "q32_session_windows",
-    "q34_pivot",
-    "q35_unpivot",
-    "q39_map_functions",
 )
 
 
