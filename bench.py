@@ -39,7 +39,12 @@ BENCH_QUERIES = [
     "q56_ann_ivf_topk",  # IVF centroid-routed ANN
     "q62_token_count",  # text analysis
     "q65_tfidf_top_terms",  # tf-idf
+    "q66_fuzzy_brand_match",  # neighborhood-blocked fuzzy self-join
     "q70_multimodal_decode",  # Arrow mapInPandas decode
+    "q37s_distribution_ranks_scale",  # histogram two-pass rank (scale path)
+    "q81_repetition_quality",  # curation: repetition gate
+    "q82_decontamination",  # curation: benchmark 8-gram semi-join
+    "q83_source_mixing",  # curation: deterministic sampler
 ]
 
 
