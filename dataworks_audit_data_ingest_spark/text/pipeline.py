@@ -95,3 +95,79 @@ def token_budget_sample(
         .filter(F.col("_running") <= budget_tokens)
         .drop("_h", "_n_tok", "_running")
     )
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Strip emails and planted phone patterns (q80's regex pass as a
+    stage): pure JVM map, adds ``n_pii_hits`` provenance."""
+    from ..queries.curation import _EMAIL_RE, _PHONE_RE
+
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), _EMAIL_RE, "[EMAIL]"),
+        _PHONE_RE,
+        "[PHONE]",
+    )
+    before = F.length(F.col(text_col))
+    return docs.withColumn("_clean", clean).select(
+        *[c for c in docs.columns if c != text_col],
+        F.col("_clean").alias(text_col),
+        (before - F.length("_clean")).alias("n_pii_chars_removed"),
+    )
+
+
+def drop_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    ngram: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove documents sharing any word ``ngram``-gram with the benchmark
+    set (q82's semantics as a stage). The benchmark gram set is broadcast —
+    nothing corpus-sized shuffles on the gram key."""
+
+    def grams(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if keep_id else []
+        return (
+            df.filter(F.size(F.split(text_col, " ")) >= ngram)
+            .select(
+                *cols,
+                F.explode(
+                    F.expr(
+                        f"TRANSFORM(SEQUENCE(1, SIZE(SPLIT({text_col}, ' ')) - {ngram - 1}), "
+                        f"i -> ARRAY_JOIN(SLICE(SPLIT({text_col}, ' '), i, {ngram}), ' '))"
+                    )
+                ).alias("gram"),
+            )
+            .distinct()
+        )
+
+    bench_grams = grams(benchmark, keep_id=False)
+    hits = (
+        grams(docs, keep_id=True)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(hits, id_col, "left_anti")
+
+
+def mix_sources(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic per-source downsampling to target mixing rates (q83's
+    sampler as a stage): a document survives iff its portable MD5-uniform
+    on ``id_col`` falls under its source's rate — reproducible across
+    engines, re-runs, and partitionings."""
+    rate = F.lit(default_rate)
+    for src, r in rates.items():
+        rate = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(rate)
+    u = (
+        F.expr(spark_hash32(f"CAST({id_col} AS STRING)", seed)) % 10000
+    ) / 10000.0
+    return docs.withColumn("_rate", rate).filter(u < F.col("_rate")).drop("_rate")

@@ -4,7 +4,8 @@ Composes the engine's pieces the way a data-pipeline user would:
 
   1. ingest: dated raw files → zlib+AES envelope → S3 (moto here)
   2. decrypt source: S3 objects → typed rows
-  3. curation: quality filter → near-dup drop → token-budget sample
+  3. curation: PII redaction → quality filter → near-dup drop →
+     source mixing → token-budget sample
   4. curated corpus → day-partitioned parquet
 
 Run:  python examples/training_data_pipeline.py
@@ -33,6 +34,8 @@ from dataworks_audit_data_ingest_spark.tables import table
 from dataworks_audit_data_ingest_spark.text import (
     annotate_quality,
     drop_near_duplicates,
+    mix_sources,
+    redact_pii,
     token_budget_sample,
 )
 
@@ -91,16 +94,20 @@ def main() -> None:
     print(f"[2/4] decrypted {n_raw} documents")
 
     # --- stage 3: curation
-    curated = annotate_quality(typed).filter(F.col("quality_verdict") == "keep")
+    curated = redact_pii(typed)
+    curated = annotate_quality(curated).filter(F.col("quality_verdict") == "keep")
     n_quality = curated.count()
     curated = drop_near_duplicates(curated)
     n_dedup = curated.count()
+    curated = mix_sources(curated, {"src0": 1.0}, default_rate=0.9)
+    n_mixed = curated.count()
     curated = token_budget_sample(curated, budget_tokens=8_000)
     n_budget = curated.count()
     total_tokens = curated.select(F.sum(F.size(F.split("text", " ")))).first()[0]
     print(
         f"[3/4] curation: {n_raw} raw -> {n_quality} quality -> "
-        f"{n_dedup} deduped -> {n_budget} in budget ({total_tokens} tokens)"
+        f"{n_dedup} deduped -> {n_mixed} mixed -> {n_budget} in budget "
+        f"({total_tokens} tokens)"
     )
 
     # --- stage 4: curated corpus, day-partitioned

@@ -53,3 +53,53 @@ def test_token_budget_sample_is_deterministic_and_bounded(spark):
     # a bigger budget strictly extends the same prefix (hash order is stable)
     ids_big = sorted(r.doc_id for r in token_budget_sample(d, 10_000).select("doc_id").collect())
     assert set(ids1) <= set(ids_big)
+
+
+def test_redact_pii_stage(spark):
+    rows = [(1, "src", "mail me at bob@example.com today"), (2, "src", "clean text")]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    from dataworks_audit_data_ingest_spark.text.pipeline import redact_pii
+
+    got = {r.doc_id: r for r in redact_pii(d).collect()}
+    assert "[EMAIL]" in got[1].text and got[1].n_pii_chars_removed > 0
+    assert got[2].text == "clean text" and got[2].n_pii_chars_removed == 0
+
+
+def test_drop_contaminated_stage(spark):
+    from dataworks_audit_data_ingest_spark.text.pipeline import drop_contaminated
+
+    bench = spark.createDataFrame(
+        [(100, "held out secret eval prompt with eight exact words")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix held out secret eval prompt with eight exact words suffix"),
+            (2, "a completely unrelated training document with enough words here"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = [r.doc_id for r in drop_contaminated(corpus, bench).collect()]
+    assert kept == [2]
+
+
+def test_mix_sources_stage_is_deterministic(spark):
+    from dataworks_audit_data_ingest_spark.tables import table
+    from dataworks_audit_data_ingest_spark.text.pipeline import mix_sources
+
+    d = table(spark, SF, "documents")
+    r1 = {r.doc_id for r in mix_sources(d, {"src0": 1.0, "src1": 0.0}, 0.5).collect()}
+    r2 = {r.doc_id for r in mix_sources(d, {"src0": 1.0, "src1": 0.0}, 0.5).collect()}
+    assert r1 == r2
+    by_src = (
+        mix_sources(d, {"src0": 1.0, "src1": 0.0}, 0.5)
+        .groupBy("source").count().collect()
+    )
+    counts = {r.source: r["count"] for r in by_src}
+    total = {r.source: r["count"] for r in d.groupBy("source").count().collect()}
+    assert counts.get("src0") == total["src0"]  # rate 1.0 keeps all
+    assert "src1" not in counts  # rate 0.0 drops all
+    # default 0.5 keeps roughly half of the others
+    others_kept = sum(v for k, v in counts.items() if k not in ("src0", "src1"))
+    others_total = sum(v for k, v in total.items() if k not in ("src0", "src1"))
+    assert 0.3 * others_total < others_kept < 0.7 * others_total
