@@ -1,0 +1,79 @@
+"""DataFrame-native Lloyd's k-means: convergence, determinism, IVF wiring."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataworks_audit_data_ingest_spark.similarity.kmeans import (
+    assign_cells,
+    inertia,
+    train_cells,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _synthetic_clusters(spark):
+    """30 points in 3 well-separated 4-d clusters (deterministic)."""
+    rows = []
+    centers = {0: [0.0, 0.0, 0.0, 0.0], 1: [10.0, 10.0, 0.0, 0.0], 2: [0.0, 0.0, 10.0, 10.0]}
+    for i in range(30):
+        g = i % 3
+        jitter = [((i * 7 + j * 3) % 5) / 10.0 for j in range(4)]
+        rows.append((i, g, [c + e for c, e in zip(centers[g], jitter)]))
+    return spark.createDataFrame(rows, "vec_id long, truth int, embedding array<double>")
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    pts = _synthetic_clusters(spark)
+    assigned, centroids = train_cells(pts, k=3, n_iter=4)
+    assert centroids.count() == 3
+    joined = assigned.join(
+        pts.select(F.col("vec_id").alias("id"), "truth"), "id"
+    )
+    # every learned cell maps to exactly one ground-truth cluster
+    purity = joined.groupBy("cell").agg(
+        F.countDistinct("truth").alias("n_truths"), F.count(F.lit(1)).alias("n")
+    )
+    assert all(r.n_truths == 1 for r in purity.collect())
+    assert sum(r.n for r in purity.collect()) == 30
+
+
+def test_kmeans_is_deterministic(spark):
+    pts = _synthetic_clusters(spark)
+    a1, _ = train_cells(pts, k=3, n_iter=3)
+    a2, _ = train_cells(pts, k=3, n_iter=3)
+    assert sorted(map(tuple, a1.select("id", "cell").collect())) == sorted(
+        map(tuple, a2.select("id", "cell").collect())
+    )
+
+
+def test_kmeans_iterations_do_not_increase_inertia(spark):
+    pts = _synthetic_clusters(spark)
+    prev = None
+    for n in (1, 2, 4):
+        assigned, _ = train_cells(pts, k=3, n_iter=n)
+        cur = inertia(assigned)
+        if prev is not None:
+            assert cur <= prev + 1e-9
+        prev = cur
+
+
+def test_trained_cells_drive_ivf_knn(spark):
+    """End-to-end: train cells on the embeddings fixture, then run the IVF
+    knn_join against the learned partitioning — same API as label cells."""
+    from dataworks_audit_data_ingest_spark.similarity.knn import knn_join
+    from dataworks_audit_data_ingest_spark.tables import table
+
+    emb = table(spark, SF, "embeddings")
+    assigned, _ = train_cells(emb, k=4, n_iter=2)
+    corpus = emb.join(
+        assigned.select(F.col("id").alias("vec_id"), "cell"), "vec_id"
+    )
+    queries = corpus.filter(F.col("vec_id") < 3)
+    out = knn_join(
+        queries, corpus, k=2, method="ivf", cell_col="cell", n_probe=1
+    )
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    assert all(r.rnk <= 2 for r in rows)
