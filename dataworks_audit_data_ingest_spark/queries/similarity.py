@@ -234,3 +234,32 @@ def q56_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("score"))
         .orderBy("query_id", "rnk")
     )
+
+
+@register(
+    "q59_ivf_kmeans_cells",
+    sql=None,  # iterative algorithm — rows-only check (like q58's clustering)
+    tags=("similarity", "kmeans", "iterative", "scale-path"),
+)
+def q59_ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell training via DataFrame-native Lloyd's k-means
+    (`similarity/kmeans.py`): deterministic farthest-point init, broadcast
+    assignment + argmin window, decimal-exact mean update, localCheckpoint
+    per round — O(n_iter) shuffles, never more. Output: per-cell population
+    and mean within-cell squared distance, the cell profile an IVF index
+    build would persist alongside the partitioned corpus."""
+    from ..similarity.kmeans import train_cells
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _ = train_cells(emb, k=4, n_iter=2)
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            (
+                (F.sum(F.col("sq_dist").cast("decimal(28,12)")) / F.count(F.lit(1)))
+                .cast("double")
+            ).alias("mean_sq_dist"),
+        )
+        .orderBy("cell")
+    )
