@@ -355,7 +355,8 @@ def q57_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIM_BITS = 32
 
 
-def _simhash_sql() -> str:
+def _simhash_sig_ctes(corpus_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """CTE chain corpus->tokens->bitsums->sigs (DuckDB), shared by q52/q52b."""
     h = duckdb_hash32("token", "sim")
     bit_sums = ",\n             ".join(
         f"SUM(CASE WHEN (({h} >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s_{j}"
@@ -366,9 +367,11 @@ def _simhash_sql() -> str:
         for j in range(_SIM_BITS)
     )
     return f"""
-    WITH tokens AS (
+    WITH corpus AS (
+      {corpus_sql}
+    ), tokens AS (
       SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
-      FROM documents
+      FROM corpus
     ), bitsums AS (
       SELECT doc_id,
              {bit_sums}
@@ -376,7 +379,11 @@ def _simhash_sql() -> str:
       GROUP BY doc_id
     ), sigs AS (
       SELECT doc_id, {sig} AS simhash FROM bitsums
-    )
+    )"""
+
+
+def _simhash_sql() -> str:
+    return f"""{_simhash_sig_ctes()}
     SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
     FROM sigs
     GROUP BY simhash
@@ -384,18 +391,10 @@ def _simhash_sql() -> str:
     """
 
 
-@register("q52_dedup_simhash", sql=_simhash_sql(), tags=("dedup", "simhash"))
-def q52_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document signatures: 32-bit sign-of-sums over distinct-token
-    hashes, then duplicate-cluster histogram (same signature = near-dup
-    cluster).
 
-    Scale shape: explode tokens → one partial+final agg keyed by doc_id;
-    signature comparison is a groupBy on the 32-bit signature — no pairwise
-    scan. Hamming-<=k retrieval bands the signature bytes like q51.
-    """
-    d = table(spark, sf_dir, "documents")
-    tokens = d.select(
+def _spark_simhash_sigs(corpus: DataFrame) -> DataFrame:
+    """(doc_id, simhash) 32-bit SimHash signatures (shared by q52/q52b)."""
+    tokens = corpus.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).distinct()
     h = spark_hash32("token", "sim")
@@ -411,8 +410,22 @@ def q52_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(CASE WHEN s_{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
         for j in range(_SIM_BITS)
     )
+    return bitsums.select("doc_id", F.expr(sig).alias("simhash"))
+
+
+@register("q52_dedup_simhash", sql=_simhash_sql(), tags=("dedup", "simhash"))
+def q52_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document signatures: 32-bit sign-of-sums over distinct-token
+    hashes, then duplicate-cluster histogram (same signature = near-dup
+    cluster).
+
+    Scale shape: explode tokens → one partial+final agg keyed by doc_id;
+    signature comparison is a groupBy on the 32-bit signature — no pairwise
+    scan. Hamming-<=k retrieval bands the signature bytes like q51.
+    """
+    d = table(spark, sf_dir, "documents")
     return (
-        bitsums.select("doc_id", F.expr(sig).alias("simhash"))
+        _spark_simhash_sigs(d.select("doc_id", "text"))
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .orderBy("simhash")
@@ -469,6 +482,106 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         labels.select("doc_id", F.col("label").alias("cluster_id"))
         .orderBy("doc_id")
+    )
+
+
+_SIMHAM_K = 3  # max Hamming distance for a near-dup verdict
+_SIMHAM_BANDS = 4  # 8-bit bands of the 32-bit signature
+_SIMHAM_BUCKET_CAP = 64  # skew guard, same rationale as _LSH_BUCKET_CAP
+
+
+def _simhash_hamming_sql() -> str:
+    variant_sql = f"""SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_VARIANT_OFFSET} AS doc_id,
+             ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:LEN(STRING_SPLIT(text, ' ')) - 5], ' ') AS text
+      FROM documents
+      WHERE doc_id < {_N_VARIANT_DOCS} AND LEN(STRING_SPLIT(text, ' ')) > 5"""
+    return f"""{_simhash_sig_ctes(variant_sql)}
+    , bands AS (
+      SELECT doc_id, simhash, b.band_idx,
+             (simhash >> (8 * b.band_idx)) & 255 AS band_val
+      FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_idx)
+    ), hot AS (
+      SELECT band_idx, band_val FROM bands
+      GROUP BY band_idx, band_val HAVING COUNT(*) > {_SIMHAM_BUCKET_CAP}
+    ), kept AS (
+      SELECT bands.* FROM bands
+      ANTI JOIN hot ON bands.band_idx = hot.band_idx
+                   AND bands.band_val = hot.band_val
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {_SIMHAM_K}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "q52b_simhash_hamming",
+    sql=_simhash_hamming_sql(),
+    tags=("dedup", "simhash", "hamming", "lsh"),
+)
+def q52b_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-<=k SimHash retrieval: band the 32-bit signature into four
+    8-bit bands; by pigeonhole, any pair within Hamming distance 3 agrees
+    exactly on at least one band, so a band-value equi-join finds every
+    such pair; the bit_count(xor) residual then filters to true near-dups.
+
+    Scale shape: identical to q51's LSH — shuffle keyed by (band, value),
+    bucket cap as the skew guard, never an all-pairs product. Production
+    note: a 32-bit signature's 8-bit bands give only 256 buckets per band;
+    at real corpus sizes use a 64-bit signature with 16-bit bands (65k
+    buckets) — the mechanics here are identical."""
+    d = table(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(_variants(d))
+    sigs = _spark_simhash_sigs(corpus)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHAM_BANDS - 1))).alias("band_idx"),
+    ).withColumn(
+        "band_val",
+        F.expr("(simhash >> (8 * band_idx)) & 255"),
+    )
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band_idx", "band_val")
+    kept = (
+        bands.withColumn("_n", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_n") <= _SIMHAM_BUCKET_CAP)
+        .drop("_n")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("CAST(BIT_COUNT(sig_a ^ sig_b) AS BIGINT)")
+        )
+        .filter(F.col("hamming") <= _SIMHAM_K)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     )
 
 
