@@ -29,8 +29,8 @@ from . import curation  # noqa: E402,F401
 # registration order indices 0-49). Registration order is import order, which
 # groups by module — that starved the dedup/similarity/text/multimodal family
 # (registered last) of driver rows. DRIVER_PRIORITY pins an explicit order:
-# the 26 queries with no round-1 driver row first, then the 5 new round-2
-# queries, then 19 previously-green category representatives (including
+# the 26 queries with no round-1 driver row first, then the 6 new round-2
+# queries, then 18 previously-green category representatives (including
 # q21/q27, fixed this round). Queries
 # beyond position 50 stay registered and pytest-verified; rotate them forward
 # in later rounds so every query accumulates a driver row.
@@ -68,6 +68,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q82_decontamination",
     "q83_source_mixing",
     "q37s_distribution_ranks_scale",
+    "q52b_simhash_hamming",
     # -- previously-green representatives re-confirmed this round --
     "q21_json_functions",  # fixed: oracle HUGEINT -> BIGINT cast
     "q27_array_functions",  # fixed: raw array column dropped from output
@@ -76,7 +77,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q03_regional_revenue",
     "q05_order_priority_semi",
     "q06_customers_without_orders",
-    "q07_customer_order_stats",
     "q12_topk_per_customer",
     "q13_running_total",
     "q18_set_operations",
