@@ -14,6 +14,7 @@ KB-sized files per partition).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_partitioned_parquet(
@@ -112,6 +113,100 @@ def compact_parquet_partition(
 
     # Swap only the partition dirs present in the staged output: walk to the
     # depth of the partition spec collecting key=value relative paths.
+    def _partition_dirs(root: str, depth: int) -> list[str]:
+        rels = [""]
+        for _ in range(depth):
+            nxt = []
+            for rel in rels:
+                base = os.path.join(root, rel) if rel else root
+                for name in os.listdir(base):
+                    if "=" in name and os.path.isdir(os.path.join(base, name)):
+                        nxt.append(os.path.join(rel, name) if rel else name)
+            rels = nxt
+        return rels
+
+    try:
+        for rel in _partition_dirs(staged, len(partition_by)):
+            dest = os.path.join(path, rel)
+            if os.path.exists(dest):
+                shutil.rmtree(dest)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.move(os.path.join(staged, rel), dest)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return n
+
+
+def merge_upsert_partitioned(
+    spark,
+    path: str,
+    updates: "DataFrame",
+    key_cols: tuple[str, ...],
+    partition_by: tuple[str, ...] = ("day",),
+    order_col: str | None = None,
+) -> int:
+    """MERGE/upsert into a Hive-partitioned parquet dataset without a table
+    format: rows in ``updates`` replace existing rows with the same key;
+    new keys are inserted. Only the partitions present in ``updates`` are
+    rewritten and swapped — untouched partitions keep their files (CDC-merge
+    at the partition grain, the same discipline as compaction).
+
+    ``order_col`` picks the winner among duplicate keys *within* updates
+    (highest wins); by default the update row always beats the existing row.
+    Returns the number of rows written into the rewritten partitions.
+
+    At 100 TB: cost ∝ data in the touched partitions, not the dataset —
+    updates keyed to recent days rewrite only those days. The existing-side
+    read is partition-pruned by an IN filter on the touched partition
+    values (broadcast-sized by construction).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    if not partition_by:
+        raise ValueError("merge_upsert_partitioned requires partition_by")
+
+    touched = updates.select(*partition_by).distinct().collect()
+    if not touched:
+        return 0
+    # partition-prune the existing side to the touched partitions only
+    cond = None
+    for row in touched:
+        this = None
+        for c in partition_by:
+            eq = F.col(c) == F.lit(row[c])
+            this = eq if this is None else (this & eq)
+        cond = this if cond is None else (cond | this)
+
+    existing = spark.read.parquet(path).filter(cond)
+    # precedence: update rows beat existing rows; order_col beats both
+    upd = updates.withColumn("_src", F.lit(1))
+    old = existing.withColumn("_src", F.lit(0))
+    unioned = upd.unionByName(old)
+    order = (
+        [F.col(order_col).desc(), F.col("_src").desc()]
+        if order_col
+        else [F.col("_src").desc()]
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    merged = (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+
+    n = merged.count()
+    staged = tempfile.mkdtemp(prefix="merge_")
+    (
+        merged.repartition(1, *partition_by)
+        .write.mode("overwrite")
+        .partitionBy(*partition_by)
+        .parquet(staged)
+    )
+
     def _partition_dirs(root: str, depth: int) -> list[str]:
         rels = [""]
         for _ in range(depth):
