@@ -89,3 +89,29 @@ def get_spark(app_name: str = "dataworks-audit-data-ingest-spark") -> SparkSessi
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
     return tune(builder.getOrCreate())
+
+
+# Deployment profile for the 100 TB / 1000-executor design point. These are
+# submit-time confs (most are not runtime-settable), kept here as the single
+# documented source the cluster job config derives from; values assume
+# ~32 GB / 8-core executors reading day-partitioned parquet.
+CLUSTER_SUBMIT_CONF = {
+    # ~128 MB of post-shuffle data per partition: at 20 TB shuffled that is
+    # ~160k partitions; AQE coalesces the small tail at runtime.
+    "spark.sql.shuffle.partitions": "160000",
+    # scan split sizing: default 128 MB splits are right for large parquet;
+    # openCostInBytes packs small files ~25-30 per task (measured, PERF.md)
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # dims up to 256 MB broadcast (region/nation/supplier/part fit easily)
+    "spark.sql.autoBroadcastJoinThreshold": "268435456",
+    # straggler protection on 1000-node fleets
+    "spark.speculation": "true",
+    # Arrow batches for the sanctioned Python kernels (crypto, media)
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    # task-level retry (the reference's per-object retry analog is inside
+    # the sink's boto3 config; this covers executor loss)
+    "spark.task.maxFailures": "4",
+    # encrypt closure-shipped secrets in transit (ingest/decrypt.py warns
+    # when this is off and a private key rides a task closure)
+    "spark.io.encryption.enabled": "true",
+}

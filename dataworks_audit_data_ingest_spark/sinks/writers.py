@@ -229,3 +229,16 @@ def merge_upsert_partitioned(
     finally:
         shutil.rmtree(staged, ignore_errors=True)
     return n
+
+
+def write_partitioned_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink, same layout discipline as the parquet sink."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

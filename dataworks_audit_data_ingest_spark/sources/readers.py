@@ -90,3 +90,17 @@ def read_json_with_quarantine(
         F.col("_corrupt_record").alias("raw")
     )
     return good, bad
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """ORC reader (columnar interchange with Hive-era warehouses — built
+    into Spark, no external jar). Schema optional: ORC files carry types.
+    Avro, by contrast, needs the external spark-avro package at submit
+    time (``--packages org.apache.spark:spark-avro_2.13:<version>``)."""
+    tune(spark)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

@@ -40,3 +40,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, prefix: str = ""
+) -> list[str]:
+    """Register every fixture table as a temp view so users can work in raw
+    SQL (``spark.sql("SELECT ... FROM lineitem ...")``) — the same table
+    names the DuckDB oracle sees. Returns the view names."""
+    names = []
+    for name in TABLE_NAMES:
+        view = f"{prefix}{name}"
+        table(spark, sf_dir, name).createOrReplaceTempView(view)
+        names.append(view)
+    return names

@@ -116,3 +116,57 @@ def test_chunk_document_udtf(spark):
         assert sum(c.n_tokens for c in chunks) == src[doc_id]
         assert all(c.n_tokens <= 16 for c in chunks)
         assert sorted(c.chunk_idx for c in chunks) == list(range(len(chunks)))
+
+
+def test_register_views_enables_raw_sql(spark):
+    from dataworks_audit_data_ingest_spark.tables import register_views
+
+    views = register_views(spark, "/root/testdata/sf0.001")
+    assert "lineitem" in views and "events" in views
+    out = spark.sql(
+        """
+        SELECT l_returnflag, COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    ).collect()
+    assert len(out) == 3 and all(r.n > 0 for r in out)
+    # events view exposes the rebuilt microsecond timestamp, not raw nanos
+    assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
+
+
+def test_cluster_submit_conf_is_complete(spark):
+    from dataworks_audit_data_ingest_spark.session import CLUSTER_SUBMIT_CONF
+
+    required = {
+        "spark.sql.shuffle.partitions",
+        "spark.sql.files.maxPartitionBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.io.encryption.enabled",
+    }
+    assert required <= set(CLUSTER_SUBMIT_CONF)
+    assert all(isinstance(v, str) for v in CLUSTER_SUBMIT_CONF.values())
+
+
+def test_orc_round_trip_with_partition_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dataworks_audit_data_ingest_spark.sinks.writers import (
+        write_partitioned_orc,
+    )
+    from dataworks_audit_data_ingest_spark.sources.readers import read_orc
+    from dataworks_audit_data_ingest_spark.tables import table
+
+    out = str(tmp_path / "orc")
+    ev = table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    write_partitioned_orc(ev, out, partition_by=("day",))
+    back = read_orc(spark, out)
+    assert back.count() == ev.count()
+    one_day = ev.select(F.min("day")).first()[0]
+    pruned = back.filter(F.col("day") == F.lit(one_day))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "day" in plan
+    assert pruned.count() == ev.filter(F.col("day") == F.lit(one_day)).count()
