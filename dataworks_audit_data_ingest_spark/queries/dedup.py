@@ -664,13 +664,24 @@ def q53_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = all_grams.join(F.broadcast(stop_grams), ["source", "gram"], "left_anti")
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a, b = grams.alias("a"), grams.alias("b")
+    # size-ratio pruning inside the join: J(A,B) >= t implies
+    # min(|A|,|B|) >= t * max(|A|,|B|) (c <= min and c >= t(na+nb)/(1+t)),
+    # so pairs violating the ratio can be dropped BEFORE the count-agg —
+    # pure candidate pruning, provably output-preserving, and it cuts the
+    # intersection shuffle on size-skewed corpora. n_grams rides along via
+    # a doc-keyed window (one shuffle, same key as the gram explode).
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("doc_id")
+    sized = grams.withColumn("n", F.count(F.lit(1)).over(wd))
+    a, b = sized.alias("a"), sized.alias("b")
     inter = (
         a.join(
             b,
             (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least("a.n", "b.n") >= F.greatest("a.n", "b.n") * 0.62),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
