@@ -66,3 +66,66 @@ def test_batch_rerun_is_idempotent(spark, tmp_path):
     # crash-and-retry: the same batch id runs again — no duplicate bands
     incremental_dedup_batch(spark, store, docs, "b1")
     assert spark.read.parquet(store).count() == n_after_first
+
+
+def test_streaming_curation_dedups_across_microbatches(spark, tmp_path):
+    """Two files x maxFilesPerTrigger=1 => two micro-batches; a near-dup of
+    a batch-1 doc arriving in batch 2 must be dropped by the signature
+    store even though Spark's own state never saw batch 1."""
+    import json
+
+    from dataworks_audit_data_ingest_spark.streaming.curation_job import (
+        start_curation_stream,
+        stream_documents_json,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    out = str(tmp_path / "curated")
+    store = str(tmp_path / "sigstore")
+    ckpt = str(tmp_path / "ckpt")
+
+    # texts need a stopword or two: the quality gate requires a stopword
+    # ratio in [0.01, 0.5] (annotate_quality)
+    base_text = (
+        "the alpha beta gamma of delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    b1 = [
+        {"doc_id": 1, "text": base_text, "lang": "en", "source": "s"},
+        {
+            "doc_id": 2,
+            "text": "the one two three four of five six seven eight nine ten "
+            "eleven twelve thirteen fourteen fifteen sixteen",
+            "lang": "en",
+            "source": "s",
+        },
+    ]
+    # batch 2: a trailing-truncation near-dup of doc 1 + a fresh doc
+    # (drop 2 words: J ~ 0.9 -> 3 of 4 LSH bands collide for this text;
+    # dropping 3 happens to miss all bands with these fixed hashes)
+    b2 = [
+        {
+            "doc_id": 10,
+            "text": " ".join(base_text.split()[:-2]),
+            "lang": "en",
+            "source": "s",
+        },
+        {
+            "doc_id": 11,
+            "text": "the red orange yellow green of blue indigo violet cyan "
+            "magenta white black brown silver golden copper bronze",
+            "lang": "en",
+            "source": "s",
+        },
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+
+    stream = stream_documents_json(spark, str(src), max_files_per_trigger=1)
+    q = start_curation_stream(stream, out, store, ckpt, min_tokens=10)
+    q.awaitTermination(300)
+
+    curated = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 1 in curated and 2 in curated and 11 in curated
+    assert 10 not in curated  # cross-micro-batch near-dup dropped
