@@ -155,6 +155,13 @@ def merge_upsert_partitioned(
     (highest wins); by default the update row always beats the existing row.
     Returns the number of rows written into the rewritten partitions.
 
+    Precondition (inherent to partition-grain CDC): the partition value must
+    be stable per key — e.g. ``day`` derived from the record's immutable
+    event date. If an update re-partitions a key, the old row in the
+    now-untouched partition is NOT removed (removing it would require
+    scanning the whole dataset, defeating the partition-scoped cost model);
+    property test pins this contract.
+
     At 100 TB: cost ∝ data in the touched partitions, not the dataset —
     updates keyed to recent days rewrite only those days. The existing-side
     read is partition-pruned by an IN filter on the touched partition

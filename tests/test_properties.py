@@ -103,3 +103,70 @@ def test_hash32_range_property(s):
 
     h = int(hashlib.md5(f"x|{s}".encode()).hexdigest()[:8], 16)
     assert 0 <= h < 2**32
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert_partitioned vs a dict-model reference
+# ---------------------------------------------------------------------------
+
+# day derives from id (stable partition per key) — the documented
+# precondition of partition-grain CDC merge
+_MERGE_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # id
+        st.integers(min_value=0, max_value=99),  # val
+    ),
+    min_size=1,
+    max_size=12,
+).map(lambda rows: [(i, f"d{i % 3}", v) for i, v in rows])
+
+
+@given(base=_MERGE_ROWS, updates=_MERGE_ROWS)
+@settings(max_examples=10, deadline=None)
+def test_merge_upsert_matches_dict_model(base, updates, spark, tmp_path_factory):
+    """Property: merge == 'updates win per key; untouched partitions keep
+    their rows' against a plain dict model. Duplicate ids inside a dataset
+    are first collapsed (last write wins by val order) to keep the model
+    well-defined."""
+    from dataworks_audit_data_ingest_spark.sinks.writers import (
+        merge_upsert_partitioned,
+    )
+
+    # collapse duplicate ids (highest val wins) so inputs are relations
+    def collapse(rows):
+        m = {}
+        for i, d, v in sorted(rows, key=lambda r: r[2]):
+            m[i] = (i, d, v)
+        return list(m.values())
+
+    base_r, upd_r = collapse(base), collapse(updates)
+    out = str(tmp_path_factory.mktemp("merge") / "ds")
+    spark.createDataFrame(
+        base_r, "id long, day string, val long"
+    ).write.partitionBy("day").parquet(out)
+
+    merge_upsert_partitioned(
+        spark,
+        out,
+        spark.createDataFrame(upd_r, "id long, day string, val long"),
+        key_cols=("id",),
+        partition_by=("day",),
+    )
+
+    # model: update rows replace same-id rows IN TOUCHED PARTITIONS; rows of
+    # untouched partitions survive; an id moving between touched partitions
+    # lands in the update's partition only
+    touched = {d for _, d, _ in upd_r}
+    model = {}
+    for i, d, v in base_r:
+        model[i] = (d, v)
+    for i, d, v in upd_r:
+        model[i] = (d, v)
+    # base rows whose id was NOT updated but whose partition was untouched
+    # must still exist; those in touched partitions also survive (same id
+    # only replaced by updates) — the dict above already captures both.
+    got = {
+        r.id: (str(r.day), r.val)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == model
