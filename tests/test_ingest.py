@@ -160,3 +160,53 @@ def test_failed_day_does_not_commit_watermark(spark, moto_s3, rsa_keypair, src_t
 
     # the retry with a working bucket processes both days from scratch
     assert run_ingest(spark, cfg) == [date(2020, 10, 9), date(2020, 10, 10)]
+
+
+def test_two_dataset_deployments_share_code_independent_watermarks(
+    spark, moto_s3, rsa_keypair, src_tree, tmp_path
+):
+    """SURVEY §3.3: the reference deploys the SAME script twice (audit +
+    equalities) with different (source, prefix, progress-file) tuples. The
+    engine's job config must make that a pure parameterization: run two
+    configs against one bucket, assert objects land under both prefixes
+    and the watermarks advance independently."""
+    import dataclasses
+
+    from dataworks_audit_data_ingest_spark.ingest.pipeline import run_ingest
+    from dataworks_audit_data_ingest_spark.ingest.watermark import find_start_date
+
+    _, pub_pem = rsa_keypair
+    audit_cfg = _cfg(src_tree, tmp_path, moto_s3, pub_pem, bucket="dual-bucket")
+
+    # equalities: its own source tree (one day only), prefix, progress file
+    eq_src = tmp_path / "eq_src"
+    (eq_src / "2021-01-05").mkdir(parents=True)
+    (eq_src / "2021-01-05" / "equalities-1.json").write_bytes(b'{"eq": 1}')
+    eq_cfg = dataclasses.replace(
+        audit_cfg,
+        src_dir=str(eq_src),
+        s3_prefix="equalities/",
+        progress_file=str(tmp_path / "progress-equalities.txt"),
+    )
+
+    run_ingest(spark, audit_cfg)
+    run_ingest(spark, eq_cfg)
+
+    s3 = boto3.client("s3", region_name="eu-west-2", endpoint_url=moto_s3)
+    audit_keys = [
+        o["Key"]
+        for o in s3.list_objects_v2(Bucket="dual-bucket", Prefix="audit-data/")[
+            "Contents"
+        ]
+    ]
+    eq_keys = [
+        o["Key"]
+        for o in s3.list_objects_v2(Bucket="dual-bucket", Prefix="equalities/")[
+            "Contents"
+        ]
+    ]
+    assert len(audit_keys) == 2 and len(eq_keys) == 1
+    assert eq_keys == ["equalities/2021-01-05/equalities-1.json.gz.enc"]
+    # independent watermarks
+    assert str(find_start_date(audit_cfg.progress_file)) == "2020-10-10"
+    assert str(find_start_date(eq_cfg.progress_file)) == "2021-01-05"
