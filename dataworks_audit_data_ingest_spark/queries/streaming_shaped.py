@@ -371,3 +371,62 @@ def q36b_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_week", "week")
     )
+
+
+@register(
+    "q84_gap_fill",
+    sql="""
+    WITH spans AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS d0,
+             MAX(CAST(ts AS DATE)) AS d1
+      FROM events WHERE user_id < 40
+      GROUP BY user_id
+    ), dense AS (
+      SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM spans
+    ), daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events WHERE user_id < 40
+      GROUP BY user_id, day
+    )
+    SELECT dense.user_id, dense.day,
+           CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+    FROM dense LEFT JOIN daily
+      ON dense.user_id = daily.user_id AND dense.day = daily.day
+    ORDER BY dense.user_id, dense.day
+    """,
+    tags=("timeseries", "gap-fill"),
+)
+def q84_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: generate every calendar day inside each
+    user's [first, last] activity span and fill missing days with zero —
+    the preprocessing step rolling averages and anomaly detection need on
+    sparse event data.
+
+    Scale shape: the dense axis is built by exploding per-key SEQUENCE
+    spans (rows ∝ key-count × span-days, created distributed — never a
+    driver-side calendar), then one left join keyed (user, day). Both
+    sides shuffle on the same key; no global structure."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    daily = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    dense = spans.select(
+        "user_id",
+        F.explode(F.expr("SEQUENCE(d0, d1, INTERVAL 1 DAY)")).alias("day"),
+    )
+    return (
+        dense.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id", "day")
+    )
