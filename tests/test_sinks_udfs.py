@@ -170,3 +170,37 @@ def test_orc_round_trip_with_partition_pruning(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "day" in plan
     assert pruned.count() == ev.filter(F.col("day") == F.lit(one_day)).count()
+
+
+def test_zorder_layout_concentrates_matches(spark, tmp_path):
+    """Z-ordering on (user_id, value) must concentrate a selective
+    user-range filter's matches into fewer files than an unclustered
+    layout — the locality that min/max statistics turn into file skipping."""
+    from pyspark.sql import functions as F
+
+    from dataworks_audit_data_ingest_spark.sinks.layout import (
+        files_touched,
+        zorder_write,
+    )
+    from dataworks_audit_data_ingest_spark.tables import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+    plain = str(tmp_path / "plain")
+    zord = str(tmp_path / "zorder")
+    # unclustered baseline: round-robin into the same file count
+    ev.repartition(8).write.parquet(plain)
+    zorder_write(ev, zord, cols=("user_id", "value"), n_files=8)
+
+    assert spark.read.parquet(zord).count() == ev.count()
+
+    pred = (F.col("user_id") >= 10) & (F.col("user_id") < 20)
+    n_plain = files_touched(spark.read.parquet(plain).filter(pred))
+    n_z = files_touched(spark.read.parquet(zord).filter(pred))
+    assert n_z < n_plain, (n_z, n_plain)
+    # and the second interleaved column also gets locality
+    pred_v = F.col("value") < 5.0
+    n_plain_v = files_touched(spark.read.parquet(plain).filter(pred_v))
+    n_z_v = files_touched(spark.read.parquet(zord).filter(pred_v))
+    assert n_z_v <= n_plain_v
