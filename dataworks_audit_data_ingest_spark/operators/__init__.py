@@ -19,7 +19,25 @@ from ..streaming.jobs import (  # noqa: F401
     sliding_user_counts,
     tumbling_event_counts,
 )
+from ..similarity.kmeans import assign_cells, train_cells  # noqa: F401
+from ..similarity.knn import knn_join  # noqa: F401
+from ..similarity.pca import fit_pca, transform_pca  # noqa: F401
+from ..sinks.layout import zorder_write  # noqa: F401
+from ..sinks.writers import (  # noqa: F401
+    compact_parquet_partition,
+    merge_upsert_partitioned,
+)
+from ..streaming.curation_job import start_curation_stream  # noqa: F401
 from ..streaming.stateful import running_user_profiles  # noqa: F401
+from ..text.incremental_dedup import incremental_dedup_batch  # noqa: F401
+from ..text.pipeline import (  # noqa: F401
+    annotate_quality,
+    drop_contaminated,
+    drop_near_duplicates,
+    mix_sources,
+    redact_pii,
+    token_budget_sample,
+)
 
 
 def by_tag(tag: str) -> dict[str, Query]:
