@@ -33,10 +33,56 @@ def _sq_dist(a: str, b: str) -> str:
     )
 
 
-def assign_cells(points: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(id, cell, sq_dist) — nearest centroid per point. ``centroids`` is
-    broadcast (k rows); ties break on the lower cell id so assignment is
-    deterministic."""
+def assign_cells(
+    points: DataFrame, centroids: DataFrame, backend: str = "jvm"
+) -> DataFrame:
+    """(id, cell, sq_dist) — nearest centroid per point; ties break on the
+    lower cell id so assignment is deterministic.
+
+    ``backend="jvm"`` joins the broadcast k-row centroid table against the
+    points and takes a per-point argmin window — pure JVM, ideal for small
+    k, but materializes k rows per point (O(k·n) through the window).
+    ``backend="numpy"`` runs the distance argmin as an Arrow-batched
+    mapInPandas numpy matmul — one batch-sized GEMM per Arrow batch, no
+    k·n row blow-up; this is the 100 TB path once k reaches IVF scale
+    (hundreds to thousands of cells). Both backends are exact and agree
+    bit-for-bit on the argmin (equivalence pytest)."""
+    if backend == "numpy":
+        cent_rows = sorted(
+            ((r.cell, list(r.cvec)) for r in centroids.collect()),
+            key=lambda t: t[0],
+        )
+        cell_ids = [c for c, _ in cent_rows]
+        cent_list = [v for _, v in cent_rows]
+
+        def assign(batches):
+            import numpy as np
+            import pandas as pd
+
+            C = np.asarray(cent_list, dtype=np.float64)  # (k, d)
+            ids = np.asarray(cell_ids)
+            c_sq = (C * C).sum(axis=1)
+            for pdf in batches:
+                X = np.asarray(list(pdf["vec"]), dtype=np.float64)  # (b, d)
+                # squared L2 via the expansion; exact argmin is preserved
+                # because ties in d2 resolve to the lowest cell id (argmin
+                # returns the first index and cells are sorted ascending)
+                d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
+                best = d2.argmin(axis=1)
+                picked = C[best]
+                exact = ((X - picked) ** 2).sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "cell": ids[best],
+                        "sq_dist": exact,
+                    }
+                )
+
+        return points.select("id", "vec").mapInPandas(
+            assign, schema="id long, cell int, sq_dist double"
+        )
+
     pairs = points.select("id", "vec").join(
         F.broadcast(centroids.select("cell", F.col("cvec")))
     )
@@ -56,46 +102,52 @@ def train_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "kmeans",
+    init: str = "maxmin",
+    backend: str = "jvm",
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd's iterations; returns (assignments(id, cell, sq_dist),
     centroids(cell, cvec)).
 
-    Init is deterministic farthest-point (maxmin): the first seed is the
-    point with the lowest portable MD5 hash of its id; each next seed is
-    the point farthest from its nearest already-chosen seed (ties on id).
-    k driver-side argmax probes of one vector each — reproducible and
-    engine-portable, unlike RANDOM(), and it never double-seeds one dense
-    cluster the way a hash sample can. Cells that lose every member during
-    a round keep their previous centroid (no silent k shrinkage)."""
+    ``init="maxmin"`` (default) is deterministic farthest-point: the
+    first seed is the point with the lowest portable MD5 hash of its id;
+    each next seed is the point farthest from its nearest chosen seed
+    (ties on id) — k driver-side argmax probes of one vector each. Never
+    double-seeds one dense cluster, but costs k sequential jobs: right for
+    k up to a few dozen. ``init="spread"`` takes the k lowest-hash points
+    in ONE job — the scale path for IVF-sized k (hundreds+), where Lloyd
+    rounds plus empty-cell retention absorb the rougher start.
+    ``backend`` selects the assignment kernel (see assign_cells). Cells
+    that lose every member during a round keep their previous centroid
+    (no silent k shrinkage)."""
     pts = corpus.select(
         F.col(id_col).alias("id"),
         F.expr(f"TRANSFORM({vec_col}, x -> CAST(x AS DOUBLE))").alias("vec"),
     ).localCheckpoint()
 
-    first = (
-        pts.withColumn("_h", F.expr(spark_hash32("CAST(id AS STRING)", seed)))
-        .orderBy("_h", "id")
-        .limit(1)
-        .select("vec")
-        .first()
+    hashed = pts.withColumn(
+        "_h", F.expr(spark_hash32("CAST(id AS STRING)", seed))
     )
-    seed_vecs = [first.vec]
-    for _ in range(k - 1):
-        cents = _centroid_df(pts.sparkSession, seed_vecs)
-        far = (
-            assign_cells(pts, cents)
-            .join(pts, "id")
-            .orderBy(F.desc("sq_dist"), "id")
-            .limit(1)
-            .select("vec")
-            .first()
-        )
-        seed_vecs.append(far.vec)
+    if init == "spread":
+        seed_vecs = [r.vec for r in hashed.orderBy("_h", "id").limit(k).collect()]
+    else:
+        first = hashed.orderBy("_h", "id").limit(1).select("vec").first()
+        seed_vecs = [first.vec]
+        for _ in range(k - 1):
+            cents = _centroid_df(pts.sparkSession, seed_vecs)
+            far = (
+                assign_cells(pts, cents, backend=backend)
+                .join(pts, "id")
+                .orderBy(F.desc("sq_dist"), "id")
+                .limit(1)
+                .select("vec")
+                .first()
+            )
+            seed_vecs.append(far.vec)
     centroids = _centroid_df(pts.sparkSession, seed_vecs).localCheckpoint()
 
     assigned = None
     for _ in range(n_iter):
-        assigned = assign_cells(pts, centroids)
+        assigned = assign_cells(pts, centroids, backend=backend)
         # update: mean per (cell, position), decimal-exact then one rounding
         elems = (
             pts.join(assigned.select("id", "cell"), "id")
@@ -119,7 +171,7 @@ def train_cells(
             )
         ).localCheckpoint()
 
-    return assign_cells(pts, centroids), centroids
+    return assign_cells(pts, centroids, backend=backend), centroids
 
 
 def _centroid_df(spark, vecs: list) -> DataFrame:

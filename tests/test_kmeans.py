@@ -77,3 +77,41 @@ def test_trained_cells_drive_ivf_knn(spark):
     rows = out.collect()
     assert {r.query_id for r in rows} == {0, 1, 2}
     assert all(r.rnk <= 2 for r in rows)
+
+
+def test_numpy_backend_matches_jvm_assignment(spark):
+    """The GEMM argmin and the JVM window argmin must agree exactly —
+    same cells, same squared distances (recomputed exactly per point)."""
+    from dataworks_audit_data_ingest_spark.similarity.kmeans import (
+        _centroid_df,
+        assign_cells,
+    )
+
+    pts = _synthetic_clusters(spark).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    cents = _centroid_df(
+        spark, [[0.2, 0.2, 0.2, 0.2], [10.1, 10.1, 0.2, 0.2], [0.2, 0.2, 10.1, 10.1]]
+    )
+    jvm = {r.id: (r.cell, r.sq_dist) for r in assign_cells(pts, cents).collect()}
+    npy = {
+        r.id: (r.cell, r.sq_dist)
+        for r in assign_cells(pts, cents, backend="numpy").collect()
+    }
+    assert jvm.keys() == npy.keys()
+    for i in jvm:
+        assert jvm[i][0] == npy[i][0]
+        assert abs(jvm[i][1] - npy[i][1]) < 1e-9
+
+
+def test_spread_init_numpy_backend_trains(spark):
+    """The scale-path combination (one-job init + GEMM assignment) must
+    train end to end, stay deterministic, and keep k cells alive."""
+    pts = _synthetic_clusters(spark)
+    a1, c1 = train_cells(pts, k=6, n_iter=3, init="spread", backend="numpy")
+    a2, _ = train_cells(pts, k=6, n_iter=3, init="spread", backend="numpy")
+    assert c1.count() == 6
+    assert a1.count() == 30
+    assert sorted(map(tuple, a1.select("id", "cell").collect())) == sorted(
+        map(tuple, a2.select("id", "cell").collect())
+    )
