@@ -350,3 +350,79 @@ def q83_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per training sequence
+
+
+@register(
+    "q85_sequence_packing",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tok,
+             {duckdb_hash32("CAST(doc_id AS VARCHAR)", "pack")} AS h
+      FROM documents
+    ), placed AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY h, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM toks
+    ), assigned AS (
+      SELECT doc_id, n_tok,
+             CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
+               AS seq_id
+      FROM placed
+    )
+    SELECT seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc
+    FROM assigned
+    GROUP BY seq_id
+    ORDER BY seq_id
+    """,
+    tags=("curation", "packing", "window"),
+)
+def q85_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: lay documents end-to-end in a deterministic
+    (portable-hash) order and assign each to the fixed-budget training
+    sequence its start offset falls in — the packing step that turns a
+    curated corpus into fixed-length pretraining rows.
+
+    This query pins the exact-global form (one running-sum window — single
+    task at the limit, like q16/q37); the production form is
+    ``text.pipeline.pack_sequences``, which packs within hash-buckets so
+    every window is bucket-local. Assignment-by-start-offset means a doc
+    can straddle a boundary — downstream either splits it across the two
+    sequences or pads, a tokenizer-side decision."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.expr(spark_hash32("CAST(doc_id AS STRING)", "pack")).alias("h"),
+    )
+    w = Window.orderBy("h", "doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    placed = toks.withColumn("cum", F.sum("n_tok").over(w))
+    assigned = placed.withColumn(
+        "seq_id",
+        F.floor((F.col("cum") - F.col("n_tok")).cast("double") / _PACK_BUDGET).cast(
+            "bigint"
+        ),
+    )
+    return (
+        assigned.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("seq_id")
+    )

@@ -171,3 +171,38 @@ def mix_sources(
         F.expr(spark_hash32(f"CAST({id_col} AS STRING)", seed)) % 10000
     ) / 10000.0
     return docs.withColumn("_rate", rate).filter(u < F.col("_rate")).drop("_rate")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "pack",
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training sequence —
+    the scale form of q85's packing: documents hash into ``n_buckets``
+    independent packing streams, and the running-sum window is
+    PARTITIONED by bucket, so no single task ever sees the whole corpus.
+    Sequence ids are globally unique as (bucket, local_seq) pairs encoded
+    into one BIGINT. Deterministic across runs and partitionings.
+
+    Adds ``seq_id`` and ``n_tok`` columns; callers group by ``seq_id`` to
+    materialize the packed rows."""
+    h = F.expr(spark_hash32(f"CAST({id_col} AS STRING)", seed))
+    toks = docs.withColumn("_h", h).withColumn(
+        "_bucket", (F.col("_h") % n_buckets).cast("int")
+    ).withColumn("n_tok", F.size(F.split(F.col(text_col), " ")))
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    placed = toks.withColumn("_cum", F.sum("n_tok").over(w))
+    local_seq = F.floor(
+        (F.col("_cum") - F.col("n_tok")).cast("double") / budget_tokens
+    ).cast("bigint")
+    return placed.withColumn(
+        "seq_id", F.col("_bucket").cast("bigint") * 1_000_000_000 + local_seq
+    ).drop("_h", "_bucket", "_cum")

@@ -103,3 +103,43 @@ def test_mix_sources_stage_is_deterministic(spark):
     others_kept = sum(v for k, v in counts.items() if k not in ("src0", "src1"))
     others_total = sum(v for k, v in total.items() if k not in ("src0", "src1"))
     assert 0.3 * others_total < others_kept < 0.7 * others_total
+
+
+def test_pack_sequences_fills_budget_and_is_deterministic(spark):
+    from dataworks_audit_data_ingest_spark.text.pipeline import pack_sequences
+
+    d = table(spark, SF, "documents")
+    p1 = pack_sequences(d, budget_tokens=256, n_buckets=8)
+    p2 = pack_sequences(d, budget_tokens=256, n_buckets=8)
+    a1 = sorted(map(tuple, p1.select("doc_id", "seq_id").collect()))
+    assert a1 == sorted(map(tuple, p2.select("doc_id", "seq_id").collect()))
+    # every doc packed exactly once
+    assert len(a1) == d.count()
+    # sequence fill: every closed sequence's tokens reach the budget at its
+    # start boundary (start-offset assignment: seq token sum >= budget is
+    # only guaranteed for sequences that were closed by a successor)
+    sums = {
+        r.seq_id: r.t
+        for r in p1.groupBy("seq_id").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    # invariant of start-offset packing: an interior sequence spans at
+    # least budget - (straddle of its first doc) tokens, and each bucket
+    # has exactly one tail sequence that may be short
+    assert all(t > 0 for t in sums.values())
+    max_tok = p1.agg(F.max("n_tok")).first()[0]
+    short = [t for t in sums.values() if t < 256 - max_tok]
+    assert len(short) <= 8, (len(short), len(sums), max_tok)
+
+
+def test_pack_sequences_window_is_bucket_partitioned(spark):
+    """The plan must not contain an unpartitioned global-sort window."""
+    from dataworks_audit_data_ingest_spark.text.pipeline import pack_sequences
+
+    d = table(spark, SF, "documents")
+    plan = pack_sequences(d, 256)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # the Window's partition spec includes the bucket column
+    import re
+
+    win = plan[plan.index("Window") :].splitlines()[0]
+    assert "_bucket" in win, win
