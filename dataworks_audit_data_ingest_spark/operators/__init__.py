@@ -35,6 +35,7 @@ from ..text.pipeline import (  # noqa: F401
     drop_contaminated,
     drop_near_duplicates,
     mix_sources,
+    pack_sequences,
     redact_pii,
     token_budget_sample,
 )
