@@ -797,3 +797,71 @@ def q54_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "label")
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "q86_chunk_dedup",
+    sql="""
+    WITH words AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS ws
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             ARRAY_TO_STRING(ws[(i - 1) * 5 + 1 : i * 5], ' ') AS chunk
+      FROM (SELECT doc_id, ws,
+                   UNNEST(RANGE(1, CAST(CEIL(LEN(ws) / 5.0) AS BIGINT) + 1)) AS i
+            FROM words)
+    ), freq AS (
+      SELECT chunk,
+             COUNT(*) AS n_copies,
+             COUNT(DISTINCT doc_id) AS n_docs,
+             MIN(doc_id) AS first_doc
+      FROM chunks
+      GROUP BY chunk
+    )
+    SELECT n_copies,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_doc,
+           MIN(first_doc) AS min_first_doc
+    FROM freq
+    GROUP BY n_copies
+    ORDER BY n_copies
+    """,
+    tags=("dedup", "chunk", "paragraph"),
+)
+def q86_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (chunk/paragraph-level) exact dedup: split every doc
+    into 5-word chunks and histogram chunk multiplicity — the operator that
+    catches repeated boilerplate paragraphs exact whole-doc dedup misses.
+
+    Scale shape: chunking is a per-row explode (no shuffle); the frequency
+    table is one hash agg keyed by chunk (map-side combined), and the
+    histogram is a second tiny agg. Dedup action at scale: keep
+    first_doc's copy, drop the rest — same keyed shuffle."""
+    d = table(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "TRANSFORM(SEQUENCE(1, CAST(CEIL(SIZE(SPLIT(text, ' ')) / 5.0) AS INT)), "
+                "i -> ARRAY_JOIN(SLICE(SPLIT(text, ' '), (i - 1) * 5 + 1, 5), ' '))"
+            )
+        ).alias("chunk"),
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    return (
+        freq.groupBy("n_copies")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cross_doc"),
+            F.min("first_doc").alias("min_first_doc"),
+        )
+        .orderBy("n_copies")
+    )
