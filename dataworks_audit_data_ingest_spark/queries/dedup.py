@@ -355,16 +355,24 @@ def q57_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIM_BITS = 32
 
 
-def _simhash_sig_ctes(corpus_sql: str = "SELECT doc_id, text FROM documents") -> str:
-    """CTE chain corpus->tokens->bitsums->sigs (DuckDB), shared by q52/q52b."""
+def _simhash_sig_ctes(
+    corpus_sql: str = "SELECT doc_id, text FROM documents", bits: int = _SIM_BITS
+) -> str:
+    """CTE chain corpus->tokens->bitsums->sigs (DuckDB), shared by the
+    simhash family. For bits > 32 the token hash is widened by combining
+    two independent 32-bit MD5-derived hashes (same trick on both
+    engines), so every signature bit has an independent source bit."""
     h = duckdb_hash32("token", "sim")
+    h2 = duckdb_hash32("token", "sim2")
+    def src(j):
+        return f"({h} >> {j})" if j < 32 else f"({h2} >> {j - 32})"
     bit_sums = ",\n             ".join(
-        f"SUM(CASE WHEN (({h} >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s_{j}"
-        for j in range(_SIM_BITS)
+        f"SUM(CASE WHEN (({src(j)}) & 1) = 1 THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(bits)
     )
     sig = " + ".join(
         f"(CASE WHEN s_{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
-        for j in range(_SIM_BITS)
+        for j in range(bits)
     )
     return f"""
     WITH corpus AS (
@@ -392,23 +400,27 @@ def _simhash_sql() -> str:
 
 
 
-def _spark_simhash_sigs(corpus: DataFrame) -> DataFrame:
-    """(doc_id, simhash) 32-bit SimHash signatures (shared by q52/q52b)."""
+def _spark_simhash_sigs(corpus: DataFrame, bits: int = _SIM_BITS) -> DataFrame:
+    """(doc_id, simhash) SimHash signatures (shared by the simhash family);
+    see _simhash_sig_ctes for the >32-bit widening scheme."""
     tokens = corpus.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).distinct()
     h = spark_hash32("token", "sim")
+    h2 = spark_hash32("token", "sim2")
+    def src(j):
+        return f"SHIFTRIGHT({h}, {j})" if j < 32 else f"SHIFTRIGHT({h2}, {j - 32})"
     bitsums = tokens.groupBy("doc_id").agg(
         *[
             F.expr(
-                f"SUM(CASE WHEN SHIFTRIGHT({h}, {j}) % 2 = 1 THEN 1 ELSE -1 END)"
+                f"SUM(CASE WHEN {src(j)} % 2 = 1 THEN 1 ELSE -1 END)"
             ).alias(f"s_{j}")
-            for j in range(_SIM_BITS)
+            for j in range(bits)
         ]
     )
     sig = " + ".join(
         f"(CASE WHEN s_{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
-        for j in range(_SIM_BITS)
+        for j in range(bits)
     )
     return bitsums.select("doc_id", F.expr(sig).alias("simhash"))
 
@@ -864,4 +876,103 @@ def q86_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("first_doc").alias("min_first_doc"),
         )
         .orderBy("n_copies")
+    )
+
+
+_SIM60_BITS = 60  # production-width signature (stays positive in BIGINT)
+_SIM60_BAND_BITS = 15  # 4 bands of 15 bits -> 32768 buckets per band
+_SIM60_K = 5  # max Hamming distance at 60 bits
+
+
+def _simhash60_sql() -> str:
+    variant_sql = f"""SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_VARIANT_OFFSET} AS doc_id,
+             ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:LEN(STRING_SPLIT(text, ' ')) - 5], ' ') AS text
+      FROM documents
+      WHERE doc_id < {_N_VARIANT_DOCS} AND LEN(STRING_SPLIT(text, ' ')) > 5"""
+    mask = (1 << _SIM60_BAND_BITS) - 1
+    return f"""{_simhash_sig_ctes(variant_sql, bits=_SIM60_BITS)}
+    , bands AS (
+      SELECT doc_id, simhash, b.band_idx,
+             (simhash >> ({_SIM60_BAND_BITS} * b.band_idx)) & {mask} AS band_val
+      FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_idx)
+    ), hot AS (
+      SELECT band_idx, band_val FROM bands
+      GROUP BY band_idx, band_val HAVING COUNT(*) > {_SIMHAM_BUCKET_CAP}
+    ), kept AS (
+      SELECT bands.* FROM bands
+      ANTI JOIN hot ON bands.band_idx = hot.band_idx
+                   AND bands.band_val = hot.band_val
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {_SIM60_K}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "q52c_simhash60_hamming",
+    sql=_simhash60_sql(),
+    tags=("dedup", "simhash", "hamming", "lsh", "scale-path"),
+)
+def q52c_simhash60_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width SimHash retrieval: 60-bit signatures (two combined
+    MD5-derived 32-bit hashes; top 4 bits unused so the value stays
+    positive in BIGINT on both engines), banded into four 15-bit bands —
+    32768 buckets per band instead of q52b's 256, which is what keeps
+    bucket populations (and thus the self-join) small on corpora far
+    beyond the fixture. By pigeonhole any pair within Hamming distance 5
+    shares a full band; bit_count(xor) <= 5 is the residual."""
+    d = table(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(_variants(d))
+    sigs = _spark_simhash_sigs(corpus, bits=_SIM60_BITS)
+    mask = (1 << _SIM60_BAND_BITS) - 1
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_idx"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"(simhash >> ({_SIM60_BAND_BITS} * band_idx)) & {mask}"),
+    )
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band_idx", "band_val")
+    kept = (
+        bands.withColumn("_n", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_n") <= _SIMHAM_BUCKET_CAP)
+        .drop("_n")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("CAST(BIT_COUNT(sig_a ^ sig_b) AS BIGINT)")
+        )
+        .filter(F.col("hamming") <= _SIM60_K)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     )
