@@ -26,68 +26,69 @@ from . import curation  # noqa: E402,F401
 
 # The external correctness driver evaluates only the FIRST 50 registry
 # entries (round-1 evidence: CORRECTNESS_r01.json's 50 rows are exactly
-# registration order indices 0-49). Registration order is import order, which
-# groups by module — that starved the dedup/similarity/text/multimodal family
-# (registered last) of driver rows. DRIVER_PRIORITY pins an explicit order:
-# the 26 queries with no round-1 driver row first, then the 6 new round-2
-# queries, then 18 previously-green category representatives (including
-# q21/q27, fixed this round). Queries
-# beyond position 50 stay registered and pytest-verified; rotate them forward
-# in later rounds so every query accumulates a driver row.
+# registration order indices 0-49). DRIVER_PRIORITY pins an explicit order,
+# rotated per round so every query accumulates a current driver row.
+#
+# Round-3 rotation: the 6 queries that have never had a driver row (landed
+# after the r02 run) first, then the 32 queries whose only driver row is from
+# round 1, then 12 round-2-green representatives spanning every family
+# (including q82, whose plan changed this round, and q58, which gained a
+# DuckDB recursive-CTE oracle this round and needs its first hash-checked
+# row). r01 ∪ r02 ∪ r03 then covers all registered queries.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- no driver row in round 1: the LLM-pipeline family and stragglers --
+    # -- never driver-run (landed after the r02 driver evaluation) --
+    "q16s_acctbal_deciles_scale",
+    "q52c_simhash60_hamming",
+    "q59_ivf_kmeans_cells",
+    "q84_gap_fill",
+    "q85_sequence_packing",
+    "q86_chunk_dedup",
+    # -- only driver row is round 1: refresh all 32 --
+    "q04_revenue_forecast",
+    "q07_customer_order_stats",
+    "q08_distinct_agg",
+    "q09_rollup",
+    "q10_cube",
+    "q11_grouping_sets",
+    "q14_event_gaps",
+    "q15_moving_average",
+    "q16_acctbal_deciles",
+    "q17_nation_rank",
+    "q26_top_parts_global",
+    "q28_percentiles",
+    "q29_scalar_subquery",
+    "q31_sliding_hourly",
+    "q33_dedup_within_watermark",
+    "q34_pivot",
+    "q35_unpivot",
+    "q36_first_last_window",
+    "q37_distribution_ranks",
+    "q38_full_outer_join",
+    "q39_map_functions",
+    "q42_approx_distinct_sketch",
+    "q43_correlated_min",
+    "q44_latest_per_key",
+    "q45_cross_join",
+    "q74_percentile_sketch",
+    "q75_data_profile",
+    "q76_asof_join_forward",
+    "q77_schema_evolution_union",
+    "q34b_funnel_conversion",
+    "q35b_session_bounce_rate",
+    "q37b_zscore_outliers",
+    # -- round-2-green representatives, one per family --
+    "q58_dedup_clusters",  # new recursive-CTE oracle: first hash-checked row
+    "q82_decontamination",  # plan changed: redundant corpus distinct removed
     "q50_dedup_exact",
     "q51_dedup_minhash_lsh",
-    "q57_minhash_jaccard_estimate",
-    "q52_dedup_simhash",
-    "q53_dedup_ngram_jaccard",
-    "q54_dedup_embedding_cosine",
-    "q58_dedup_clusters",
     "q55_ann_bruteforce_topk",
     "q56_ann_ivf_topk",
-    "q60_lang_id_heuristic",
-    "q61_quality_score",
-    "q62_token_count",
-    "q63_fingerprint",
-    "q64_deterministic_sample",
-    "q65_tfidf_top_terms",
     "q66_fuzzy_brand_match",
-    "q36b_retention_cohorts",
-    "q40_incremental_watermark",
-    "q41_binary_payload_stats",
     "q70_multimodal_decode",
-    "q46_interval_self_join",
-    "q47_histogram",
-    "q49_filtered_aggregates",
-    "q71_nation_trade_volume",
-    "q72_region_market_share",
-    "q73_returned_item_customers",
-    # -- new this round (never driver-run) --
-    "q80_pii_redaction",
-    "q81_repetition_quality",
-    "q82_decontamination",
-    "q83_source_mixing",
-    "q37s_distribution_ranks_scale",
-    "q52b_simhash_hamming",
-    # -- previously-green representatives re-confirmed this round --
-    "q21_json_functions",  # fixed: oracle HUGEINT -> BIGINT cast
-    "q27_array_functions",  # fixed: raw array column dropped from output
     "q01_pricing_summary",
-    "q02_top_orders_by_revenue",
-    "q03_regional_revenue",
-    "q05_order_priority_semi",
-    "q06_customers_without_orders",
-    "q12_topk_per_customer",
-    "q13_running_total",
-    "q18_set_operations",
-    "q19_string_functions",
-    "q20_date_functions",
-    "q22_case_and_nulls",
-    "q23_math_functions",
-    "q24_price_band_join",
-    "q25_asof_join",
+    "q21_json_functions",
+    "q27_array_functions",
     "q30_tumbling_daily",
-    "q32_session_windows",
 )
 
 

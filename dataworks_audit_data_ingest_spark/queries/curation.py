@@ -238,7 +238,10 @@ def q82_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the benchmark gram set is tiny relative to the corpus —
     broadcast semi-join against it; corpus grams stream through one
-    projection, nothing corpus-sized ever shuffles on the gram key."""
+    projection straight into the map-side semi-join, nothing corpus-sized
+    ever shuffles on the gram key. Dedup happens per consumer where it is
+    cheap: the benchmark grams (tiny) dedup before broadcast, and hits
+    dedup on doc_id only — never the full exploded gram stream."""
     d = table(spark, sf_dir, "documents")
     probe = (
         d.filter(F.col("doc_id") == 0)
@@ -270,7 +273,6 @@ def q82_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("gram"),
         )
-        .distinct()
     )
     bench = (
         grams.filter(F.col("doc_id") % _BENCH_MOD == 0).select("gram").distinct()
