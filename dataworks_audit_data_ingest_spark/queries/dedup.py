@@ -444,9 +444,38 @@ def q52_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_sql() -> str:
+    """DuckDB oracle for connected components: min-label fixpoint as a
+    recursive CTE. ``reach`` enumerates (node, label) where ``label`` is a
+    node reachable from ``node`` carrying a smaller id at every hop — the
+    component minimum is smaller than every node on its path, so it always
+    survives the prune and MIN(label) per node is the component minimum.
+    The recursive UNION deduplicates rows, bounding the fixpoint."""
+    pairs_body = _minhash_sql().replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {pairs_body}
+    ), edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+    ), reach(doc_id, label) AS (
+      SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges
+      UNION
+      SELECT e.doc_a AS doc_id, r.label
+      FROM reach r JOIN edges e ON e.doc_b = r.doc_id
+      WHERE r.label < e.doc_a
+    )
+    SELECT doc_id, MIN(label) AS cluster_id
+    FROM reach
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
 @register(
     "q58_dedup_clusters",
-    sql=None,  # iterative fixpoint — not SQL-expressible; rows-only check
+    sql=_cc_sql(),
     tags=("dedup", "clustering", "iterative"),
 )
 def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -457,8 +486,9 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iterative min-label propagation (alternating join + min-agg until
     fixpoint), the standard large-graph CC pattern: each round is one shuffle
     keyed on doc_id; lineage is cut per round via localCheckpoint so plans
-    don't grow with iterations. Deterministic output, so the rows-only hash
-    is stable across runs.
+    don't grow with iterations. Oracle: a DuckDB ``WITH RECURSIVE`` min-label
+    transitive closure over the same q51 edge list (see ``_cc_sql``) —
+    hash-checked, not rows-only.
     """
     pairs = q51_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     # undirected edge list, both directions
@@ -693,7 +723,11 @@ def q53_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.least("a.n", "b.n") >= F.greatest("a.n", "b.n") * 0.62),
+            # exact integer arithmetic: 0.62 as a double is slightly above
+            # 62/100, which could prune an exact-boundary pair (min == 0.62
+            # * max with Jaccard exactly 0.62) that the final >= 0.62 filter
+            # keeps — a cross-engine divergence at the threshold
+            & (F.least("a.n", "b.n") * 100 >= F.greatest("a.n", "b.n") * 62),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -880,8 +914,13 @@ def q86_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIM60_BITS = 60  # production-width signature (stays positive in BIGINT)
-_SIM60_BAND_BITS = 15  # 4 bands of 15 bits -> 32768 buckets per band
-_SIM60_K = 5  # max Hamming distance at 60 bits
+# Pigeonhole: a guarantee for Hamming distance <= k needs MORE than k bands
+# (k differing bits can touch at most k bands, leaving one intact). With
+# k = 5 that means 6 bands — 6 x 10 bits; 1024 buckets per band still dwarfs
+# q52b's 256.
+_SIM60_BAND_BITS = 10  # 6 bands of 10 bits -> 1024 buckets per band
+_SIM60_BANDS = 6
+_SIM60_K = 5  # max Hamming distance at 60 bits; < _SIM60_BANDS, guaranteed
 
 
 def _simhash60_sql() -> str:
@@ -892,11 +931,12 @@ def _simhash60_sql() -> str:
       FROM documents
       WHERE doc_id < {_N_VARIANT_DOCS} AND LEN(STRING_SPLIT(text, ' ')) > 5"""
     mask = (1 << _SIM60_BAND_BITS) - 1
+    band_values = ", ".join(f"({i})" for i in range(_SIM60_BANDS))
     return f"""{_simhash_sig_ctes(variant_sql, bits=_SIM60_BITS)}
     , bands AS (
       SELECT doc_id, simhash, b.band_idx,
              (simhash >> ({_SIM60_BAND_BITS} * b.band_idx)) & {mask} AS band_val
-      FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_idx)
+      FROM sigs CROSS JOIN (VALUES {band_values}) AS b(band_idx)
     ), hot AS (
       SELECT band_idx, band_val FROM bands
       GROUP BY band_idx, band_val HAVING COUNT(*) > {_SIMHAM_BUCKET_CAP}
@@ -927,11 +967,12 @@ def _simhash60_sql() -> str:
 def q52c_simhash60_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-width SimHash retrieval: 60-bit signatures (two combined
     MD5-derived 32-bit hashes; top 4 bits unused so the value stays
-    positive in BIGINT on both engines), banded into four 15-bit bands —
-    32768 buckets per band instead of q52b's 256, which is what keeps
+    positive in BIGINT on both engines), banded into six 10-bit bands —
+    1024 buckets per band instead of q52b's 256, which is what keeps
     bucket populations (and thus the self-join) small on corpora far
     beyond the fixture. By pigeonhole any pair within Hamming distance 5
-    shares a full band; bit_count(xor) <= 5 is the residual."""
+    shares a full band (5 differing bits touch at most 5 of the 6 bands);
+    bit_count(xor) <= 5 is the residual."""
     d = table(spark, sf_dir, "documents")
     corpus = d.select("doc_id", "text").unionByName(_variants(d))
     sigs = _spark_simhash_sigs(corpus, bits=_SIM60_BITS)
@@ -939,7 +980,7 @@ def q52c_simhash60_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id",
         "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_idx"),
+        F.explode(F.sequence(F.lit(0), F.lit(_SIM60_BANDS - 1))).alias("band_idx"),
     ).withColumn(
         "band_val",
         F.expr(f"(simhash >> ({_SIM60_BAND_BITS} * band_idx)) & {mask}"),

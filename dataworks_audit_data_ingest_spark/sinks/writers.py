@@ -59,6 +59,76 @@ def start_parquet_stream_sink(
     return writer.start()
 
 
+def _partition_dirs(root: str, depth: int) -> list[str]:
+    """Hive ``key=value`` relative paths at ``depth`` under ``root``."""
+    import os
+
+    rels = [""]
+    for _ in range(depth):
+        nxt = []
+        for rel in rels:
+            base = os.path.join(root, rel) if rel else root
+            for name in os.listdir(base):
+                if "=" in name and os.path.isdir(os.path.join(base, name)):
+                    nxt.append(os.path.join(rel, name) if rel else name)
+        rels = nxt
+    return rels
+
+
+def _stage_dir(path: str) -> str:
+    """A staging dir INSIDE the dataset root: same filesystem, so every
+    swap below is an atomic ``os.rename`` (a /tmp stage often lives on a
+    different filesystem, degrading moves to copy+delete that can fail
+    half-way). The leading dot hides it from Spark's file listing."""
+    import os
+    import tempfile
+
+    os.makedirs(path, exist_ok=True)
+    return tempfile.mkdtemp(prefix=".staged_", dir=path)
+
+
+def _swap_partition_dirs(staged: str, path: str, depth: int) -> None:
+    """Crash-safe swap of each staged partition dir into the dataset.
+
+    Per partition: rename the existing dir aside (to a dot-hidden sibling,
+    invisible to readers and never parsed as a partition), rename the staged
+    dir in, and only then delete the aside copy — all three are same-
+    filesystem renames/removes, and the original data is never deleted
+    before its replacement is in place. A crash leaves either the original
+    (restored, or recoverable from the aside dir) or the new copy — never
+    neither. The unavoidable reader-visible window is the gap between two
+    atomic renames, not a full rewrite.
+    """
+    import os
+    import shutil
+
+    asides: list[str] = []
+    for rel in _partition_dirs(staged, depth):
+        dest = os.path.join(path, rel)
+        src = os.path.join(staged, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        aside = None
+        if os.path.exists(dest):
+            aside = os.path.join(
+                os.path.dirname(dest), "." + os.path.basename(dest) + ".old"
+            )
+            if os.path.exists(aside):  # stale leftover from an older crash
+                shutil.rmtree(aside)
+            os.rename(dest, aside)
+        try:
+            os.rename(src, dest)
+        except BaseException:
+            if aside is not None:
+                os.rename(aside, dest)  # restore the original
+            raise
+        if aside is not None:
+            asides.append(aside)
+    # every swap succeeded: drop the aside copies and the staged skeleton
+    for aside in asides:
+        shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(staged, ignore_errors=True)
+
+
 def compact_parquet_partition(
     spark,
     path: str,
@@ -67,19 +137,19 @@ def compact_parquet_partition(
     partition_by: tuple[str, ...] = (),
 ) -> int:
     """Small-file compaction: rewrite a parquet location (optionally only the
-    partitions matching ``partition_filter``) into ``target_files`` files per
+    partitions matching ``partition_filter``) into compacted files per
     partition dir, preserving the Hive ``key=value`` layout.
 
     The small-files problem is the chronic failure mode of incremental
     sinks (every micro-batch adds files); compaction restores scan
-    efficiency. Returns the number of rows rewritten. Rewrite is
-    staged-then-swapped so readers never see a half-written directory;
-    with ``partition_filter`` only the matching partition directories are
-    swapped — every other partition's files are untouched.
+    efficiency. Returns the number of rows rewritten. The rewrite is staged
+    inside the dataset root and swapped in via atomic renames (rename the
+    old dir aside, rename the new one in, then delete the old) — a crash at
+    any point loses no data, and with ``partition_filter`` only the
+    matching partition directories are swapped.
     """
     import os
     import shutil
-    import tempfile
 
     if partition_filter and not partition_by:
         raise ValueError(
@@ -92,48 +162,53 @@ def compact_parquet_partition(
         df = df.filter(partition_filter)
     n = df.count()
 
-    # One output task per partition value (hash-repartition on the partition
-    # key) keeps each Hive dir at <= target_files files without a global
-    # coalesce bottleneck.
+    # Parallelism scales with the number of touched partition values — one
+    # writer task per partition dir (hash repartition on the key routes each
+    # value to exactly one task => one compacted file per dir), never a
+    # global single-task funnel.
     if partition_by:
-        out = df.repartition(max(target_files, 1), *partition_by)
+        n_parts = df.select(*partition_by).distinct().count()
+        out = df.repartition(max(n_parts, 1), *partition_by)
     else:
         out = df.coalesce(max(target_files, 1))
 
-    staged = tempfile.mkdtemp(prefix="compact_")
-    writer = out.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staged)
-
-    if not partition_filter:
-        shutil.rmtree(path)
-        shutil.move(staged, path)
-        return n
-
-    # Swap only the partition dirs present in the staged output: walk to the
-    # depth of the partition spec collecting key=value relative paths.
-    def _partition_dirs(root: str, depth: int) -> list[str]:
-        rels = [""]
-        for _ in range(depth):
-            nxt = []
-            for rel in rels:
-                base = os.path.join(root, rel) if rel else root
-                for name in os.listdir(base):
-                    if "=" in name and os.path.isdir(os.path.join(base, name)):
-                        nxt.append(os.path.join(rel, name) if rel else name)
-            rels = nxt
-        return rels
-
+    staged = _stage_dir(path)
     try:
-        for rel in _partition_dirs(staged, len(partition_by)):
-            dest = os.path.join(path, rel)
-            if os.path.exists(dest):
-                shutil.rmtree(dest)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            shutil.move(os.path.join(staged, rel), dest)
-    finally:
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staged)
+
+        if not partition_filter:
+            # full rewrite, all renames: move the old top-level entries into
+            # a hidden aside dir, rename the staged entries in, THEN delete
+            # the aside — the old data outlives its replacement going live
+            aside = staged + ".old"
+            os.makedirs(aside)
+            moved_old: list[str] = []
+            try:
+                for name in os.listdir(path):
+                    if not name.startswith("."):
+                        os.rename(
+                            os.path.join(path, name), os.path.join(aside, name)
+                        )
+                        moved_old.append(name)
+                for name in os.listdir(staged):
+                    os.rename(os.path.join(staged, name), os.path.join(path, name))
+            except BaseException:
+                for name in moved_old:  # restore the original dataset
+                    src, dst = os.path.join(aside, name), os.path.join(path, name)
+                    if os.path.exists(src) and not os.path.exists(dst):
+                        os.rename(src, dst)
+                raise
+            shutil.rmtree(aside, ignore_errors=True)
+            shutil.rmtree(staged, ignore_errors=True)
+            return n
+
+        _swap_partition_dirs(staged, path, len(partition_by))
+    except BaseException:
         shutil.rmtree(staged, ignore_errors=True)
+        raise
     return n
 
 
@@ -167,9 +242,7 @@ def merge_upsert_partitioned(
     read is partition-pruned by an IN filter on the touched partition
     values (broadcast-sized by construction).
     """
-    import os
     import shutil
-    import tempfile
 
     from pyspark.sql import Window
 
@@ -206,35 +279,22 @@ def merge_upsert_partitioned(
     )
 
     n = merged.count()
-    staged = tempfile.mkdtemp(prefix="merge_")
-    (
-        merged.repartition(1, *partition_by)
-        .write.mode("overwrite")
-        .partitionBy(*partition_by)
-        .parquet(staged)
-    )
-
-    def _partition_dirs(root: str, depth: int) -> list[str]:
-        rels = [""]
-        for _ in range(depth):
-            nxt = []
-            for rel in rels:
-                base = os.path.join(root, rel) if rel else root
-                for name in os.listdir(base):
-                    if "=" in name and os.path.isdir(os.path.join(base, name)):
-                        nxt.append(os.path.join(rel, name) if rel else name)
-            rels = nxt
-        return rels
-
+    staged = _stage_dir(path)
     try:
-        for rel in _partition_dirs(staged, len(partition_by)):
-            dest = os.path.join(path, rel)
-            if os.path.exists(dest):
-                shutil.rmtree(dest)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            shutil.move(os.path.join(staged, rel), dest)
-    finally:
+        # one writer task per touched partition value (hash repartition on
+        # the key routes each value to exactly one task) — parallelism
+        # scales with the touched-partition count, never a repartition(1)
+        # funnel through a single task
+        (
+            merged.repartition(max(len(touched), 1), *partition_by)
+            .write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(staged)
+        )
+        _swap_partition_dirs(staged, path, len(partition_by))
+    except BaseException:
         shutil.rmtree(staged, ignore_errors=True)
+        raise
     return n
 
 

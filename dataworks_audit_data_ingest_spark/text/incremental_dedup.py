@@ -56,7 +56,16 @@ def incremental_dedup_batch(
     new_bands = band_documents(batch).localCheckpoint()
 
     try:
-        store = spark.read.parquet(store_path).drop("batch_id")
+        # Exclude this batch's own partition: on a replay (failure after the
+        # store write but before the curated-sink write) the store already
+        # holds this batch's bands, and reading them back would make every
+        # doc self-match and silently drop the whole batch from the corpus.
+        # The partition-column filter also prunes the scan.
+        store = (
+            spark.read.parquet(store_path)
+            .filter(F.col("batch_id") != F.lit(batch_id))
+            .drop("batch_id")
+        )
         have_store = True
     except Exception:  # first batch: no store yet
         store = None

@@ -288,3 +288,72 @@ def test_merge_upsert_order_col_picks_latest(spark, tmp_path):
     )
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1 and rows[0].val == "latest"
+
+
+def test_compaction_swap_failure_preserves_original_partition(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-safety: if the staged->dest rename fails mid-swap, the original
+    partition data must survive (restored from the aside dir) — the old
+    copy is never deleted before its replacement is in place."""
+    import os
+
+
+    from dataworks_audit_data_ingest_spark.sinks.writers import (
+        compact_parquet_partition,
+    )
+
+    out = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [(i, "2024-01-0%d" % (1 + i % 2), "v%d" % i) for i in range(20)],
+        "id INT, day STRING, val STRING",
+    )
+    df.repartition(4).write.partitionBy("day").parquet(out)
+    before = {(r.id, r.day, r.val) for r in spark.read.parquet(out).collect()}
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        # fail exactly the staged->dest swap of a partition dir
+        if "day=" in os.path.basename(dst) and ".staged_" in src:
+            raise OSError("simulated crash during swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    try:
+        compact_parquet_partition(
+            spark,
+            out,
+            partition_filter="day = '2024-01-01'",
+            partition_by=("day",),
+        )
+        raised = False
+    except OSError:
+        raised = True
+    monkeypatch.undo()
+    assert raised
+    after = {(r.id, r.day, r.val) for r in spark.read.parquet(out).collect()}
+    assert after == before  # nothing lost, nothing half-written
+
+
+def test_compaction_leaves_no_hidden_residue(spark, tmp_path):
+    """A successful partition-scoped compaction cleans up its staging and
+    aside dirs — only real data entries remain in the dataset root."""
+    import os
+
+    from dataworks_audit_data_ingest_spark.sinks.writers import (
+        compact_parquet_partition,
+    )
+
+    out = str(tmp_path / "ds2")
+    df = spark.createDataFrame(
+        [(i, "2024-01-0%d" % (1 + i % 3)) for i in range(30)],
+        "id INT, day STRING",
+    )
+    df.repartition(6).write.partitionBy("day").parquet(out)
+    compact_parquet_partition(
+        spark, out, partition_filter="day = '2024-01-02'", partition_by=("day",)
+    )
+    hidden = [n for n in os.listdir(out) if n.startswith(".staged_")]
+    assert hidden == []
+    assert spark.read.parquet(out).count() == 30

@@ -61,11 +61,52 @@ def test_batch_rerun_is_idempotent(spark, tmp_path):
         .filter((F.col("doc_id") < 30) & (F.size(F.split("text", " ")) > 8))
         .select("doc_id", "text")
     )
-    incremental_dedup_batch(spark, store, docs, "b1")
+    uniq1, _ = incremental_dedup_batch(spark, store, docs, "b1")
+    ids_first = {r.doc_id for r in uniq1.select("doc_id").collect()}
     n_after_first = spark.read.parquet(store).count()
-    # crash-and-retry: the same batch id runs again — no duplicate bands
-    incremental_dedup_batch(spark, store, docs, "b1")
+    # crash-and-retry: the same batch id runs again after its store write
+    # already succeeded. The replay must NOT self-match against its own
+    # stored bands — unique_docs is identical, and the store row count is
+    # unchanged (partition overwrite, no duplicate bands).
+    uniq2, _ = incremental_dedup_batch(spark, store, docs, "b1")
+    ids_replay = {r.doc_id for r in uniq2.select("doc_id").collect()}
+    assert ids_replay == ids_first
+    assert len(ids_replay) > 0
     assert spark.read.parquet(store).count() == n_after_first
+
+
+def test_batch_rerun_after_partial_failure_still_drops_cross_batch_dups(
+    spark, tmp_path
+):
+    """Replay of b2 (store write succeeded, sink write did not) must still
+    detect b2's duplicates against b1 — excluding b2's own partition from
+    the store read must not exclude anyone else's."""
+    store = str(tmp_path / "sigstore3")
+    docs = table(spark, SF, "documents").filter(F.size(F.split("text", " ")) > 8)
+    batch1 = docs.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    incremental_dedup_batch(spark, store, batch1, "b1")
+
+    variant = batch1.limit(1).select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.expr(
+            "ARRAY_JOIN(SLICE(SPLIT(text, ' '), 1, SIZE(SPLIT(text, ' ')) - 3), ' ')"
+        ).alias("text"),
+    )
+    orig_id = batch1.limit(1).first().doc_id
+    fresh = docs.filter(
+        (F.col("doc_id") >= 40) & (F.col("doc_id") < 60)
+    ).select("doc_id", "text")
+    batch2 = fresh.unionByName(variant)
+
+    uniq_first, dups_first = incremental_dedup_batch(spark, store, batch2, "b2")
+    ids_first = {r.doc_id for r in uniq_first.select("doc_id").collect()}
+    pairs_first = {(r.doc_a, r.doc_b) for r in dups_first.collect()}
+    assert (orig_id, orig_id + 5000) in pairs_first
+
+    # replay: same result, cross-batch dup still caught
+    uniq_replay, dups_replay = incremental_dedup_batch(spark, store, batch2, "b2")
+    assert {r.doc_id for r in uniq_replay.select("doc_id").collect()} == ids_first
+    assert {(r.doc_a, r.doc_b) for r in dups_replay.collect()} == pairs_first
 
 
 def test_streaming_curation_dedups_across_microbatches(spark, tmp_path):

@@ -170,3 +170,53 @@ def test_merge_upsert_matches_dict_model(base, updates, spark, tmp_path_factory)
         for r in spark.read.parquet(out).collect()
     }
     assert got == model
+
+
+# ---------------------------------------------------------------------------
+# q52c pigeonhole banding: recall guarantee for Hamming distance <= k
+# ---------------------------------------------------------------------------
+
+
+def _sim60_bands(sig: int) -> list[int]:
+    from dataworks_audit_data_ingest_spark.queries.dedup import (
+        _SIM60_BAND_BITS,
+        _SIM60_BANDS,
+    )
+
+    mask = (1 << _SIM60_BAND_BITS) - 1
+    return [(sig >> (_SIM60_BAND_BITS * i)) & mask for i in range(_SIM60_BANDS)]
+
+
+@given(
+    sig=st.integers(min_value=0, max_value=(1 << 60) - 1),
+    flips=st.sets(st.integers(min_value=0, max_value=59), min_size=1, max_size=5),
+)
+@settings(max_examples=300, deadline=None)
+def test_sim60_banding_guarantees_hamming_k_recall(sig, flips):
+    """ANY pair at Hamming distance <= _SIM60_K must share at least one full
+    band — including adversarial spreads that touch many bands. With k < 6
+    bands this is a pigeonhole certainty, not a probabilistic recall."""
+    from dataworks_audit_data_ingest_spark.queries.dedup import _SIM60_K
+
+    assert len(flips) <= _SIM60_K
+    other = sig
+    for b in flips:
+        other ^= 1 << b
+    a, o = _sim60_bands(sig), _sim60_bands(other)
+    assert any(x == y for x, y in zip(a, o)), (
+        f"distance-{len(flips)} pair shares no band: flips={sorted(flips)}"
+    )
+
+
+def test_sim60_banding_counterexample_for_four_15bit_bands():
+    """The spread that breaks the old 4 x 15-bit scheme (one flip per band:
+    bits 0, 15, 30, 45 touch all four bands) still shares a band at
+    6 x 10 bits — the reason for the banding change."""
+    flips = [0, 15, 30, 45]
+    old_bands_touched = {b // 15 for b in flips}
+    assert old_bands_touched == {0, 1, 2, 3}  # old scheme: zero shared bands
+    sig = 0
+    other = 0
+    for b in flips:
+        other ^= 1 << b
+    assert any(x == y for x, y in zip(_sim60_bands(sig), _sim60_bands(other)))
