@@ -239,9 +239,12 @@ def q82_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the benchmark gram set is tiny relative to the corpus —
     broadcast semi-join against it; corpus grams stream through one
     projection straight into the map-side semi-join, nothing corpus-sized
-    ever shuffles on the gram key. Dedup happens per consumer where it is
-    cheap: the benchmark grams (tiny) dedup before broadcast, and hits
-    dedup on doc_id only — never the full exploded gram stream."""
+    ever shuffles on the gram key. Each side filters to its own docs
+    BEFORE exploding (the benchmark slice is ~1/97 of the corpus, so the
+    expensive gram explode runs once over each doc, not twice), and dedup
+    happens per consumer where it is cheap: the benchmark grams (tiny)
+    dedup before broadcast, hits dedup on doc_id only — never the full
+    exploded gram stream."""
     d = table(spark, sf_dir, "documents")
     probe = (
         d.filter(F.col("doc_id") == 0)
@@ -261,9 +264,9 @@ def q82_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    grams = (
-        seeded.filter(F.size(F.split("text", " ")) >= _NGRAM)
-        .select(
+
+    def _grams(docs: DataFrame) -> DataFrame:
+        return docs.filter(F.size(F.split("text", " ")) >= _NGRAM).select(
             "doc_id",
             "source",
             F.explode(
@@ -273,12 +276,14 @@ def q82_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("gram"),
         )
-    )
+
     bench = (
-        grams.filter(F.col("doc_id") % _BENCH_MOD == 0).select("gram").distinct()
+        _grams(seeded.filter(F.col("doc_id") % _BENCH_MOD == 0))
+        .select("gram")
+        .distinct()
     )
     contaminated = (
-        grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        _grams(seeded.filter(F.col("doc_id") % _BENCH_MOD != 0))
         .join(F.broadcast(bench), "gram", "left_semi")
         .select("doc_id")
         .distinct()

@@ -340,3 +340,113 @@ def q66_fuzzy_brand_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 1)
         .orderBy("brand_a", "brand_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+from ..functions.hashing import universal_hash  # noqa: E402
+
+_CMS_D = 4  # sketch depth (independent hash rows)
+_CMS_W = 1024  # sketch width (cells per row)
+_CMS_MIN_EST = 150  # heavy-hitter threshold on the estimate
+_CMS_TOP = 25
+
+
+def _cms_cell(i: int) -> str:
+    """Cell index of hash row ``i`` for a base-hash column ``h`` —
+    dialect-free integer SQL (both operands non-negative)."""
+    return f"({universal_hash('h', i)}) % {_CMS_W}"
+
+
+def _cms_sql() -> str:
+    cell_rows = "\n      UNION ALL\n".join(
+        f"      SELECT {i} AS row_idx, {_cms_cell(i)} AS cell FROM hashed"
+        for i in range(_CMS_D)
+    )
+    probe_rows = "\n      UNION ALL\n".join(
+        f"      SELECT word, true_count, {i} AS row_idx, {_cms_cell(i)} AS cell"
+        " FROM whashed"
+        for i in range(_CMS_D)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+    ), words_nonempty AS (
+      SELECT word FROM toks WHERE word <> ''
+    ), hashed AS (
+      SELECT word, {duckdb_hash32("word", "cms")} AS h FROM words_nonempty
+    ), cells AS (
+{cell_rows}
+    ), sketch AS (
+      SELECT row_idx, cell, COUNT(*) AS c FROM cells GROUP BY row_idx, cell
+    ), words AS (
+      SELECT word, COUNT(*) AS true_count FROM words_nonempty GROUP BY word
+    ), whashed AS (
+      SELECT word, true_count, {duckdb_hash32("word", "cms")} AS h FROM words
+    ), probes AS (
+{probe_rows}
+    )
+    SELECT p.word,
+           CAST(MIN(s.c) AS BIGINT) AS est_count,
+           CAST(MAX(p.true_count) AS BIGINT) AS true_count
+    FROM probes p JOIN sketch s ON p.row_idx = s.row_idx AND p.cell = s.cell
+    GROUP BY p.word
+    HAVING MIN(s.c) >= {_CMS_MIN_EST}
+    ORDER BY est_count DESC, word
+    LIMIT {_CMS_TOP}
+    """
+
+
+@register(
+    "q87_heavy_hitters_countmin",
+    sql=_cms_sql(),
+    tags=("text", "sketch", "heavy-hitters", "countmin"),
+)
+def q87_heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens via a count-min sketch: every token occurrence
+    increments _CMS_D cells (one universal-hash row each, portable
+    MD5-derived hashing so both engines build the identical sketch); a
+    token's frequency estimate is the MIN over its cells — always >= the
+    true count, with the overestimate bounded by the sketch collision mass.
+    ``true_count`` rides along to exhibit the one-sided error.
+
+    Scale shape: the sketch is d x w = 4x1024 cells REGARDLESS of corpus
+    size — partial aggregation builds per-task sketches map-side and the
+    shuffle carries at most d*w rows per task, the whole point of
+    sketching over an exact full-cardinality groupBy. The probe side joins
+    candidates against the broadcast-sized sketch. (The candidate set here
+    is the corpus vocabulary for oracle purposes; a 100 TB deployment
+    feeds per-partition local frequent items instead.)
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    hashed = toks.select(F.expr(spark_hash32("word", "cms")).alias("h"))
+    stack_args = ", ".join(f"{i}, {_cms_cell(i)}" for i in range(_CMS_D))
+    cells = hashed.select(
+        F.expr(f"STACK({_CMS_D}, {stack_args}) AS (row_idx, cell)")
+    )
+    sketch = cells.groupBy("row_idx", "cell").agg(F.count(F.lit(1)).alias("c"))
+
+    words = toks.groupBy("word").agg(F.count(F.lit(1)).alias("true_count"))
+    probes = words.withColumn(
+        "h", F.expr(spark_hash32("word", "cms"))
+    ).select(
+        "word",
+        "true_count",
+        F.expr(f"STACK({_CMS_D}, {stack_args}) AS (row_idx, cell)"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row_idx", "cell"])
+        .groupBy("word")
+        .agg(
+            F.min("c").cast("bigint").alias("est_count"),
+            F.max("true_count").cast("bigint").alias("true_count"),
+        )
+        .filter(F.col("est_count") >= _CMS_MIN_EST)
+        .orderBy(F.desc("est_count"), "word")
+        .limit(_CMS_TOP)
+    )

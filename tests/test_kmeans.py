@@ -115,3 +115,40 @@ def test_spread_init_numpy_backend_trains(spark):
     assert sorted(map(tuple, a1.select("id", "cell").collect())) == sorted(
         map(tuple, a2.select("id", "cell").collect())
     )
+
+
+def test_numpy_backend_matches_jvm_at_ivf_scale(spark):
+    """IVF-scale equivalence (round-2 verdict item): k = 256 cells over the
+    2000-vector, 64-dim embeddings fixture. The GEMM argmin must pick the
+    identical cell for every point and agree on the exact recomputed
+    squared distance — the scale where the numpy kernel is the production
+    path and the JVM window would materialize k*n = 512k rows."""
+    from dataworks_audit_data_ingest_spark.similarity.kmeans import (
+        _centroid_df,
+        assign_cells,
+    )
+    from dataworks_audit_data_ingest_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.1", "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("vec"),
+    )
+    assert pts.count() == 2000
+    # 256 deterministic centroids: the first 256 vectors by id
+    seeds = [
+        list(r.vec) for r in pts.orderBy("id").limit(256).collect()
+    ]
+    assert len(seeds) == 256 and len(seeds[0]) == 64
+    cents = _centroid_df(spark, seeds)
+
+    jvm = {r.id: (r.cell, r.sq_dist) for r in assign_cells(pts, cents).collect()}
+    npy = {
+        r.id: (r.cell, r.sq_dist)
+        for r in assign_cells(pts, cents, backend="numpy").collect()
+    }
+    assert jvm.keys() == npy.keys() and len(jvm) == 2000
+    mismatched_cells = [i for i in jvm if jvm[i][0] != npy[i][0]]
+    assert mismatched_cells == []
+    for i in jvm:
+        assert abs(jvm[i][1] - npy[i][1]) < 1e-9
