@@ -1,10 +1,20 @@
 """Fixture-table loaders.
 
 One parquet file per table under ``{sf_dir}/{name}.parquet`` (see TESTDATA.md).
-``events.ts`` is INT64 TIMESTAMP(NANOS) in the footer — Spark's reader rejects
-nanos, so we read it as LONG (``spark.sql.legacy.parquet.nanosAsLong``) and
-rebuild a microsecond timestamp with integer arithmetic (``DIV 1000`` — a
-double division would lose precision: 2024 epoch-nanos ≈ 1.7e18 > 2^53).
+``events.ts`` has shipped in two physical forms across fixture generations:
+
+- INT64 TIMESTAMP(NANOS): Spark's reader rejects nanos, so we read it as LONG
+  (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a microsecond
+  timestamp with integer arithmetic (``DIV 1000`` — a double division would
+  lose precision: 2024 epoch-nanos ≈ 1.7e18 > 2^53).
+- TIMESTAMP(MICROS) with isAdjustedToUTC=false: Spark reads TIMESTAMP_NTZ,
+  which ``unix_micros``/``window``/``withWatermark`` reject. We cast to the
+  session-zoned TIMESTAMP — the session timezone is pinned UTC, so the wall
+  values (and the DuckDB oracle's naive-timestamp view of the same file) are
+  bit-identical.
+
+Both normalizations are keyed on the observed read dtype, so either fixture
+generation loads to the same ``ts: timestamp`` column.
 """
 
 from __future__ import annotations
@@ -32,9 +42,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing types to match the DuckDB oracle."""
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos → micros, truncating toward zero exactly like DuckDB's ns→us cast
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos → micros, truncating toward zero exactly like DuckDB's
+            # ns→us cast
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # UTC session: NTZ → LTZ is a pure reinterpretation, same micros
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -1,0 +1,64 @@
+"""Fixture-loader normalization: ``events.ts`` has shipped in two physical
+parquet forms across driver fixture generations — INT64 TIMESTAMP(NANOS)
+(rounds 1-2) and TIMESTAMP(MICROS, isAdjustedToUTC=false) i.e. Spark
+TIMESTAMP_NTZ (round 3+). ``tables.table()`` must load either to the same
+session-zoned ``ts: timestamp`` column with identical microsecond values,
+or every downstream ``unix_micros``/``window``/``withWatermark`` breaks.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from dataworks_audit_data_ingest_spark.tables import table
+
+# 2024-03-01T12:00:00.123456789 and one second later, as epoch nanos.
+_NANOS = [1709294400123456789, 1709294401123456789]
+
+
+def _write_events(path, ts_array):
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([10, 10], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, path, version="2.6", coerce_timestamps=None)
+
+
+def test_events_ts_nanos_long_form(spark, tmp_path):
+    _write_events(
+        str(tmp_path / "events.parquet"), pa.array(_NANOS, pa.timestamp("ns"))
+    )
+    df = table(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = [r.ts for r in df.orderBy("event_id").collect()]
+    # nanos truncate toward zero to micros
+    assert got[0] == datetime.datetime(2024, 3, 1, 12, 0, 0, 123456)
+
+
+def test_events_ts_micros_ntz_form(spark, tmp_path):
+    micros = pa.array([n // 1000 for n in _NANOS], pa.timestamp("us"))
+    _write_events(str(tmp_path / "events.parquet"), micros)
+    df = table(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = [r.ts for r in df.orderBy("event_id").collect()]
+    assert got[0] == datetime.datetime(2024, 3, 1, 12, 0, 0, 123456)
+
+
+def test_both_forms_load_identically(spark, tmp_path):
+    d_ns, d_us = tmp_path / "ns", tmp_path / "us"
+    d_ns.mkdir()
+    d_us.mkdir()
+    _write_events(str(d_ns / "events.parquet"), pa.array(_NANOS, pa.timestamp("ns")))
+    _write_events(
+        str(d_us / "events.parquet"),
+        pa.array([n // 1000 for n in _NANOS], pa.timestamp("us")),
+    )
+    rows_ns = table(spark, str(d_ns), "events").orderBy("event_id").collect()
+    rows_us = table(spark, str(d_us), "events").orderBy("event_id").collect()
+    assert rows_ns == rows_us
