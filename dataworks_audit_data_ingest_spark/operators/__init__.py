@@ -28,7 +28,10 @@ from ..sinks.writers import (  # noqa: F401
     merge_upsert_partitioned,
 )
 from ..streaming.curation_job import start_curation_stream  # noqa: F401
-from ..streaming.stateful import running_user_profiles  # noqa: F401
+from ..streaming.stateful import (  # noqa: F401
+    running_user_profiles,
+    running_user_profiles_v2,
+)
 from ..text.incremental_dedup import incremental_dedup_batch  # noqa: F401
 from ..text.pipeline import (  # noqa: F401
     annotate_quality,

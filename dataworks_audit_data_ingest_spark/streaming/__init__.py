@@ -9,4 +9,7 @@ from .jobs import (  # noqa: F401
     tumbling_event_counts,
 )
 from .kafka import parse_kafka_events, read_kafka  # noqa: F401
-from .stateful import running_user_profiles  # noqa: F401
+from .stateful import (  # noqa: F401
+    running_user_profiles,
+    running_user_profiles_v2,
+)

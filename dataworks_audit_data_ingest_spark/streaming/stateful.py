@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -68,4 +69,73 @@ def running_user_profiles(events: DataFrame) -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class UserProfileProcessor(StatefulProcessor):
+    """``transformWithStateInPandas`` twin of :func:`running_user_profiles`
+    on Spark 4's arbitrary-state v2 API (typed state variables, native TTL,
+    timers). Same state and output contract as the v1 operator so the two
+    are drop-in interchangeable; the v2 advantages that matter at scale:
+
+    - **State TTL** (``ttl_ms``): the store itself expires idle keys —
+      bounded state without hand-rolled timeout bookkeeping. An unbounded
+      key domain (user ids over months) stays O(active keys).
+    - **Composable typed states**: additional ValueState/ListState/MapState
+      variables can be added per processor without re-encoding one wide
+      state row.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass =
+    org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``
+    — bundled with Spark; also the provider you want at 100 TB state) and
+    the ``protobuf`` Python package (the per-executor Python state server
+    speaks protobuf to the JVM; absent it, query start fails with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE — the execution test
+    skips cleanly in environments without it)."""
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        self._profile = handle.getValueState(
+            "profile", _STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        if self._profile.exists():
+            n, value_micros, max_id = self._profile.get()
+        else:
+            n, value_micros, max_id = 0, 0, -1
+        for pdf in rows:
+            n += len(pdf)
+            value_micros += int(round(float(pdf["value"].sum()) * 1_000_000))
+            max_id = max(max_id, int(pdf["event_id"].max()))
+        self._profile.update((n, value_micros, max_id))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "total_events": [n],
+                "total_value_micros": [value_micros],
+                "max_event_id": [max_id],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_profiles_v2(
+    events: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
+    """Per-user lifetime profile via ``transformWithStateInPandas``; see
+    :class:`UserProfileProcessor`. ``ttl_ms`` bounds state for unbounded
+    key domains (idle keys expire and restart from zero on return)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserProfileProcessor(ttl_ms),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )
