@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "q52_dedup_simhash",  # simhash signatures
     "q55_ann_bruteforce_topk",  # similarity search
     "q56_ann_ivf_topk",  # IVF centroid-routed ANN
+    "q89_ann_srp_lsh",  # SRP-LSH banded-bucket ANN
     "q62_token_count",  # text analysis
     "q65_tfidf_top_terms",  # tf-idf
     "q66_fuzzy_brand_match",  # neighborhood-blocked fuzzy self-join

@@ -433,3 +433,59 @@ def q85_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seq_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quota sampling
+# ---------------------------------------------------------------------------
+
+_QUOTA_N = 10  # max docs kept per source
+
+
+@register(
+    "q88_source_quota",
+    sql=f"""
+    SELECT doc_id, source, pick_rank FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {duckdb_hash32("CAST(doc_id AS VARCHAR)", "quota")},
+                        doc_id
+             ) AS pick_rank
+      FROM documents)
+    WHERE pick_rank <= {_QUOTA_N}
+    ORDER BY source, pick_rank
+    """,
+    tags=("curation", "sampling", "quota"),
+)
+def q88_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling: keep at most N documents per source,
+    chosen by a deterministic portable hash — the "no single domain may
+    dominate the mix" cap every web-scale training corpus applies (the
+    complement of q83's proportional mixing: q83 sets the ratio, this
+    bounds the absolute head).
+
+    Hash-ordered selection makes the sample uniform-without-replacement,
+    reproducible across runs/engines, and incremental-friendly (a doc's
+    keep/drop fate never depends on which other docs are present until the
+    quota boundary).
+
+    Scale shape: one shuffle keyed by source, partial top-N per map task
+    via the window rank. For sources with billions of docs the exact
+    window sort degenerates to a per-key global sort; the production
+    escape hatch is a two-pass hash-threshold (sample the hash
+    distribution, keep h < t, exact-rank only the boundary stratum) —
+    same output, bounded memory. The exact window form here is the
+    oracle pin."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.expr(spark_hash32("CAST(doc_id AS STRING)", "quota")), F.asc("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= _QUOTA_N)
+        .orderBy("source", "pick_rank")
+    )

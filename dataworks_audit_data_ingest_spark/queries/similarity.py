@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import duckdb_hash32, spark_hash32
 from ..tables import table
 from .base import register
 from .dedup import _DOT_DEC, spark_cosine
@@ -262,4 +263,212 @@ def q59_ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_sq_dist"),
         )
         .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sign-random-projection LSH ANN — the bucketed retrieval alternative to IVF
+# ---------------------------------------------------------------------------
+
+_SRP_BITS = 16  # hyperplanes per vector
+_SRP_BAND_BITS = 4  # bits per band -> 4 bands of 4 bits
+_SRP_TOP_K = 3
+
+
+def _srp_h(j_expr: str, pos_expr: str, dialect: str) -> str:
+    """Deterministic integer hyperplane component in [-500, 500]: a
+    portable-hash transform of (j, pos) — no RNG, bit-identical across
+    engines, and sign-decisions stay in exact integer×decimal arithmetic
+    (the /1000 normalization is a positive scale factor, so it cannot
+    change any sign and is dropped entirely)."""
+    concat = f"CONCAT(CAST({j_expr} AS VARCHAR), ':', CAST({pos_expr} AS VARCHAR))"
+    if dialect == "spark":
+        concat = f"CONCAT(CAST({j_expr} AS STRING), ':', CAST({pos_expr} AS STRING))"
+        return f"({spark_hash32(concat, 'srp')} % 1001) - 500"
+    return f"({duckdb_hash32(concat, 'srp')} % 1001) - 500"
+
+
+@register(
+    "q89_ann_srp_lsh",
+    sql=f"""
+    WITH elems AS (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM (SELECT vec_id, embedding,
+                   UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
+            FROM embeddings)
+    ), hyper AS (
+      SELECT j, pos, {_srp_h("j", "pos", "duckdb")} AS h
+      FROM (SELECT UNNEST(RANGE(0, {_SRP_BITS})) AS j)
+      CROSS JOIN (SELECT DISTINCT pos FROM elems)
+    ), proj AS (
+      SELECT vec_id, j, SUM(CAST(v * h AS {_DOT_DEC})) AS proj
+      FROM elems JOIN hyper USING (pos)
+      GROUP BY vec_id, j
+    ), bands AS (
+      SELECT vec_id, CAST(j // {_SRP_BAND_BITS} AS INT) AS band,
+             SUM((CASE WHEN proj >= 0 THEN 1 ELSE 0 END)
+                 << CAST(j % {_SRP_BAND_BITS} AS INT)) AS bval
+      FROM proj GROUP BY vec_id, band
+    ), cands AS (
+      SELECT DISTINCT q.vec_id AS query_id, t.vec_id AS neighbor_id
+      FROM bands q JOIN bands t USING (band, bval)
+      WHERE q.vec_id < {_N_QUERIES} AND t.vec_id != q.vec_id
+    ), base0 AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), norm_terms AS (
+      SELECT vec_id, emb, UNNEST(RANGE(1, LEN(emb) + 1)) AS i FROM base0
+    ), base AS (
+      SELECT vec_id, ANY_VALUE(emb) AS emb,
+             SQRT(CAST(SUM(CAST(emb[i] * emb[i] AS {_DOT_DEC})) AS DOUBLE)) AS nrm
+      FROM norm_terms GROUP BY vec_id
+    ), pairs AS (
+      SELECT c.query_id, c.neighbor_id,
+             q.emb AS eq, t.emb AS et, q.nrm AS nq, t.nrm AS nt
+      FROM cands c
+        JOIN base q ON q.vec_id = c.query_id
+        JOIN base t ON t.vec_id = c.neighbor_id
+    ), indexed AS (
+      SELECT query_id, neighbor_id, eq, et, nq, nt,
+             UNNEST(RANGE(1, LEN(eq) + 1)) AS i
+      FROM pairs
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(SUM(CAST(eq[i] * et[i] AS {_DOT_DEC})) AS DOUBLE)
+               / (ANY_VALUE(nq) * ANY_VALUE(nt)) AS cosine
+      FROM indexed GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, rnk, ROUND(cosine, 6) AS score
+    FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+    WHERE rnk <= {_SRP_TOP_K}
+    ORDER BY query_id, rnk
+    """,
+    tags=("similarity", "ann", "lsh", "srp", "scale-path"),
+)
+def q89_ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH ANN: each vector gets a {_SRP_BITS}-bit
+    signature (bit j = sign of the dot product with deterministic
+    hyperplane j), banded 4×4; a query retrieves exactly the vectors
+    sharing at least one band (equi-join on (band, bval)), then ranks the
+    candidates by exact cosine.
+
+    This is the data-independent bucketed retrieval path, complementing
+    q56's IVF (which needs trained centroids): no training pass, new
+    vectors index in one map, and the probe cost is the bucket hit-list
+    rather than a cell. The same banding trade-off as text LSH (q51)
+    applies — more/narrower bands raise recall and candidate count;
+    PERF.md's LSH study quantifies it.
+
+    Scale shape: signatures are fully map-side — each vector's 16
+    projections come from one broadcast join against the 64-row
+    per-position hyperplane-vector table and a single groupBy(vec_id)
+    carrying 16 decimal partials (one shuffled row per vector, with
+    map-side partial aggregation); band values and the (band, bval)
+    stack are then computed without any further shuffle. Retrieval
+    shuffles only (band, bval) keys. No all-pairs product anywhere; hot
+    buckets (near-duplicate pile-ups) take the q51 bucket-cap guard
+    unchanged since the join key has the same shape."""
+    e = table(spark, sf_dir, "embeddings")
+    elems = e.select(
+        "vec_id",
+        F.posexplode(F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "pos", "v"
+        ),
+    )
+    # dimension axis from ONE row — never a corpus-wide distinct just to
+    # learn the embedding width; harr[pos] = the 16 hyperplane components
+    # at this position, so the broadcast side is dim rows, not dim×bits
+    dims = e.limit(1).select(
+        F.posexplode(F.col("embedding")).alias("pos", "_v")
+    ).select("pos")
+    hyper = dims.select(
+        "pos",
+        F.expr(
+            f"TRANSFORM(SEQUENCE(0, {_SRP_BITS - 1}), "
+            f"j -> {_srp_h('j', 'pos', 'spark')})"
+        ).alias("harr"),
+    )
+    proj = (
+        elems.join(F.broadcast(hyper), "pos")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum(F.expr(f"CAST(v * harr[{j}] AS {_DOT_DEC})")).alias(f"p{j}")
+                for j in range(_SRP_BITS)
+            ]
+        )
+    )
+    bval_exprs = []
+    for band in range(_SRP_BITS // _SRP_BAND_BITS):
+        bits = " + ".join(
+            f"SHIFTLEFT(CASE WHEN p{band * _SRP_BAND_BITS + r} >= 0 "
+            f"THEN 1 ELSE 0 END, {r})"
+            for r in range(_SRP_BAND_BITS)
+        )
+        bval_exprs += [str(band), f"({bits})"]
+    stack = (
+        f"STACK({_SRP_BITS // _SRP_BAND_BITS}, {', '.join(bval_exprs)}) "
+        "AS (band, bval)"
+    )
+    bands = proj.select("vec_id", F.expr(stack))
+    cands = (
+        bands.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "band", "bval")
+        .join(
+            bands.select(F.col("vec_id").alias("neighbor_id"), "band", "bval"),
+            ["band", "bval"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    norm = (
+        f"SQRT(CAST(AGGREGATE(TRANSFORM(emb, x -> CAST(x * x AS {_DOT_DEC})), "
+        f"CAST(0 AS {_DOT_DEC}), (acc, v) -> CAST(acc + v AS {_DOT_DEC})) AS DOUBLE))"
+    )
+    base = e.select(
+        "vec_id",
+        F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    ).withColumn("nrm", F.expr(norm))
+    dot = (
+        f"AGGREGATE(ZIP_WITH(eq, et, (p, v) -> CAST(p * v AS {_DOT_DEC})), "
+        f"CAST(0 AS {_DOT_DEC}), (acc, v) -> CAST(acc + v AS {_DOT_DEC}))"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cands.join(
+            base.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("emb").alias("eq"),
+                F.col("nrm").alias("nq"),
+            ),
+            "query_id",
+        )
+        .join(
+            base.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("emb").alias("et"),
+                F.col("nrm").alias("nt"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.expr(f"CAST({dot} AS DOUBLE)") / (F.col("nq") * F.col("nt"))).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SRP_TOP_K)
+        .select(
+            "query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("score")
+        )
+        .orderBy("query_id", "rnk")
     )
