@@ -35,6 +35,7 @@ from ..streaming.stateful import (  # noqa: F401
 from ..text.incremental_dedup import incremental_dedup_batch  # noqa: F401
 from ..text.pipeline import (  # noqa: F401
     annotate_quality,
+    cap_per_source,
     drop_contaminated,
     drop_near_duplicates,
     mix_sources,

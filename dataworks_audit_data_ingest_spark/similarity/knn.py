@@ -8,6 +8,13 @@ query vector. Methods:
 - ``ivf``: approximate — route each query to its ``n_probe`` nearest cells
   and search only those; the corpus should be stored partitioned by
   ``cell_col`` so the probe is partition pruning, not a scan.
+- ``srp``: approximate, zero-training (q89's shape) — sign-random-projection
+  signatures from portable-hash hyperplanes, banded; candidates are vectors
+  sharing ≥1 band with the query. Signatures are pure map-side expressions
+  (no shuffle to index; new corpus vectors index on write), so the only
+  shuffle is the (band, bval) candidate join. Use when no centroid training
+  pass is possible; recall/candidate trade-off per banding is measured in
+  PERF.md (`tools/srp_study.py`).
 
 Cosines run as JVM ZIP_WITH/AGGREGATE expressions with decimal-exact sums
 (deterministic under any partitioning); no Python in the scoring path.
@@ -40,6 +47,34 @@ def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
+def _srp_bands_expr(vec: str, bands: int, bits: int, seed: str) -> str:
+    """(band, bval) STACK from sign-random-projection signatures, computed
+    entirely within one expression: hyperplane component (j, p) is a
+    portable-hash integer in [-500, 500] (same family as q89 — the /1000
+    normalization is a positive scale, dropped as sign-preserving), the
+    projection is a decimal-exact fold, bits pack little-endian per band."""
+    h = (
+        f"CAST(CONV(SUBSTRING(MD5(CONCAT('{seed}|', CAST(j AS STRING), ':', "
+        f"CAST(p AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1001 - 500"
+    )
+    proj = (
+        f"TRANSFORM(SEQUENCE(0, {bands * bits - 1}), j -> "
+        f"AGGREGATE(ZIP_WITH({vec}, "
+        f"TRANSFORM(SEQUENCE(0, SIZE({vec}) - 1), p -> {h}), "
+        f"(x, hh) -> CAST(x * hh AS {_DEC})), "
+        f"CAST(0 AS {_DEC}), (acc, v) -> CAST(acc + v AS {_DEC})))"
+    )
+    args = []
+    for band in range(bands):
+        packed = " + ".join(
+            f"SHIFTLEFT(CASE WHEN _sig[{band * bits + r}] >= 0 "
+            f"THEN 1 ELSE 0 END, {r})"
+            for r in range(bits)
+        )
+        args += [str(band), f"({packed})"]
+    return proj, f"STACK({bands}, {', '.join(args)}) AS (band, bval)"
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -50,6 +85,8 @@ def knn_join(
     method: str = "brute",
     cell_col: str | None = None,
     n_probe: int = 1,
+    srp_bands: int = 4,
+    srp_bits: int = 4,
 ) -> DataFrame:
     """Top-k neighbors per query: (query_id, neighbor_id, rnk, cosine)."""
     q = _with_norm(
@@ -103,6 +140,23 @@ def knn_join(
             .join(c, ["_cell"])
             .filter(F.col("neighbor_id") != F.col("query_id"))
         )
+    elif method == "srp":
+        proj, stack = _srp_bands_expr("_qv", srp_bands, srp_bits, "srp")
+        q_bands = q.withColumn("_sig", F.expr(proj)).select(
+            "query_id", F.expr(stack)
+        )
+        proj_c, stack_c = _srp_bands_expr("_cv", srp_bands, srp_bits, "srp")
+        c_bands = c.withColumn("_sig", F.expr(proj_c)).select(
+            "neighbor_id", F.expr(stack_c)
+        )
+        cand = (
+            F.broadcast(q_bands)
+            .join(c_bands, ["band", "bval"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        pairs = cand.join(F.broadcast(q), "query_id").join(c, "neighbor_id")
     else:
         raise ValueError(f"unknown method {method!r}")
 

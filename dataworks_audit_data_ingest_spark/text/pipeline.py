@@ -173,6 +173,34 @@ def mix_sources(
     return docs.withColumn("_rate", rate).filter(u < F.col("_rate")).drop("_rate")
 
 
+def cap_per_source(
+    docs: DataFrame,
+    max_docs: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: str = "quota",
+) -> DataFrame:
+    """Absolute per-source cap (q88's quota sampler as a stage): keep at
+    most ``max_docs`` documents per source, chosen by portable-hash rank —
+    the "no domain dominates" bound composed before :func:`mix_sources`
+    (mix sets the ratio; this bounds the head regardless of corpus skew).
+    Deterministic across engines, re-runs, and partitionings.
+
+    One shuffle keyed by ``source_col``; for sources far above the cap,
+    pre-thin with a hash-threshold filter before the exact rank (see the
+    q88 docstring) — output-identical, bounded memory."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.expr(spark_hash32(f"CAST({id_col} AS STRING)", seed)), F.col(id_col)
+    )
+    return (
+        docs.withColumn("_qr", F.row_number().over(w))
+        .filter(F.col("_qr") <= max_docs)
+        .drop("_qr")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget_tokens: int,

@@ -143,3 +143,29 @@ def test_pack_sequences_window_is_bucket_partitioned(spark):
 
     win = plan[plan.index("Window") :].splitlines()[0]
     assert "_bucket" in win, win
+
+
+def test_cap_per_source_bounds_and_matches_q88(spark):
+    """cap_per_source keeps <= N docs per source, deterministically, and
+    with q88's parameters returns exactly the q88 kept-set."""
+    from dataworks_audit_data_ingest_spark.operators import cap_per_source
+    from dataworks_audit_data_ingest_spark.queries import all_queries
+
+    d = table(spark, SF, "documents")
+    capped = cap_per_source(d, max_docs=10)
+    per_src = capped.groupBy("source").count().collect()
+    assert all(r["count"] <= 10 for r in per_src)
+    got = {(r.doc_id, r.source) for r in capped.select("doc_id", "source").collect()}
+    want = {
+        (r.doc_id, r.source)
+        for r in all_queries()["q88_source_quota"].fn(spark, SF).collect()
+    }
+    assert got == want
+    # deterministic under a different partitioning
+    again = {
+        (r.doc_id, r.source)
+        for r in cap_per_source(d.repartition(7), max_docs=10)
+        .select("doc_id", "source")
+        .collect()
+    }
+    assert again == got
