@@ -22,6 +22,11 @@ from ..streaming.jobs import (  # noqa: F401
 from ..similarity.kmeans import assign_cells, train_cells  # noqa: F401
 from ..similarity.knn import knn_join  # noqa: F401
 from ..similarity.pca import fit_pca, transform_pca  # noqa: F401
+from ..similarity.quantize import (  # noqa: F401
+    dequantize,
+    quantize_int8,
+    quantized_knn,
+)
 from ..sinks.layout import zorder_write  # noqa: F401
 from ..sinks.writers import (  # noqa: F401
     compact_parquet_partition,

@@ -1,3 +1,4 @@
 """Similarity-search API."""
 
 from .knn import cosine_expr, knn_join  # noqa: F401
+from .quantize import dequantize, quantize_int8, quantized_knn  # noqa: F401
