@@ -33,6 +33,10 @@ from ..sinks.writers import (  # noqa: F401
     merge_upsert_partitioned,
 )
 from ..streaming.curation_job import start_curation_stream  # noqa: F401
+from ..streaming.index_job import (  # noqa: F401
+    index_microbatch,
+    start_index_stream,
+)
 from ..streaming.stateful import (  # noqa: F401
     running_user_profiles,
     running_user_profiles_v2,
