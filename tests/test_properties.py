@@ -220,3 +220,39 @@ def test_sim60_banding_counterexample_for_four_15bit_bands():
     for b in flips:
         other ^= 1 << b
     assert any(x == y for x, y in zip(_sim60_bands(sig), _sim60_bands(other)))
+
+
+# ---------------------------------------------------------------------------
+# Int8 quantization properties (similarity/quantize.py)
+# ---------------------------------------------------------------------------
+
+_VEC = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(vecs=st.lists(_VEC, min_size=1, max_size=4))
+@settings(max_examples=15, deadline=None)
+def test_quantize_roundtrip_bound_property(vecs, spark):
+    """For arbitrary finite vectors (negative, tiny-range, constant):
+    levels stay in [0, 255] and reconstruction error stays within
+    scale/2 plus double-arithmetic slack."""
+    from dataworks_audit_data_ingest_spark.similarity.quantize import (
+        dequantize,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    for r in dequantize(quantize_int8(df)).collect():
+        assert all(0 <= lv <= 255 for lv in r.q_levels)
+        bound = r.q_scale / 2
+        for orig, deq in zip(r.embedding, r.deq_embedding):
+            slack = 1e-9 * max(abs(orig), 1.0)
+            assert abs(orig - deq) <= bound * 1.0000001 + slack
