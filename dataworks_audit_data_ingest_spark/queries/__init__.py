@@ -30,11 +30,14 @@ from . import curation  # noqa: E402,F401
 # rotated per round so every query accumulates a current driver row.
 #
 # Round-3 rotation: the 6 queries that have never had a driver row (landed
-# after the r02 run) first, then the 32 queries whose only driver row is from
-# round 1, then 12 round-2-green representatives spanning every family
-# (including q82, whose plan changed this round, and q58, which gained a
-# DuckDB recursive-CTE oracle this round and needs its first hash-checked
-# row). r01 ∪ r02 ∪ r03 then covers all registered queries.
+# after the r02 run) first, then the 3 queries ADDED this round (q87-q89 —
+# brand-new, highest-risk, need their first row), then the 32 queries whose
+# only driver row is from round 1, then 9 round-2-green representatives
+# spanning every family (including q82, whose plan changed this round, and
+# q58, which gained a DuckDB recursive-CTE oracle this round and needs its
+# first hash-checked row). r01 ∪ r02 ∪ r03 then covers ALL 91 registered
+# queries (the three r02-green refreshes dropped to make room — q50, q21,
+# q27 — already have two green rounds behind them).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- never driver-run (landed after the r02 driver evaluation) --
     "q16s_acctbal_deciles_scale",
@@ -43,6 +46,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q84_gap_fill",
     "q85_sequence_packing",
     "q86_chunk_dedup",
+    # -- added in round 3, no driver row yet --
+    "q87_heavy_hitters_countmin",
+    "q88_source_quota",
+    "q89_ann_srp_lsh",
     # -- only driver row is round 1: refresh all 32 --
     "q04_revenue_forecast",
     "q07_customer_order_stats",
@@ -79,15 +86,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round-2-green representatives, one per family --
     "q58_dedup_clusters",  # new recursive-CTE oracle: first hash-checked row
     "q82_decontamination",  # plan changed: redundant corpus distinct removed
-    "q50_dedup_exact",
     "q51_dedup_minhash_lsh",
     "q55_ann_bruteforce_topk",
     "q56_ann_ivf_topk",
     "q66_fuzzy_brand_match",
     "q70_multimodal_decode",
     "q01_pricing_summary",
-    "q21_json_functions",
-    "q27_array_functions",
     "q30_tumbling_daily",
 )
 

@@ -47,16 +47,23 @@ def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
-def _srp_bands_expr(vec: str, bands: int, bits: int, seed: str) -> str:
-    """(band, bval) STACK from sign-random-projection signatures, computed
-    entirely within one expression: hyperplane component (j, p) is a
-    portable-hash integer in [-500, 500] (same family as q89 — the /1000
-    normalization is a positive scale, dropped as sign-preserving), the
-    projection is a decimal-exact fold, bits pack little-endian per band."""
-    h = (
-        f"CAST(CONV(SUBSTRING(MD5(CONCAT('{seed}|', CAST(j AS STRING), ':', "
-        f"CAST(p AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1001 - 500"
+def _srp_bands_expr(
+    vec: str, bands: int, bits: int, seed: str
+) -> tuple[str, str]:
+    """(projection-array expr, (band, bval) STACK expr) for sign-random-
+    projection signatures, computed entirely map-side: hyperplane component
+    (j, p) is a portable-hash integer in [-500, 500] (same hash family and
+    seed as q89, via `functions.hashing.spark_hash32`, so signatures are
+    bit-identical to the oracle-checked query — pinned by
+    `tests/test_knn.py::test_knn_srp_matches_q89`; the /1000 normalization
+    is a positive scale, dropped as sign-preserving), the projection is a
+    decimal-exact fold, bits pack little-endian per band."""
+    from ..functions.hashing import spark_hash32
+
+    h32 = spark_hash32(
+        "CONCAT(CAST(j AS STRING), ':', CAST(p AS STRING))", seed
     )
+    h = f"{h32} % 1001 - 500"
     proj = (
         f"TRANSFORM(SEQUENCE(0, {bands * bits - 1}), j -> "
         f"AGGREGATE(ZIP_WITH({vec}, "

@@ -85,6 +85,9 @@ def quantized_knn(
     ``dot(va, vb) = s_a*s_b*Σl_a·l_b + s_a*b_b*Σl_a + s_b*a_a*Σl_b + d*a_a*a_b``
     — Σl per vector is precomputed once, so a pair costs ONE integer
     zip-fold plus four scalar multiplies."""
+    if rerank:
+        # a rerank cushion below k would silently truncate the result set
+        rerank = max(rerank, k)
     qd = quantize_int8(
         queries.select(F.col(query_id).alias("query_id"), vec_col), vec_col
     )
@@ -93,14 +96,25 @@ def quantized_knn(
     )
 
     def prep(df: DataFrame, side: str) -> DataFrame:
+        # Σl, Σl², and the reconstructed norm are all per-vector constants:
+        # computed ONCE here so the per-pair work is exactly one integer
+        # zip-fold plus scalar arithmetic (the docstring's contract).
+        lsum = (
+            "AGGREGATE(q_levels, CAST(0 AS BIGINT), "
+            "(acc, l) -> acc + CAST(l AS BIGINT))"
+        )
+        lsq = (
+            "AGGREGATE(q_levels, CAST(0 AS BIGINT), "
+            "(acc, l) -> acc + CAST(l AS BIGINT) * CAST(l AS BIGINT))"
+        )
+        norm = (
+            f"SQRT(q_scale * q_scale * CAST({lsq} AS DOUBLE)"
+            f" + 2 * q_scale * q_min * CAST({lsum} AS DOUBLE)"
+            f" + CAST(SIZE(q_levels) AS DOUBLE) * q_min * q_min)"
+        )
         return (
-            df.withColumn(
-                f"_{side}lsum",
-                F.expr(
-                    "AGGREGATE(q_levels, CAST(0 AS BIGINT), "
-                    "(acc, l) -> acc + CAST(l AS BIGINT))"
-                ),
-            )
+            df.withColumn(f"_{side}lsum", F.expr(lsum))
+            .withColumn(f"_{side}n", F.expr(norm))
             .withColumn("_d", F.expr("SIZE(q_levels)"))
             .select(
                 F.col("query_id" if side == "q" else "neighbor_id"),
@@ -108,6 +122,7 @@ def quantized_knn(
                 F.col("q_min").alias(f"_{side}a"),
                 F.col("q_scale").alias(f"_{side}s"),
                 f"_{side}lsum",
+                f"_{side}n",
                 "_d",
             )
         )
@@ -125,21 +140,10 @@ def quantized_knn(
         " + CAST(_d AS DOUBLE) * _qa * _ca"
     )
 
-    def qnorm(side: str) -> str:
-        ss = (
-            f"AGGREGATE(_{side}lv, CAST(0 AS BIGINT), "
-            f"(acc, l) -> acc + CAST(l AS BIGINT) * CAST(l AS BIGINT))"
-        )
-        return (
-            f"SQRT(_{side}s * _{side}s * CAST({ss} AS DOUBLE)"
-            f" + 2 * _{side}s * _{side}a * CAST(_{side}lsum AS DOUBLE)"
-            f" + CAST(_d AS DOUBLE) * _{side}a * _{side}a)"
-        )
-
     pairs = (
         F.broadcast(q)
         .join(c, F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("qcos", F.expr(f"({dot}) / ({qnorm('q')} * {qnorm('c')})"))
+        .withColumn("qcos", F.expr(f"({dot}) / (_qn * _cn)"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
     if not rerank:

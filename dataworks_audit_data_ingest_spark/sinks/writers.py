@@ -94,15 +94,20 @@ def _swap_partition_dirs(staged: str, path: str, depth: int) -> None:
     invisible to readers and never parsed as a partition), rename the staged
     dir in, and only then delete the aside copy — all three are same-
     filesystem renames/removes, and the original data is never deleted
-    before its replacement is in place. A crash leaves either the original
-    (restored, or recoverable from the aside dir) or the new copy — never
-    neither. The unavoidable reader-visible window is the gap between two
-    atomic renames, not a full rewrite.
+    before its replacement is in place. The swap is all-or-nothing ACROSS
+    partitions too: a failure on partition N rolls every previously swapped
+    partition back to its original (new data returns to staging, asides
+    return in place), so readers never see a mixed old/new dataset after a
+    failed multi-partition swap. A crash mid-rollback still loses nothing —
+    every original survives either in place or in its dot-hidden aside. The
+    unavoidable reader-visible window is the gap between two atomic
+    renames, not a full rewrite.
     """
+    import contextlib
     import os
     import shutil
 
-    asides: list[str] = []
+    done: list[tuple[str, str, str | None]] = []  # (src, dest, aside)
     for rel in _partition_dirs(staged, depth):
         dest = os.path.join(path, rel)
         src = os.path.join(staged, rel)
@@ -119,13 +124,22 @@ def _swap_partition_dirs(staged: str, path: str, depth: int) -> None:
             os.rename(src, dest)
         except BaseException:
             if aside is not None:
-                os.rename(aside, dest)  # restore the original
+                with contextlib.suppress(OSError):
+                    os.rename(aside, dest)  # restore this partition
+            # roll back every completed swap (best-effort: any partition
+            # whose rename-back fails keeps its original in the aside dir)
+            for psrc, pdest, paside in reversed(done):
+                with contextlib.suppress(OSError):
+                    os.rename(pdest, psrc)  # new data back to staging
+                if paside is not None:
+                    with contextlib.suppress(OSError):
+                        os.rename(paside, pdest)  # original back in place
             raise
-        if aside is not None:
-            asides.append(aside)
+        done.append((src, dest, aside))
     # every swap succeeded: drop the aside copies and the staged skeleton
-    for aside in asides:
-        shutil.rmtree(aside, ignore_errors=True)
+    for _, _, aside in done:
+        if aside is not None:
+            shutil.rmtree(aside, ignore_errors=True)
     shutil.rmtree(staged, ignore_errors=True)
 
 
@@ -162,12 +176,14 @@ def compact_parquet_partition(
         df = df.filter(partition_filter)
     n = df.count()
 
-    # Parallelism scales with the number of touched partition values — one
-    # writer task per partition dir (hash repartition on the key routes each
+    # Parallelism scales with the number of partition dirs — one writer
+    # task per partition value (hash repartition on the key routes each
     # value to exactly one task => one compacted file per dir), never a
-    # global single-task funnel.
+    # global single-task funnel. The task count comes from the directory
+    # listing (free), NOT a distinct() scan of the data — an upper bound
+    # when partition_filter narrows the set, which only costs empty tasks.
     if partition_by:
-        n_parts = df.select(*partition_by).distinct().count()
+        n_parts = len(_partition_dirs(path, len(partition_by)))
         out = df.repartition(max(n_parts, 1), *partition_by)
     else:
         out = df.coalesce(max(target_files, 1))

@@ -44,7 +44,11 @@ def _update_user_profile(key, pdfs, state: GroupState):
     n, value_micros, max_id = state.get if state.exists else (0, 0, -1)
     for pdf in pdfs:
         n += len(pdf)
-        value_micros += int(round(float(pdf["value"].sum()) * 1_000_000))
+        # per-EVENT rounding: the total is independent of how the batch is
+        # chunked into Arrow frames (a per-chunk rounded float sum is not)
+        value_micros += int(
+            pdf["value"].mul(1_000_000).round().astype("int64").sum()
+        )
         max_id = max(max_id, int(pdf["event_id"].max()))
     state.update((n, value_micros, max_id))
     import pandas as pd
@@ -109,7 +113,10 @@ class UserProfileProcessor(StatefulProcessor):
             n, value_micros, max_id = 0, 0, -1
         for pdf in rows:
             n += len(pdf)
-            value_micros += int(round(float(pdf["value"].sum()) * 1_000_000))
+            # per-EVENT rounding — chunking-independent, mirrors v1
+            value_micros += int(
+                pdf["value"].mul(1_000_000).round().astype("int64").sum()
+            )
             max_id = max(max_id, int(pdf["event_id"].max()))
         self._profile.update((n, value_micros, max_id))
         import pandas as pd

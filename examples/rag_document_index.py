@@ -122,7 +122,7 @@ def build_index(spark, sf_dir: str):
     return corpus, (mean, comps, var)
 
 
-def embed_queries(spark, corpus: DataFrame, pca_params, query_texts) -> DataFrame:
+def embed_queries(spark, pca_params, query_texts) -> DataFrame:
     """Embed free-text queries through the same encoder + PCA projection."""
     mean, comps, _ = pca_params
     qdf = spark.createDataFrame(
@@ -151,9 +151,7 @@ def main() -> None:
     probe_rows = (
         corpus.filter(F.col("chunk_idx") == 1).orderBy("vec_id").limit(5).collect()
     )
-    queries = embed_queries(
-        spark, corpus, pca_params, [r.chunk for r in probe_rows]
-    )
+    queries = embed_queries(spark, pca_params, [r.chunk for r in probe_rows])
 
     t0 = time.time()
     brute = knn_join(queries, corpus, k=K, method="brute").cache()
@@ -169,9 +167,15 @@ def main() -> None:
         r.query_id: (r.neighbor_id, r.cosine)
         for r in ivf.filter(F.col("rnk") == 1).collect()
     }
+    # dedup corpora contain textually identical chunks that tie at cosine
+    # 1.0 — any of them at rank 1 is a correct retrieval, so compare TEXT
+    chunk_text = {
+        r.vec_id: r.chunk
+        for r in corpus.select("vec_id", "chunk").collect()
+    }
     for i, probe in enumerate(probe_rows):
         got, cos = top1.get(QUERY_OFFSET + i, (None, 0.0))
-        ok = got == probe.vec_id and cos > 0.999999
+        ok = got is not None and chunk_text.get(got) == probe.chunk and cos > 0.999999
         hits += ok
         print(f"  query {i}: expect chunk {probe.vec_id}, got {got} "
               f"(cosine {cos:.6f}) {'OK' if ok else 'MISS'}")

@@ -357,3 +357,56 @@ def test_compaction_leaves_no_hidden_residue(spark, tmp_path):
     hidden = [n for n in os.listdir(out) if n.startswith(".staged_")]
     assert hidden == []
     assert spark.read.parquet(out).count() == 30
+
+
+def test_multi_partition_swap_failure_rolls_back_all(spark, tmp_path, monkeypatch):
+    """A failure on the SECOND partition's swap must roll the first,
+    already-swapped partition back to its original data too — no mixed
+    old/new dataset, no leaked aside dirs."""
+    import os
+
+    from dataworks_audit_data_ingest_spark.sinks.writers import (
+        compact_parquet_partition,
+    )
+
+    out = str(tmp_path / "ds3")
+    df = spark.createDataFrame(
+        [(i, "2024-01-0%d" % (1 + i % 2), "v%d" % i) for i in range(20)],
+        "id INT, day STRING, val STRING",
+    )
+    df.repartition(4).write.partitionBy("day").parquet(out)
+    before = {(r.id, r.day, r.val) for r in spark.read.parquet(out).collect()}
+    files_before = {
+        d: sorted(os.listdir(os.path.join(out, d)))
+        for d in os.listdir(out)
+        if d.startswith("day=")
+    }
+
+    real_rename = os.rename
+    swaps = {"n": 0}
+
+    def failing_second_swap(src, dst):
+        if "day=" in os.path.basename(dst) and ".staged_" in src:
+            swaps["n"] += 1
+            if swaps["n"] == 2:
+                raise OSError("simulated crash on second partition swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_second_swap)
+    try:
+        compact_parquet_partition(spark, out, partition_by=("day",),
+                                  partition_filter="day >= '2024-01-01'")
+        raised = False
+    except OSError:
+        raised = True
+    monkeypatch.undo()
+    assert raised and swaps["n"] == 2  # both partitions attempted
+    after = {(r.id, r.day, r.val) for r in spark.read.parquet(out).collect()}
+    assert after == before  # full rollback: no mixed old/new state
+    files_after = {
+        d: sorted(os.listdir(os.path.join(out, d)))
+        for d in os.listdir(out)
+        if d.startswith("day=")
+    }
+    assert files_after == files_before  # ORIGINAL files, not a rewrite
+    assert [n for n in os.listdir(out) if n.endswith(".old")] == []

@@ -68,14 +68,18 @@ def test_self_retrieval_rank1(spark):
         corpus.filter(F.col("chunk_idx") == 1).orderBy("vec_id").limit(3).collect()
     )
     assert len(probes) == 3
-    queries = embed_queries(spark, corpus, pca_params, [r.chunk for r in probes])
+    queries = embed_queries(spark, pca_params, [r.chunk for r in probes])
     ivf = knn_join(queries, corpus, k=3, method="ivf", cell_col="cell", n_probe=2)
     top1 = {
         r.query_id: (r.neighbor_id, r.cosine)
         for r in ivf.filter(F.col("rnk") == 1).collect()
     }
+    chunk_text = {
+        r.vec_id: r.chunk for r in corpus.select("vec_id", "chunk").collect()
+    }
     for i, probe in enumerate(probes):
         got, cos = top1[QUERY_OFFSET + i]
-        assert got == probe.vec_id
+        # identical-text chunks tie at cosine 1.0; any of them is a hit
+        assert chunk_text[got] == probe.chunk
         assert cos > 0.999999
     corpus.unpersist()

@@ -82,10 +82,18 @@ def test_stateful_profiles_accumulate_across_microbatches(spark, tmp_path):
             )
         ).collect()
     }
+    # per-event micros rounding is chunking-independent, so the exact total
+    # is computable here regardless of Arrow frame boundaries
+    expected_micros: dict[int, int] = {}
+    for r in rows:
+        expected_micros[r.user_id] = expected_micros.get(r.user_id, 0) + int(
+            round(r.value * 1_000_000)
+        )
     assert set(final) == set(expected)
     for uid, e in expected.items():
         assert final[uid].total_events == e.total_events
         assert final[uid].max_event_id == e.max_event_id
+        assert final[uid].total_value_micros == expected_micros[uid]
 
 
 def test_tws_profiles_match_v1_and_batch(spark, tmp_path):
@@ -176,16 +184,19 @@ def test_tws_profiles_match_v1_and_batch(spark, tmp_path):
             .agg(
                 F.count(F.lit(1)).alias("total_events"),
                 F.max("event_id").alias("max_event_id"),
-                F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias(
-                    "value_micros_approx"
-                ),
             )
         ).collect()
     }
+    expected_micros: dict[int, int] = {}
+    for r in rows:
+        expected_micros[r.user_id] = expected_micros.get(r.user_id, 0) + int(
+            round(r.value * 1_000_000)
+        )
     assert set(final) == set(expected)
     for uid, e in expected.items():
         assert final[uid].total_events == e.total_events
         assert final[uid].max_event_id == e.max_event_id
+        assert final[uid].total_value_micros == expected_micros[uid]
 
 
 def test_tws_operator_assembles(spark, tmp_path):
