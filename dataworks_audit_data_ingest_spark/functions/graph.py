@@ -1,0 +1,59 @@
+"""Distributed graph primitives used by the dedup family.
+
+`connected_components` is iterative min-label propagation (alternating
+join + min-agg until fixpoint) — the standard large-graph CC pattern.
+Each round is ONE shuffle keyed on the node id; lineage is cut per round
+via ``localCheckpoint`` so plans don't grow with iterations, and the loop
+exits at the observed fixpoint, so total cost is O(graph diameter)
+shuffles — near-dup clusters are shallow (stars/cliques), so 2-3 rounds
+in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node_id, cluster_id) for every node appearing in ``edges``; the
+    cluster id is the component's minimum node id. Input edges may be
+    directed — both directions are added internally."""
+    pairs = edges.select(src, dst)
+    both = pairs.union(
+        pairs.select(F.col(dst).alias(src), F.col(src).alias(dst))
+    )
+    nodes = both.select(F.col(src).alias("node_id")).distinct()
+    labels = nodes.withColumn("label", F.col("node_id"))
+    for _ in range(max_iter):  # diameter bound; fixpoint reached far earlier
+        neigh = (
+            both.join(labels, both[dst] == labels.node_id)
+            .groupBy(F.col(src).alias("node_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "node_id", "left")
+            .select(
+                "node_id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node_id", F.col("label").alias("cluster_id"))

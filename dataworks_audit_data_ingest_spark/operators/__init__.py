@@ -20,6 +20,7 @@ from ..streaming.jobs import (  # noqa: F401
     tumbling_event_counts,
 )
 from ..similarity.kmeans import assign_cells, train_cells  # noqa: F401
+from ..functions.graph import connected_components  # noqa: F401
 from ..similarity.knn import knn_join  # noqa: F401
 from ..similarity.pca import fit_pca, transform_pca  # noqa: F401
 from ..similarity.quantize import (  # noqa: F401
@@ -47,6 +48,7 @@ from ..text.pipeline import (  # noqa: F401
     cap_per_source,
     drop_contaminated,
     drop_near_duplicates,
+    drop_semantic_duplicates,
     mix_sources,
     pack_sequences,
     redact_pii,

@@ -490,39 +490,12 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure over the same q51 edge list (see ``_cc_sql``) —
     hash-checked, not rows-only.
     """
+    from ..functions.graph import connected_components
+
     pairs = q51_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    # undirected edge list, both directions
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
-    nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
-    labels = nodes.withColumn("label", F.col("doc_id"))
-    for _ in range(20):  # diameter bound; fixpoint reached far earlier
-        neigh = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
     return (
-        labels.select("doc_id", F.col("label").alias("cluster_id"))
+        connected_components(pairs)
+        .select(F.col("node_id").alias("doc_id"), "cluster_id")
         .orderBy("doc_id")
     )
 

@@ -173,6 +173,85 @@ def mix_sources(
     return docs.withColumn("_rate", rate).filter(u < F.col("_rate")).drop("_rate")
 
 
+def drop_semantic_duplicates(
+    docs: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    srp_bands: int = 8,
+    srp_bits: int = 2,
+) -> DataFrame:
+    """Embedding-level (semantic) dedup: documents whose EMBEDDINGS are
+    near-identical collapse to one representative even when their text
+    differs (paraphrases, templated rewrites) — the complement of
+    :func:`drop_near_duplicates`' lexical MinHash.
+
+    Shape: SRP-banded blocking (zero-training, map-side signatures — the
+    q89 machinery) finds candidate pairs sharing ≥1 band; exact decimal
+    cosine keeps pairs at/above ``threshold``; connected components
+    (`functions/graph.py`, q58's kernel) collapse transitive duplicate
+    chains; the minimum id in each cluster survives. Defaults use 8×2
+    banding — the high-recall end of the PERF.md SRP table, the right
+    trade-off for dedup where a missed duplicate is worse than extra
+    candidate cosines.
+
+    At scale: signatures are map-side; the candidate join shuffles
+    (band, bval) keys, never all-pairs; CC costs O(cluster diameter)
+    shuffles (near-dup clusters are shallow). Recall is banding-bounded,
+    as with every LSH dedup here (q51, q53 docstrings)."""
+    from ..functions.graph import connected_components
+    from ..similarity.knn import _srp_bands_expr, cosine_expr
+
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"TRANSFORM({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
+    ).withColumn(
+        "_n",
+        F.expr(
+            "SQRT(CAST(AGGREGATE(TRANSFORM(_v, x -> "
+            "CAST(x * x AS DECIMAL(28,18))), CAST(0 AS DECIMAL(28,18)), "
+            "(acc, v) -> CAST(acc + v AS DECIMAL(28,18))) AS DOUBLE))"
+        ),
+    )
+    proj, stack = _srp_bands_expr("_v", srp_bands, srp_bits, "srp")
+    bands = base.withColumn("_sig", F.expr(proj)).select(
+        "_id", F.expr(stack)
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bval"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            base.select(
+                F.col("_id").alias("id_a"),
+                F.col("_v").alias("_va"),
+                F.col("_n").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            base.select(
+                F.col("_id").alias("id_b"),
+                F.col("_v").alias("_vb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("_cos", F.expr(cosine_expr("_va", "_vb", "_na", "_nb")))
+    )
+    edges = scored.filter(F.col("_cos") >= threshold).select("id_a", "id_b")
+    dupes = (
+        connected_components(edges, src="id_a", dst="id_b")
+        .filter(F.col("node_id") != F.col("cluster_id"))
+        .select(F.col("node_id").alias(id_col))
+    )
+    return docs.join(dupes, id_col, "left_anti")
+
+
 def cap_per_source(
     docs: DataFrame,
     max_docs: int,

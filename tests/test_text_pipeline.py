@@ -169,3 +169,40 @@ def test_cap_per_source_bounds_and_matches_q88(spark):
         .collect()
     }
     assert again == got
+
+
+def test_drop_semantic_duplicates_collapses_planted_clones(spark):
+    """Planted near-identical embeddings (tiny perturbations of a base
+    vector) collapse to the minimum-id representative; distant vectors all
+    survive; re-running on the deduped set is a no-op."""
+    from dataworks_audit_data_ingest_spark.operators import (
+        drop_semantic_duplicates,
+    )
+
+    emb = table(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    base_rows = emb.filter(F.col("doc_id") < 20).collect()
+    # clone doc 3's vector (exactly) under two new high ids, and doc 7's
+    # with a last-element nudge small enough to stay above the threshold
+    clones = []
+    v3 = [float(x) for x in base_rows[3].embedding]
+    v7 = [float(x) for x in base_rows[7].embedding]
+    v7_nudged = v7[:-1] + [v7[-1] + 1e-4]
+    clones.append((100000, v3))
+    clones.append((100001, v3))
+    clones.append((100002, v7_nudged))
+    planted = spark.createDataFrame(
+        [(r.doc_id, [float(x) for x in r.embedding]) for r in base_rows]
+        + clones,
+        "doc_id long, embedding array<double>",
+    )
+    kept = drop_semantic_duplicates(planted, threshold=0.999)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 3 in kept_ids and 100000 not in kept_ids and 100001 not in kept_ids
+    assert 7 in kept_ids and 100002 not in kept_ids
+    # fixture base vectors are mutually distant: all survive
+    assert {r.doc_id for r in base_rows} <= kept_ids
+    # idempotent: a second pass removes nothing
+    again = drop_semantic_duplicates(kept, threshold=0.999)
+    assert again.count() == kept.count()
