@@ -275,12 +275,22 @@ _SRP_BAND_BITS = 4  # bits per band -> 4 bands of 4 bits
 _SRP_TOP_K = 3
 
 
+# Projection terms are quantized to integers — FLOOR(v * h * 2^20) — and
+# summed as BIGINT: a pure-integer sign decision that is (a) deterministic
+# under any partitioning/engine (integer addition is exact; a double sum is
+# order-dependent, a decimal sum costs ~5× in the agg), and (b) still a
+# valid SRP family — quantization error is < 1 per term against term
+# magnitudes ~|v|·|h|·2^20 ≈ 1e8, i.e. it perturbs only projections within
+# ~1e-6 of the hyperplane. FLOOR, not CAST: DuckDB CAST(DOUBLE AS BIGINT)
+# rounds while Spark's truncates — FLOOR is identical in both.
+_SRP_SCALE = 1 << 20
+
+
 def _srp_h(j_expr: str, pos_expr: str, dialect: str) -> str:
     """Deterministic integer hyperplane component in [-500, 500]: a
     portable-hash transform of (j, pos) — no RNG, bit-identical across
-    engines, and sign-decisions stay in exact integer×decimal arithmetic
-    (the /1000 normalization is a positive scale factor, so it cannot
-    change any sign and is dropped entirely)."""
+    engines (the /1000 normalization is a positive scale factor, so it
+    cannot change any sign and is dropped entirely)."""
     concat = f"CONCAT(CAST({j_expr} AS VARCHAR), ':', CAST({pos_expr} AS VARCHAR))"
     if dialect == "spark":
         concat = f"CONCAT(CAST({j_expr} AS STRING), ':', CAST({pos_expr} AS STRING))"
@@ -301,7 +311,8 @@ def _srp_h(j_expr: str, pos_expr: str, dialect: str) -> str:
       FROM (SELECT UNNEST(RANGE(0, {_SRP_BITS})) AS j)
       CROSS JOIN (SELECT DISTINCT pos FROM elems)
     ), proj AS (
-      SELECT vec_id, j, SUM(CAST(v * h AS {_DOT_DEC})) AS proj
+      SELECT vec_id, j,
+             SUM(CAST(FLOOR(v * h * {_SRP_SCALE}) AS BIGINT)) AS proj
       FROM elems JOIN hyper USING (pos)
       GROUP BY vec_id, j
     ), bands AS (
@@ -397,7 +408,11 @@ def q89_ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(
             *[
-                F.sum(F.expr(f"CAST(v * harr[{j}] AS {_DOT_DEC})")).alias(f"p{j}")
+                F.sum(
+                    F.expr(
+                        f"CAST(FLOOR(v * harr[{j}] * {_SRP_SCALE}) AS BIGINT)"
+                    )
+                ).alias(f"p{j}")
                 for j in range(_SRP_BITS)
             ]
         )

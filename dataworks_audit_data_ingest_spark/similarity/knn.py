@@ -64,12 +64,15 @@ def _srp_bands_expr(
         "CONCAT(CAST(j AS STRING), ':', CAST(p AS STRING))", seed
     )
     h = f"{h32} % 1001 - 500"
+    # integer-quantized projection terms (FLOOR(v*h*2^20), BIGINT sum) —
+    # must stay expression-for-expression aligned with q89's _SRP_SCALE
+    # form; the parity test pins it
     proj = (
         f"TRANSFORM(SEQUENCE(0, {bands * bits - 1}), j -> "
         f"AGGREGATE(ZIP_WITH({vec}, "
         f"TRANSFORM(SEQUENCE(0, SIZE({vec}) - 1), p -> {h}), "
-        f"(x, hh) -> CAST(x * hh AS {_DEC})), "
-        f"CAST(0 AS {_DEC}), (acc, v) -> CAST(acc + v AS {_DEC})))"
+        f"(x, hh) -> CAST(FLOOR(x * hh * {1 << 20}) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v))"
     )
     args = []
     for band in range(bands):

@@ -24,6 +24,7 @@ import duckdb  # noqa: E402
 from dataworks_audit_data_ingest_spark.queries.similarity import (  # noqa: E402
     _N_QUERIES,
     _SRP_BITS,
+    _SRP_SCALE,
     _srp_h,
 )
 
@@ -60,7 +61,8 @@ def main() -> None:
           CROSS JOIN (SELECT DISTINCT pos FROM elems)
         )
         SELECT vec_id, j,
-               CASE WHEN SUM(CAST(v * h AS {_DEC})) >= 0 THEN 1 ELSE 0 END AS bit
+               CASE WHEN SUM(CAST(FLOOR(v * h * {_SRP_SCALE}) AS BIGINT)) >= 0
+                    THEN 1 ELSE 0 END AS bit
         FROM elems JOIN hyper USING (pos)
         GROUP BY vec_id, j
         """
