@@ -5,7 +5,7 @@ Composes the engine's pieces the way a data-pipeline user would:
   1. ingest: dated raw files → zlib+AES envelope → S3 (moto here)
   2. decrypt source: S3 objects → typed rows
   3. curation: PII redaction → quality filter → near-dup drop →
-     source mixing → token-budget sample
+     per-source cap → source mixing → token-budget sample
   4. curated corpus → day-partitioned parquet
 
 Run:  python examples/training_data_pipeline.py
@@ -33,6 +33,7 @@ from dataworks_audit_data_ingest_spark.sinks import write_partitioned_parquet
 from dataworks_audit_data_ingest_spark.tables import table
 from dataworks_audit_data_ingest_spark.text import (
     annotate_quality,
+    cap_per_source,
     drop_near_duplicates,
     mix_sources,
     redact_pii,
@@ -99,6 +100,7 @@ def main() -> None:
     n_quality = curated.count()
     curated = drop_near_duplicates(curated)
     n_dedup = curated.count()
+    curated = cap_per_source(curated, max_docs=500)  # no domain dominates
     curated = mix_sources(curated, {"src0": 1.0}, default_rate=0.9)
     n_mixed = curated.count()
     curated = token_budget_sample(curated, budget_tokens=8_000)
