@@ -25,11 +25,15 @@ def connected_components(
     cluster id is the component's minimum node id. Input edges may be
     directed — both directions are added internally."""
     pairs = edges.select(src, dst)
+    # materialize the edge list ONCE — without this, the entire upstream
+    # edge-producing plan (LSH banding, cosine verification, ...) would
+    # re-execute inside every iteration's join
     both = pairs.union(
         pairs.select(F.col(dst).alias(src), F.col(src).alias(dst))
-    )
+    ).localCheckpoint(eager=True)
     nodes = both.select(F.col(src).alias("node_id")).distinct()
     labels = nodes.withColumn("label", F.col("node_id"))
+    converged = False
     for _ in range(max_iter):  # diameter bound; fixpoint reached far earlier
         neigh = (
             both.join(labels, both[dst] == labels.node_id)
@@ -55,5 +59,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} before fixpoint; "
+            "labels may not be component minima — raise max_iter for graphs "
+            "with diameter beyond it",
+            stacklevel=2,
+        )
     return labels.select("node_id", F.col("label").alias("cluster_id"))

@@ -275,15 +275,16 @@ _SRP_BAND_BITS = 4  # bits per band -> 4 bands of 4 bits
 _SRP_TOP_K = 3
 
 
-# Projection terms are quantized to integers — FLOOR(v * h * 2^20) — and
-# summed as BIGINT: a pure-integer sign decision that is (a) deterministic
-# under any partitioning/engine (integer addition is exact; a double sum is
-# order-dependent, a decimal sum costs ~5× in the agg), and (b) still a
-# valid SRP family — quantization error is < 1 per term against term
-# magnitudes ~|v|·|h|·2^20 ≈ 1e8, i.e. it perturbs only projections within
-# ~1e-6 of the hyperplane. FLOOR, not CAST: DuckDB CAST(DOUBLE AS BIGINT)
-# rounds while Spark's truncates — FLOOR is identical in both.
-_SRP_SCALE = 1 << 20
+# Projection terms are quantized to integers — FLOOR(v * h * SRP_SCALE) —
+# and summed as BIGINT: a pure-integer sign decision that is (a)
+# deterministic under any partitioning/engine (integer addition is exact; a
+# double sum is order-dependent, a decimal sum costs ~5× in the agg), and
+# (b) still a valid SRP family — quantization error is < 1 per term against
+# term magnitudes ~|v|·|h|·2^20 ≈ 1e8, i.e. it perturbs only projections
+# within ~1e-6 of the hyperplane. The scale constant lives in
+# functions/hashing.py, shared with knn_join(method="srp") and the study
+# tool so every SRP signature in the repo stays join-compatible.
+from ..functions.hashing import SRP_SCALE as _SRP_SCALE  # noqa: E402
 
 
 def _srp_h(j_expr: str, pos_expr: str, dialect: str) -> str:
@@ -377,7 +378,7 @@ def q89_ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: signatures are fully map-side — each vector's 16
     projections come from one broadcast join against the 64-row
     per-position hyperplane-vector table and a single groupBy(vec_id)
-    carrying 16 decimal partials (one shuffled row per vector, with
+    carrying 16 BIGINT partials (one shuffled row per vector, with
     map-side partial aggregation); band values and the (band, bval)
     stack are then computed without any further shuffle. Retrieval
     shuffles only (band, bval) keys. No all-pairs product anywhere; hot

@@ -56,22 +56,25 @@ def _srp_bands_expr(
     seed as q89, via `functions.hashing.spark_hash32`, so signatures are
     bit-identical to the oracle-checked query — pinned by
     `tests/test_knn.py::test_knn_srp_matches_q89`; the /1000 normalization
-    is a positive scale, dropped as sign-preserving), the projection is a
-    decimal-exact fold, bits pack little-endian per band."""
+    is a positive scale, dropped as sign-preserving), the projection is an
+    integer-quantized BIGINT fold (`functions.hashing.SRP_SCALE`), bits
+    pack little-endian per band."""
     from ..functions.hashing import spark_hash32
 
     h32 = spark_hash32(
         "CONCAT(CAST(j AS STRING), ':', CAST(p AS STRING))", seed
     )
     h = f"{h32} % 1001 - 500"
-    # integer-quantized projection terms (FLOOR(v*h*2^20), BIGINT sum) —
-    # must stay expression-for-expression aligned with q89's _SRP_SCALE
-    # form; the parity test pins it
+    # integer-quantized projection terms (FLOOR(v*h*SRP_SCALE), BIGINT
+    # sum) — the shared constant keeps this expression-for-expression
+    # aligned with q89; the parity test pins it
+    from ..functions.hashing import SRP_SCALE
+
     proj = (
         f"TRANSFORM(SEQUENCE(0, {bands * bits - 1}), j -> "
         f"AGGREGATE(ZIP_WITH({vec}, "
         f"TRANSFORM(SEQUENCE(0, SIZE({vec}) - 1), p -> {h}), "
-        f"(x, hh) -> CAST(FLOOR(x * hh * {1 << 20}) AS BIGINT)), "
+        f"(x, hh) -> CAST(FLOOR(x * hh * {SRP_SCALE}) AS BIGINT)), "
         f"CAST(0 AS BIGINT), (acc, v) -> acc + v))"
     )
     args = []

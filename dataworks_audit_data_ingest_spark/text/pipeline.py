@@ -178,52 +178,79 @@ def drop_semantic_duplicates(
     threshold: float = 0.98,
     id_col: str = "doc_id",
     vec_col: str = "embedding",
-    srp_bands: int = 8,
-    srp_bits: int = 2,
+    srp_bands: int = 4,
+    srp_bits: int = 8,
+    bucket_cap: int = 64,
 ) -> DataFrame:
     """Embedding-level (semantic) dedup: documents whose EMBEDDINGS are
     near-identical collapse to one representative even when their text
     differs (paraphrases, templated rewrites) — the complement of
     :func:`drop_near_duplicates`' lexical MinHash.
 
-    Shape: SRP-banded blocking (zero-training, map-side signatures — the
-    q89 machinery) finds candidate pairs sharing ≥1 band; exact decimal
-    cosine keeps pairs at/above ``threshold``; connected components
-    (`functions/graph.py`, q58's kernel) collapse transitive duplicate
-    chains; the minimum id in each cluster survives. Defaults use 8×2
-    banding — the high-recall end of the PERF.md SRP table, the right
-    trade-off for dedup where a missed duplicate is worse than extra
-    candidate cosines.
+    Candidate generation is two-level, both levels bounded:
 
-    At scale: signatures are map-side; the candidate join shuffles
-    (band, bval) keys, never all-pairs; CC costs O(cluster diameter)
-    shuffles (near-dup clusters are shallow). Recall is banding-bounded,
-    as with every LSH dedup here (q51, q53 docstrings)."""
+    1. **Exact-signature anchor stars**: all vectors sharing the FULL
+       32-bit SRP signature (near-identical vectors agree on ~every
+       sign bit) pair with the group's minimum id — a pile of c exact
+       near-duplicates emits c-1 pairs, never c²/2. This is the level
+       that handles the giant template/boilerplate pile, the input this
+       stage exists for, in linear work.
+    2. **Capped banded buckets**: per (band, bval) bucket of the 4×8
+       banding, all-pairs WITHIN buckets of at most ``bucket_cap``
+       members (q51's hot-bucket discipline — a hot bucket is hash
+       collisions, not duplicates; the real piles were already linked
+       by level 1). Catches cross-signature near-dups whose few
+       flipped bits land inside one band.
+
+    Exact decimal cosine then keeps pairs at/above ``threshold``
+    (approximation lives ONLY in candidate selection); connected
+    components (`functions/graph.py`, q58's kernel) collapse transitive
+    chains across buckets and levels; the minimum id per cluster
+    survives.
+
+    Recall: a 0.98-cosine pair flips each of the 32 sign bits with
+    p ≈ 0.036, so P(some 8-bit band survives intact) ≈ 99.6% — and
+    tighter duplicates (the common case) approach 100% with level 1
+    alone. At scale: signatures are map-side; level-1 shuffles one row
+    per vector keyed by signature; level-2 shuffles (band, bval) keys
+    with ≤ cap²/2 pairs per bucket; CC costs O(cluster diameter)
+    shuffles (near-dup clusters are shallow)."""
+    from pyspark.sql import Window
+
     from ..functions.graph import connected_components
-    from ..similarity.knn import _srp_bands_expr, cosine_expr
+    from ..similarity.knn import _srp_bands_expr, _with_norm, cosine_expr
 
-    base = docs.select(
-        F.col(id_col).alias("_id"),
-        F.expr(f"TRANSFORM({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
-    ).withColumn(
-        "_n",
-        F.expr(
-            "SQRT(CAST(AGGREGATE(TRANSFORM(_v, x -> "
-            "CAST(x * x AS DECIMAL(28,18))), CAST(0 AS DECIMAL(28,18)), "
-            "(acc, v) -> CAST(acc + v AS DECIMAL(28,18))) AS DOUBLE))"
-        ),
-    )
+    base = _with_norm(
+        docs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        "_v",
+    ).select("_id", "_v", F.col("_nrm").alias("_n"))
     proj, stack = _srp_bands_expr("_v", srp_bands, srp_bits, "srp")
-    bands = base.withColumn("_sig", F.expr(proj)).select(
-        "_id", F.expr(stack)
+    n_bits = srp_bands * srp_bits
+    fullsig = "CONCAT(" + ", ".join(
+        f"CASE WHEN _sig[{j}] >= 0 THEN '1' ELSE '0' END" for j in range(n_bits)
+    ) + ")"
+    sigged = base.withColumn("_sig", F.expr(proj))
+    # level 1: anchor star per exact full signature
+    w_sig = Window.partitionBy("_fullsig")
+    star = (
+        sigged.withColumn("_fullsig", F.expr(fullsig))
+        .withColumn("_anchor", F.min("_id").over(w_sig))
+        .filter(F.col("_id") != F.col("_anchor"))
+        .select(F.col("_anchor").alias("id_a"), F.col("_id").alias("id_b"))
     )
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bval"])
+    # level 2: all-pairs inside small (band, bval) buckets only
+    bands = sigged.select("_id", F.expr(stack))
+    w_bucket = Window.partitionBy("band", "bval")
+    small = bands.withColumn("_bn", F.count(F.lit(1)).over(w_bucket)).filter(
+        F.col("_bn") <= bucket_cap
+    )
+    bucket_pairs = (
+        small.alias("a")
+        .join(small.alias("b"), ["band", "bval"])
         .filter(F.col("a._id") < F.col("b._id"))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
     )
+    cand = star.union(bucket_pairs).distinct()
     scored = (
         cand.join(
             base.select(

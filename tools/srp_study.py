@@ -3,8 +3,9 @@ sign-random-projection banding against exact brute-force cosine top-k.
 
     python tools/srp_study.py [--sf /root/testdata/sf0.01]
 
-All arithmetic mirrors q89 exactly (portable-hash hyperplanes, decimal
-projections) but runs in DuckDB for sweep speed — the Spark and DuckDB
+All arithmetic mirrors q89 exactly (portable-hash hyperplanes,
+integer-quantized projections via the shared SRP_SCALE) but runs in
+DuckDB for sweep speed — the Spark and DuckDB
 forms are value-identical by the q89 oracle check, so recall measured here
 is the recall of the Spark plan. Reported per (bands x bits) split of the
 16-bit signature; candidates = distinct (query, neighbor) pairs the band
@@ -31,7 +32,6 @@ from dataworks_audit_data_ingest_spark.queries.similarity import (  # noqa: E402
 TOP_K = 3
 CONFIGS = [(2, 8), (4, 4), (8, 2), (16, 1)]  # (bands, bits per band)
 
-_DEC = "DECIMAL(28,18)"
 
 
 def main() -> None:
