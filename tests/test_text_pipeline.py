@@ -206,3 +206,68 @@ def test_drop_semantic_duplicates_collapses_planted_clones(spark):
     # idempotent: a second pass removes nothing
     again = drop_semantic_duplicates(kept, threshold=0.999)
     assert again.count() == kept.count()
+
+
+def test_drop_semantic_duplicates_level2_links_single_bit_flip(spark):
+    """A pair differing in exactly ONE signature bit has different full
+    signatures, so level 1 (exact-signature stars) cannot link it — only
+    the capped banded buckets (level 2) can. Engineer such a pair by
+    mirroring the SRP arithmetic in Python and nudging one element just
+    enough to flip the smallest-margin projection and no other."""
+    import hashlib
+    import math
+
+    from dataworks_audit_data_ingest_spark.functions.hashing import SRP_SCALE
+    from dataworks_audit_data_ingest_spark.operators import (
+        drop_semantic_duplicates,
+    )
+
+    def h(j, p):
+        digest = hashlib.md5(f"srp|{j}:{p}".encode()).hexdigest()
+        return int(digest[:8], 16) % 1001 - 500
+
+    def projections(vec, n_bits=32):
+        return [
+            sum(math.floor(x * h(j, p) * SRP_SCALE) for p, x in enumerate(vec))
+            for j in range(n_bits)
+        ]
+
+    base_vec = [
+        math.sin(0.1 * (p + 1)) / 8.0 for p in range(64)
+    ]  # deterministic, norm ~O(1)
+    proj = projections(base_vec)
+    j0 = min(range(32), key=lambda j: abs(proj[j]))
+    # nudge at the position where j0's hyperplane is strongest
+    p0 = max(range(64), key=lambda p: abs(h(j0, p)))
+    delta = -2.5 * proj[j0] / (h(j0, p0) * SRP_SCALE)
+    flipped = list(base_vec)
+    flipped[p0] += delta
+    proj2 = projections(flipped)
+    flips = [j for j in range(32) if (proj[j] >= 0) != (proj2[j] >= 0)]
+    assert flips == [j0], f"engineered nudge flipped {flips}, wanted [{j0}]"
+    # the nudge is tiny relative to the vector: cosine stays ~1
+    dot = sum(a * b for a, b in zip(base_vec, flipped))
+    nrm = math.sqrt(sum(a * a for a in base_vec)) * math.sqrt(
+        sum(b * b for b in flipped)
+    )
+    assert dot / nrm > 0.999
+
+    # distant fillers so the pair's buckets stay under the cap
+    emb = table(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    fillers = [
+        (r.doc_id, [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("doc_id") < 30).collect()
+    ]
+    df = spark.createDataFrame(
+        fillers + [(200000, base_vec), (200001, flipped)],
+        "doc_id long, embedding array<double>",
+    )
+    kept = {
+        r.doc_id
+        for r in drop_semantic_duplicates(df, threshold=0.999)
+        .select("doc_id")
+        .collect()
+    }
+    assert 200000 in kept and 200001 not in kept  # linked by level 2 only
