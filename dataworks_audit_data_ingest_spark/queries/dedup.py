@@ -990,3 +990,178 @@ def q52c_simhash60_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-level) dedup — the pipeline operator as a driver query
+# ---------------------------------------------------------------------------
+
+_SEM_BANDS = 4
+_SEM_BITS = 8  # per band; 32 signature bits total
+_SEM_NBITS = _SEM_BANDS * _SEM_BITS
+_SEM_CAP = 64
+_SEM_THRESHOLD = 0.98
+_SEM_N_VARIANTS = 25  # vec_id < 25 get two scaled clones each
+
+
+def _semantic_dedup_sql() -> str:
+    """DuckDB oracle for ``text.pipeline.drop_semantic_duplicates``:
+    mirrors, arithmetic step for arithmetic step, the operator's SRP
+    signatures (integer-quantized BIGINT folds, shared ``SRP_SCALE``),
+    its two candidate levels (exact-full-signature anchor stars; capped
+    banded buckets with over-cap buckets degrading to an anchor star),
+    the exact DECIMAL(28,18) cosine gate, and the q58-style
+    ``WITH RECURSIVE`` min-label connected components. The kept set is
+    the corpus minus every node whose component minimum is not itself."""
+    from ..functions.hashing import SRP_SCALE
+
+    h = duckdb_hash32(
+        "CONCAT(CAST(j AS VARCHAR), ':', CAST(pos AS VARCHAR))", "srp"
+    )
+    return f"""
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_VARIANT_OFFSET},
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * 1.5)
+      FROM embeddings WHERE vec_id < {_SEM_N_VARIANTS}
+      UNION ALL
+      SELECT vec_id + {2 * _VARIANT_OFFSET},
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * 2.25)
+      FROM embeddings WHERE vec_id < {_SEM_N_VARIANTS}
+    ), elems AS (
+      SELECT vec_id, i - 1 AS pos, emb[i] AS v
+      FROM (SELECT vec_id, emb, UNNEST(RANGE(1, LEN(emb) + 1)) AS i
+            FROM corpus)
+    ), hyper AS (
+      SELECT j, pos, ({h} % 1001) - 500 AS h
+      FROM (SELECT UNNEST(RANGE(0, {_SEM_NBITS})) AS j)
+      CROSS JOIN (SELECT DISTINCT pos FROM elems)
+    ), proj AS (
+      SELECT vec_id, j,
+             SUM(CAST(FLOOR(v * h * {SRP_SCALE}) AS BIGINT)) AS proj
+      FROM elems JOIN hyper USING (pos)
+      GROUP BY vec_id, j
+    ), sigs AS (
+      SELECT vec_id,
+             STRING_AGG(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY j) AS fullsig
+      FROM proj GROUP BY vec_id
+    ), star AS (
+      SELECT MIN(vec_id) OVER (PARTITION BY fullsig) AS id_a,
+             vec_id AS id_b
+      FROM sigs
+    ), bands AS (
+      SELECT vec_id, CAST(j // {_SEM_BITS} AS INT) AS band,
+             SUM((CASE WHEN proj >= 0 THEN 1 ELSE 0 END)
+                 << CAST(j % {_SEM_BITS} AS INT)) AS bval
+      FROM proj GROUP BY vec_id, band
+    ), bstat AS (
+      SELECT vec_id, band, bval,
+             COUNT(*) OVER (PARTITION BY band, bval) AS bn,
+             MIN(vec_id) OVER (PARTITION BY band, bval) AS bmin
+      FROM bands
+    ), cand AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT id_a, id_b FROM star WHERE id_a != id_b
+        UNION ALL
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bstat a JOIN bstat b
+          ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+        WHERE a.bn <= {_SEM_CAP} AND b.bn <= {_SEM_CAP}
+        UNION ALL
+        SELECT bmin AS id_a, vec_id AS id_b
+        FROM bstat WHERE bn > {_SEM_CAP} AND vec_id != bmin
+      )
+    ), norm_terms AS (
+      SELECT vec_id, emb, UNNEST(RANGE(1, LEN(emb) + 1)) AS i FROM corpus
+    ), base AS (
+      SELECT vec_id, ANY_VALUE(emb) AS emb,
+             SQRT(CAST(SUM(CAST(emb[i] * emb[i] AS {_DOT_DEC})) AS DOUBLE))
+               AS nrm
+      FROM norm_terms GROUP BY vec_id
+    ), pair_terms AS (
+      SELECT id_a, id_b, ea, eb, na, nb, UNNEST(RANGE(1, LEN(ea) + 1)) AS i
+      FROM (SELECT c.id_a, c.id_b, a.emb AS ea, b.emb AS eb,
+                   a.nrm AS na, b.nrm AS nb
+            FROM cand c
+              JOIN base a ON a.vec_id = c.id_a
+              JOIN base b ON b.vec_id = c.id_b)
+    ), scored AS (
+      SELECT id_a, id_b,
+             CAST(SUM(CAST(ea[i] * eb[i] AS {_DOT_DEC})) AS DOUBLE)
+               / (ANY_VALUE(na) * ANY_VALUE(nb)) AS cosine
+      FROM pair_terms GROUP BY id_a, id_b
+    ), edges AS (
+      SELECT id_a, id_b FROM scored WHERE cosine >= {_SEM_THRESHOLD}
+      UNION ALL
+      SELECT id_b AS id_a, id_a AS id_b
+      FROM scored WHERE cosine >= {_SEM_THRESHOLD}
+    ), reach(vec_id, label) AS (
+      SELECT DISTINCT id_a AS vec_id, id_a AS label FROM edges
+      UNION
+      SELECT e.id_a AS vec_id, r.label
+      FROM reach r JOIN edges e ON e.id_b = r.vec_id
+      WHERE r.label < e.id_a
+    ), dupes AS (
+      SELECT vec_id FROM reach GROUP BY vec_id
+      HAVING MIN(label) != vec_id
+    )
+    SELECT c.vec_id
+    FROM corpus c ANTI JOIN dupes d ON c.vec_id = d.vec_id
+    ORDER BY c.vec_id
+    """
+
+
+@register(
+    "q90_semantic_dedup",
+    sql=_semantic_dedup_sql(),
+    tags=("dedup", "semantic", "embedding", "pipeline", "clustering"),
+)
+def q90_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level (semantic) dedup, exercising the REAL pipeline
+    operator ``text.pipeline.drop_semantic_duplicates`` end to end: the
+    corpus is the embeddings table plus two planted scaled clones
+    (×1.5, ×2.25 — cosine 1.0 piles of three) for each of the first
+    {n} vectors; the operator must collapse every pile to its
+    minimum-id representative while leaving the mutually-distant
+    fixture vectors untouched. Output is the kept id set — a full
+    value-hash over it verifies the dropped set exactly.
+
+    Scale shape (the operator's own): SRP signatures map-side; level-1
+    anchor stars shuffle one row per vector keyed by full signature
+    (linear on duplicate piles); level-2 shuffles (band, bval) keys
+    with ≤ cap²/2 pairs per small bucket and anchor-star fallback on
+    hot buckets; exact decimal cosine gates edges; CC is O(diameter)
+    shuffles. No all-pairs product anywhere.
+    """
+    from ..text.pipeline import drop_semantic_duplicates
+
+    e = table(spark, sf_dir, "embeddings")
+    orig = e.select(
+        "vec_id",
+        F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+
+    def clones(offset: int, scale: str) -> DataFrame:
+        return e.filter(F.col("vec_id") < _SEM_N_VARIANTS).select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            F.expr(f"TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * {scale})").alias(
+                "embedding"
+            ),
+        )
+
+    corpus = orig.unionByName(clones(_VARIANT_OFFSET, "1.5")).unionByName(
+        clones(2 * _VARIANT_OFFSET, "2.25")
+    )
+    kept = drop_semantic_duplicates(
+        corpus,
+        threshold=_SEM_THRESHOLD,
+        id_col="vec_id",
+        vec_col="embedding",
+        srp_bands=_SEM_BANDS,
+        srp_bits=_SEM_BITS,
+        bucket_cap=_SEM_CAP,
+    )
+    return kept.select("vec_id").orderBy("vec_id")

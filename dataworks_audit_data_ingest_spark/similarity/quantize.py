@@ -82,7 +82,7 @@ def quantized_knn(
     cosine before the final top-k cut — the standard two-stage shape.
 
     Expanded dot product, with a = mn_q, s = scale_q per vector:
-    ``dot(va, vb) = s_a*s_b*Σl_a·l_b + s_a*b_b*Σl_a + s_b*a_a*Σl_b + d*a_a*a_b``
+    ``dot(va, vb) = s_a*s_b*Σl_a·l_b + s_a*a_b*Σl_a + s_b*a_a*Σl_b + d*a_a*a_b``
     — Σl per vector is precomputed once, so a pair costs ONE integer
     zip-fold plus four scalar multiplies."""
     if rerank:

@@ -60,7 +60,13 @@ def start_parquet_stream_sink(
 
 
 def _partition_dirs(root: str, depth: int) -> list[str]:
-    """Hive ``key=value`` relative paths at ``depth`` under ``root``."""
+    """Hive ``key=value`` relative paths at ``depth`` under ``root``.
+
+    Dot-hidden names are skipped even when they contain ``=``: the swap
+    machinery's aside dirs (``.key=value.<nonce>``) and staging dirs are
+    never partitions (the module-wide 'dot-hidden dirs are never parsed
+    as a partition' contract), and counting one after an unclean crash
+    would inflate compaction's repartition task count."""
     import os
 
     rels = [""]
@@ -69,6 +75,8 @@ def _partition_dirs(root: str, depth: int) -> list[str]:
         for rel in rels:
             base = os.path.join(root, rel) if rel else root
             for name in os.listdir(base):
+                if name.startswith("."):
+                    continue
                 if "=" in name and os.path.isdir(os.path.join(base, name)):
                     nxt.append(os.path.join(rel, name) if rel else name)
         rels = nxt

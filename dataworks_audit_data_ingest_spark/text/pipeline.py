@@ -200,7 +200,12 @@ def drop_semantic_duplicates(
        members (q51's hot-bucket discipline — a hot bucket is hash
        collisions, not duplicates; the real piles were already linked
        by level 1). Catches cross-signature near-dups whose few
-       flipped bits land inside one band.
+       flipped bits land inside one band. Buckets OVER the cap are not
+       dropped: they degrade to an anchor star against the bucket's
+       minimum id (c-1 pairs, like level 1), so a >cap pile of
+       paraphrases whose full signatures differ still links through
+       its anchor — transitively completed by the CC step — without
+       ever paying the c²/2 all-pairs cost.
 
     Exact decimal cosine then keeps pairs at/above ``threshold``
     (approximation lives ONLY in candidate selection); connected
@@ -238,19 +243,25 @@ def drop_semantic_duplicates(
         .filter(F.col("_id") != F.col("_anchor"))
         .select(F.col("_anchor").alias("id_a"), F.col("_id").alias("id_b"))
     )
-    # level 2: all-pairs inside small (band, bval) buckets only
-    bands = sigged.select("_id", F.expr(stack))
-    w_bucket = Window.partitionBy("band", "bval")
-    small = bands.withColumn("_bn", F.count(F.lit(1)).over(w_bucket)).filter(
-        F.col("_bn") <= bucket_cap
+    # level 2: all-pairs inside small (band, bval) buckets; over-cap
+    # buckets degrade to an anchor star vs the bucket minimum (c-1 pairs)
+    bands = (
+        sigged.select("_id", F.expr(stack))
+        .withColumn("_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bval")))
+        .withColumn("_bmin", F.min("_id").over(Window.partitionBy("band", "bval")))
     )
+    small = bands.filter(F.col("_bn") <= bucket_cap)
     bucket_pairs = (
         small.alias("a")
         .join(small.alias("b"), ["band", "bval"])
         .filter(F.col("a._id") < F.col("b._id"))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
     )
-    cand = star.union(bucket_pairs).distinct()
+    big_star = (
+        bands.filter((F.col("_bn") > bucket_cap) & (F.col("_id") != F.col("_bmin")))
+        .select(F.col("_bmin").alias("id_a"), F.col("_id").alias("id_b"))
+    )
+    cand = star.union(bucket_pairs).union(big_star).distinct()
     scored = (
         cand.join(
             base.select(

@@ -271,3 +271,62 @@ def test_drop_semantic_duplicates_level2_links_single_bit_flip(spark):
         .collect()
     }
     assert 200000 in kept and 200001 not in kept  # linked by level 2 only
+
+
+def test_drop_semantic_duplicates_overcap_bucket_anchor_star(spark):
+    """A duplicate pile LARGER than bucket_cap whose full signatures
+    differ from the anchor's is linked by neither level 1 (signatures
+    differ) nor level-2 all-pairs (the shared buckets are over the cap) —
+    the over-cap anchor-star fallback must still collapse it. Engineer a
+    base vector plus six copies that each flip exactly the same
+    single smallest-margin projection bit (so the copies share a full
+    signature that differs from the base's), and set bucket_cap=2 so
+    every shared (band, bval) bucket of the 7-vector pile is hot."""
+    import hashlib
+    import math
+
+    from dataworks_audit_data_ingest_spark.functions.hashing import SRP_SCALE
+    from dataworks_audit_data_ingest_spark.operators import (
+        drop_semantic_duplicates,
+    )
+
+    def h(j, p):
+        digest = hashlib.md5(f"srp|{j}:{p}".encode()).hexdigest()
+        return int(digest[:8], 16) % 1001 - 500
+
+    def projections(vec, n_bits=32):
+        return [
+            sum(math.floor(x * h(j, p) * SRP_SCALE) for p, x in enumerate(vec))
+            for j in range(n_bits)
+        ]
+
+    base_vec = [math.sin(0.1 * (p + 1)) / 8.0 for p in range(64)]
+    proj = projections(base_vec)
+    j0 = min(range(32), key=lambda j: abs(proj[j]))
+    p0 = max(range(64), key=lambda p: abs(h(j0, p)))
+    delta = -2.5 * proj[j0] / (h(j0, p0) * SRP_SCALE)
+    copies = []
+    for k in range(6):
+        c = list(base_vec)
+        c[p0] += delta * (1.0 + 0.15 * k)
+        pk = projections(c)
+        flips = [j for j in range(32) if (proj[j] >= 0) != (pk[j] >= 0)]
+        assert flips == [j0], f"copy {k} flipped {flips}, wanted [{j0}]"
+        dot = sum(a * b for a, b in zip(base_vec, c))
+        nrm = math.sqrt(sum(a * a for a in base_vec)) * math.sqrt(
+            sum(b * b for b in c)
+        )
+        assert dot / nrm > 0.999
+        copies.append((k + 1, c))
+    df = spark.createDataFrame(
+        [(0, base_vec)] + copies, "doc_id long, embedding array<double>"
+    )
+    kept = {
+        r.doc_id
+        for r in drop_semantic_duplicates(df, threshold=0.999, bucket_cap=2)
+        .select("doc_id")
+        .collect()
+    }
+    assert kept == {0}, (
+        f"over-cap pile must collapse to the anchor, kept {kept}"
+    )
