@@ -29,70 +29,67 @@ from . import curation  # noqa: E402,F401
 # registration order indices 0-49). DRIVER_PRIORITY pins an explicit order,
 # rotated per round so every query accumulates a current driver row.
 #
-# Round-3 rotation: the 6 queries that have never had a driver row (landed
-# after the r02 run) first, then the 3 queries ADDED this round (q87-q89 —
-# brand-new, highest-risk, need their first row), then the 32 queries whose
-# only driver row is from round 1, then 9 round-2-green representatives
-# spanning every family (including q82, whose plan changed this round, and
-# q58, which gained a DuckDB recursive-CTE oracle this round and needs its
-# first hash-checked row). r01 ∪ r02 ∪ r03 then covers ALL 91 registered
-# queries (the three r02-green refreshes dropped to make room — q50, q21,
-# q27 — already have two green rounds behind them).
+# Round-4 rotation: q90 (brand-new this round — semantic dedup's first
+# driver row, the round-3 verdict's top ask) first, then the 41 queries
+# whose newest driver row is round 2 (the r02-only set plus the q50/q21/q27
+# refreshes dropped in round 3), then 8 round-3-green representatives, one
+# per family (ingest, streaming, dedup-LSH, CC, ANN, sketch, curation,
+# relational). r02 ∪ r03 ∪ r04 then keeps every one of the 92 registered
+# queries with a driver row at most one round old.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- never driver-run (landed after the r02 driver evaluation) --
-    "q16s_acctbal_deciles_scale",
-    "q52c_simhash60_hamming",
-    "q59_ivf_kmeans_cells",
-    "q84_gap_fill",
-    "q85_sequence_packing",
-    "q86_chunk_dedup",
-    # -- added in round 3, no driver row yet --
-    "q87_heavy_hitters_countmin",
-    "q88_source_quota",
-    "q89_ann_srp_lsh",
-    # -- only driver row is round 1: refresh all 32 --
-    "q04_revenue_forecast",
-    "q07_customer_order_stats",
-    "q08_distinct_agg",
-    "q09_rollup",
-    "q10_cube",
-    "q11_grouping_sets",
-    "q14_event_gaps",
-    "q15_moving_average",
-    "q16_acctbal_deciles",
-    "q17_nation_rank",
-    "q26_top_parts_global",
-    "q28_percentiles",
-    "q29_scalar_subquery",
-    "q31_sliding_hourly",
-    "q33_dedup_within_watermark",
-    "q34_pivot",
-    "q35_unpivot",
-    "q36_first_last_window",
-    "q37_distribution_ranks",
-    "q38_full_outer_join",
-    "q39_map_functions",
-    "q42_approx_distinct_sketch",
-    "q43_correlated_min",
-    "q44_latest_per_key",
-    "q45_cross_join",
-    "q74_percentile_sketch",
-    "q75_data_profile",
-    "q76_asof_join_forward",
-    "q77_schema_evolution_union",
-    "q34b_funnel_conversion",
-    "q35b_session_bounce_rate",
-    "q37b_zscore_outliers",
-    # -- round-2-green representatives, one per family --
-    "q58_dedup_clusters",  # new recursive-CTE oracle: first hash-checked row
-    "q82_decontamination",  # plan changed: redundant corpus distinct removed
-    "q51_dedup_minhash_lsh",
-    "q55_ann_bruteforce_topk",
-    "q56_ann_ivf_topk",
-    "q66_fuzzy_brand_match",
-    "q70_multimodal_decode",
-    "q01_pricing_summary",
-    "q30_tumbling_daily",
+    # -- added in round 4, no driver row yet --
+    "q90_semantic_dedup",
+    # -- newest driver row is round 2: refresh all 41 --
+    "q02_top_orders_by_revenue",
+    "q03_regional_revenue",
+    "q05_order_priority_semi",
+    "q06_customers_without_orders",
+    "q12_topk_per_customer",
+    "q13_running_total",
+    "q18_set_operations",
+    "q19_string_functions",
+    "q20_date_functions",
+    "q21_json_functions",
+    "q22_case_and_nulls",
+    "q23_math_functions",
+    "q24_price_band_join",
+    "q25_asof_join",
+    "q27_array_functions",
+    "q32_session_windows",
+    "q36b_retention_cohorts",
+    "q37s_distribution_ranks_scale",
+    "q40_incremental_watermark",
+    "q41_binary_payload_stats",
+    "q46_interval_self_join",
+    "q47_histogram",
+    "q49_filtered_aggregates",
+    "q50_dedup_exact",
+    "q52_dedup_simhash",
+    "q52b_simhash_hamming",
+    "q53_dedup_ngram_jaccard",
+    "q54_dedup_embedding_cosine",
+    "q57_minhash_jaccard_estimate",
+    "q60_lang_id_heuristic",
+    "q61_quality_score",
+    "q62_token_count",
+    "q63_fingerprint",
+    "q64_deterministic_sample",
+    "q65_tfidf_top_terms",
+    "q71_nation_trade_volume",
+    "q72_region_market_share",
+    "q73_returned_item_customers",
+    "q80_pii_redaction",
+    "q81_repetition_quality",
+    "q83_source_mixing",
+    # -- round-3-green representatives, one per family --
+    "q01_pricing_summary",      # relational agg
+    "q30_tumbling_daily",       # streaming-shaped
+    "q51_dedup_minhash_lsh",    # dedup LSH
+    "q58_dedup_clusters",       # connected components (recursive oracle)
+    "q56_ann_ivf_topk",         # ANN probe path
+    "q89_ann_srp_lsh",          # ANN data-independent path
+    "q88_source_quota",         # curation quota (pre-thin landed this round)
+    "q82_decontamination",      # curation broadcast semi-join
 )
 
 

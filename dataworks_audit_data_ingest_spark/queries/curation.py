@@ -473,9 +473,12 @@ def q88_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle keyed by source, partial top-N per map task
     via the window rank. For sources with billions of docs the exact
     window sort degenerates to a per-key global sort; the production
-    escape hatch is a two-pass hash-threshold (sample the hash
-    distribution, keep h < t, exact-rank only the boundary stratum) —
-    same output, bounded memory. The exact window form here is the
+    escape hatch is the two-pass hash-threshold pre-thin implemented in
+    ``text.pipeline.cap_per_source(prethin=True)`` (per-source threshold
+    t = 2^32·target/n broadcast to a MAP-SIDE h < t filter, exact rank
+    over the ~target survivors, verify-and-fallback for binomial
+    undershoot) — output-identical, equivalence-pinned by
+    ``tests/test_text_pipeline.py``. The exact window form here is the
     oracle pin."""
     d = table(spark, sf_dir, "documents")
     from pyspark.sql import Window

@@ -296,6 +296,8 @@ def cap_per_source(
     id_col: str = "doc_id",
     source_col: str = "source",
     seed: str = "quota",
+    prethin: bool = False,
+    prethin_target: int | None = None,
 ) -> DataFrame:
     """Absolute per-source cap (q88's quota sampler as a stage): keep at
     most ``max_docs`` documents per source, chosen by portable-hash rank —
@@ -303,18 +305,89 @@ def cap_per_source(
     (mix sets the ratio; this bounds the head regardless of corpus skew).
     Deterministic across engines, re-runs, and partitionings.
 
-    One shuffle keyed by ``source_col``; for sources far above the cap,
-    pre-thin with a hash-threshold filter before the exact rank (see the
-    q88 docstring) — output-identical, bounded memory."""
+    Two execution paths, **identical output** (pinned by
+    ``tests/test_text_pipeline.py``):
+
+    - ``prethin=False`` (default, the q88 oracle pin): one shuffle keyed
+      by ``source_col`` with an exact window rank. Spark 4's map-side
+      ``WindowGroupLimit`` bounds each task's contribution to
+      ``max_docs`` rows per source, but the per-source reducer still
+      receives up to ``max_docs × num_map_tasks`` rows — fine until the
+      task count is huge.
+    - ``prethin=True`` (the 100 TB path): two-pass hash-threshold. The
+      hash is uniform on [0, 2³²) by construction (MD5-derived), so a
+      per-source threshold ``t = 2³² · target / n`` keeps an expected
+      ``target = max_docs + 4√max_docs + 16`` rows; the ``h < t`` filter
+      runs MAP-SIDE (thresholds broadcast), so each reducer receives
+      ~``target`` rows per source — independent of corpus size AND task
+      count. A verify step counts survivors per source and routes any
+      under-covered source (binomial undershoot — probability ~1e-4 per
+      source at the 4σ+16 slack) through the exact path, making the
+      output unconditionally identical to the window form, not
+      probabilistically. Cost: one extra map-combined count scan (reduces
+      to one row per source) — the price that deletes the hot-source
+      reducer bound.
+
+    The source domain (one row per source for counts/thresholds) is
+    assumed broadcast-small — true for web-domain/provenance keys; for
+    an unbounded key, bucket it first."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(source_col).orderBy(
-        F.expr(spark_hash32(f"CAST({id_col} AS STRING)", seed)), F.col(id_col)
+    h = F.expr(spark_hash32(f"CAST({id_col} AS STRING)", seed))
+    w = Window.partitionBy(source_col).orderBy("_qh", F.col(id_col))
+    if not prethin:
+        return (
+            docs.withColumn("_qh", h)
+            .withColumn("_qr", F.row_number().over(w))
+            .filter(F.col("_qr") <= max_docs)
+            .drop("_qh", "_qr")
+        )
+    target = (
+        prethin_target
+        if prethin_target is not None
+        else max_docs + 4 * int(max_docs**0.5) + 16
+    )
+    hashed = docs.withColumn("_qh", h)
+    counts = hashed.groupBy(source_col).agg(F.count(F.lit(1)).alias("_qn"))
+    thr = counts.withColumn(
+        "_qthr",
+        F.when(F.col("_qn") <= F.lit(max_docs), F.lit(1 << 32)).otherwise(
+            F.least(
+                F.lit(1 << 32),
+                F.ceil(F.lit(float(1 << 32)) * F.lit(target) / F.col("_qn")),
+            )
+        ),
+    )
+    thinned = hashed.join(F.broadcast(thr), source_col).filter(
+        F.col("_qh") < F.col("_qthr")
+    )
+    # verify: a source is covered iff the thin kept at least
+    # min(max_docs, n) rows — the true top-max_docs by (hash, id) are
+    # then guaranteed to be among the survivors (h < t is a prefix of
+    # the hash order). Under-covered sources fall back to the exact scan.
+    cover = thinned.groupBy(source_col).agg(F.count(F.lit(1)).alias("_qm"))
+    bad = (
+        counts.join(cover, source_col, "left")  # a zero-survivor source has no cover row
+        .filter(
+            F.coalesce(F.col("_qm"), F.lit(0))
+            < F.least(F.lit(max_docs), F.col("_qn"))
+        )
+        .select(source_col)
+    )
+    pool_cols = [*docs.columns, "_qh"]
+    pool = (
+        thinned.select(*pool_cols)
+        .join(F.broadcast(bad), source_col, "left_anti")
+        .unionByName(
+            hashed.select(*pool_cols).join(
+                F.broadcast(bad), source_col, "left_semi"
+            )
+        )
     )
     return (
-        docs.withColumn("_qr", F.row_number().over(w))
+        pool.withColumn("_qr", F.row_number().over(w))
         .filter(F.col("_qr") <= max_docs)
-        .drop("_qr")
+        .drop("_qh", "_qr")
     )
 
 

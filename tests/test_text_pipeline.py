@@ -330,3 +330,90 @@ def test_drop_semantic_duplicates_overcap_bucket_anchor_star(spark):
     assert kept == {0}, (
         f"over-cap pile must collapse to the anchor, kept {kept}"
     )
+
+
+def test_cap_per_source_prethin_matches_exact_on_skew(spark):
+    """The hash-threshold pre-thin (the 100 TB path) is output-identical
+    to the exact window form on an engineered skewed corpus: one hot
+    source holding ~8x the others, plus a source entirely under the cap."""
+    from pyspark.sql import functions as F
+
+    from dataworks_audit_data_ingest_spark.operators import cap_per_source
+
+    d = table(spark, SF, "documents").select("doc_id", "source")
+    hot = d.filter(F.col("source") == d.select("source").first().source)
+    skewed = d.unionByName(
+        hot.select(
+            (F.col("doc_id") + 500_000).alias("doc_id"),
+            F.lit("hot_source").alias("source"),
+        )
+    )
+    for _ in range(3):  # hot_source ends up ~8x any natural source
+        skewed = skewed.unionByName(
+            skewed.filter(F.col("source") == "hot_source").select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "source"
+            )
+        )
+    tiny = spark.createDataFrame(
+        [(9_000_000 + i, "tiny_source") for i in range(3)],
+        "doc_id long, source string",
+    )
+    skewed = skewed.unionByName(tiny)
+    exact = {
+        (r.doc_id, r.source)
+        for r in cap_per_source(skewed, max_docs=7).collect()
+    }
+    thinned = {
+        (r.doc_id, r.source)
+        for r in cap_per_source(skewed, max_docs=7, prethin=True).collect()
+    }
+    assert thinned == exact
+    assert sum(1 for _, s in exact if s == "tiny_source") == 3  # under cap: all kept
+
+
+def test_cap_per_source_prethin_fallback_is_still_exact(spark):
+    """Force the binomial-undershoot fallback (prethin_target=1 keeps an
+    expected ONE row per over-cap source — far under the cap): the verify
+    step must route every under-covered source through the exact path, so
+    the output is still identical."""
+    from dataworks_audit_data_ingest_spark.operators import cap_per_source
+
+    d = table(spark, SF, "documents").select("doc_id", "source")
+    exact = {(r.doc_id, r.source) for r in cap_per_source(d, max_docs=10).collect()}
+    forced = {
+        (r.doc_id, r.source)
+        for r in cap_per_source(
+            d, max_docs=10, prethin=True, prethin_target=1
+        ).collect()
+    }
+    assert forced == exact
+
+
+def test_cap_per_source_prethin_filter_is_mapside(spark):
+    """The pre-thin's h < t filter must sit on the scan side of the
+    window exchange (broadcast-joined thresholds, no shuffle of corpus
+    rows before the filter): the plan shows a BroadcastHashJoin and a
+    Filter on the threshold column, and the only corpus-sized exchange
+    is the final per-source window."""
+    from dataworks_audit_data_ingest_spark.operators import cap_per_source
+
+    d = table(spark, SF, "documents").select("doc_id", "source")
+    plan = (
+        cap_per_source(d, max_docs=10, prethin=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the h < t comparison runs map-side: either as a standalone Filter or
+    # folded into the broadcast join's non-equi condition — both sit below
+    # the window's Exchange (no corpus shuffle precedes the thin)
+    thin_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "_qthr" in ln and ("Filter" in ln or "BroadcastHashJoin" in ln)
+    ]
+    assert thin_lines, plan[:2000]
+    # the thin happens before (below) the per-source window exchange
+    exch_pos = plan.index("Exchange hashpartitioning(source")
+    assert plan.index(thin_lines[0]) > exch_pos
