@@ -1,11 +1,21 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "runs": n,
+"queries_spread": {name: [min, max]}, "value_spread": [min_total, max_total]}.
 
 Each query is forced end-to-end with a noop write (full materialization, no
 driver collect bottleneck). A JVM/cache warm-up pass runs one tiny query
 first so measured times are steady-state plan+execute, not sessionstart.
+
+Variance protocol (round-3 lesson: cross-round wall-clock deltas under
+~1.3× at sf0.1 are ambient noise — a ±12% band was measured across six
+same-code runs): every query now runs $SPARK_GRAFT_BENCH_RUNS times
+(default 3, all warm), the headline per-query number is the MEAN, and the
+per-query [min, max] spread ships in the same JSON line so round-over-round
+comparisons carry their own error bars. The 23-query list is frozen as of
+round 4 — compare like for like; new operators get PERF.md sections, not
+headline-list churn.
 """
 
 from __future__ import annotations
@@ -68,19 +78,33 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — warm-up failure must not kill the run
         print(f"bench: warm-up failed: {type(e).__name__}: {e}", file=sys.stderr)
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        try:
-            registry[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # noqa: BLE001 — one failure must not zero the run
-            print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+        samples: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            try:
+                registry[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(time.perf_counter() - t0)
+            except Exception as e:  # noqa: BLE001 — one failure must not zero the run
+                print(
+                    f"bench: {name} failed: {type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
+                break
+        if samples:
+            timings[name] = round(sum(samples) / len(samples), 3)
+            spreads[name] = [round(min(samples), 3), round(max(samples), 3)]
+        else:
             timings[name] = -1.0
+            spreads[name] = [-1.0, -1.0]
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    ok = [n for n, t in timings.items() if t >= 0]
+    total = round(sum(timings[n] for n in ok), 3)
     print(
         json.dumps(
             {
@@ -89,6 +113,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": n_runs,
+                "queries_spread": spreads,
+                "value_spread": [
+                    round(sum(spreads[n][0] for n in ok), 3),
+                    round(sum(spreads[n][1] for n in ok), 3),
+                ],
             }
         )
     )

@@ -20,10 +20,20 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node_id, cluster_id) for every node appearing in ``edges``; the
     cluster id is the component's minimum node id. Input edges may be
-    directed — both directions are added internally."""
+    directed — both directions are added internally.
+
+    Convergence: one-hop min-label propagation reaches fixpoint in at
+    most ``diameter`` rounds plus one detection round (measured on an
+    engineered path graph in ``tests/test_functions.py``; PERF.md
+    quantifies rounds/wall). Near-dup graphs are stars/cliques
+    (diameter ≤ 2-3); for genuinely deep graphs raise ``max_iter`` —
+    the exhaustion warning below fires rather than silently mislabeling.
+    Pass ``stats={}`` to receive ``{"rounds": n, "converged": bool}``
+    back (observability hook; no effect on the result)."""
     pairs = edges.select(src, dst)
     # materialize the edge list ONCE — without this, the entire upstream
     # edge-producing plan (LSH banding, cosine verification, ...) would
@@ -34,7 +44,9 @@ def connected_components(
     nodes = both.select(F.col(src).alias("node_id")).distinct()
     labels = nodes.withColumn("label", F.col("node_id"))
     converged = False
+    rounds = 0
     for _ in range(max_iter):  # diameter bound; fixpoint reached far earlier
+        rounds += 1
         neigh = (
             both.join(labels, both[dst] == labels.node_id)
             .groupBy(F.col(src).alias("node_id"))
@@ -61,6 +73,9 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     if not converged:
         import warnings
 

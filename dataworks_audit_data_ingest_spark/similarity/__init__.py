@@ -1,4 +1,5 @@
 """Similarity-search API."""
 
 from .knn import cosine_expr, knn_join  # noqa: F401
+from .pq import encode_pq, pq_knn, train_pq  # noqa: F401
 from .quantize import dequantize, quantize_int8, quantized_knn  # noqa: F401

@@ -13,8 +13,9 @@ corpus pass and no trained statistics, and reconstruction error is bounded
 by ``scale/2`` per element regardless of outliers elsewhere in the corpus.
 The trade-off (cross-vector dot products need the affine correction, done
 in :func:`quantized_knn` via the expanded form) is standard scalar
-quantization; PQ/OPQ variants would slot beside this with trained
-codebooks (see `similarity/kmeans.py` for the training loop they'd reuse).
+quantization; the next compression rung — trained-codebook product
+quantization with ADC lookup search — lives in `similarity/pq.py`
+(4× smaller index than these int8 levels at m=16, d=64).
 
 Degenerate vectors (mx == mn, including all-zero) quantize to level 0
 everywhere with ``scale = 0`` and reconstruct exactly to the constant.
