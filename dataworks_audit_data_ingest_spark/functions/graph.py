@@ -1,12 +1,26 @@
 """Distributed graph primitives used by the dedup family.
 
-`connected_components` is iterative min-label propagation (alternating
-join + min-agg until fixpoint) — the standard large-graph CC pattern.
-Each round is ONE shuffle keyed on the node id; lineage is cut per round
-via ``localCheckpoint`` so plans don't grow with iterations, and the loop
-exits at the observed fixpoint, so total cost is O(graph diameter)
-shuffles — near-dup clusters are shallow (stars/cliques), so 2-3 rounds
-in practice.
+Two connected-components kernels behind one contract ((node_id,
+cluster_id), cluster id = component minimum):
+
+- ``method="label"`` — one-hop min-label propagation (alternating join +
+  min-agg until fixpoint). One shuffle per round, O(diameter) rounds.
+  The right kernel for near-dup graphs, which are stars/cliques of
+  diameter ≤ 2-3 (fixpoint in 3-4 rounds).
+- ``method="star"`` — the alternating large-star/small-star contraction
+  (the published MapReduce CC algorithm: Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14): each round rewires
+  every node's larger (large-star) or not-larger (small-star) neighbors
+  onto its neighborhood minimum — two grouped-min + join passes per
+  round — and the edge set converges to disjoint stars around component
+  minima in O(log n) rounds REGARDLESS of diameter. The kernel for
+  genuinely deep graphs (long chains, social/link graphs) where
+  O(diameter) rounds would dominate.
+
+Both cut lineage per round via ``localCheckpoint`` so plans don't grow
+with iterations, exit at the observed fixpoint, and are deterministic.
+PERF.md's CC section quantifies rounds for both on engineered path
+graphs (label: diameter+1; star: ~log).
 """
 
 from __future__ import annotations
@@ -21,19 +35,25 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 20,
     stats: dict | None = None,
+    method: str = "label",
 ) -> DataFrame:
     """(node_id, cluster_id) for every node appearing in ``edges``; the
     cluster id is the component's minimum node id. Input edges may be
     directed — both directions are added internally.
 
-    Convergence: one-hop min-label propagation reaches fixpoint in at
-    most ``diameter`` rounds plus one detection round (measured on an
-    engineered path graph in ``tests/test_functions.py``; PERF.md
-    quantifies rounds/wall). Near-dup graphs are stars/cliques
-    (diameter ≤ 2-3); for genuinely deep graphs raise ``max_iter`` —
-    the exhaustion warning below fires rather than silently mislabeling.
+    ``method="label"`` (default): one-hop min-label propagation —
+    fixpoint in at most ``diameter`` rounds plus one detection round
+    (measured on an engineered path graph in ``tests/test_graph.py``;
+    PERF.md quantifies rounds/wall). Near-dup graphs are stars/cliques
+    (diameter ≤ 2-3); for genuinely deep graphs either raise
+    ``max_iter`` — the exhaustion warning below fires rather than
+    silently mislabeling — or switch to ``method="star"``, the
+    large-star/small-star contraction that converges in O(log n) rounds
+    independent of diameter (same output, equivalence-tested).
     Pass ``stats={}`` to receive ``{"rounds": n, "converged": bool}``
     back (observability hook; no effect on the result)."""
+    if method == "star":
+        return _cc_star_contraction(edges, src, dst, max_iter, stats)
     pairs = edges.select(src, dst)
     # materialize the edge list ONCE — without this, the entire upstream
     # edge-producing plan (LSH banding, cosine verification, ...) would
@@ -86,3 +106,94 @@ def connected_components(
             stacklevel=2,
         )
     return labels.select("node_id", F.col("label").alias("cluster_id"))
+
+
+def _cc_star_contraction(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    stats: dict | None,
+) -> DataFrame:
+    """Alternating large-star/small-star CC (Kiveris et al., SoCC'14).
+
+    Working state is the undirected edge set stored as symmetric directed
+    pairs (u, v). Per half-round, with m(u) = min({u} ∪ Γ(u)):
+
+    - **large-star** rewires every strictly-larger neighbor onto the
+      minimum: emit (v, m(u)) for v ∈ Γ(u), v > u — plus (u, m(u)) to
+      keep u attached. Cuts long tails onto local minima.
+    - **small-star** rewires every not-larger neighbor onto the minimum:
+      emit (v, m(u)) for v ∈ Γ(u), v ≤ u, and (u, m(u)). Merges the
+      local minima themselves.
+
+    Each half-round is one grouped min (shuffle keyed by u) + one join;
+    the edge set is re-symmetrized, self-loops dropped, and the loop
+    exits when a large+small double round leaves the undirected edge set
+    unchanged — at that point every component is a star around its
+    minimum and the center IS the component minimum (the algorithm's
+    invariant), so labels read off the final edges directly. O(log n)
+    double rounds on any topology — the deep-graph complement to
+    min-label's O(diameter) (PERF.md measures both on path graphs)."""
+    pairs = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    cur = (
+        pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = cur.select(F.col("u").alias("node_id")).distinct().localCheckpoint(
+        eager=True
+    )
+
+    def half_round(sym: DataFrame, large: bool) -> DataFrame:
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        joined = sym.join(m, "u")
+        keep = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        rewired = joined.filter(keep).select(F.col("v").alias("a"), F.col("m").alias("b"))
+        anchor = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        out = rewired.union(anchor).filter(F.col("a") != F.col("b")).distinct()
+        # re-symmetrize for the next half-round's neighborhood views
+        return (
+            out.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .union(out.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            .distinct()
+        )
+
+    converged = False
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        nxt = half_round(half_round(cur, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        changed = (
+            nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
+        )
+        cur = nxt
+        if changed == 0:
+            converged = True
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components(method='star') hit max_iter={max_iter} "
+            "before the edge set stabilized; labels may not be component "
+            "minima — raise max_iter",
+            stacklevel=3,
+        )
+    # final state: disjoint stars around component minima. Every non-center
+    # node's single neighbor is the minimum; centers label themselves.
+    labels = cur.groupBy("u").agg(F.min("v").alias("mv")).select(
+        F.col("u").alias("node_id"),
+        F.least(F.col("u"), F.col("mv")).alias("cluster_id"),
+    )
+    return all_nodes.join(labels, "node_id", "left").select(
+        "node_id", F.coalesce("cluster_id", F.col("node_id")).alias("cluster_id")
+    )

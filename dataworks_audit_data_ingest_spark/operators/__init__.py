@@ -44,6 +44,7 @@ from ..streaming.stateful import (  # noqa: F401
     running_user_profiles_v2,
 )
 from ..text.incremental_dedup import incremental_dedup_batch  # noqa: F401
+from ..text.incremental_semantic import incremental_semantic_batch  # noqa: F401
 from ..text.pipeline import (  # noqa: F401
     annotate_quality,
     cap_per_source,

@@ -1,5 +1,10 @@
 """Composable text-curation pipeline API."""
 
+from .incremental_semantic import (  # noqa: F401
+    incremental_semantic_batch,
+    sign_and_quantize,
+)
+
 from .pipeline import (  # noqa: F401
     annotate_quality,
     cap_per_source,

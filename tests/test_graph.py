@@ -73,3 +73,51 @@ def test_cc_deep_chain_with_raised_max_iter(spark):
     assert stats["converged"] is True
     assert {r.cluster_id for r in labels.collect()} == {0}
     assert stats["rounds"] <= 31
+
+
+def test_cc_star_contraction_matches_label_on_paths_and_real_edges(spark):
+    """The O(log n) star-contraction kernel and the O(diameter) min-label
+    kernel are output-identical: on a deep path (diameter 59), on two
+    disjoint paths, and on the real q51 near-dup pair graph."""
+    from dataworks_audit_data_ingest_spark.queries.dedup import (
+        q51_dedup_minhash_lsh,
+    )
+
+    deep = _path_edges(spark, 60)
+    want = {(r.node_id, r.cluster_id) for r in connected_components(deep, max_iter=80).collect()}
+    got = {
+        (r.node_id, r.cluster_id)
+        for r in connected_components(deep, method="star").collect()
+    }
+    assert got == want
+
+    two = _path_edges(spark, 9).unionByName(_path_edges(spark, 9, offset=50))
+    assert {
+        (r.node_id, r.cluster_id)
+        for r in connected_components(two, method="star").collect()
+    } == {(i, 0) for i in range(9)} | {(50 + i, 50) for i in range(9)}
+
+    real = q51_dedup_minhash_lsh(spark, "/root/testdata/sf0.001").select(
+        "doc_a", "doc_b"
+    )
+    want_real = {
+        (r.node_id, r.cluster_id) for r in connected_components(real).collect()
+    }
+    got_real = {
+        (r.node_id, r.cluster_id)
+        for r in connected_components(real, method="star").collect()
+    }
+    assert got_real == want_real
+
+
+def test_cc_star_contraction_rounds_are_logarithmic(spark):
+    """On a 60-node path (diameter 59, where min-label needs 60 rounds)
+    star contraction must stabilize in O(log n) double rounds — the
+    entire point of the kernel."""
+    stats: dict = {}
+    labels = connected_components(
+        _path_edges(spark, 60), method="star", max_iter=15, stats=stats
+    )
+    assert stats["converged"] is True
+    assert {r.cluster_id for r in labels.collect()} == {0}
+    assert stats["rounds"] <= 9, stats  # log2(60) ~ 6 double rounds + detect

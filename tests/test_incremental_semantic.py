@@ -1,0 +1,104 @@
+"""`text/incremental_semantic.py`: cross-batch semantic dup detection
+against the signature+int8 store, within-batch dedup, replay idempotency,
+and the stored-doc-is-always-kept orientation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataworks_audit_data_ingest_spark.tables import table
+from dataworks_audit_data_ingest_spark.text.incremental_semantic import (
+    incremental_semantic_batch,
+    sign_and_quantize,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark, lo, hi):
+    return (
+        table(spark, SF, "embeddings")
+        .filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias(
+                "embedding"
+            ),
+        )
+    )
+
+
+def _clones(df, offset, scale="1.5"):
+    return df.select(
+        (F.col("doc_id") + offset).alias("doc_id"),
+        F.expr(f"TRANSFORM(embedding, x -> x * {scale})").alias("embedding"),
+    )
+
+
+def test_store_row_shape(spark):
+    sq = sign_and_quantize(_emb(spark, 0, 10))
+    r = sq.first()
+    assert set(sq.columns) == {"doc_id", "fullsig", "q_levels", "q_min", "q_scale"}
+    assert len(r.fullsig) == 32 and set(r.fullsig) <= {"0", "1"}
+    assert len(r.q_levels) == 64
+
+
+def test_cross_batch_semantic_dups_detected(spark, tmp_path):
+    """Batch 2 clones of batch-1 vectors are caught against the STORE
+    (dequantized verification) with the stored doc as the kept side, even
+    when the clone id is smaller than nothing — and genuinely new vectors
+    pass through."""
+    store = str(tmp_path / "semstore")
+    b1 = _emb(spark, 0, 30)
+    uniq1, dups1 = incremental_semantic_batch(spark, store, b1, "b1")
+    assert dups1.count() == 0  # fixture vectors are mutually distant
+    assert uniq1.count() == 30
+
+    # batch 2: clones of stored docs 0..9 (x1.5 — cosine 1.0) + fresh 40..49
+    b2 = _clones(_emb(spark, 0, 10), 100000).unionByName(_emb(spark, 40, 50))
+    uniq2, dups2 = incremental_semantic_batch(spark, store, b2, "b2")
+    got_pairs = {(r.doc_a, r.doc_b) for r in dups2.collect()}
+    assert got_pairs == {(i, 100000 + i) for i in range(10)}  # stored kept
+    assert {r.doc_id for r in uniq2.select("doc_id").collect()} == set(
+        range(40, 50)
+    )
+
+
+def test_within_batch_and_replay_idempotent(spark, tmp_path):
+    """Two clones inside ONE batch collapse to the earlier id; re-running
+    the same batch_id (replay after a mid-commit crash) returns the same
+    unique set — the store read excludes the current batch's partition."""
+    store = str(tmp_path / "semstore2")
+    base = _emb(spark, 0, 20)
+    batch = base.unionByName(_clones(_emb(spark, 5, 8), 200000))
+    uniq, dups = incremental_semantic_batch(spark, store, batch, "day1")
+    assert {(r.doc_a, r.doc_b) for r in dups.collect()} == {
+        (i, 200000 + i) for i in range(5, 8)
+    }
+    n_first = uniq.count()
+    assert n_first == 20
+
+    uniq_again, dups_again = incremental_semantic_batch(
+        spark, store, batch, "day1"
+    )
+    assert uniq_again.count() == n_first
+    assert {(r.doc_a, r.doc_b) for r in dups_again.collect()} == {
+        (i, 200000 + i) for i in range(5, 8)
+    }
+
+
+def test_store_grows_only_with_uniques(spark, tmp_path):
+    store = str(tmp_path / "semstore3")
+    incremental_semantic_batch(spark, store, _emb(spark, 0, 10), "b1")
+    incremental_semantic_batch(
+        spark,
+        store,
+        _clones(_emb(spark, 0, 5), 300000).unionByName(_emb(spark, 20, 25)),
+        "b2",
+    )
+    stored = spark.read.parquet(store)
+    assert stored.count() == 15  # 10 + 5 fresh; the 5 clones never stored
+    assert {r.batch_id for r in stored.select("batch_id").distinct().collect()} == {
+        "b1",
+        "b2",
+    }
