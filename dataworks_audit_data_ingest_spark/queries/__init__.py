@@ -32,10 +32,14 @@ from . import curation  # noqa: E402,F401
 # Round-4 rotation: q90 (brand-new this round — semantic dedup's first
 # driver row, the round-3 verdict's top ask) first, then the 41 queries
 # whose newest driver row is round 2 (the r02-only set plus the q50/q21/q27
-# refreshes dropped in round 3), then 8 round-3-green representatives, one
-# per family (ingest, streaming, dedup-LSH, CC, ANN, sketch, curation,
-# relational). r02 ∪ r03 ∪ r04 then keeps every one of the 92 registered
-# queries with a driver row at most one round old.
+# refreshes dropped in round 3), then the other four queries born this
+# round (q91–q94, no driver row yet), then 4 round-3-green representatives
+# whose code changed or whose family the new queries don't already cover
+# (q88's cap_per_source gained the pre-thin this round; q58/q56/q89 are the
+# CC + ANN paths). r02 ∪ r03 ∪ r04 then keeps every one of the 96
+# registered queries with a driver row at most one round old (the four
+# representatives dropped for space — q01, q30, q51, q82 — are r03-green
+# with unchanged code).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- added in round 4, no driver row yet --
     "q90_semantic_dedup",
@@ -81,15 +85,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q80_pii_redaction",
     "q81_repetition_quality",
     "q83_source_mixing",
-    # -- round-3-green representatives, one per family --
-    "q01_pricing_summary",      # relational agg
-    "q30_tumbling_daily",       # streaming-shaped
-    "q51_dedup_minhash_lsh",    # dedup LSH
+    # -- born in round 4, no driver row yet --
+    "q91_sessionize_batch",     # batch sessionization (streaming family)
+    "q92_char_diversity",       # char-diversity quality (text family)
+    "q93_cdc_chunk_dedup",      # content-defined chunking (dedup family)
+    "q94_salted_join",          # skew-salted join (relational family)
+    # -- round-3-green representatives --
     "q58_dedup_clusters",       # connected components (recursive oracle)
     "q56_ann_ivf_topk",         # ANN probe path
     "q89_ann_srp_lsh",          # ANN data-independent path
     "q88_source_quota",         # curation quota (pre-thin landed this round)
-    "q82_decontamination",      # curation broadcast semi-join
 )
 
 

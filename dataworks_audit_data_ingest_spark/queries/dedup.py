@@ -1165,3 +1165,127 @@ def q90_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_cap=_SEM_CAP,
     )
     return kept.select("vec_id").orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC)
+# ---------------------------------------------------------------------------
+
+_CDC_WIN = 8  # rolling-window width, characters
+_CDC_DIV = 64  # boundary divisor -> ~64-char expected chunk length
+
+
+def _cdc_window_hash(text_col: str, pos_col: str) -> str:
+    """Polynomial hash of the WIN-char window at 1-based position ``pos``:
+    fold(h*31 + codepoint), pure BIGINT arithmetic (max value
+    0x10FFFF·(31⁸−1)/30 ≈ 3.1e16 — no overflow, no libm), identical text
+    in Spark SQL and DuckDB."""
+    h = f"CAST(ascii(substr({text_col}, {pos_col}, 1)) AS BIGINT)"
+    for k in range(1, _CDC_WIN):
+        h = f"({h} * 31 + ascii(substr({text_col}, {pos_col} + {k}, 1)))"
+    return h
+
+
+@register(
+    "q93_cdc_chunk_dedup",
+    sql=f"""
+    WITH docs AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE doc_id < 200 AND length(text) >= {_CDC_WIN}
+    ), pos AS (
+      SELECT doc_id, text,
+             UNNEST(generate_series(1, length(text) - {_CDC_WIN - 1})) AS p
+      FROM docs
+    ), cuts AS (
+      SELECT DISTINCT doc_id, end_pos FROM (
+        SELECT doc_id, p + {_CDC_WIN - 1} AS end_pos
+        FROM pos WHERE {_cdc_window_hash('text', 'p')} % {_CDC_DIV} = 0
+        UNION ALL
+        SELECT doc_id, length(text) AS end_pos FROM docs) u
+    ), spans AS (
+      SELECT doc_id, end_pos,
+             COALESCE(LAG(end_pos) OVER (PARTITION BY doc_id ORDER BY end_pos),
+                      0) + 1 AS start_pos
+      FROM cuts
+    ), chunks AS (
+      SELECT d.source,
+             md5(substr(d.text, CAST(s.start_pos AS INT),
+                        CAST(s.end_pos - s.start_pos + 1 AS INT))) AS chunk_hash,
+             s.end_pos - s.start_pos + 1 AS chunk_len
+      FROM spans s JOIN docs d USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT chunk_hash) AS n_unique_chunks,
+           SUM(chunk_len) AS total_chars,
+           MAX(chunk_len) AS max_chunk_len
+    FROM chunks
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("dedup", "cdc", "chunking"),
+)
+def q93_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level dedup: cut each document where
+    the polynomial hash of the trailing 8-char window ≡ 0 (mod 64) — the
+    Rabin/Gear-CDC boundary rule, so an insertion early in a document shifts
+    at most one chunk instead of re-aligning every fixed-size block (q86's
+    failure mode). Chunks are identified by md5; per-source output reports
+    chunk count, unique-chunk count, and size stats.
+
+    The rolling hash is a pure-BIGINT codepoint polynomial (no libm, no
+    engine-specific hash), so boundaries — and therefore chunk md5s — are
+    bit-identical in Spark and DuckDB.
+
+    Scale shape: the position explode (rows = corpus characters) is narrow —
+    boundary filtering happens before any exchange, so only ~1/64 of
+    positions survive to the doc_id-keyed window; chunk extraction joins the
+    tiny cut list back to the doc text; the final agg is a two-level
+    (source-keyed) combine. One corpus scan, two small shuffles.
+    """
+    from pyspark.sql import Window
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & (F.length("text") >= _CDC_WIN))
+        .select("doc_id", "source", "text")
+    )
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (_CDC_WIN - 1))
+        ).alias("p"),
+    )
+    bounds = pos.filter(
+        F.expr(f"({_cdc_window_hash('text', 'p')}) % {_CDC_DIV} = 0")
+    ).select("doc_id", (F.col("p") + (_CDC_WIN - 1)).alias("end_pos"))
+    cuts = bounds.unionByName(
+        docs.select("doc_id", F.length("text").cast("bigint").alias("end_pos"))
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("end_pos")
+    spans = cuts.select(
+        "doc_id",
+        "end_pos",
+        (F.coalesce(F.lag("end_pos").over(w), F.lit(0)) + 1).alias("start_pos"),
+    )
+    chunks = spans.join(F.broadcast(docs), "doc_id").select(
+        "source",
+        F.md5(
+            F.expr(
+                "substr(text, CAST(start_pos AS INT),"
+                " CAST(end_pos - start_pos + 1 AS INT))"
+            )
+        ).alias("chunk_hash"),
+        (F.col("end_pos") - F.col("start_pos") + 1).alias("chunk_len"),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_hash").alias("n_unique_chunks"),
+            F.sum("chunk_len").alias("total_chars"),
+            F.max("chunk_len").alias("max_chunk_len"),
+        )
+        .orderBy("source")
+    )

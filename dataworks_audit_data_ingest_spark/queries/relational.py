@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import table
-from .base import davg, dsum, q4, register
+from .base import davg, dsum, q4, q4_col, register
 
 # Shared portable expressions (identical text runs in Spark SQL and DuckDB).
 _DISC_PRICE = q4(
@@ -692,4 +692,51 @@ def q45_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ka") == F.col("kb"), 1).otherwise(0).alias("is_same"),
         )
         .orderBy("region_a", "region_b")
+    )
+
+
+@register(
+    "q94_salted_join",
+    sql=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           {dsum('o.o_totalprice', 'total_price')}
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    tags=("join", "skew", "salted"),
+)
+def q94_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (``functions.skew.salted_join``): the fact side
+    is salted into 8 buckets and the dimension replicated once per bucket,
+    so one hot customer's orders land on 8 different reducers instead of
+    one. Output is provably identical to the plain join — the oracle IS the
+    plain join — which is the salting contract: a pure physical rewrite.
+
+    Scale shape: replication costs |dim|·8 (used when the dim exceeds the
+    broadcast threshold but is far smaller than the skewed fact side); the
+    join shuffles on (custkey, salt), spreading any hot key. On this
+    fixture Spark still picks broadcast-hash for the replicated dim — the
+    salted SMJ shape under a disabled broadcast threshold is pinned in
+    ``tests/test_skew_guards.py``.
+    """
+    from ..functions.skew import salted_join
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, "custkey", salt_buckets=8)
+    return (
+        joined.groupBy(F.col("c_mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            q4_col(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))).alias(
+                "total_price"
+            ),
+        )
+        .orderBy("c_mktsegment")
     )

@@ -430,3 +430,90 @@ def q84_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap, in microseconds
+
+
+@register(
+    "q91_sessionize_batch",
+    sql=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN gap_us IS NULL OR gap_us > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), numbered AS (
+      SELECT user_id, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts_us) AS start_us,
+           MAX(ts_us) AS end_us,
+           (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_s
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    tags=("timeseries", "sessionization"),
+)
+def q91_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into sessions at
+    inactivity gaps > 30 min (the batch twin of q32's streaming
+    ``session_window``, but with an explicit per-session ordinal and exact
+    integer timestamps so the boundary logic is oracle-checkable).
+
+    Gap detection runs on ``unix_micros`` BIGINTs (portable and exact;
+    epoch-seconds doubles round differently across engines), with
+    ``event_id`` as the deterministic order tie-break for equal timestamps
+    (ties yield gap 0 either way, so session boundaries are order-stable).
+
+    Scale shape: one shuffle on ``user_id``; both windows and the final
+    aggregate reuse that partitioning (plan shows a single exchange). Hot
+    users bound the per-task working set — a user's whole history sorts on
+    one task, the standard sessionization trade; users are the natural
+    skew unit and AQE's skew handling covers pathological ones.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("bigint").alias("session_id"),
+            "n_events",
+            "start_us",
+            "end_us",
+            F.expr("(end_us - start_us) DIV 1000000").alias("duration_s"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -450,3 +450,59 @@ def q87_heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), "word")
         .limit(_CMS_TOP)
     )
+
+
+@register(
+    "q92_char_diversity",
+    sql="""
+    WITH chars AS (
+      SELECT doc_id, UNNEST(string_split(text, '')) AS ch
+      FROM documents WHERE doc_id < 200 AND length(text) > 0
+    ), counts AS (
+      SELECT doc_id, ch, COUNT(*) AS cnt FROM chars GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           SUM(cnt) AS n_chars_total,
+           COUNT(*) AS n_distinct_chars,
+           (MAX(cnt) * 1000000) // SUM(cnt) AS top_char_ppm,
+           ((SUM(cnt) * SUM(cnt) - SUM(cnt * cnt)) * 1000000)
+             // (SUM(cnt) * SUM(cnt)) AS gini_ppm
+    FROM counts
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "diversity"),
+)
+def q92_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity quality signal per document: distinct-character
+    count, hottest-character share, and Gini impurity 1 − Σpᵢ² — a
+    libm-free stand-in for character entropy (same ordering on the
+    degenerate-text axis a quality filter cares about: low diversity ⇒ low
+    Gini ⇒ likely boilerplate/repetition). All ratios are emitted in exact
+    integer parts-per-million (transcendental-free, so both engines agree
+    bit-for-bit — same policy as q65's linearized idf).
+
+    Scale shape: one explode (rows = corpus characters) feeding a two-level
+    aggregate — (doc, char) partials combine map-side, then one shuffle
+    keyed by doc_id. No joins, no global state; row width after the first
+    aggregate is two small integers per distinct (doc, char).
+    """
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & (F.length("text") > 0))
+        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    )
+    counts = d.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_chars_total"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.expr("(MAX(cnt) * 1000000) DIV SUM(cnt)").alias("top_char_ppm"),
+            F.expr(
+                "((SUM(cnt) * SUM(cnt) - SUM(cnt * cnt)) * 1000000)"
+                " DIV (SUM(cnt) * SUM(cnt))"
+            ).alias("gini_ppm"),
+        )
+        .orderBy("doc_id")
+    )
