@@ -488,3 +488,116 @@ def q89_ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Diversity sampling: SRP-direction buckets × per-bucket quota
+# ---------------------------------------------------------------------------
+
+_DIV_BITS = 8  # SRP sign bits per bucket -> up to 256 direction buckets
+_DIV_CAP = 2  # vectors kept per bucket
+
+
+@register(
+    "q95_diverse_sample",
+    sql=f"""
+    WITH elems AS (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM (SELECT vec_id, embedding,
+                   UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
+            FROM embeddings)
+    ), hyper AS (
+      SELECT j, pos, {_srp_h("j", "pos", "duckdb")} AS h
+      FROM (SELECT UNNEST(RANGE(0, {_DIV_BITS})) AS j)
+      CROSS JOIN (SELECT DISTINCT pos FROM elems)
+    ), proj AS (
+      SELECT vec_id, j,
+             SUM(CAST(FLOOR(v * h * {_SRP_SCALE}) AS BIGINT)) AS proj
+      FROM elems JOIN hyper USING (pos)
+      GROUP BY vec_id, j
+    ), buckets AS (
+      SELECT vec_id,
+             SUM((CASE WHEN proj >= 0 THEN 1 ELSE 0 END) << CAST(j AS INT))
+               AS bucket
+      FROM proj GROUP BY vec_id
+    ), sized AS (
+      SELECT vec_id, bucket,
+             COUNT(*) OVER (PARTITION BY bucket) AS n_in_bucket,
+             ROW_NUMBER() OVER (
+               PARTITION BY bucket
+               ORDER BY {duckdb_hash32("CAST(vec_id AS VARCHAR)", "divsample")},
+                        vec_id) AS rnk
+      FROM buckets
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, vec_id,
+           CAST(rnk AS BIGINT) AS rnk, n_in_bucket
+    FROM sized WHERE rnk <= {_DIV_CAP}
+    ORDER BY bucket, rnk
+    """,
+    tags=("similarity", "sampling", "diversity", "srp"),
+)
+def q95_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling over the embedding corpus: bucket vectors by an
+    8-bit SRP direction signature (same integer-quantized hyperplane
+    machinery as q89, so buckets ≈ directions on the unit sphere), then
+    keep a deterministic hash-rank quota of 2 per bucket — the embedding
+    analog of q88's per-source quota. The sample covers every occupied
+    direction cell instead of oversampling dense regions, which is the
+    point of diversity sampling for training-data curation (cf. q59's
+    k-means cells — this is the training-free variant).
+
+    Scale shape: signatures are fully map-side (broadcast hyperplane
+    table + one combine-enabled groupBy carrying 8 BIGINT partials per
+    vector); the quota is one (bucket)-keyed window. At a production cap,
+    the q88 hash-threshold pre-thin applies unchanged since the rank key
+    is the same portable hash.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    elems = e.select(
+        "vec_id",
+        F.posexplode(F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "pos", "v"
+        ),
+    )
+    dims = e.limit(1).select(
+        F.posexplode(F.col("embedding")).alias("pos", "_v")
+    ).select("pos")
+    hyper = dims.select(
+        "pos",
+        F.expr(
+            f"TRANSFORM(SEQUENCE(0, {_DIV_BITS - 1}), "
+            f"j -> {_srp_h('j', 'pos', 'spark')})"
+        ).alias("harr"),
+    )
+    proj = (
+        elems.join(F.broadcast(hyper), "pos")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum(
+                    F.expr(
+                        f"CAST(FLOOR(v * harr[{j}] * {_SRP_SCALE}) AS BIGINT)"
+                    )
+                ).alias(f"p{j}")
+                for j in range(_DIV_BITS)
+            ]
+        )
+    )
+    bucket = " + ".join(
+        f"SHIFTLEFT(CASE WHEN p{j} >= 0 THEN 1 ELSE 0 END, {j})"
+        for j in range(_DIV_BITS)
+    )
+    buckets = proj.select(
+        "vec_id", F.expr(f"CAST(({bucket}) AS BIGINT)").alias("bucket")
+    )
+    w_size = Window.partitionBy("bucket")
+    w_rank = Window.partitionBy("bucket").orderBy(
+        F.expr(spark_hash32("CAST(vec_id AS STRING)", "divsample")), F.asc("vec_id")
+    )
+    return (
+        buckets.withColumn("n_in_bucket", F.count(F.lit(1)).over(w_size))
+        .withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rnk") <= _DIV_CAP)
+        .select("bucket", "vec_id", "rnk", "n_in_bucket")
+        .orderBy("bucket", "rnk")
+    )
