@@ -23,6 +23,7 @@ from ..similarity.kmeans import assign_cells, train_cells  # noqa: F401
 from ..functions.graph import connected_components  # noqa: F401
 from ..similarity.knn import knn_join  # noqa: F401
 from ..similarity.pca import fit_pca, transform_pca  # noqa: F401
+from ..similarity.opq import encode_opq, opq_knn, train_opq  # noqa: F401
 from ..similarity.pq import encode_pq, pq_knn, train_pq  # noqa: F401
 from ..similarity.quantize import (  # noqa: F401
     dequantize,

@@ -160,6 +160,17 @@ def encode_opq(
     return encode_pq(rotated, codebooks, m, id_col, "_rot")
 
 
+def _rotated_queries(
+    queries: DataFrame, rotation: list[list[float]], vec_col: str
+) -> DataFrame:
+    """Rotate + materialize the query side once: `pq_knn` walks its query
+    input twice (LUT build and norm pass), and the d² rotation runs on the
+    interpreted higher-order-function path — localCheckpoint keeps it to
+    one evaluation. The query side is small by construction (it broadcasts
+    downstream)."""
+    return rotate_vectors(queries, rotation, vec_col, "_rot").localCheckpoint()
+
+
 def opq_knn(
     queries: DataFrame,
     corpus_codes: DataFrame,
@@ -179,7 +190,7 @@ def opq_knn(
     because rotation preserves inner products — rerank the top candidates
     with exact cosine on the ORIGINAL vectors (no corpus-side rotation at
     query time)."""
-    rq = rotate_vectors(queries, rotation, vec_col, "_rot")
+    rq = _rotated_queries(queries, rotation, vec_col)
     if not rerank:
         return pq_knn(
             rq, corpus_codes, codebooks, k, m, ksub, query_id, corpus_id, "_rot"
