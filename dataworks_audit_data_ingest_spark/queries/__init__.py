@@ -33,13 +33,12 @@ from . import curation  # noqa: E402,F401
 # driver row, the round-3 verdict's top ask) first, then the 41 queries
 # whose newest driver row is round 2 (the r02-only set plus the q50/q21/q27
 # refreshes dropped in round 3), then the other four queries born this
-# round (q91–q95, no driver row yet), then 3 round-3-green representatives
-# whose code changed or whose family the new queries don't already cover
-# (q88's cap_per_source gained the pre-thin this round; q58/q56 are the
-# CC + ANN-probe paths). r02 ∪ r03 ∪ r04 then keeps every one of the 97
-# registered queries with a driver row at most one round old (the five
-# representatives dropped for space — q01, q30, q51, q82, q89 — are
-# r03-green with unchanged code).
+# round (q91–q97, no driver row yet), then one round-3-green
+# representative whose code changed this round (q88's cap_per_source
+# gained the pre-thin). r02 ∪ r03 ∪ r04 then keeps every one of the 98
+# registered queries with a driver row at most one round old (the seven
+# representatives dropped for space — q01, q30, q51, q56, q58, q82,
+# q89 — are r03-green with unchanged code).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- added in round 4, no driver row yet --
     "q90_semantic_dedup",
@@ -91,9 +90,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q93_cdc_chunk_dedup",      # content-defined chunking (dedup family)
     "q94_salted_join",          # skew-salted join (relational family)
     "q95_diverse_sample",       # SRP-bucket diversity sampling (similarity)
-    # -- round-3-green representatives --
-    "q58_dedup_clusters",       # connected components (recursive oracle)
-    "q56_ann_ivf_topk",         # ANN probe path
+    # -- born in round 4 (late): Bloom blocklist + ExactSubstr spans --
+    "q96_bloom_blocklist",      # Bloom-prefiltered blocklist decontamination
+    "q97_exact_substr_spans",   # repeated-window span dedup (ExactSubstr)
+    # -- round-3-green representative whose code changed this round --
     "q88_source_quota",         # curation quota (pre-thin landed this round)
 )
 

@@ -492,3 +492,105 @@ def q88_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick_rank") <= _QUOTA_N)
         .orderBy("source", "pick_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist decontamination with a Bloom pre-filter
+# ---------------------------------------------------------------------------
+
+_BLOCK_MOD = 31  # doc_id % 31 == 0 plays the opt-out/takedown blocklist
+_PLANT_MOD = 23  # doc_id % 23 == 7 get the probe text planted (observability)
+
+
+@register(
+    "q96_bloom_blocklist",
+    sql=f"""
+    WITH probe AS (
+      SELECT text AS ptext FROM documents WHERE doc_id = 0
+    ), seeded AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % {_PLANT_MOD} = 7 AND doc_id % {_BLOCK_MOD} <> 0
+                  THEN ptext ELSE text END AS text
+      FROM documents CROSS JOIN probe
+    ), blocklist AS (
+      SELECT DISTINCT MD5(text) AS fp FROM seeded WHERE doc_id % {_BLOCK_MOD} = 0
+    ), corpus AS (
+      SELECT doc_id, source, MD5(text) AS fp, LENGTH(text) AS n_chars
+      FROM seeded WHERE doc_id % {_BLOCK_MOD} <> 0
+    ), hits AS (
+      SELECT DISTINCT doc_id FROM corpus SEMI JOIN blocklist USING (fp)
+    )
+    SELECT c.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked,
+           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN c.n_chars ELSE 0 END)
+                AS BIGINT) AS chars_blocked
+    FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+    GROUP BY c.source
+    ORDER BY c.source
+    """,
+    tags=("curation", "decontamination", "bloom"),
+)
+def q96_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist decontamination via a broadcast Bloom pre-filter: drop
+    corpus documents whose content fingerprint appears in an opt-out /
+    takedown blocklist (docs with doc_id % 31 == 0 play the blocklist;
+    docs with doc_id % 23 == 7 get a blocklisted text planted so the
+    detector is observable on the clean fixture).
+
+    The operator q82 cannot become at scale: q82 broadcasts the raw
+    benchmark grams, which stops working when the key set has billions of
+    entries. Here the blocklist aggregates into a FIXED-SIZE Bloom bitmap
+    (``functions.bloom.build_bloom_bitmap`` — one bit_or aggregation,
+    shuffle bounded by tasks x m/64 words regardless of key count), the
+    8 KiB bitmap rides into the corpus scan as a constant-folded array
+    literal, and the overwhelming majority of rows dies MAP-SIDE on the
+    membership test (shift/and arithmetic inside codegen, no UDF). Only
+    the Bloom-positive sliver (true hits + the configured FP rate) enters
+    the exact semi-join, whose verify step makes the composition
+    row-identical to the plain join — no false negatives, so the DuckDB
+    oracle is the plain exact join. The 100 TB decontamination shape.
+    """
+    d = table(spark, sf_dir, "documents")
+    from ..functions.bloom import bloom_might_contain, build_bloom_bitmap
+
+    probe = d.filter(F.col("doc_id") == 0).select(F.col("text").alias("ptext"))
+    seeded = d.join(F.broadcast(probe)).select(
+        "doc_id",
+        "source",
+        F.when(
+            (F.col("doc_id") % _PLANT_MOD == 7) & (F.col("doc_id") % _BLOCK_MOD != 0),
+            F.col("ptext"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    blocklist = (
+        seeded.filter(F.col("doc_id") % _BLOCK_MOD == 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    corpus = seeded.filter(F.col("doc_id") % _BLOCK_MOD != 0).select(
+        "doc_id", "source", F.md5("text").alias("fp"), F.length("text").alias("n_chars")
+    )
+    bitmap = build_bloom_bitmap(blocklist, "fp")
+    hits = (
+        corpus.filter(bloom_might_contain("fp", bitmap))
+        .join(blocklist, "fp", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        corpus.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_blocked"),
+            F.sum(
+                F.when(F.col("hit").isNotNull(), F.col("n_chars")).otherwise(0)
+            ).alias("chars_blocked"),
+        )
+        .orderBy("source")
+    )

@@ -1289,3 +1289,151 @@ def q93_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (repeated token-window) span dedup
+# ---------------------------------------------------------------------------
+
+_XS_W = 8  # token-window width for repeated-span detection
+_XS_PLANT_MOD = 17  # doc_id % 17 == 2 get the probe window planted
+
+
+@register(
+    "q97_exact_substr_spans",
+    sql=f"""
+    WITH probe AS (
+      SELECT ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:{_XS_W}], ' ') AS g0
+      FROM documents WHERE doc_id = 0
+    ), seeded AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % {_XS_PLANT_MOD} = 2 AND doc_id <> 0
+                  THEN text || ' ' || g0 ELSE text END AS text
+      FROM documents CROSS JOIN probe
+    ), toks AS (
+      SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tok
+      FROM seeded
+    ), pos AS (
+      SELECT doc_id, i,
+             {duckdb_hash32(f"ARRAY_TO_STRING(ws[i:i+{_XS_W - 1}], ' ')", "xs")} AS gh
+      FROM (SELECT doc_id, ws,
+                   UNNEST(RANGE(1, n_tok - {_XS_W - 2})) AS i
+            FROM toks WHERE n_tok >= {_XS_W})
+    ), dup AS (
+      SELECT doc_id, i FROM (
+        SELECT doc_id, i, COUNT(*) OVER (PARTITION BY gh) AS c FROM pos)
+      WHERE c >= 2
+    ), covered AS (
+      SELECT DISTINCT doc_id, i + u.j AS p
+      FROM dup, UNNEST(RANGE(0, {_XS_W})) AS u(j)
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS dup_tok FROM covered GROUP BY doc_id
+    )
+    SELECT t.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN p.dup_tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(COALESCE(SUM(p.dup_tok), 0) AS BIGINT) AS dup_tokens,
+           CAST(SUM(t.n_tok) AS BIGINT) AS total_tokens
+    FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    GROUP BY t.source
+    ORDER BY t.source
+    """,
+    tags=("dedup", "exact-substr", "spans", "window"),
+)
+def q97_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (the ExactSubstr operator of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022): find every {_XS_W}-token window occurring >= 2 times
+    ANYWHERE in the corpus, merge each document's duplicated windows into
+    maximal spans, and report per-source duplicated-token totals — the
+    token-level complement of the document-level families (q50-q54): it
+    catches boilerplate and quotation reuse inside otherwise-unique
+    documents. Docs with doc_id % 17 == 2 get the probe window planted so
+    the detector is observable on the clean fixture.
+
+    Scale shape: windows shuffle ONCE keyed by a 32-bit portable gram
+    hash (3 ints per row — the gram string itself never leaves the map
+    side), a count-over-hash window marks repeats, and span merging is
+    gaps-and-islands over each document's duplicate starts (running-max
+    window over a doc-keyed exchange) — O(starts) per doc, versus the
+    oracle's w-times position explode, which is the naive form this plan
+    deliberately avoids. Like q53, the token-count shuffle is intrinsic
+    to exact semantics; the suffix-array single-node form in the paper is
+    replaced by hash-window grouping, which distributes.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    probe = d.filter(F.col("doc_id") == 0).select(
+        F.expr(f"ARRAY_JOIN(SLICE(SPLIT(text, ' '), 1, {_XS_W}), ' ')").alias("g0")
+    )
+    seeded = d.join(F.broadcast(probe)).select(
+        "doc_id",
+        "source",
+        F.when(
+            (F.col("doc_id") % _XS_PLANT_MOD == 2) & (F.col("doc_id") != 0),
+            F.concat_ws(" ", F.col("text"), F.col("g0")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = seeded.select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("ws"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    pos = (
+        toks.filter(F.col("n_tok") >= _XS_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"TRANSFORM(SEQUENCE(1, n_tok - {_XS_W - 1}), "
+                    f"i -> STRUCT(i AS i, "
+                    f"ARRAY_JOIN(SLICE(ws, i, {_XS_W}), ' ') AS gram))"
+                )
+            ).alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.col("w.i").alias("i"),
+            F.expr(spark_hash32("w.gram", "xs")).alias("gh"),
+        )
+    )
+    dup = (
+        pos.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("gh")))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "i")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("i")
+    prev_end = F.max(F.col("i") + (_XS_W - 1)).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup.withColumn(
+        "is_new", F.when(prev_end.isNull() | (F.col("i") > prev_end), 1).otherwise(0)
+    ).withColumn(
+        "island",
+        F.sum("is_new").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_doc = (
+        islands.groupBy("doc_id", "island")
+        .agg((F.max("i") + (_XS_W - 1) - F.min("i") + 1).alias("span_tok"))
+        .groupBy("doc_id")
+        .agg(F.sum("span_tok").alias("dup_tok"))
+    )
+    return (
+        toks.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("dup_tok").isNotNull(), 1).otherwise(0)).alias(
+                "n_dup_docs"
+            ),
+            F.coalesce(F.sum("dup_tok"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
