@@ -1437,3 +1437,115 @@ def q97_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# First-seen novelty scoring (keep-first attribution)
+# ---------------------------------------------------------------------------
+
+_NV_W = 8  # token-window width
+_NV_PPM = 800_000  # low-novelty flag threshold (80% as parts-per-million)
+
+
+@register(
+    "q99_novelty_score",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tok
+      FROM documents
+    ), pos AS (
+      SELECT doc_id,
+             {duckdb_hash32(f"ARRAY_TO_STRING(ws[i:i+{_NV_W - 1}], ' ')", "nv")} AS gh
+      FROM (SELECT doc_id, ws,
+                   UNNEST(RANGE(1, n_tok - {_NV_W - 2})) AS i
+            FROM toks WHERE n_tok >= {_NV_W})
+    ), attributed AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY gh) AS first_doc
+      FROM pos
+    ), per_doc AS (
+      SELECT doc_id,
+             COUNT(*) AS n_win,
+             CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+      FROM attributed GROUP BY doc_id
+    )
+    SELECT t.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(p.n_win) AS BIGINT) AS total_windows,
+           CAST(SUM(p.n_novel) AS BIGINT) AS novel_windows,
+           CAST(SUM(CASE WHEN p.n_novel * 1000000 < {_NV_PPM} * p.n_win
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low_novelty
+    FROM toks t JOIN per_doc p ON t.doc_id = p.doc_id
+    GROUP BY t.source
+    ORDER BY t.source
+    """,
+    tags=("dedup", "novelty", "keep-first"),
+)
+def q99_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen novelty scoring: every 8-token window is attributed to
+    the LOWEST doc_id containing it (the keep-first rule incremental
+    dedup pipelines apply), and each document is scored by the fraction
+    of its windows it saw first. Later crawls of recycled content score
+    low and get flagged (< 80% novel) — the ranking signal behind
+    "keep the canonical copy, drop the scrapes", complementing q97
+    (which measures duplication but does not pick a survivor).
+
+    The fixture corpus has natural repeated 8-grams (small word
+    vocabulary), so no contamination planting is needed — the operator
+    runs on the raw table.
+
+    Scale shape: same single gram-hash-keyed exchange as q97 (3 ints per
+    window, gram strings never leave the map side) with min-over-window
+    attribution instead of count; the per-doc rollup is a map-combined
+    aggregation on doc_id. Deterministic: min(doc_id) needs no
+    tie-break."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("ws"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    pos = (
+        toks.filter(F.col("n_tok") >= _NV_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"TRANSFORM(SEQUENCE(1, n_tok - {_NV_W - 1}), "
+                    f"i -> ARRAY_JOIN(SLICE(ws, i, {_NV_W}), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .select("doc_id", F.expr(spark_hash32("gram", "nv")).alias("gh"))
+    )
+    attributed = pos.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("gh")).alias("first_doc"),
+    )
+    per_doc = attributed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_win"),
+        F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_novel"),
+    )
+    return (
+        toks.join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_win").cast("bigint").alias("total_windows"),
+            F.sum("n_novel").cast("bigint").alias("novel_windows"),
+            F.sum(
+                F.when(
+                    F.col("n_novel") * 1_000_000 < _NV_PPM * F.col("n_win"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_low_novelty"),
+        )
+        .orderBy("source")
+    )

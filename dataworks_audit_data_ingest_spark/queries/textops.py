@@ -506,3 +506,79 @@ def q92_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counting (tokenizer-training kernel)
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 40  # merge candidates reported
+
+
+@register(
+    "q98_bpe_pair_counts",
+    sql=f"""
+    WITH wc AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY w
+    ), pairs AS (
+      SELECT SUBSTRING(w, i, 2) AS pair, cnt
+      FROM (SELECT w, cnt, UNNEST(RANGE(1, LENGTH(w))) AS i FROM wc
+            WHERE LENGTH(w) >= 2)
+    )
+    SELECT pair,
+           CAST(SUM(cnt) AS BIGINT) AS n_occurrences,
+           COUNT(*) AS n_distinct_words
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {_BPE_TOP}
+    """,
+    tags=("text", "tokenizer", "bpe"),
+)
+def q98_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-character pair counting over the word-frequency table —
+    the inner kernel of byte-pair-encoding tokenizer training (Sennrich
+    et al. 2016): the highest-count pair is the next merge. Reported as
+    the top merge candidates with corpus-wide occurrence counts.
+
+    Scale shape — the reason BPE training distributes at all: the corpus
+    collapses to its DISTINCT-WORD frequency table first (one
+    map-combined aggregation; web corpora have ~10^7-10^8 distinct words
+    regardless of token count), and pairs explode over that table, never
+    over the raw corpus — a 10^4-10^6× reduction before the expensive
+    stage. The pair aggregation's key space is bounded by alphabet², so
+    its shuffle is KBs. A full training run iterates this kernel with the
+    chosen merge applied to the word table (driver-looped like q59's
+    Lloyd rounds — each round is one broadcast of the merge + one pass);
+    this query pins one iteration exactly."""
+    d = table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "TRANSFORM(SEQUENCE(1, LENGTH(w) - 1), "
+                    "i -> SUBSTRING(w, i, 2))"
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(_BPE_TOP)
+    )
