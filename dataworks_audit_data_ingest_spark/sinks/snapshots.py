@@ -114,7 +114,9 @@ class SnapshotTable:
             if name.endswith(".parquet") and not name.startswith(".")
         )
 
-    def _commit(self, df: DataFrame, operation: str) -> int:
+    def _commit(
+        self, df: DataFrame, operation: str, properties: dict | None = None
+    ) -> int:
         parent = self.current_snapshot_id()
         snapshot_id = (parent + 1) if parent is not None else 0
         new_files = self._write_data(df, snapshot_id)
@@ -129,6 +131,7 @@ class SnapshotTable:
             "files": files,
             "schema": df.schema.json(),
             "committed_at": time.time(),
+            "properties": properties or {},
         }
         # Manifest lands fully before HEAD moves: a crash between the two
         # leaves readers on the parent snapshot and only orphan files
@@ -138,13 +141,25 @@ class SnapshotTable:
         self._swap_head(snapshot_id, parent)
         return snapshot_id
 
-    def commit_append(self, df: DataFrame) -> int:
-        """Make ``df``'s rows visible atomically alongside existing data."""
-        return self._commit(df, "append")
+    def commit_append(self, df: DataFrame, properties: dict | None = None) -> int:
+        """Make ``df``'s rows visible atomically alongside existing data.
+        ``properties`` are free-form strings stored on the manifest (e.g.
+        a streaming batch id for replay idempotency)."""
+        return self._commit(df, "append", properties)
 
-    def commit_overwrite(self, df: DataFrame) -> int:
+    def commit_overwrite(self, df: DataFrame, properties: dict | None = None) -> int:
         """Atomically replace the table contents with ``df``."""
-        return self._commit(df, "overwrite")
+        return self._commit(df, "overwrite", properties)
+
+    def find_snapshot_by_property(self, key: str, value: str) -> dict | None:
+        """Newest reachable manifest whose properties carry key=value
+        (how a replayed streaming micro-batch discovers it already
+        committed). O(history length) walk — production tables keep a
+        side index; at vacuum-bounded history depth the walk is fine."""
+        for m in reversed(self.snapshots()):
+            if m.get("properties", {}).get(key) == value:
+                return m
+        return None
 
     def rollback(self, snapshot_id: int) -> int:
         """Commit a NEW snapshot whose file list equals an old one's —

@@ -120,3 +120,72 @@ def test_read_before_any_commit_raises(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "t"))
     with pytest.raises(ValueError):
         t.read(spark)
+
+
+# ---------------------------------------------------------------------------
+# Streaming commits (streaming/snapshot_job.py)
+# ---------------------------------------------------------------------------
+
+
+def _write_json_batch(path, rows, name):
+    import json as _json
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+
+def test_streaming_snapshot_commits_per_batch(spark, tmp_path):
+    from dataworks_audit_data_ingest_spark.streaming.snapshot_job import (
+        start_snapshot_stream,
+    )
+
+    src = str(tmp_path / "src")
+    _write_json_batch(src, [{"id": 1}, {"id": 2}], "a.json")
+    _write_json_batch(src, [{"id": 3}], "b.json")
+    stream = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = start_snapshot_stream(
+        stream, str(tmp_path / "table"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    t = SnapshotTable(str(tmp_path / "table"))
+    assert _ids(t.read(spark)) == [1, 2, 3]
+    # one atomic snapshot per micro-batch; batch ids recorded
+    batch_ids = sorted(
+        m["properties"]["batch_id"] for m in t.snapshots()
+    )
+    assert batch_ids == ["0", "1"]
+    # time travel to the first micro-batch
+    first = t.find_snapshot_by_property("batch_id", "0")
+    assert len(t.read(spark, first["snapshot_id"]).collect()) in (1, 2)
+
+
+def test_streaming_replay_is_idempotent(spark, tmp_path):
+    """Fresh checkpoint + same source replays batches with the same ids;
+    the table must not double-append."""
+    import shutil
+
+    from dataworks_audit_data_ingest_spark.streaming.snapshot_job import (
+        start_snapshot_stream,
+    )
+
+    src = str(tmp_path / "src")
+    _write_json_batch(src, [{"id": 7}, {"id": 8}], "a.json")
+    table_path = str(tmp_path / "table")
+
+    for attempt in range(2):
+        ckpt = str(tmp_path / f"ckpt{attempt}")  # lost-checkpoint replay
+        stream = spark.readStream.schema("id long").json(src)
+        q = start_snapshot_stream(stream, table_path, ckpt)
+        q.awaitTermination(120)
+
+    t = SnapshotTable(table_path)
+    assert _ids(t.read(spark)) == [7, 8]
+    assert len(t.snapshots()) == 1
+    shutil.rmtree(src)
