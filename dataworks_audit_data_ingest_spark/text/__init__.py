@@ -1,5 +1,7 @@
 """Composable text-curation pipeline API."""
 
+from .bpe import tokenize_documents, train_bpe, word_frequency_table  # noqa: F401
+
 from .incremental_semantic import (  # noqa: F401
     incremental_semantic_batch,
     sign_and_quantize,
