@@ -20,8 +20,14 @@ from ..streaming.jobs import (  # noqa: F401
     tumbling_event_counts,
 )
 from ..similarity.kmeans import assign_cells, train_cells  # noqa: F401
+from ..functions.bloom import (  # noqa: F401
+    bloom_might_contain,
+    bloom_prefiltered_semi_join,
+    build_bloom_bitmap,
+)
 from ..functions.graph import connected_components  # noqa: F401
 from ..similarity.knn import knn_join  # noqa: F401
+from ..similarity.mmr import knn_mmr, mmr_rerank  # noqa: F401
 from ..similarity.pca import fit_pca, transform_pca  # noqa: F401
 from ..similarity.opq import encode_opq, opq_knn, train_opq  # noqa: F401
 from ..similarity.pq import encode_pq, pq_knn, train_pq  # noqa: F401
@@ -31,11 +37,13 @@ from ..similarity.quantize import (  # noqa: F401
     quantized_knn,
 )
 from ..sinks.layout import zorder_write  # noqa: F401
+from ..sinks.snapshots import SnapshotTable  # noqa: F401
 from ..sinks.writers import (  # noqa: F401
     compact_parquet_partition,
     merge_upsert_partitioned,
 )
 from ..streaming.curation_job import start_curation_stream  # noqa: F401
+from ..streaming.snapshot_job import start_snapshot_stream  # noqa: F401
 from ..streaming.index_job import (  # noqa: F401
     index_microbatch,
     start_index_stream,
@@ -43,6 +51,11 @@ from ..streaming.index_job import (  # noqa: F401
 from ..streaming.stateful import (  # noqa: F401
     running_user_profiles,
     running_user_profiles_v2,
+)
+from ..text.bpe import (  # noqa: F401
+    tokenize_documents,
+    train_bpe,
+    word_frequency_table,
 )
 from ..text.incremental_dedup import incremental_dedup_batch  # noqa: F401
 from ..text.incremental_semantic import incremental_semantic_batch  # noqa: F401
