@@ -582,3 +582,91 @@ def q98_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(_BPE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+_VC_PCTS = (50, 90, 95, 99)
+_VC_PCT_SQL = ", ".join(f"({p})" for p in _VC_PCTS)
+
+
+@register(
+    "q100_vocab_coverage",
+    sql=f"""
+    WITH wc AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM wc
+    ), ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rnk,
+             SUM(cnt) OVER (ORDER BY cnt DESC, w
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM wc
+    ), pcts(pct) AS (VALUES {_VC_PCT_SQL})
+    SELECT p.pct,
+           CAST(MIN(r.rnk) AS BIGINT) AS vocab_size,
+           CAST(MIN(r.cum) AS BIGINT) AS covered_tokens,
+           CAST(MIN(t.total) AS BIGINT) AS total_tokens
+    FROM ranked r CROSS JOIN tot t JOIN pcts p
+      ON r.cum * 100 >= p.pct * t.total
+    GROUP BY p.pct
+    ORDER BY p.pct
+    """,
+    tags=("text", "tokenizer", "coverage", "window"),
+)
+def q100_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the smallest frequency-ranked vocabulary
+    covering 50/90/95/99% of corpus tokens — the curve that sizes a
+    tokenizer's vocab budget (and quantifies the long tail BPE's subword
+    fallback must absorb; companion analysis to q98/`text.bpe`).
+
+    Scale shape: the corpus collapses to distinct-word counts map-side
+    first (the q98 collapse), so the global rank/cumsum window runs over
+    the VOCAB table, not the corpus. Like q16/q37 it pins the exact
+    single-ordering form as the oracle; at 10^8-word vocabularies the
+    production form is the q37s two-pass histogram (bucket by count,
+    cumulative bucket totals, exact-rank only the boundary bucket) —
+    same answer, no single-task sort. Thresholds compare in exact
+    integer arithmetic (cum*100 >= pct*total: no float ratios).
+
+    Deterministic: ranking ties break by (count desc, word asc);
+    coverage at the minimal rank is MIN(cum) over qualifying rows
+    because cum increases with rank."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = wc.agg(F.sum("cnt").cast("bigint").alias("total"))
+    w_rank = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    ranked = wc.select(
+        F.row_number().over(w_rank).alias("rnk"),
+        F.sum("cnt")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    pcts = spark.createDataFrame([(p,) for p in _VC_PCTS], "pct int")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(pcts),
+            F.col("cum") * 100 >= F.col("pct") * F.col("total"),
+        )
+        .groupBy("pct")
+        .agg(
+            F.min("rnk").cast("bigint").alias("vocab_size"),
+            F.min("cum").cast("bigint").alias("covered_tokens"),
+            F.min("total").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("pct")
+    )
