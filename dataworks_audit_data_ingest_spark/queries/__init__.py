@@ -39,10 +39,10 @@ from . import curation  # noqa: E402,F401
 # query except q98/q99 with a driver row at most one round old (the
 # seven representatives dropped for space — q01, q30, q51, q56, q58,
 # q82, q89 — are r03-green with unchanged code). q98_bpe_pair_counts,
-# q99_novelty_score, and q100_vocab_coverage were born after the round-4
-# top-50 filled: they have three-scale local oracle evidence
-# (tools/check_oracle.py + the parametrized pytest) and MUST lead the
-# round-5 rotation.
+# q99_novelty_score, q100_vocab_coverage, q101_funnel, and
+# q102_event_transitions were born after the round-4 top-50 filled: they
+# have three-scale local oracle evidence (tools/check_oracle.py + the
+# parametrized pytest) and MUST lead the round-5 rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- added in round 4, no driver row yet --
     "q90_semantic_dedup",

@@ -517,3 +517,151 @@ def q91_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel analysis
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ("view", "click", "purchase")  # the ordered conversion path
+_FUNNEL_STEP_US = 24 * 3600 * 1_000_000  # each step must follow within 24 h
+
+
+@register(
+    "q101_funnel",
+    sql=f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = '{_FUNNEL[1]}' AND epoch_us(e.ts) > s1.t1
+        AND epoch_us(e.ts) <= s1.t1 + {_FUNNEL_STEP_US}
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = '{_FUNNEL[2]}' AND epoch_us(e.ts) > s2.t2
+        AND epoch_us(e.ts) <= s2.t2 + {_FUNNEL_STEP_US}
+      GROUP BY e.user_id
+    ), base AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events)
+    SELECT b.n_users,
+           (SELECT COUNT(*) FROM s1) AS n_view,
+           (SELECT COUNT(*) FROM s2) AS n_click_after_view,
+           (SELECT COUNT(*) FROM s3) AS n_purchase_after_click,
+           (SELECT CAST(COALESCE(SUM((s3.t3 - s1.t1) // 1000000), 0) AS BIGINT)
+            FROM s3 JOIN s1 ON s3.user_id = s1.user_id)
+             AS total_conversion_s
+    FROM base b
+    """,
+    tags=("events", "funnel", "analytics"),
+)
+def q101_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked strictly AFTER
+    their first view (within 24 h), then purchased within 24 h of that
+    click — the sequenced-conversion count flat per-type counts can't
+    express (a purchase before the first view must NOT convert, and a
+    click a week later is not attribution). Also reports total
+    first-view→conversion latency in whole seconds (exact integer
+    micros arithmetic on both engines). On the fixture the stages
+    discriminate: 150 → 60 → 25 users at sf0.01.
+
+    Scale shape: three user-keyed aggregations, each a map-combined
+    MIN over a type-filtered scan slice, chained by joins on user_id —
+    every exchange carries one row per qualifying user, never raw
+    events. The final count row is driver-sized. All stages reuse the
+    same user_id hash partitioning, so AQE coalesces the chain."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    s1 = (
+        e.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == _FUNNEL[1])
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t1"))
+            & (F.col("ts_us") <= F.col("t1") + F.lit(_FUNNEL_STEP_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == _FUNNEL[2])
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t2"))
+            & (F.col("ts_us") <= F.col("t2") + F.lit(_FUNNEL_STEP_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    lat = s3.join(s1, "user_id").agg(
+        F.coalesce(
+            F.sum(F.expr("(t3 - t1) DIV 1000000")), F.lit(0)
+        ).cast("bigint").alias("total_conversion_s")
+    )
+    counts = (
+        e.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(s1.agg(F.count(F.lit(1)).alias("n_view")))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+    return counts.crossJoin(lat)
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q102_event_transitions",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           COUNT(*) AS n_transitions
+    FROM ordered
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+    tags=("events", "markov", "analytics", "window"),
+)
+def q102_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: counts of consecutive (prev → next)
+    event pairs per user timeline — the first-order Markov statistics
+    behind journey mining and anomaly baselines ("error after purchase
+    spiked"). Ordering is (ts, event_id), deterministic under timestamp
+    ties.
+
+    Scale shape: one user-keyed exchange for the lag window (rows carry
+    only user_id, type, micros), then a map-combined count over the tiny
+    type×type key space. Per-user timelines are the natural partition —
+    no global ordering anywhere."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type"), F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
