@@ -22,6 +22,7 @@ from . import multimodal_shaped  # noqa: E402,F401
 from . import interval  # noqa: E402,F401
 from . import tpch_deep  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
+from . import graph_shaped  # noqa: E402,F401
 
 
 # The external correctness driver evaluates only the FIRST 50 registry
@@ -40,9 +41,11 @@ from . import curation  # noqa: E402,F401
 # seven representatives dropped for space — q01, q30, q51, q56, q58,
 # q82, q89 — are r03-green with unchanged code). q98_bpe_pair_counts,
 # q99_novelty_score, q100_vocab_coverage, q101_funnel, and
-# q102_event_transitions were born after the round-4 top-50 filled: they
-# have three-scale local oracle evidence (tools/check_oracle.py + the
-# parametrized pytest) and MUST lead the round-5 rotation.
+# q102_event_transitions, q103_bm25, q104_train_split,
+# q105_posting_lists, and q106_event_pagerank were born after the
+# round-4 top-50 filled: they have multi-scale local oracle evidence
+# (tools/check_oracle.py + the parametrized pytest) and MUST lead the
+# round-5 rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- added in round 4, no driver row yet --
     "q90_semantic_dedup",

@@ -1,0 +1,104 @@
+"""Graph analytics over the event stream: PageRank on the event-type
+transition graph (north-star extension; the reference never builds graphs —
+its per-day loop is `audit_data_ingest.py:236-260`).
+
+The oracle unrolls the fixed iteration count into chained CTEs — every
+arithmetic step is BIGINT floor division (see
+``functions.graph.pagerank_integer``), so a 3-iteration distributed run
+hash-matches plain SQL exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.graph import pagerank_integer
+from ..tables import table
+from .base import register
+
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+_PR_DAMP = 85  # damping percentage
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled-iteration DuckDB oracle mirroring ``pagerank_integer``."""
+    head = f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_type
+      FROM events
+    ), edges AS (
+      SELECT prev_type AS src, event_type AS dst, COUNT(*) AS w
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY src, dst
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ), cnt AS (
+      SELECT COUNT(*) AS n FROM nodes
+    ), outw AS (
+      SELECT src, SUM(w) AS ow FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node, {_PR_SCALE} // c.n AS r FROM nodes CROSS JOIN cnt c
+    )"""
+    body = ""
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        body += f""", c{i} AS (
+      SELECT e.dst AS node, SUM((r.r * e.w) // o.ow) AS c
+      FROM edges e JOIN outw o USING (src) JOIN {prev} r ON r.node = e.src
+      GROUP BY e.dst
+    ), r{i} AS (
+      SELECT n.node,
+             ({100 - _PR_DAMP} * {_PR_SCALE}) // (100 * c.n)
+             + ({_PR_DAMP} * COALESCE(s.c, 0)) // 100 AS r
+      FROM nodes n CROSS JOIN cnt c LEFT JOIN c{i} s ON s.node = n.node
+    )"""
+        prev = f"r{i}"
+    tail = f"""
+    SELECT node, CAST(r AS BIGINT) AS rank_scaled
+    FROM {prev}
+    ORDER BY rank_scaled DESC, node
+    """
+    return head + body + tail
+
+
+@register(
+    "q106_event_pagerank",
+    sql=_pagerank_oracle_sql(),
+    tags=("events", "graph", "pagerank", "iterative"),
+)
+def q106_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (edges = q102's
+    first-order Markov counts): which states a user journey gravitates
+    toward — the centrality signal behind funnel prioritization and
+    anomaly weighting.
+
+    The event-type graph is small, but the kernel
+    (``functions.graph.pagerank_integer``) is fully distributed — rank
+    vector and edges stay DataFrames, each iteration is one src-keyed
+    join plus one dst-keyed sum — so the same call handles a
+    billion-node user-interaction graph; O(iterations) shuffles of
+    (node, rank) pairs. Fixed-point BIGINT arithmetic makes the
+    3-iteration result engine-exact (oracle unrolls the iterations as
+    CTEs)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    edges = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank_integer(
+        edges, iterations=_PR_ITERS, scale=_PR_SCALE, damping_pct=_PR_DAMP
+    )
+    return ranks.orderBy(F.desc("rank_scaled"), "node")

@@ -670,3 +670,221 @@ def q100_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 — BM25 retrieval (exact fixed-point variant)
+# ---------------------------------------------------------------------------
+# Query terms are a broadcast literal set; k1=1.2, b=0.75. Both the idf and
+# the tf-saturation are evaluated in scaled integer arithmetic so the score
+# is bit-identical across engines (no ln(), no float division):
+#
+#   idf_ppm = floor(1e6 * (N - df + 1/2) / (df + 1/2))
+#           = (1_000_000 * (2N - 2df + 1)) DIV (2df + 1)
+#   sat_k   = floor(1000 * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)))
+#           = (22_000 * S * tf) DIV (10*S*tf + 3*S + 9*dl*N)     [S = Σ dl]
+#   score   = Σ_terms idf_ppm * sat_k
+#
+# The rational idf (Robertson-Sparck-Jones without the log) keeps the same
+# ordering as log-idf for a single term and saturates tf identically; the
+# log is deliberately traded for engine-exact integers (same policy as the
+# q92 ppm features). BIGINT headroom: sat's numerator 22e3*S*tf stays under
+# 2^63 while S*tf < 4e14 — beyond ~1e12 corpus tokens, production divides
+# S and N by gcd-like 2^k first (pure rescaling, same quotient to ±1ulp of
+# the fixed point); idf_ppm*sat_k < 2e15*2200 fits BIGINT to N = 1e9 docs.
+_BM25_TERMS = ("spark", "join", "window", "stream")
+_BM25_SQL_LIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+_BM25_TOP = 10
+
+
+@register(
+    "q103_bm25",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+      FROM documents
+    ), dls AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks WHERE w <> '' GROUP BY doc_id
+    ), corpus AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS s FROM dls
+    ), tfs AS (
+      SELECT doc_id, w AS term, COUNT(*) AS tf
+      FROM toks WHERE w IN ({_BM25_SQL_LIST})
+      GROUP BY doc_id, w
+    ), dfs AS (
+      SELECT term, COUNT(*) AS df FROM tfs GROUP BY term
+    )
+    SELECT t.doc_id,
+           CAST(SUM(
+             ((1000000 * (2*c.n - 2*f.df + 1)) // (2*f.df + 1))
+             * ((22000 * c.s * t.tf) // (10*c.s*t.tf + 3*c.s + 9*d.dl*c.n))
+           ) AS BIGINT) AS bm25_scaled,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+    FROM tfs t
+    JOIN dfs f USING (term)
+    JOIN dls d USING (doc_id)
+    CROSS JOIN corpus c
+    GROUP BY t.doc_id
+    ORDER BY bm25_scaled DESC, t.doc_id
+    LIMIT {_BM25_TOP}
+    """,
+    tags=("text", "retrieval", "bm25", "top-k"),
+)
+def q103_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over ``documents``: score every document
+    against a fixed query-term set and return the top 10 — the lexical
+    half of a retrieval stack (the vector half is q55/q56/q89; a
+    production RAG funnel unions both and reranks).
+
+    Scale shape: the explode filters to query terms BEFORE any exchange,
+    so the (doc_id, term) aggregation shuffles only matching rows — for a
+    4-term query that is a vanishing fraction of the corpus. Doc lengths
+    need one corpus pass (reused from the same explode), corpus N/S and
+    the per-term df table are broadcast (df has |terms| rows). Final
+    top-k is TakeOrderedAndProject — no global sort. All arithmetic is
+    JVM integer ops; see the module comment for the fixed-point spec and
+    BIGINT headroom analysis."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    dls = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dls.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").cast("bigint").alias("s")
+    )
+    tfs = (
+        toks.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tfs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_ppm = F.expr("(1000000 * (2*n - 2*df + 1)) DIV (2*df + 1)")
+    sat_k = F.expr("(22000 * s * tf) DIV (10*s*tf + 3*s + 9*dl*n)")
+    return (
+        tfs.join(F.broadcast(dfs), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf_ppm * sat_k).cast("bigint").alias("bm25_scaled"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25_scaled"), "doc_id")
+        .limit(_BM25_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q104 — deterministic train/val/test split
+# ---------------------------------------------------------------------------
+# The split must be a pure function of a stable document key — never of
+# row order, partition layout, or a seeded RNG — so that re-runs, backfills
+# and incremental appends route every document to the same split forever
+# (the property decontamination audits depend on). Bucket = MD5-derived
+# 32-bit hash of doc_id mod 100: train < 80, val < 90, test otherwise.
+_SPLIT_SQL = "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"
+
+
+@register(
+    "q104_train_split",
+    sql=f"""
+    WITH b AS (
+      SELECT source, n_chars,
+             {duckdb_hash32("CAST(doc_id AS VARCHAR)", seed="split")} % 100 AS bucket
+      FROM documents
+    )
+    SELECT source, {_SPLIT_SQL} AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+    tags=("curation", "split", "hash"),
+)
+def q104_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (80/10/10) with
+    per-source split sizes — the assignment step every training-data
+    pipeline runs last, made reproducible by keying the split on a
+    content-stable id hash instead of an RNG.
+
+    Scale shape: the bucket is map-side arithmetic on the id (MD5-derived
+    32-bit hash, identical in both engines — `functions/hashing.py`); the
+    only exchange is the final (source, split) rollup over ~3×|sources|
+    groups. Assignment itself never shuffles: at 100 TB the split column
+    is computed for free inside whatever write job materializes the
+    corpus."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.expr(spark_hash32("CAST(doc_id AS STRING)", seed="split")) % 100
+    ).alias("bucket")
+    b = d.select("source", "n_chars", bucket)
+    return (
+        b.select("source", "n_chars", F.expr(_SPLIT_SQL).alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q105 — inverted-index posting lists
+# ---------------------------------------------------------------------------
+_PL_MIN_DF = 100  # report terms appearing in at least this many docs
+_PL_K = 8  # posting-list prefix length per term
+
+
+@register(
+    "q105_posting_lists",
+    sql=f"""
+    WITH postings AS (
+      SELECT DISTINCT w AS term, doc_id
+      FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), agg AS (
+      SELECT term, COUNT(*) AS df,
+             LIST(doc_id ORDER BY doc_id) AS docs
+      FROM postings GROUP BY term
+    )
+    SELECT term, CAST(df AS BIGINT) AS df,
+           ARRAY_TO_STRING(docs[1:{_PL_K}], ',') AS postings_head
+    FROM agg
+    WHERE df >= {_PL_MIN_DF}
+    ORDER BY term
+    """,
+    tags=("text", "index", "retrieval"),
+)
+def q105_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: per term, the document frequency and
+    the head of the sorted posting list — the index build behind q103's
+    retrieval (a search deployment writes the full lists, partitioned by
+    term; the head-prefix here keeps the oracle row bounded).
+
+    Scale shape: explode → per-partition DISTINCT (term, doc_id) combine →
+    one term-keyed exchange carrying doc ids only. collect_list runs after
+    the exchange with each term's postings co-located; array_sort makes
+    the list order partition-independent. Terms are the natural index
+    partition key at 100 TB (hot stop-words are exactly what the df floor
+    drops from the report)."""
+    d = table(spark, sf_dir, "documents")
+    postings = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    agg = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.array_sort(F.collect_list("doc_id")).alias("docs"),
+    )
+    return (
+        agg.filter(F.col("df") >= _PL_MIN_DF)
+        .select(
+            "term",
+            "df",
+            F.array_join(F.slice("docs", 1, _PL_K), ",").alias("postings_head"),
+        )
+        .orderBy("term")
+    )

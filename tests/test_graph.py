@@ -121,3 +121,58 @@ def test_cc_star_contraction_rounds_are_logarithmic(spark):
     assert stats["converged"] is True
     assert {r.cluster_id for r in labels.collect()} == {0}
     assert stats["rounds"] <= 9, stats  # log2(60) ~ 6 double rounds + detect
+
+
+# ---------------------------------------------------------------------------
+# pagerank_integer
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_reference(edges, iters, scale=10**12, damp=85):
+    """Pure-Python mirror of the kernel's fixed-point spec."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    r = {v: scale // n for v in nodes}
+    base = (100 - damp) * scale // (100 * n)
+    for _ in range(iters):
+        c = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            c[d] += r[s] * w // outw[s]
+        r = {v: base + damp * c[v] // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_matches_pure_python_reference(spark):
+    """Kernel output is bit-identical to the sequential fixed-point spec on
+    a weighted graph with a dangling node (d receives but never emits)."""
+    from dataworks_audit_data_ingest_spark.functions.graph import pagerank_integer
+
+    edges = [
+        ("a", "b", 3),
+        ("a", "c", 1),
+        ("b", "c", 2),
+        ("c", "a", 1),
+        ("b", "d", 5),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r.node: r.rank_scaled for r in pagerank_integer(df, iterations=4).collect()}
+    assert got == _pagerank_reference(edges, iters=4)
+
+
+def test_pagerank_sink_accumulates_rank(spark):
+    """A pure sink pointed at by everything must outrank its feeders, and
+    ranks must be partition-layout independent (fixed-point arithmetic)."""
+    from dataworks_audit_data_ingest_spark.functions.graph import pagerank_integer
+
+    edges = [(f"u{i}", "hub", 1) for i in range(8)] + [("hub", "u0", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    one = {r.node: r.rank_scaled for r in pagerank_integer(df).collect()}
+    shuffled = {
+        r.node: r.rank_scaled
+        for r in pagerank_integer(df.repartition(13)).collect()
+    }
+    assert one == shuffled
+    assert one["hub"] > max(v for k, v in one.items() if k != "hub")
