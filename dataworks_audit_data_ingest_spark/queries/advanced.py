@@ -632,3 +632,129 @@ def q37b_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q107 — HyperLogLog registers in exact integer arithmetic
+# ---------------------------------------------------------------------------
+# q42 demonstrates the built-in HLL++ sketch but is rows-only (engine-
+# specific estimates). This sibling builds the sketch from first principles
+# in pure BIGINT arithmetic so the whole thing — registers AND estimate —
+# hash-matches a SQL oracle:
+#
+#   h      = 32-bit MD5-derived hash of the key        (functions/hashing.py)
+#   bucket = h % m                (m = 32 registers, p = 5)
+#   w      = h DIV m              (27-bit suffix)
+#   rho    = 28 - bit_length(w)   (leading-zero count + 1; w = 0 -> 28)
+#   M_j    = MAX(rho) per bucket  (the register — MAX makes sketches
+#                                  mergeable: union = element-wise max)
+#   S      = sum over ALL m registers of 2^(28 - M_j), empty register
+#            M_j = 0 contributing 2^28  (S is Σ 2^-M_j scaled by 2^28)
+#   E      = alpha_m * m^2 / Σ 2^-M_j
+#          = (697 * m^2 * 2^28) DIV (1000 * S)   [alpha_32 = 0.697]
+#
+# bit_length via LENGTH(BIN(w)) — verified identical in Spark and DuckDB
+# (both render minimal binary strings, BIN(0) = '0'). No log, no float:
+# the raw Flajolet estimator only (the small-range linear-counting branch
+# needs ln() — documented out of scope; zero_registers is emitted so a
+# caller can apply it).  Headroom: 697 * 1024 * 2^28 < 2^48.
+from ..functions.hashing import duckdb_hash32, spark_hash32  # noqa: E402
+
+_HLL_M = 32
+_HLL_SHIFT = 28  # 27-bit suffix + 1
+
+
+@register(
+    "q107_hll_exact_registers",
+    sql=f"""
+    WITH hashed AS (
+      SELECT event_type,
+             user_id,
+             {duckdb_hash32("CAST(user_id AS VARCHAR)", seed="hll")} % {_HLL_M} AS bucket,
+             {duckdb_hash32("CAST(user_id AS VARCHAR)", seed="hll")} // {_HLL_M} AS w
+      FROM events
+    ), regs AS (
+      SELECT event_type, bucket,
+             MAX(CASE WHEN w = 0 THEN {_HLL_SHIFT}
+                      ELSE {_HLL_SHIFT} - LENGTH(BIN(w)) END) AS m_j
+      FROM hashed GROUP BY event_type, bucket
+    ), sums AS (
+      SELECT event_type,
+             SUM(CAST(1 AS BIGINT) << ({_HLL_SHIFT} - m_j)) AS s_present,
+             COUNT(*) AS n_present
+      FROM regs GROUP BY event_type
+    ), exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(e.exact_users AS BIGINT) AS exact_users,
+           CAST((697 * {_HLL_M * _HLL_M} * (CAST(1 AS BIGINT) << {_HLL_SHIFT}))
+                // (1000 * (s.s_present
+                    + ({_HLL_M} - s.n_present) * (CAST(1 AS BIGINT) << {_HLL_SHIFT})))
+             AS BIGINT) AS hll_users,
+           CAST({_HLL_M} - s.n_present AS BIGINT) AS empty_registers
+    FROM sums s JOIN exact e USING (event_type)
+    ORDER BY s.event_type
+    """,
+    tags=("agg", "sketch", "hll", "exact-integer"),
+)
+def q107_hll_exact_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-built HyperLogLog distinct-count sketch per event_type, in
+    pure BIGINT arithmetic — the oracle-checkable twin of q42's built-in
+    HLL++ (whose register encoding is engine-private). See the module
+    comment above for the full fixed-point spec.
+
+    Scale shape: rho and bucket are map-side string ops on the hash; the
+    first aggregation (partial MAX per (group, bucket)) combines map-side,
+    so the exchange carries at most m=32 rows per group per task — the
+    sketch property that makes HLL the 100 TB cardinality tool. Merging
+    two sketches is the same element-wise MAX, so daily register tables
+    roll up into monthly counts without touching raw data. The exact
+    COUNT(DISTINCT) alongside is calibration (drop it in production; it
+    is the expensive side of the comparison). Raw Flajolet estimator
+    only — the ln()-based linear-counting correction is documented out of
+    scope (needs floats); empty_registers lets a caller apply it."""
+    ev = table(spark, sf_dir, "events")
+    h = spark_hash32("CAST(user_id AS STRING)", seed="hll")
+    hashed = ev.select(
+        "event_type",
+        "user_id",
+        F.expr(f"({h}) % {_HLL_M}").alias("bucket"),
+        F.expr(f"({h}) DIV {_HLL_M}").alias("w"),
+    )
+    regs = hashed.groupBy("event_type", "bucket").agg(
+        F.max(
+            F.expr(
+                f"CASE WHEN w = 0 THEN {_HLL_SHIFT} "
+                f"ELSE {_HLL_SHIFT} - LENGTH(BIN(w)) END"
+            )
+        ).alias("m_j")
+    )
+    sums = regs.groupBy("event_type").agg(
+        F.sum(F.expr(f"SHIFTLEFT(CAST(1 AS BIGINT), {_HLL_SHIFT} - m_j)")).alias(
+            "s_present"
+        ),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    est = F.expr(
+        f"CAST((697 * {_HLL_M * _HLL_M} * SHIFTLEFT(CAST(1 AS BIGINT), {_HLL_SHIFT}))"
+        f" DIV (1000 * (s_present"
+        f" + ({_HLL_M} - n_present) * SHIFTLEFT(CAST(1 AS BIGINT), {_HLL_SHIFT})))"
+        f" AS BIGINT)"
+    )
+    return (
+        sums.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            est.alias("hll_users"),
+            (F.lit(_HLL_M) - F.col("n_present")).cast("bigint").alias(
+                "empty_registers"
+            ),
+        )
+        .orderBy("event_type")
+    )
