@@ -594,3 +594,99 @@ def q96_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — train/eval split-leakage audit
+# ---------------------------------------------------------------------------
+# Composes q104's deterministic hash split with the SimHash signature
+# family (queries/dedup.py): an eval document whose 32-bit signature
+# collides with any training document is flagged as leaked — the audit a
+# training pipeline runs AFTER splitting, complementing q82's
+# benchmark-side decontamination (there the contaminant set is external;
+# here it is the pipeline's own train split).
+from .dedup import _simhash_sig_ctes as _sig_ctes  # noqa: E402
+from .dedup import _spark_simhash_sigs as _spark_sigs  # noqa: E402
+
+_SPLIT_CASE = (
+    "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+@register(
+    "q108_split_leakage",
+    sql=f"""{_sig_ctes()}
+    , splits AS (
+      SELECT doc_id,
+             {_SPLIT_CASE.replace("bucket", f"({duckdb_hash32('CAST(doc_id AS VARCHAR)', seed='split')} % 100)")} AS split
+      FROM documents
+    ), tagged AS (
+      SELECT s.doc_id, g.simhash, s.split
+      FROM splits s JOIN sigs g USING (doc_id)
+    ), per_sig AS (
+      SELECT simhash,
+             COUNT(CASE WHEN split = 'train' THEN 1 END) AS n_train,
+             COUNT(CASE WHEN split = 'val' THEN 1 END) AS n_val,
+             COUNT(CASE WHEN split = 'test' THEN 1 END) AS n_test,
+             MIN(CASE WHEN split <> 'train' THEN doc_id END) AS min_eval_doc
+      FROM tagged GROUP BY simhash
+    )
+    SELECT 'val' AS split,
+           CAST(COALESCE(SUM(n_val), 0) AS BIGINT) AS n_leaked_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_leaky_sigs,
+           CAST(MIN(min_eval_doc) AS BIGINT) AS example_doc
+    FROM per_sig WHERE n_train > 0 AND n_val > 0
+    UNION ALL
+    SELECT 'test' AS split,
+           CAST(COALESCE(SUM(n_test), 0) AS BIGINT) AS n_leaked_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_leaky_sigs,
+           CAST(MIN(min_eval_doc) AS BIGINT) AS example_doc
+    FROM per_sig WHERE n_train > 0 AND n_test > 0
+    ORDER BY split
+    """,
+    tags=("curation", "decontamination", "split", "simhash"),
+)
+def q108_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per eval split, how many documents are near-duplicates (identical
+    32-bit SimHash) of a training document — plus how many distinct
+    signature clusters leak and one example doc id to inspect.
+
+    Scale shape: signatures come from the shared simhash kernel (explode →
+    doc-keyed partial agg); the split tag is map-side hash arithmetic on
+    doc_id (zero extra shuffle — it rides the signature rows). The audit
+    itself is one signature-keyed aggregation counting each split's docs
+    per signature, then a 3-row rollup: no pairwise join materializes, so
+    a signature shared by 10^6 train docs and one test doc costs one
+    counter, not 10^6 pairs. At 100 TB this is strictly cheaper than the
+    dedup queries it reuses. Widening to Hamming<=k leakage swaps the
+    exact-signature groupBy for q52b's pigeonhole band join."""
+    d = table(spark, sf_dir, "documents")
+    sigs = _spark_sigs(d.select("doc_id", "text"))
+    bucket_sql = f"({spark_hash32('CAST(doc_id AS STRING)', seed='split')} % 100)"
+    splits = d.select(
+        "doc_id",
+        F.expr(_SPLIT_CASE.replace("bucket", bucket_sql)).alias("split"),
+    )
+    tagged = splits.join(sigs, "doc_id")
+    per_sig = tagged.groupBy("simhash").agg(
+        F.count(F.when(F.col("split") == "train", 1)).alias("n_train"),
+        F.count(F.when(F.col("split") == "val", 1)).alias("n_val"),
+        F.count(F.when(F.col("split") == "test", 1)).alias("n_test"),
+        F.min(F.when(F.col("split") != "train", F.col("doc_id"))).alias(
+            "min_eval_doc"
+        ),
+    )
+
+    def leak_row(split: str):
+        f = per_sig.filter((F.col("n_train") > 0) & (F.col(f"n_{split}") > 0))
+        return f.agg(
+            F.lit(split).alias("split"),
+            F.coalesce(F.sum(f"n_{split}"), F.lit(0)).cast("bigint").alias(
+                "n_leaked_docs"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_leaky_sigs"),
+            F.min("min_eval_doc").cast("bigint").alias("example_doc"),
+        )
+
+    return leak_row("test").unionAll(leak_row("val")).orderBy("split")
