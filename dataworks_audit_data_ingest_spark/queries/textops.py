@@ -888,3 +888,90 @@ def q105_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# q109 — linear quality-model inference
+# ---------------------------------------------------------------------------
+# The model-scoring stage of a curation pipeline: a trained linear model
+# (here: pinned integer weights, the artifact a real pipeline loads from a
+# model registry) scored over per-document features, entirely in BIGINT
+# ppm arithmetic so the decision boundary is bit-identical across engines:
+#
+#   tok_term  = 900 * LEAST(n_tokens, 400)        (reward length, capped)
+#   stop_pen  = |stop_ppm - 300000| DIV 2         (ideal stopword rate 30%)
+#   long_term = long_ppm DIV 4                    (reward lexical richness)
+#   score     = 200000 + tok_term - stop_pen + long_term ;  keep if >= 300000
+#
+# Constant weights fold into whole-stage codegen — the FASTEST inference
+# shape Spark has (no join, no UDF). The alternative "model as data"
+# pattern (weights table -> broadcast join -> dot product) is what q55/q56
+# do for embedding models; a linear scorer doesn't need it.
+_Q109_THRESH = 300_000
+
+
+@register(
+    "q109_quality_model_score",
+    sql=f"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ({_SW_SQL_LIST}))) AS n_stop,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> LENGTH(w) >= 6)) AS n_long
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             200000 + 900 * LEAST(n_tokens, 400)
+             - ABS(1000000 * n_stop // n_tokens - 300000) // 2
+             + (1000000 * n_long // n_tokens) // 4 AS score
+      FROM feats WHERE n_tokens > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN score < {_Q109_THRESH} THEN 1 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(score) // COUNT(*) AS BIGINT) AS mean_score,
+           CAST(MIN(score) AS BIGINT) AS min_score
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "quality", "model-inference"),
+)
+def q109_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with a trained linear quality model and report
+    the per-source keep/drop outcome — model inference as a corpus-scale
+    filter (q61's hand-rule verdict, upgraded to a weighted model; see the
+    module comment for the fixed-point spec).
+
+    Scale shape: features and the dot product are map-side JVM expressions
+    inside one whole-stage-codegen span — zero shuffles until the final
+    per-source rollup (|sources| groups, partial-agg combined). At 100 TB
+    inference cost is exactly one corpus scan; the score column is free to
+    compute inside whatever write job materializes the curated corpus."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    feats = d.select(
+        "doc_id",
+        "source",
+        F.size(words).alias("n_tokens"),
+        F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))).alias("n_stop"),
+        F.size(F.filter(words, lambda w: F.length(w) >= 6)).alias("n_long"),
+    ).filter(F.col("n_tokens") > 0)
+    score = F.expr(
+        "200000 + 900 * LEAST(n_tokens, 400)"
+        " - ABS(1000000 * n_stop DIV n_tokens - 300000) DIV 2"
+        " + (1000000 * n_long DIV n_tokens) DIV 4"
+    )
+    return (
+        feats.select("source", score.alias("score"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("score") < _Q109_THRESH, 1))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.expr("SUM(score) DIV COUNT(*)").cast("bigint").alias("mean_score"),
+            F.min("score").cast("bigint").alias("min_score"),
+        )
+        .orderBy("source")
+    )
