@@ -374,3 +374,103 @@ def q76_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("error_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 — histogram-quantile sketch (deterministic approximate deciles)
+# ---------------------------------------------------------------------------
+# q16 pins exact NTILE (single-task global sort — the oracle form); q16s is
+# the percentile_approx production form but rows-only (sketch internals are
+# engine-specific). This closes the triangle: an approximate-quantile that
+# is BOTH parallel at 100 TB AND engine-exact, via fixed-width binning in
+# BIGINT cents:
+#
+#   v    = acctbal in cents;  pass 1: global (vmin, vmax, N)
+#   bin  = ((v - vmin) * B) DIV (vmax - vmin + 1)      (B = 1024 bins)
+#   decile p boundary = lower edge of the first bin whose cumulative
+#                       count satisfies cum * 10 >= p * N
+#
+# Max error is one bin width ((vmax-vmin)/B); every step is integer
+# arithmetic so both engines land on the same bin.
+_HQ_BINS = 1024
+
+
+@register(
+    "q110_histogram_quantiles",
+    sql=f"""
+    WITH v AS (
+      SELECT CAST(c_acctbal * 100 AS BIGINT) AS cents FROM customer
+    ), bounds AS (
+      SELECT MIN(cents) AS vmin, MAX(cents) AS vmax, COUNT(*) AS n FROM v
+    ), bins AS (
+      SELECT ((cents - vmin) * {_HQ_BINS}) // (vmax - vmin + 1) AS bin,
+             COUNT(*) AS cnt
+      FROM v CROSS JOIN bounds GROUP BY 1
+    ), cum AS (
+      SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM bins
+    ), deciles AS (
+      SELECT p.p AS decile, MIN(c.bin) AS bin
+      FROM (SELECT UNNEST(RANGE(1, 10)) AS p) p
+      CROSS JOIN bounds b
+      JOIN cum c ON c.cum * 10 >= p.p * b.n
+      GROUP BY p.p
+    )
+    SELECT d.decile,
+           CAST(CAST(b.vmin + (d.bin * (b.vmax - b.vmin + 1)) // {_HQ_BINS}
+                     AS DOUBLE) / 100 AS DOUBLE) AS approx_bal
+    FROM deciles d CROSS JOIN bounds b
+    ORDER BY d.decile
+    """,
+    tags=("window", "quantile", "sketch", "scale-path", "exact-integer"),
+)
+def q110_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate acctbal deciles from a fixed-width histogram — the
+    engine-exact approximate-quantile (see module comment): parallel like
+    q16s, hash-checkable like q16.
+
+    Scale shape: pass 1 (min/max/count) and pass 2 (per-bin counts) are
+    both partial-aggregated corpus scans with broadcast 1-row bounds in
+    between — no global sort, no single-task data stage. Everything after
+    the second agg operates on <= B = 1024 rows (the cumulative window and
+    decile probe are sketch-sized, not data-sized). Max quantile error is
+    one bin width; tightening it is a B knob, not a plan change. The same
+    two-pass shape handles any per-group variant by adding the group key
+    to both aggs."""
+    c = table(spark, sf_dir, "customer")
+    v = c.select(F.expr("CAST(c_acctbal * 100 AS BIGINT)").alias("cents"))
+    bounds = v.agg(
+        F.min("cents").alias("vmin"),
+        F.max("cents").alias("vmax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bins = (
+        v.join(F.broadcast(bounds))
+        .select(
+            F.expr(
+                f"((cents - vmin) * {_HQ_BINS}) DIV (vmax - vmin + 1)"
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = bins.select(
+        "bin", F.sum("cnt").over(Window.orderBy("bin")).alias("cum")
+    )
+    ps = spark.range(1, 10).select(F.col("id").alias("decile"))
+    deciles = (
+        cum.join(F.broadcast(bounds))
+        .join(F.broadcast(ps), F.col("cum") * 10 >= F.col("decile") * F.col("n"))
+        .groupBy("decile")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return (
+        deciles.join(F.broadcast(bounds))
+        .select(
+            "decile",
+            F.expr(
+                f"CAST(CAST(vmin + (bin * (vmax - vmin + 1)) DIV {_HQ_BINS}"
+                f" AS DOUBLE) / 100 AS DOUBLE)"
+            ).alias("approx_bal"),
+        )
+        .orderBy("decile")
+    )

@@ -81,3 +81,28 @@ def test_q16s_close_to_exact_ntile(spark):
             approx,
             exact,
         )
+
+
+def test_q110_bounds_within_one_bin_of_exact(spark):
+    """Histogram-quantile boundaries must bracket the exact decile edges
+    within one bin width ((vmax-vmin)/B) — the sketch's documented error
+    bound."""
+    from dataworks_audit_data_ingest_spark.tables import table
+
+    rows = REGISTRY["q110_histogram_quantiles"].fn(spark, SF).collect()
+    assert [r.decile for r in rows] == list(range(1, 10))
+    bals = sorted(
+        float(r.c_acctbal)
+        for r in table(spark, SF, "customer").select("c_acctbal").collect()
+    )
+    n = len(bals)
+    vmin, vmax = bals[0], bals[-1]
+    bin_width = (vmax - vmin) / 1024 + 0.01
+    for r in rows:
+        # exact lower decile edge: smallest value v with rank(v)*10 >= p*n
+        import math
+
+        exact = bals[math.ceil(r.decile * n / 10) - 1]
+        assert abs(r.approx_bal - exact) <= bin_width + 0.01, (r, exact)
+    approx = [r.approx_bal for r in rows]
+    assert approx == sorted(approx)
