@@ -639,48 +639,25 @@ def q37b_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q42 demonstrates the built-in HLL++ sketch but is rows-only (engine-
 # specific estimates). This sibling builds the sketch from first principles
-# in pure BIGINT arithmetic so the whole thing — registers AND estimate —
-# hash-matches a SQL oracle:
-#
-#   h      = 32-bit MD5-derived hash of the key        (functions/hashing.py)
-#   bucket = h % m                (m = 32 registers, p = 5)
-#   w      = h DIV m              (27-bit suffix)
-#   rho    = 28 - bit_length(w)   (leading-zero count + 1; w = 0 -> 28)
-#   M_j    = MAX(rho) per bucket  (the register — MAX makes sketches
-#                                  mergeable: union = element-wise max)
-#   S      = sum over ALL m registers of 2^(28 - M_j), empty register
-#            M_j = 0 contributing 2^28  (S is Σ 2^-M_j scaled by 2^28)
-#   E      = alpha_m * m^2 / Σ 2^-M_j
-#          = (697 * m^2 * 2^28) DIV (1000 * S)   [alpha_32 = 0.697]
-#
-# bit_length via LENGTH(BIN(w)) — verified identical in Spark and DuckDB
-# (both render minimal binary strings, BIN(0) = '0'). No log, no float:
-# the raw Flajolet estimator only (the small-range linear-counting branch
-# needs ln() — documented out of scope; zero_registers is emitted so a
-# caller can apply it).  Headroom: 697 * 1024 * 2^28 < 2^48.
-from ..functions.hashing import duckdb_hash32, spark_hash32  # noqa: E402
+# in pure BIGINT arithmetic — full spec, constants, and the bit_length /
+# BIN() cross-engine argument live in ``functions/sketches.py`` — so the
+# whole thing (registers AND estimate) hash-matches a SQL oracle.
+from ..functions import sketches as SK  # noqa: E402
 
 _HLL_M = 32
-_HLL_SHIFT = 28  # 27-bit suffix + 1
 
 
 @register(
     "q107_hll_exact_registers",
     sql=f"""
-    WITH hashed AS (
+    WITH regs AS (
       SELECT event_type,
-             user_id,
-             {duckdb_hash32("CAST(user_id AS VARCHAR)", seed="hll")} % {_HLL_M} AS bucket,
-             {duckdb_hash32("CAST(user_id AS VARCHAR)", seed="hll")} // {_HLL_M} AS w
-      FROM events
-    ), regs AS (
-      SELECT event_type, bucket,
-             MAX(CASE WHEN w = 0 THEN {_HLL_SHIFT}
-                      ELSE {_HLL_SHIFT} - LENGTH(BIN(w)) END) AS m_j
-      FROM hashed GROUP BY event_type, bucket
+             {SK.hll_bucket_sql("CAST(user_id AS VARCHAR)", _HLL_M, "duckdb")} AS bucket,
+             MAX({SK.hll_rho_sql("CAST(user_id AS VARCHAR)", _HLL_M, "duckdb")}) AS m_j
+      FROM events GROUP BY 1, 2
     ), sums AS (
       SELECT event_type,
-             SUM(CAST(1 AS BIGINT) << ({_HLL_SHIFT} - m_j)) AS s_present,
+             SUM({SK.hll_term_sql("m_j", _HLL_M, "duckdb")}) AS s_present,
              COUNT(*) AS n_present
       FROM regs GROUP BY event_type
     ), exact AS (
@@ -689,10 +666,7 @@ _HLL_SHIFT = 28  # 27-bit suffix + 1
     )
     SELECT s.event_type,
            CAST(e.exact_users AS BIGINT) AS exact_users,
-           CAST((697 * {_HLL_M * _HLL_M} * (CAST(1 AS BIGINT) << {_HLL_SHIFT}))
-                // (1000 * (s.s_present
-                    + ({_HLL_M} - s.n_present) * (CAST(1 AS BIGINT) << {_HLL_SHIFT})))
-             AS BIGINT) AS hll_users,
+           {SK.hll_estimate_sql("s.s_present", "s.n_present", _HLL_M, "duckdb")} AS hll_users,
            CAST({_HLL_M} - s.n_present AS BIGINT) AS empty_registers
     FROM sums s JOIN exact e USING (event_type)
     ORDER BY s.event_type
@@ -702,50 +676,38 @@ _HLL_SHIFT = 28  # 27-bit suffix + 1
 def q107_hll_exact_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hand-built HyperLogLog distinct-count sketch per event_type, in
     pure BIGINT arithmetic — the oracle-checkable twin of q42's built-in
-    HLL++ (whose register encoding is engine-private). See the module
-    comment above for the full fixed-point spec.
+    HLL++ (whose register encoding is engine-private). Spec and constants:
+    ``functions/sketches.py``.
 
     Scale shape: rho and bucket are map-side string ops on the hash; the
     first aggregation (partial MAX per (group, bucket)) combines map-side,
     so the exchange carries at most m=32 rows per group per task — the
     sketch property that makes HLL the 100 TB cardinality tool. Merging
-    two sketches is the same element-wise MAX, so daily register tables
-    roll up into monthly counts without touching raw data. The exact
-    COUNT(DISTINCT) alongside is calibration (drop it in production; it
-    is the expensive side of the comparison). Raw Flajolet estimator
-    only — the ln()-based linear-counting correction is documented out of
-    scope (needs floats); empty_registers lets a caller apply it."""
+    two sketches is the same element-wise MAX (q111 demonstrates the
+    daily-rollup form). The exact COUNT(DISTINCT) alongside is calibration
+    (drop it in production; it is the expensive side of the comparison).
+    Raw Flajolet estimator only — the ln()-based linear-counting
+    correction is documented out of scope (needs floats);
+    empty_registers lets a caller apply it."""
     ev = table(spark, sf_dir, "events")
-    h = spark_hash32("CAST(user_id AS STRING)", seed="hll")
-    hashed = ev.select(
+    regs = ev.groupBy(
         "event_type",
-        "user_id",
-        F.expr(f"({h}) % {_HLL_M}").alias("bucket"),
-        F.expr(f"({h}) DIV {_HLL_M}").alias("w"),
-    )
-    regs = hashed.groupBy("event_type", "bucket").agg(
+        F.expr(SK.hll_bucket_sql("CAST(user_id AS STRING)", _HLL_M, "spark")).alias(
+            "bucket"
+        ),
+    ).agg(
         F.max(
-            F.expr(
-                f"CASE WHEN w = 0 THEN {_HLL_SHIFT} "
-                f"ELSE {_HLL_SHIFT} - LENGTH(BIN(w)) END"
-            )
+            F.expr(SK.hll_rho_sql("CAST(user_id AS STRING)", _HLL_M, "spark"))
         ).alias("m_j")
     )
     sums = regs.groupBy("event_type").agg(
-        F.sum(F.expr(f"SHIFTLEFT(CAST(1 AS BIGINT), {_HLL_SHIFT} - m_j)")).alias(
-            "s_present"
-        ),
+        F.sum(F.expr(SK.hll_term_sql("m_j", _HLL_M, "spark"))).alias("s_present"),
         F.count(F.lit(1)).alias("n_present"),
     )
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("bigint").alias("exact_users")
     )
-    est = F.expr(
-        f"CAST((697 * {_HLL_M * _HLL_M} * SHIFTLEFT(CAST(1 AS BIGINT), {_HLL_SHIFT}))"
-        f" DIV (1000 * (s_present"
-        f" + ({_HLL_M} - n_present) * SHIFTLEFT(CAST(1 AS BIGINT), {_HLL_SHIFT})))"
-        f" AS BIGINT)"
-    )
+    est = F.expr(SK.hll_estimate_sql("s_present", "n_present", _HLL_M, "spark"))
     return (
         sums.join(exact, "event_type")
         .select(
@@ -756,5 +718,106 @@ def q107_hll_exact_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "empty_registers"
             ),
         )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q111_hll_daily_rollup",
+    sql=f"""
+    WITH daily_regs AS (
+      SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             event_type,
+             {SK.hll_bucket_sql("CAST(user_id AS VARCHAR)", _HLL_M, "duckdb")} AS bucket,
+             MAX({SK.hll_rho_sql("CAST(user_id AS VARCHAR)", _HLL_M, "duckdb")}) AS m_j
+      FROM events GROUP BY 1, 2, 3
+    ), daily_sums AS (
+      SELECT day, event_type,
+             SUM({SK.hll_term_sql("m_j", _HLL_M, "duckdb")}) AS s_present,
+             COUNT(*) AS n_present
+      FROM daily_regs GROUP BY day, event_type
+    ), daily_est AS (
+      SELECT day, event_type,
+             {SK.hll_estimate_sql("s_present", "n_present", _HLL_M, "duckdb")} AS est
+      FROM daily_sums
+    ), merged_regs AS (
+      SELECT event_type, bucket, MAX(m_j) AS m_j
+      FROM daily_regs GROUP BY event_type, bucket
+    ), merged_sums AS (
+      SELECT event_type,
+             SUM({SK.hll_term_sql("m_j", _HLL_M, "duckdb")}) AS s_present,
+             COUNT(*) AS n_present
+      FROM merged_regs GROUP BY event_type
+    )
+    SELECT m.event_type,
+           {SK.hll_estimate_sql("m.s_present", "m.n_present", _HLL_M, "duckdb")} AS merged_users,
+           CAST(d.sum_daily AS BIGINT) AS sum_daily_users,
+           CAST(d.n_days AS BIGINT) AS n_days
+    FROM merged_sums m
+    JOIN (
+      SELECT event_type, SUM(est) AS sum_daily, COUNT(*) AS n_days
+      FROM daily_est GROUP BY event_type
+    ) d USING (event_type)
+    ORDER BY m.event_type
+    """,
+    tags=("agg", "sketch", "hll", "merge", "exact-integer"),
+)
+def q111_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reason sketches exist: per-day HLL register tables merged into
+    a whole-period distinct-user count by element-wise MAX — no second
+    pass over raw events — next to the naive SUM of daily estimates
+    (which over-counts returning users; the gap between the two columns
+    is the cross-day overlap a sketch-less rollup gets wrong).
+
+    Scale shape: the daily register build is q107's map-side-combined
+    aggregation with `day` added to the key — exactly what an incremental
+    pipeline materializes per partition as it lands (32 rows per group per
+    day, the 100 TB artifact is KB-sized). The merge then touches ONLY
+    register tables: MAX over m rows per group per day, associative and
+    commutative, so any subset of days rolls up in any order — weekly,
+    monthly, trailing-28-day — all from the same stored registers.
+    Estimates stay in the exact integer form (functions/sketches.py), so
+    a register table written by this engine is verifiable by any other."""
+    ev = table(spark, sf_dir, "events")
+    daily_regs = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "event_type",
+        F.expr(SK.hll_bucket_sql("CAST(user_id AS STRING)", _HLL_M, "spark")).alias(
+            "bucket"
+        ),
+    ).agg(
+        F.max(
+            F.expr(SK.hll_rho_sql("CAST(user_id AS STRING)", _HLL_M, "spark"))
+        ).alias("m_j")
+    )
+    term = F.expr(SK.hll_term_sql("m_j", _HLL_M, "spark"))
+    daily_sums = daily_regs.groupBy("day", "event_type").agg(
+        F.sum(term).alias("s_present"), F.count(F.lit(1)).alias("n_present")
+    )
+    daily_est = daily_sums.select(
+        "day",
+        "event_type",
+        F.expr(SK.hll_estimate_sql("s_present", "n_present", _HLL_M, "spark")).alias(
+            "est"
+        ),
+    )
+    merged_sums = (
+        daily_regs.groupBy("event_type", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+        .groupBy("event_type")
+        .agg(F.sum(term).alias("s_present"), F.count(F.lit(1)).alias("n_present"))
+    )
+    daily_rollup = daily_est.groupBy("event_type").agg(
+        F.sum("est").cast("bigint").alias("sum_daily_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    return (
+        merged_sums.select(
+            "event_type",
+            F.expr(
+                SK.hll_estimate_sql("s_present", "n_present", _HLL_M, "spark")
+            ).alias("merged_users"),
+        )
+        .join(daily_rollup, "event_type")
         .orderBy("event_type")
     )
