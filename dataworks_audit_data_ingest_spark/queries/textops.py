@@ -975,3 +975,100 @@ def q109_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q112 — unigram surprisal (integer perplexity-filter analog)
+# ---------------------------------------------------------------------------
+# Perplexity filtering scores each document by the mean -log p(token)
+# under a language model; the unigram version needs only corpus counts.
+# Floating ln() breaks cross-engine exactness, so surprisal is measured in
+# whole bits via bit lengths:
+#
+#   bits(t)  = bit_length(T DIV c_t)  ~  floor(log2(T / c_t)) + 1
+#   doc score = (1000 * Σ_occurrences bits(t)) DIV n_tokens
+#
+# with T total corpus token occurrences and c_t the term's count. Monotone
+# in true unigram surprisal, exact in BIGINT, and the thresholds behave
+# like perplexity cuts: boilerplate (all frequent tokens) scores low, OCR
+# noise / rare-token soup scores high.
+_Q112_HI = 9_000  # mean surprisal > 9 bits -> rare-token noise
+_Q112_LO = 5_000  # mean surprisal < 5 bits -> boilerplate
+
+
+@register(
+    "q112_unigram_surprisal",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      FROM documents
+    ), toks_f AS (
+      SELECT * FROM toks WHERE t <> ''
+    ), counts AS (
+      SELECT t, COUNT(*) AS c FROM toks_f GROUP BY t
+    ), total AS (
+      SELECT SUM(c) AS total_t FROM counts
+    ), scored AS (
+      SELECT k.doc_id, k.source,
+             (1000 * SUM(LENGTH(BIN(total_t // c)))) // COUNT(*) AS surprisal
+      FROM toks_f k JOIN counts USING (t) CROSS JOIN total
+      GROUP BY k.doc_id, k.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(surprisal) // COUNT(*) AS BIGINT) AS mean_surprisal,
+           CAST(COUNT(CASE WHEN surprisal > {_Q112_HI} THEN 1 END) AS BIGINT) AS n_noisy,
+           CAST(COUNT(CASE WHEN surprisal < {_Q112_LO} THEN 1 END) AS BIGINT) AS n_boilerplate
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "quality", "perplexity", "exact-integer"),
+)
+def q112_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-token surprisal per document under the corpus's own
+    unigram model, rolled up per source with noisy/boilerplate flag counts
+    — the engine-exact stand-in for LM perplexity filtering (spec in the
+    module comment; a real deployment swaps `bits` for a KenLM-style
+    scorer over the same plumbing).
+
+    Scale shape: classic three-exchange TF-IDF plumbing (q65): explode →
+    token-keyed count with map-side combine, token-keyed join of counts
+    back onto occurrences (the vocabulary is Zipf-bounded; Spark picks
+    broadcast when it fits, shuffle-hash otherwise), doc-keyed mean. The
+    corpus total rides a broadcast 1-row cross join. Hot stop-tokens skew
+    the count agg's key space but partial aggregation flattens them before
+    the exchange — the join side is per-occurrence and hashes uniformly
+    over doc_id after projection."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("total_t"))
+    scored = (
+        toks.join(counts, "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.expr(
+                "(1000 * SUM(LENGTH(BIN(total_t DIV c)))) DIV COUNT(*)"
+            ).alias("surprisal")
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("SUM(surprisal) DIV COUNT(*)").cast("bigint").alias(
+                "mean_surprisal"
+            ),
+            F.count(F.when(F.col("surprisal") > _Q112_HI, 1))
+            .cast("bigint")
+            .alias("n_noisy"),
+            F.count(F.when(F.col("surprisal") < _Q112_LO, 1))
+            .cast("bigint")
+            .alias("n_boilerplate"),
+        )
+        .orderBy("source")
+    )
