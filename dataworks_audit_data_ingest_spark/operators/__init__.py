@@ -25,7 +25,16 @@ from ..functions.bloom import (  # noqa: F401
     bloom_prefiltered_semi_join,
     build_bloom_bitmap,
 )
-from ..functions.graph import connected_components  # noqa: F401
+from ..functions.expectations import (  # noqa: F401
+    check_expectations,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    satisfies,
+    unique,
+)
+from ..functions.graph import connected_components, pagerank_integer  # noqa: F401
 from ..similarity.knn import knn_join  # noqa: F401
 from ..similarity.mmr import knn_mmr, mmr_rerank  # noqa: F401
 from ..similarity.pca import fit_pca, transform_pca  # noqa: F401

@@ -690,3 +690,66 @@ def q108_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return leak_row("test").unionAll(leak_row("val")).orderBy("split")
+
+
+# ---------------------------------------------------------------------------
+# q113 — data-quality expectation suite
+# ---------------------------------------------------------------------------
+# The contract gate a pipeline runs on every batch before publishing
+# (functions/expectations.py — Deequ's idea, one aggregation pass for the
+# whole suite). The registered form pins the documents table's contract;
+# the suite is data, so a real deployment loads it from config.
+from ..functions import expectations as EX  # noqa: E402
+
+_Q113_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@register(
+    "q113_data_expectations",
+    sql=f"""
+    WITH agg AS (
+      SELECT
+        COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS v_not_null,
+        COUNT(doc_id) - COUNT(DISTINCT doc_id) AS v_unique,
+        COUNT(CASE WHEN n_chars NOT BETWEEN 1 AND 10000000 THEN 1 END) AS v_range,
+        COUNT(CASE WHEN NOT (n_chars = LENGTH(text)) THEN 1 END) AS v_consistent,
+        COUNT(CASE WHEN lang NOT IN ({", ".join(f"'{x}'" for x in _Q113_LANGS)}) THEN 1 END) AS v_lang,
+        COUNT(CASE WHEN NOT REGEXP_MATCHES(source, '^[a-z0-9_.-]+$') THEN 1 END) AS v_source
+      FROM documents
+    )
+    SELECT expectation, n_violations, n_violations = 0 AS passed
+    FROM (
+      SELECT 'chars_match_text' AS expectation, CAST(v_consistent AS BIGINT) AS n_violations FROM agg
+      UNION ALL SELECT 'in_range(n_chars,1,10000000)', CAST(v_range AS BIGINT) FROM agg
+      UNION ALL SELECT 'in_set(lang)', CAST(v_lang AS BIGINT) FROM agg
+      UNION ALL SELECT 'not_null(doc_id)', CAST(v_not_null AS BIGINT) FROM agg
+      UNION ALL SELECT 'source_slug', CAST(v_source AS BIGINT) FROM agg
+      UNION ALL SELECT 'unique(doc_id)', CAST(v_unique AS BIGINT) FROM agg
+    )
+    ORDER BY expectation
+    """,
+    tags=("curation", "quality", "expectations", "contract"),
+)
+def q113_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table's publish contract, checked in one pass: key
+    integrity, metadata/payload consistency, closed vocabularies, and
+    value ranges — the report a batch pipeline gates its snapshot commit
+    on (compose with ``SnapshotTable``: commit only if every row passes).
+
+    Scale shape: all six rules fold into ONE aggregation job —
+    map-side partial counters per task, a single-row reduction, then a
+    literal-sized unpivot. The lone key-wide piece is unique(doc_id)'s
+    distinct (expand + two-phase agg, still the same single pass); the
+    module docstring documents the HLL swap when even that is too much."""
+    d = table(spark, sf_dir, "documents")
+    return EX.check_expectations(
+        d,
+        [
+            EX.not_null("doc_id"),
+            EX.unique("doc_id"),
+            EX.in_range("n_chars", 1, 10_000_000),
+            EX.satisfies("n_chars = LENGTH(text)", name="chars_match_text"),
+            EX.in_set("lang", _Q113_LANGS),
+            EX.matches("source", "^[a-z0-9_.-]+$", name="source_slug"),
+        ],
+    )

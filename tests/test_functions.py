@@ -133,3 +133,61 @@ def test_sample_frames_and_resize(spark):
     for r in resized:
         assert r.target_width <= 64 and r.target_height <= 64
         assert r.target_width >= 1 and r.target_height >= 1
+
+
+# ---------------------------------------------------------------------------
+# functions/expectations.py
+# ---------------------------------------------------------------------------
+
+
+def test_expectations_count_violations(spark):
+    """Engineered frame: every rule sees a known number of offenders."""
+    import pytest
+
+    from dataworks_audit_data_ingest_spark.functions import expectations as EX
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", 5),
+            (1, "beta", 4),      # duplicate id
+            (None, "gamma", 5),  # null id
+            (3, "", -2),         # empty text, negative len
+            (4, "delta!", 6),    # bad slug
+        ],
+        "id bigint, slug string, n bigint",
+    )
+    rows = EX.check_expectations(
+        df,
+        [
+            EX.not_null("id"),
+            EX.unique("id"),
+            EX.in_range("n", 0, 100),
+            EX.matches("slug", "^[a-z]+$", name="slug_shape"),
+            EX.satisfies("n >= 0 OR slug = ''", name="escape_hatch"),
+        ],
+    ).collect()
+    got = {r.expectation: (r.n_violations, r.passed) for r in rows}
+    assert got == {
+        "not_null(id)": (1, False),
+        "unique(id)": (1, False),
+        "in_range(n,0,100)": (1, False),
+        "slug_shape": (2, False),  # "" and "delta!"
+        "escape_hatch": (0, True),
+    }
+    with pytest.raises(ValueError):
+        EX.check_expectations(df, [])
+
+
+def test_expectations_single_aggregation_job(spark):
+    """The suite must compile to one aggregate over the input — no
+    per-rule scans: exactly one scan of the source in the physical plan."""
+    from dataworks_audit_data_ingest_spark.functions import expectations as EX
+
+    df = spark.range(100).selectExpr("id", "CAST(id % 7 AS STRING) AS s")
+    plan = (
+        EX.check_expectations(df, [EX.not_null("id"), EX.in_range("id", 0, 99)])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Range (0, 100") == 1, plan
