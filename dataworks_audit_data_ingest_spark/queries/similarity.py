@@ -601,3 +601,77 @@ def q95_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "vec_id", "rnk", "n_in_bucket")
         .orderBy("bucket", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q114 — embedding-store health statistics
+# ---------------------------------------------------------------------------
+# Vector-store QA: per-dimension moment/range stats over the whole corpus,
+# the drift check run before trusting an ANN index or a PCA basis (a dim
+# whose mean wanders or whose range collapses signals an upstream encoder
+# change). Values are float32; both engines widen each element to the
+# SAME double, and every statistic is computed on q = FLOOR(x * 2^20)
+# BIGINTs (the SRP_SCALE policy) so sums are order-independent and
+# engine-exact:
+#
+#   mean_q = Σq DIV n          var_q = (n·Σq² − (Σq)²) DIV n²
+#
+# Headroom: |q| < 2^21 ⇒ q² < 2^42; Σq² stays under 2^63 to ~2e6 vectors
+# per dim — beyond that, production drops the scale to 2^12 (pure
+# rescaling) or shards the sum. var_q is in q² units (2^40 per unit²).
+@register(
+    "q114_embedding_health",
+    sql=f"""
+    WITH elems AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {1 << 20}) AS BIGINT) AS q
+      FROM embeddings
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_q,
+           CAST((COUNT(*) * SUM(q * q) - SUM(q) * SUM(q))
+                // (COUNT(*) * COUNT(*)) AS BIGINT) AS var_q,
+           MIN(q) AS min_q,
+           MAX(q) AS max_q
+    FROM elems
+    GROUP BY dim
+    ORDER BY dim
+    """,
+    tags=("similarity", "embeddings", "quality", "exact-integer"),
+)
+def q114_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance/range of the embedding corpus in
+    order-independent integer arithmetic — the store-level health report
+    (spec and headroom in the module comment).
+
+    Scale shape: posexplode is map-side (64 rows per vector, no data
+    crosses the wire un-aggregated); the single exchange carries one
+    partial-moment row per (dim, task) — 64 × tasks rows with five BIGINT
+    counters, independent of corpus size. The same pass extends to any
+    moment (skew/kurtosis) by adding Σq³/Σq⁴ counters. A per-day variant
+    (add the day to the key) turns this into the drift time series that
+    alerts on encoder regressions."""
+    emb = table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.expr(f"CAST(FLOOR(CAST(x AS DOUBLE) * {1 << 20}) AS BIGINT)").alias("q"),
+    )
+    return (
+        elems.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.expr("SUM(q) DIV COUNT(*)").cast("bigint").alias("mean_q"),
+            F.expr(
+                "(COUNT(*) * SUM(q * q) - SUM(q) * SUM(q))"
+                " DIV (COUNT(*) * COUNT(*))"
+            )
+            .cast("bigint")
+            .alias("var_q"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+        )
+        .orderBy("dim")
+    )
