@@ -740,3 +740,65 @@ def q94_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q115 — SCD2 versioned-history apply
+# ---------------------------------------------------------------------------
+# The slowly-changing-dimension operator (sinks/scd2.py::apply_scd2) pinned
+# against a SQL oracle on a deterministic scenario: the customer table is
+# an all-open SCD2 history (one version per key since 2025-01-01), and an
+# update batch re-segments every 7th customer effective 2026-06-01. The
+# oracle writes the expected history directly: changed keys close at the
+# effective time and gain a new open 'REMAPPED' version; the rest stay
+# open and untouched.
+_SCD2_T0 = "TIMESTAMP '2025-01-01 00:00:00'"
+_SCD2_T1 = "TIMESTAMP '2026-06-01 00:00:00'"
+
+
+@register(
+    "q115_scd2_apply",
+    sql=f"""
+    SELECT c_custkey, c_mktsegment AS segment,
+           {_SCD2_T0} AS valid_from,
+           CASE WHEN c_custkey % 7 = 0 THEN {_SCD2_T1} END AS valid_to
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'REMAPPED' AS segment,
+           {_SCD2_T1} AS valid_from, NULL AS valid_to
+    FROM customer WHERE c_custkey % 7 = 0
+    ORDER BY c_custkey, valid_from
+    """,
+    tags=("relational", "scd2", "warehouse", "cdc"),
+)
+def q115_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One SCD2 update batch applied to the customer dimension via the
+    real operator (``sinks.scd2.apply_scd2``) — history rows for changed
+    keys close at the batch's effective time and a new open version
+    appends; unchanged keys pass through untouched (scenario in the
+    module comment).
+
+    Scale shape: the apply is ONE equi-join of the update batch onto the
+    OPEN slice of the history on the business key (Spark broadcasts the
+    batch when it is dimension-sized, as here) plus a map emitting
+    close/open rows — closed history is never read past its partition
+    filter. Compose with ``merge_upsert_partitioned`` to rewrite only the
+    partitions holding touched keys, and with ``as_of`` / q25 for
+    point-in-time reads of the result."""
+    from ..sinks.scd2 import apply_scd2
+
+    c = table(spark, sf_dir, "customer")
+    history = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(_SCD2_T0).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("REMAPPED").alias("segment"),
+        F.expr(_SCD2_T1).alias("effective_ts"),
+    )
+    return apply_scd2(
+        history, updates, ["c_custkey"], ["segment"]
+    ).orderBy("c_custkey", "valid_from")
