@@ -665,3 +665,72 @@ def q102_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("prev_type", "next_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q116 — ingest completeness / traffic anomaly report
+# ---------------------------------------------------------------------------
+# Pipeline observability: compare per-(event_type, day) event volume to
+# the type's own all-days baseline and flag days outside a ±30 % band —
+# the monitor that catches a silently dropped ingest partition (the
+# reference's all-or-nothing day loop fails loudly; at 100 TB the failure
+# mode is a day that LANDS but thin). Deviation is scaled-integer:
+# dev_pct = (100 * n) DIV baseline - 100, baseline = total DIV n_days.
+@register(
+    "q116_traffic_anomaly",
+    sql="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), baseline AS (
+      SELECT event_type,
+             SUM(n_events) // COUNT(*) AS mean_daily,
+             COUNT(*) AS n_days
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day,
+           CAST(d.n_events AS BIGINT) AS n_events,
+           CAST(b.mean_daily AS BIGINT) AS mean_daily,
+           CAST((100 * d.n_events) // b.mean_daily - 100 AS BIGINT) AS dev_pct
+    FROM daily d JOIN baseline b USING (event_type)
+    WHERE (100 * d.n_events) // b.mean_daily - 100 NOT BETWEEN -30 AND 30
+    ORDER BY d.event_type, d.day
+    """,
+    tags=("events", "observability", "anomaly", "completeness"),
+)
+def q116_traffic_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose event volume deviates more than ±30 % from the
+    event_type's own daily baseline — the completeness monitor a pipeline
+    runs after each day lands (spec in the module comment; thin fixture
+    edge-days show up as honest negative deviations).
+
+    Scale shape: the daily rollup is one partial-aggregated exchange over
+    (type, day) keys — group count, not event count, crosses the wire; the
+    baseline is a second agg over that tiny table and joins back broadcast.
+    At 100 TB the daily table is thousands of rows regardless of traffic.
+    A production variant windows the baseline (trailing 28 days, same-day-
+    of-week) by adding those keys to the baseline agg — same two-agg
+    shape."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    baseline = daily.groupBy("event_type").agg(
+        F.expr("SUM(n_events) DIV COUNT(*)").alias("mean_daily"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    dev = F.expr("(100 * n_events) DIV mean_daily - 100")
+    return (
+        daily.join(F.broadcast(baseline), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("mean_daily").cast("bigint").alias("mean_daily"),
+            dev.cast("bigint").alias("dev_pct"),
+        )
+        .filter(~F.col("dev_pct").between(-30, 30))
+        .orderBy("event_type", "day")
+    )
