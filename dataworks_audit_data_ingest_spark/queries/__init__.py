@@ -42,10 +42,14 @@ from . import graph_shaped  # noqa: E402,F401
 # q82, q89 — are r03-green with unchanged code). q98_bpe_pair_counts,
 # q99_novelty_score, q100_vocab_coverage, q101_funnel, and
 # q102_event_transitions, q103_bm25, q104_train_split,
-# q105_posting_lists, and q106_event_pagerank were born after the
-# round-4 top-50 filled: they have multi-scale local oracle evidence
-# (tools/check_oracle.py + the parametrized pytest) and MUST lead the
-# round-5 rotation.
+# q105_posting_lists, q106_event_pagerank, q107_hll_exact_registers,
+# q108_split_leakage, q109_quality_model_score,
+# q110_histogram_quantiles, q111_hll_daily_rollup,
+# q112_unigram_surprisal, q113_data_expectations,
+# q114_embedding_health, q115_scd2_apply, and q116_traffic_anomaly
+# were born after the round-4 top-50 filled: they have multi-scale
+# local oracle evidence (tools/check_oracle.py + the parametrized
+# pytest) and MUST lead the round-5 rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- added in round 4, no driver row yet --
     "q90_semantic_dedup",
