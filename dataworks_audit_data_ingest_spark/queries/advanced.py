@@ -821,3 +821,94 @@ def q111_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(daily_rollup, "event_type")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q117 — one-pass covariance matrix
+# ---------------------------------------------------------------------------
+# Feature-correlation screening at corpus scale: every pairwise covariance
+# (and each variance, the diagonal) of the lineitem measures from ONE scan
+# — the partial-aggregated moment trick (Σx, Σy, Σxy per pair). Values are
+# quantized per-measure (FLOOR(x·scale): quantity ×1, price ×1 = whole
+# dollars, discount ×1000) so every sum is order-independent BIGINT and
+#
+#   cov_q = (n·Σxy − Σx·Σy) DIV n²     (units: scale_x·scale_y)
+#
+# is engine-exact. Pearson r is downstream float math over these integers
+# (the sqrt leaves integer land — deliberately out of the oracle).
+# Headroom at this quantization: Σx² < 2^63 to ~10⁸ rows; larger corpora
+# coarsen the scale (pure rescaling) or shard-and-merge the moment rows.
+_COV_MEASURES = (
+    ("qty", "FLOOR(l_quantity)"),
+    ("price", "FLOOR(l_extendedprice)"),
+    ("disc_k", "FLOOR(l_discount * 1000)"),
+)
+
+
+def _cov_sql() -> str:
+    quant = ", ".join(
+        f"CAST({expr} AS BIGINT) AS {name}" for name, expr in _COV_MEASURES
+    )
+    pair_rows = []
+    for i, (xn, _) in enumerate(_COV_MEASURES):
+        for yn, _ in _COV_MEASURES[i:]:
+            pair_rows.append(
+                f"SELECT '{xn}' AS x_name, '{yn}' AS y_name,"
+                f" CAST(COUNT(*) AS BIGINT) AS n,"
+                f" CAST((COUNT(*) * SUM({xn} * {yn}) - SUM({xn}) * SUM({yn}))"
+                f" // (COUNT(*) * COUNT(*)) AS BIGINT) AS cov_q"
+                f" FROM q"
+            )
+    return (
+        f"WITH q AS (SELECT {quant} FROM lineitem)\n    "
+        + "\n    UNION ALL ".join(pair_rows)
+        + "\n    ORDER BY x_name, y_name"
+    )
+
+
+@register(
+    "q117_covariance_matrix",
+    sql=_cov_sql(),
+    tags=("agg", "statistics", "moments", "exact-integer"),
+)
+def q117_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise covariances (upper triangle + diagonal variances) of the
+    lineitem measures in order-independent integer arithmetic — the
+    feature-screening pass run before any modeling on tabular data (spec
+    and headroom in the module comment).
+
+    Scale shape: ONE corpus scan computes every Σx/Σxy counter map-side
+    (partial agg) and reduces to a single row; the pair unpivot is
+    literal-sized. Adding a measure adds counters, not passes — the same
+    shape as the expectation suite (q113) and embedding moments (q114).
+    The oracle's UNION ALL per pair re-reads the CTE, but the Spark side
+    is a single agg + stack."""
+    li = table(spark, sf_dir, "lineitem")
+    q = li.select(
+        *[
+            F.expr(f"CAST({expr} AS BIGINT)").alias(name)
+            for name, expr in _COV_MEASURES
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    pairs = []
+    for i, (xn, _) in enumerate(_COV_MEASURES):
+        aggs.append(F.sum(xn).alias(f"s_{xn}"))
+        for yn, _ in _COV_MEASURES[i:]:
+            aggs.append(F.sum(F.col(xn) * F.col(yn)).alias(f"sxy_{xn}_{yn}"))
+            pairs.append((xn, yn))
+    wide = q.agg(*aggs)
+    stack = ", ".join(
+        f"'{xn}', '{yn}', CAST((n * sxy_{xn}_{yn} - s_{xn} * s_{yn}) DIV (n * n) AS BIGINT)"
+        for xn, yn in pairs
+    )
+    return (
+        wide.select(
+            F.col("n").cast("bigint").alias("n"),
+            F.expr(
+                f"stack({len(pairs)}, {stack}) AS (x_name, y_name, cov_q)"
+            ),
+        )
+        .select("x_name", "y_name", "n", "cov_q")
+        .orderBy("x_name", "y_name")
+    )
