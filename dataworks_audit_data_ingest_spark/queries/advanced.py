@@ -829,18 +829,21 @@ def q111_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Feature-correlation screening at corpus scale: every pairwise covariance
 # (and each variance, the diagonal) of the lineitem measures from ONE scan
 # — the partial-aggregated moment trick (Σx, Σy, Σxy per pair). Values are
-# quantized per-measure (FLOOR(x·scale): quantity ×1, price ×1 = whole
+# quantized per-measure (FLOOR(x·scale): quantity ×1, price in hundreds of
 # dollars, discount ×1000) so every sum is order-independent BIGINT and
 #
 #   cov_q = (n·Σxy − Σx·Σy) DIV n²     (units: scale_x·scale_y)
 #
 # is engine-exact. Pearson r is downstream float math over these integers
 # (the sqrt leaves integer land — deliberately out of the oracle).
-# Headroom at this quantization: Σx² < 2^63 to ~10⁸ rows; larger corpora
-# coarsen the scale (pure rescaling) or shard-and-merge the moment rows.
+# Headroom: the binding term is n·Σx² < 2^63; at these scales
+# (max |q| ≈ 2^10) that holds to ~10⁶ rows — enough for the fixtures'
+# largest scale. Bigger corpora coarsen the scale (pure rescaling) or
+# switch the accumulators to DECIMAL(38,0) (exact in both engines, ~2×
+# slower): the quantization, not the algorithm, is the knob.
 _COV_MEASURES = (
     ("qty", "FLOOR(l_quantity)"),
-    ("price", "FLOOR(l_extendedprice)"),
+    ("price_h", "FLOOR(l_extendedprice / 100)"),
     ("disc_k", "FLOOR(l_discount * 1000)"),
 )
 
