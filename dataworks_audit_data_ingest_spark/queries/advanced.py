@@ -915,3 +915,142 @@ def q117_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x_name", "y_name", "n", "cov_q")
         .orderBy("x_name", "y_name")
     )
+
+
+@register(
+    "q118_hll_overlap",
+    sql=f"""
+    WITH regs AS (
+      SELECT event_type,
+             {SK.hll_bucket_sql("CAST(user_id AS VARCHAR)", _HLL_M, "duckdb")} AS bucket,
+             MAX({SK.hll_rho_sql("CAST(user_id AS VARCHAR)", _HLL_M, "duckdb")}) AS m_j
+      FROM events GROUP BY 1, 2
+    ), per_type AS (
+      SELECT event_type,
+             {SK.hll_estimate_sql(
+                 f"SUM({SK.hll_term_sql('m_j', _HLL_M, 'duckdb')})",
+                 "COUNT(*)", _HLL_M, "duckdb")} AS est
+      FROM regs GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS t1, b.event_type AS t2
+      FROM per_type a JOIN per_type b ON a.event_type < b.event_type
+    ), union_regs AS (
+      SELECT p.t1, p.t2, r.bucket, MAX(r.m_j) AS m_j
+      FROM pairs p JOIN regs r ON r.event_type IN (p.t1, p.t2)
+      GROUP BY p.t1, p.t2, r.bucket
+    ), union_est AS (
+      SELECT t1, t2,
+             {SK.hll_estimate_sql(
+                 f"SUM({SK.hll_term_sql('m_j', _HLL_M, 'duckdb')})",
+                 "COUNT(*)", _HLL_M, "duckdb")} AS est_union
+      FROM union_regs GROUP BY t1, t2
+    ), exact AS (
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             COUNT(*) AS exact_overlap
+      FROM (SELECT DISTINCT event_type, user_id FROM events) a
+      JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT u.t1, u.t2,
+           CAST(GREATEST(0, p1.est + p2.est - u.est_union) AS BIGINT) AS est_overlap,
+           CAST(COALESCE(e.exact_overlap, 0) AS BIGINT) AS exact_overlap
+    FROM union_est u
+    JOIN per_type p1 ON p1.event_type = u.t1
+    JOIN per_type p2 ON p2.event_type = u.t2
+    LEFT JOIN exact e ON e.t1 = u.t1 AND e.t2 = u.t2
+    ORDER BY u.t1, u.t2
+    """,
+    tags=("agg", "sketch", "hll", "set-algebra", "exact-integer"),
+)
+def q118_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from HLL registers alone: for every
+    event-type pair, |A ∩ B| by inclusion-exclusion — est(A) + est(B) −
+    est(A ∪ B), where the union sketch is the element-wise MAX of the two
+    register tables. The algebra that answers "how many purchase users
+    also hit errors?" from stored KB-sized sketches, no raw-event re-read
+    (exact counts alongside for calibration; inclusion-exclusion error
+    compounds three estimates, so small overlaps drown in sketch noise —
+    the documented trade).
+
+    Scale shape: registers build once (q107's map-side-combined agg); the
+    pair expansion joins the |types|-row pair list to m×|types| register
+    rows — sketch-sized work however large the corpus. The exact
+    calibration join is the expensive side (distinct user×type self-join)
+    and is dropped in production."""
+    ev = table(spark, sf_dir, "events")
+    regs = ev.groupBy(
+        "event_type",
+        F.expr(SK.hll_bucket_sql("CAST(user_id AS STRING)", _HLL_M, "spark")).alias(
+            "bucket"
+        ),
+    ).agg(
+        F.max(
+            F.expr(SK.hll_rho_sql("CAST(user_id AS STRING)", _HLL_M, "spark"))
+        ).alias("m_j")
+    )
+    term = SK.hll_term_sql("m_j", _HLL_M, "spark")
+    est_from = SK.hll_estimate_sql("s_present", "n_present", _HLL_M, "spark")
+
+    def estimates(grouped):
+        return grouped.agg(
+            F.sum(F.expr(term)).alias("s_present"),
+            F.count(F.lit(1)).alias("n_present"),
+        ).withColumn("est", F.expr(est_from))
+
+    per_type = estimates(regs.groupBy("event_type")).select("event_type", "est")
+    pairs = (
+        per_type.select(F.col("event_type").alias("t1"))
+        .join(
+            per_type.select(F.col("event_type").alias("t2")),
+            F.col("t1") < F.col("t2"),
+        )
+    )
+    union_est = estimates(
+        F.broadcast(pairs)
+        .join(regs, F.col("event_type").isin(F.col("t1"), F.col("t2")))
+        .groupBy("t1", "t2", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+        .groupBy("t1", "t2")
+    ).select("t1", "t2", F.col("est").alias("est_union"))
+    du = ev.select("event_type", "user_id").distinct()
+    exact = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        union_est.join(
+            per_type.select(
+                F.col("event_type").alias("t1"), F.col("est").alias("e1")
+            ),
+            "t1",
+        )
+        .join(
+            per_type.select(
+                F.col("event_type").alias("t2"), F.col("est").alias("e2")
+            ),
+            "t2",
+        )
+        .join(exact, ["t1", "t2"], "left")
+        .select(
+            "t1",
+            "t2",
+            F.greatest(
+                F.lit(0), F.col("e1") + F.col("e2") - F.col("est_union")
+            )
+            .cast("bigint")
+            .alias("est_overlap"),
+            F.coalesce(F.col("exact_overlap"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_overlap"),
+        )
+        .orderBy("t1", "t2")
+    )
