@@ -46,7 +46,8 @@ from . import graph_shaped  # noqa: E402,F401
 # q108_split_leakage, q109_quality_model_score,
 # q110_histogram_quantiles, q111_hll_daily_rollup,
 # q112_unigram_surprisal, q113_data_expectations,
-# q114_embedding_health, q115_scd2_apply, and q116_traffic_anomaly
+# q114_embedding_health, q115_scd2_apply, q116_traffic_anomaly,
+# q117_covariance_matrix, and q118_hll_overlap
 # were born after the round-4 top-50 filled: they have multi-scale
 # local oracle evidence (tools/check_oracle.py + the parametrized
 # pytest) and MUST lead the round-5 rotation.
