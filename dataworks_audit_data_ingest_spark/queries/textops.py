@@ -6,7 +6,7 @@ no analog in the reference, which never parses file contents —
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import duckdb_hash32, spark_hash32
@@ -1069,6 +1069,115 @@ def q112_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("surprisal") < _Q112_LO, 1))
             .cast("bigint")
             .alias("n_boilerplate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q119 — bigram conditional surprisal (sequence-predictability scoring)
+# ---------------------------------------------------------------------------
+# q112 scores tokens in isolation; this conditions each token on its
+# predecessor — the smallest model that sees SEQUENCE structure, so it
+# separates failure modes q112 cannot: templated/boilerplate text has low
+# conditional surprisal (every next token is predictable) even when its
+# vocabulary is unremarkable, while shuffled/incoherent text scores high
+# even over common words. Same integer-bits policy:
+#
+#   bits(w2 | w1)  = bit_length(c(w1) DIV c(w1,w2))
+#   doc score      = (1000 * Σ_pairs bits) DIV n_pairs
+_Q119_LO = 2_000  # mean conditional surprisal < 2 bits -> templated
+_Q119_HI = 7_000  # > 7 bits -> incoherent sequence
+
+
+@register(
+    "q119_bigram_surprisal",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, source, w, pos FROM (
+        SELECT doc_id, source,
+               UNNEST(STRING_SPLIT(text, ' ')) AS w,
+               generate_subscripts(STRING_SPLIT(text, ' '), 1) AS pos
+        FROM documents
+      ) WHERE w <> ''
+    ), pairs AS (
+      SELECT doc_id, source,
+             LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             w AS w2
+      FROM toks
+      QUALIFY w1 IS NOT NULL
+    ), uni AS (
+      SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1
+    ), bi AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2
+    ), scored AS (
+      SELECT p.doc_id, p.source,
+             (1000 * SUM(LENGTH(BIN(u.c1 // b.c12)))) // COUNT(*) AS surprisal
+      FROM pairs p JOIN uni u USING (w1) JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+      GROUP BY p.doc_id, p.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(surprisal) // COUNT(*) AS BIGINT) AS mean_surprisal,
+           CAST(COUNT(CASE WHEN surprisal < {_Q119_LO} THEN 1 END) AS BIGINT) AS n_templated,
+           CAST(COUNT(CASE WHEN surprisal > {_Q119_HI} THEN 1 END) AS BIGINT) AS n_incoherent
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "quality", "perplexity", "bigram", "exact-integer"),
+)
+def q119_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean conditional (bigram) surprisal per document under the
+    corpus's own bigram counts, per source with templated/incoherent
+    flags — the sequence-aware rung of the perplexity-filter ladder
+    (module comment; unigram rung: q112).
+
+    Scale shape: position-tagged explode is map-side; adjacency needs ONE
+    doc-keyed window (lag over pos — each doc's tokens co-locate, the
+    same exchange q112's doc rollup pays anyway), then bigram counts and
+    the count join are (w1, w2)-keyed with map-side combine. Bigram key
+    space is Zipf-bounded in practice; a hot bigram skews only the count
+    agg, which partial aggregation flattens. The join back to pairs
+    hashes per-occurrence and rebalances on doc_id at the final rollup."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w")
+        )
+        .filter(F.col("w") != "")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.withColumn("w1", F.lag("w").over(w_doc))
+        .filter(F.col("w1").isNotNull())
+        .select("doc_id", "source", "w1", F.col("w").alias("w2"))
+    )
+    uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        pairs.join(uni, "w1")
+        .join(bi, ["w1", "w2"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.expr("(1000 * SUM(LENGTH(BIN(c1 DIV c12)))) DIV COUNT(*)").alias(
+                "surprisal"
+            )
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("SUM(surprisal) DIV COUNT(*)").cast("bigint").alias(
+                "mean_surprisal"
+            ),
+            F.count(F.when(F.col("surprisal") < _Q119_LO, 1))
+            .cast("bigint")
+            .alias("n_templated"),
+            F.count(F.when(F.col("surprisal") > _Q119_HI, 1))
+            .cast("bigint")
+            .alias("n_incoherent"),
         )
         .orderBy("source")
     )
