@@ -47,7 +47,8 @@ from . import graph_shaped  # noqa: E402,F401
 # q110_histogram_quantiles, q111_hll_daily_rollup,
 # q112_unigram_surprisal, q113_data_expectations,
 # q114_embedding_health, q115_scd2_apply, q116_traffic_anomaly,
-# q117_covariance_matrix, q118_hll_overlap, and q119_bigram_surprisal
+# q117_covariance_matrix, q118_hll_overlap, q119_bigram_surprisal,
+# and q120_rolling_active_users
 # were born after the round-4 top-50 filled: they have multi-scale
 # local oracle evidence (tools/check_oracle.py + the parametrized
 # pytest) and MUST lead the round-5 rotation.

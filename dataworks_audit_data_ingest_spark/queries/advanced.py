@@ -1054,3 +1054,90 @@ def q118_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t1", "t2")
     )
+
+
+@register(
+    "q120_rolling_active_users",
+    sql=f"""
+    WITH daily_regs AS (
+      SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             {SK.hll_bucket_sql("CAST(user_id AS VARCHAR)", _HLL_M, "duckdb")} AS bucket,
+             MAX({SK.hll_rho_sql("CAST(user_id AS VARCHAR)", _HLL_M, "duckdb")}) AS m_j
+      FROM events GROUP BY 1, 2
+    ), days AS (
+      SELECT DISTINCT day FROM daily_regs
+    ), window_regs AS (
+      SELECT d.day, r.bucket, MAX(r.m_j) AS m_j
+      FROM days d
+      JOIN daily_regs r ON r.day BETWEEN d.day - INTERVAL 2 DAY AND d.day
+      GROUP BY d.day, r.bucket
+    ), rolling AS (
+      SELECT day,
+             {SK.hll_estimate_sql(
+                 f"SUM({SK.hll_term_sql('m_j', _HLL_M, 'duckdb')})",
+                 "COUNT(*)", _HLL_M, "duckdb")} AS rolling3_users
+      FROM window_regs GROUP BY day
+    ), dau AS (
+      SELECT day,
+             {SK.hll_estimate_sql(
+                 f"SUM({SK.hll_term_sql('m_j', _HLL_M, 'duckdb')})",
+                 "COUNT(*)", _HLL_M, "duckdb")} AS dau_users
+      FROM daily_regs GROUP BY day
+    )
+    SELECT r.day, d.dau_users, r.rolling3_users
+    FROM rolling r JOIN dau d USING (day)
+    ORDER BY r.day
+    """,
+    tags=("agg", "sketch", "hll", "sliding-window", "exact-integer"),
+)
+def q120_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and trailing-3-day active users, both from the SAME stored
+    HLL register table — the sliding-window form of q111's rollup: each
+    day's window merges that day's registers with the two preceding days'
+    by element-wise MAX, so "28-day actives per day", the metric that
+    forces a quadratic re-read without sketches, becomes a window-sized
+    register merge.
+
+    Scale shape: the register build is q107's aggregation; the sliding
+    merge joins the |days|-row day list to register rows within the
+    window (a range join over KB-sized sketch tables — at 10 years of
+    daily registers that is 3650 × m rows, driver-trivial). Widening the
+    window is a predicate change, not a plan change. Raw events are read
+    exactly once regardless of how many window widths are reported."""
+    ev = table(spark, sf_dir, "events")
+    daily_regs = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.expr(SK.hll_bucket_sql("CAST(user_id AS STRING)", _HLL_M, "spark")).alias(
+            "bucket"
+        ),
+    ).agg(
+        F.max(
+            F.expr(SK.hll_rho_sql("CAST(user_id AS STRING)", _HLL_M, "spark"))
+        ).alias("m_j")
+    )
+    term = SK.hll_term_sql("m_j", _HLL_M, "spark")
+    est = SK.hll_estimate_sql("s_present", "n_present", _HLL_M, "spark")
+
+    def estimate(grouped, out_name):
+        return (
+            grouped.agg(
+                F.sum(F.expr(term)).alias("s_present"),
+                F.count(F.lit(1)).alias("n_present"),
+            )
+            .select("day", F.expr(est).alias(out_name))
+        )
+
+    days = daily_regs.select("day").distinct()
+    window_regs = (
+        F.broadcast(days.select(F.col("day").alias("win_day")))
+        .join(
+            daily_regs,
+            (F.col("day") >= F.date_sub(F.col("win_day"), 2))
+            & (F.col("day") <= F.col("win_day")),
+        )
+        .groupBy(F.col("win_day").alias("day"), "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    rolling = estimate(window_regs.groupBy("day"), "rolling3_users")
+    dau = estimate(daily_regs.groupBy("day"), "dau_users")
+    return dau.join(rolling, "day").orderBy("day")
