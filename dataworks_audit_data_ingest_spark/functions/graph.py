@@ -207,6 +207,7 @@ def pagerank_integer(
     iterations: int = 3,
     scale: int = 10**12,
     damping_pct: int = 85,
+    normalize_weights: bool = False,
 ) -> DataFrame:
     """Weighted PageRank in scaled integer arithmetic: returns
     ``(node, rank_scaled)`` where ranks start at ``scale DIV n`` and each
@@ -230,12 +231,42 @@ def pagerank_integer(
     one dst-keyed sum — O(iterations) shuffles of (node, rank) pairs, no
     step ever holds more than the rank vector per partition group.
     BIGINT headroom: r*w < 2^63 requires max edge weight < 9e6 at
-    scale=1e12; heavier graphs pre-normalize weights per source (pure
-    rescaling — the quotient already divides by W(u)).
+    scale=1e12 — ENFORCED: the kernel raises if the bound is violated.
+    Heavier graphs pass ``normalize_weights=True`` to rescale each edge
+    to ``(w * 10^6) DIV W(u)`` first; the quotient still divides by the
+    (new) per-source total, so ranks are unchanged up to the floor
+    rounding the rescale introduces — an approximation, which is why it
+    is opt-in rather than silent.
     """
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
     ).localCheckpoint(eager=True)
+    if normalize_weights:
+        # Approximate by design (docstring): the ratio runs in doubles so
+        # arbitrarily heavy weights can't overflow the rescale itself —
+        # deterministic (IEEE ops on identical inputs), then back to the
+        # BIGINT domain the exact fixed-point iterations require.
+        outw0 = e.groupBy("src").agg(
+            F.sum(F.col("w").cast("double")).alias("ow0")
+        )
+        e = (
+            e.join(outw0, "src")
+            .select(
+                "src",
+                "dst",
+                F.expr(
+                    "CAST(FLOOR(CAST(w AS DOUBLE) / ow0 * 1000000) AS BIGINT)"
+                ).alias("w"),
+            )
+            .filter(F.col("w") > 0)
+            .localCheckpoint(eager=True)
+        )
+    max_w = e.agg(F.max("w")).collect()[0][0]
+    if max_w is not None and max_w * scale >= 2**63:
+        raise ValueError(
+            f"pagerank_integer: max edge weight {max_w} overflows BIGINT at "
+            f"scale={scale}; pass normalize_weights=True or lower the scale"
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -176,3 +176,33 @@ def test_pagerank_sink_accumulates_rank(spark):
     }
     assert one == shuffled
     assert one["hub"] > max(v for k, v in one.items() if k != "hub")
+
+
+def test_pagerank_overflow_guard_and_normalization(spark):
+    """A weight that would overflow r*w raises with guidance; the opt-in
+    per-source normalization brings it back in range and preserves the
+    rank ORDERING of the unnormalized small-weight graph."""
+    import pytest
+
+    from dataworks_audit_data_ingest_spark.functions.graph import pagerank_integer
+
+    huge = spark.createDataFrame(
+        [("a", "b", 10**13), ("b", "a", 1)], "src string, dst string, w long"
+    )
+    with pytest.raises(ValueError, match="normalize_weights"):
+        pagerank_integer(huge)
+    ranked = {
+        r.node: r.rank_scaled
+        for r in pagerank_integer(huge, normalize_weights=True).collect()
+    }
+    assert set(ranked) == {"a", "b"}
+
+    # ordering parity on a graph expressible both ways
+    small = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    plain = pagerank_integer(small).collect()
+    norm = pagerank_integer(small, normalize_weights=True).collect()
+    order = lambda rows: [r.node for r in sorted(rows, key=lambda r: -r.rank_scaled)]
+    assert order(plain) == order(norm)
