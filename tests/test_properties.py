@@ -256,3 +256,78 @@ def test_quantize_roundtrip_bound_property(vecs, spark):
         for orig, deq in zip(r.embedding, r.deq_embedding):
             slack = 1e-9 * max(abs(orig), 1.0)
             assert abs(orig - deq) <= bound * 1.0000001 + slack
+
+
+# ---------------------------------------------------------------------------
+# functions/sketches.py — HLL algebra properties (DuckDB-evaluated, no Spark)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    keys=st.lists(
+        st.text(alphabet="abcdefgh0123456789", min_size=1, max_size=12),
+        min_size=1,
+        max_size=400,
+        unique=True,
+    ),
+    split=st.integers(min_value=0, max_value=10),
+)
+def test_hll_merge_is_order_and_partition_independent(keys, split):
+    """Registers of any two-way split merge (element-wise MAX) to exactly
+    the whole-set registers — the property that makes day/batch/partition
+    boundaries invisible, for ARBITRARY key sets and split points."""
+    import duckdb
+
+    from dataworks_audit_data_ingest_spark.functions import sketches as SK
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR, part INTEGER)")
+    cut = split % (len(keys) + 1)
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(k, 0 if i < cut else 1) for i, k in enumerate(keys)],
+    )
+    q = (
+        f"SELECT {SK.hll_bucket_sql('k', 32, 'duckdb')} AS b, "
+        f"MAX({SK.hll_rho_sql('k', 32, 'duckdb')}) AS m FROM t {{w}} GROUP BY 1"
+    )
+    whole = dict(con.execute(q.format(w="")).fetchall())
+    p0 = dict(con.execute(q.format(w="WHERE part = 0")).fetchall())
+    p1 = dict(con.execute(q.format(w="WHERE part = 1")).fetchall())
+    merged = {b: max(p0.get(b, 0), p1.get(b, 0)) for b in set(p0) | set(p1)}
+    assert merged == whole
+    con.close()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=200, max_value=3000),
+)
+def test_hll_estimate_scales_monotonically(n):
+    """More distinct keys can never shrink S's reciprocal sum: the raw
+    estimate is monotone non-decreasing in set growth (supersets)."""
+    import duckdb
+
+    from dataworks_audit_data_ingest_spark.functions import sketches as SK
+
+    con = duckdb.connect()
+
+    def est(limit):
+        row = con.execute(
+            f"""
+            WITH regs AS (
+              SELECT {SK.hll_bucket_sql("CAST(i AS VARCHAR)", 32, 'duckdb')} AS b,
+                     MAX({SK.hll_rho_sql("CAST(i AS VARCHAR)", 32, 'duckdb')}) AS m_j
+              FROM RANGE(0, {limit}) t(i) GROUP BY 1
+            )
+            SELECT {SK.hll_estimate_sql(
+                f"SUM({SK.hll_term_sql('m_j', 32, 'duckdb')})",
+                "COUNT(*)", 32, 'duckdb')}
+            FROM regs
+            """
+        ).fetchone()
+        return row[0]
+
+    assert est(n) <= est(n + n // 2)
+    con.close()
