@@ -85,8 +85,9 @@ def test_no_cartesian_products(spark, name):
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
 
-# q70 is the sanctioned Python kernel (media decode via mapInPandas)
-_PYTHON_ALLOWED = {"q70_multimodal_decode"}
+# the sanctioned Python kernel (media decode via mapInPandas) and the
+# queries that run through it
+_PYTHON_ALLOWED = {"q70_multimodal_decode", "q121_frame_sample_plan"}
 
 
 @pytest.mark.parametrize(
