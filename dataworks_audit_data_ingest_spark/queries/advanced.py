@@ -1141,3 +1141,73 @@ def q120_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling = estimate(window_regs.groupBy("day"), "rolling3_users")
     dau = estimate(daily_regs.groupBy("day"), "dau_users")
     return dau.join(rolling, "day").orderBy("day")
+
+
+@register(
+    "q122_ols_fit",
+    sql="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice / 100) AS BIGINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CAST((1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+                AS BIGINT) AS slope_milli,
+           CAST((1000 * sy - ((1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)) * sx)
+                // (1000 * n) AS BIGINT) AS intercept_q
+    FROM m
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "statistics", "regression", "model-training", "exact-integer"),
+)
+def q122_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form least-squares fit of price-per-hundred against quantity,
+    one model per return flag — distributed MODEL TRAINING in a single
+    aggregation pass (the counterpart to q109's inference): slope and
+    intercept come from the same five moment counters q117 collects,
+    
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)     [reported ×1000]
+        intercept = (Σy − slope·Σx) / n
+    
+    in pure BIGINT floor arithmetic (x = whole units, y = hundreds of
+    dollars — the q117 quantization).
+
+    Scale shape: one corpus scan, map-side partial moments, an exchange of
+    five counters per group — adding features generalizes to the normal
+    equations (d² counters; driver-side solve like `similarity/pca.py`
+    once d > a handful). Headroom: the binding product 1000·n·Σxy stays
+    under 2^63 to ~10⁶ rows at these scales; coarser quantization or
+    DECIMAL(38,0) accumulators lift it (q117's documented knob)."""
+    li = table(spark, sf_dir, "lineitem")
+    m = (
+        li.select(
+            "l_returnflag",
+            F.expr("CAST(FLOOR(l_quantity) AS BIGINT)").alias("x"),
+            F.expr("CAST(FLOOR(l_extendedprice / 100) AS BIGINT)").alias("y"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    slope = "(1000 * (n * sxy - sx * sy)) DIV (n * sxx - sx * sx)"
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(f"CAST({slope} AS BIGINT)").alias("slope_milli"),
+        F.expr(
+            f"CAST((1000 * sy - ({slope}) * sx) DIV (1000 * n) AS BIGINT)"
+        ).alias("intercept_q"),
+    ).orderBy("l_returnflag")
