@@ -734,3 +734,106 @@ def q116_traffic_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("dev_pct").between(-30, 30))
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — seasonal-baseline forecast backtest
+# ---------------------------------------------------------------------------
+# The simplest defensible traffic forecast — per (event_type, hour-of-day)
+# mean over a training window — backtested against the held-out days, all
+# in scaled integers: baseline_milli = (1000·Σcounts) DIV n_train_days,
+# per-cell error = |1000·count − baseline_milli|, MAE per type. Absent
+# (day, hour) cells are real zeros, so the test grid is densified (q84's
+# gap-fill idea) before scoring. The fixed pivot date keeps the oracle
+# deterministic; production parameterizes it.
+_Q123_PIVOT = "DATE '2024-01-15'"
+
+
+@register(
+    "q123_seasonal_backtest",
+    sql=f"""
+    WITH cells AS (
+      SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS hr,
+             event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2, 3
+    ), train_days AS (
+      SELECT COUNT(DISTINCT day) AS nd FROM cells WHERE day <= {_Q123_PIVOT}
+    ), baseline AS (
+      SELECT event_type, hr,
+             (1000 * SUM(c)) // (SELECT nd FROM train_days) AS base_milli
+      FROM cells WHERE day <= {_Q123_PIVOT} GROUP BY event_type, hr
+    ), grid AS (
+      SELECT d.day, h.hr, t.event_type
+      FROM (SELECT DISTINCT day FROM cells WHERE day > {_Q123_PIVOT}) d
+      CROSS JOIN (SELECT UNNEST(RANGE(0, 24)) AS hr) h
+      CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
+    ), scored AS (
+      SELECT g.event_type,
+             ABS(1000 * COALESCE(c.c, 0) - COALESCE(b.base_milli, 0)) AS err
+      FROM grid g
+      LEFT JOIN cells c ON c.day = g.day AND c.hr = g.hr AND c.event_type = g.event_type
+      LEFT JOIN baseline b ON b.event_type = g.event_type AND b.hr = g.hr
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(err) // COUNT(*) AS BIGINT) AS mae_milli
+    FROM scored
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("events", "forecast", "backtest", "observability", "exact-integer"),
+)
+def q123_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the hour-of-day seasonal traffic baseline on held-out
+    days, MAE per event type — the capacity-planning sanity check behind
+    q116's anomaly band (spec and densification note in the module
+    comment).
+
+    Scale shape: raw events collapse to (day, hour, type) cells in one
+    partial-aggregated pass — everything after operates on the cell table
+    (days × 24 × types rows; at 10 years and 1000 types, under 10⁸ —
+    still cluster-trivial, and itself a table worth materializing). The
+    densified test grid is a broadcast cross of three tiny dimension
+    lists; baseline joins broadcast. Swapping in a trailing-window or
+    day-of-week baseline changes the baseline agg's keys only."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.hour("ts").alias("hr"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    train = cells.filter(F.expr(f"day <= {_Q123_PIVOT}"))
+    nd = train.select("day").distinct().count()
+    baseline = train.groupBy("event_type", "hr").agg(
+        F.expr(f"(1000 * SUM(c)) DIV {nd}").alias("base_milli")
+    )
+    test_days = (
+        cells.filter(F.expr(f"day > {_Q123_PIVOT}")).select("day").distinct()
+    )
+    hours = spark.range(0, 24).select(F.col("id").cast("int").alias("hr"))
+    types = cells.select("event_type").distinct()
+    grid = (
+        F.broadcast(test_days)
+        .crossJoin(F.broadcast(hours))
+        .crossJoin(F.broadcast(types))
+    )
+    scored = (
+        grid.join(cells, ["day", "hr", "event_type"], "left")
+        .join(F.broadcast(baseline), ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            F.abs(
+                F.lit(1000) * F.coalesce("c", F.lit(0))
+                - F.coalesce("base_milli", F.lit(0))
+            ).alias("err"),
+        )
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.expr("SUM(err) DIV COUNT(*)").cast("bigint").alias("mae_milli"),
+        )
+        .orderBy("event_type")
+    )
