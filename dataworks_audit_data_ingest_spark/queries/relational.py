@@ -802,3 +802,66 @@ def q115_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_scd2(
         history, updates, ["c_custkey"], ["segment"]
     ).orderBy("c_custkey", "valid_from")
+
+
+@register(
+    "q124_skew_report",
+    sql="""
+    WITH keyed AS (
+      SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1
+    ), stats AS (
+      SELECT COUNT(*) AS n_keys, SUM(c) AS n_rows, MAX(c) AS max_c
+      FROM keyed
+    )
+    SELECT CAST(s.n_keys AS BIGINT) AS n_keys,
+           CAST(s.n_rows AS BIGINT) AS n_rows,
+           CAST(s.max_c AS BIGINT) AS max_rows_per_key,
+           CAST((1000 * s.max_c * s.n_keys) // s.n_rows AS BIGINT) AS skew_milli,
+           CAST((SELECT COUNT(*) FROM keyed k, stats s2
+                 WHERE k.c * s2.n_keys > 3 * s2.n_rows) AS BIGINT)
+             AS n_hot_keys
+    FROM stats s
+    """,
+    tags=("relational", "skew", "diagnostics", "observability"),
+)
+def q124_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic for the engine's biggest fact-fact join
+    (orders⋈lineitem on orderkey): key count, max rows per key, the skew
+    factor max/mean in milli-units, and how many keys carry more than 3×
+    the mean (c·n_keys > 3·n_rows ⇔ c > 3·mean — pure integer, no
+    division). The report that decides, BEFORE a production
+    run, whether a key needs `functions/skew.py::salted_join` (q94) or
+    AQE's skew split is enough: skew_milli ≈ 1000 means uniform; ≥ 10⁴
+    means one key holds 10× its share and the plain shuffle join will
+    straggle.
+
+    Scale shape: one partial-aggregated count per key, then constant-size
+    moments — the histogram itself never leaves the cluster, and the five
+    output numbers are the entire result. Run it per partition (add `day`
+    to the key) to watch skew drift over time."""
+    li = table(spark, sf_dir, "lineitem")
+    keyed = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = keyed.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_c"),
+    )
+    hot = (
+        keyed.join(F.broadcast(stats))
+        .filter(F.expr("c * n_keys > 3 * n_rows"))
+        .agg(F.count(F.lit(1)).alias("n_hot_keys"))
+    )
+    return (
+        stats.join(F.broadcast(hot))
+        .select(
+            F.col("n_keys").cast("bigint"),
+            F.col("n_rows").cast("bigint"),
+            F.col("max_c").cast("bigint").alias("max_rows_per_key"),
+            F.expr("CAST((1000 * max_c * n_keys) DIV n_rows AS BIGINT)").alias(
+                "skew_milli"
+            ),
+            F.col("n_hot_keys").cast("bigint"),
+        )
+    )
