@@ -13,6 +13,11 @@ from ..ingest.largefile import encrypt_and_upload_large  # noqa: F401
 from ..ingest.pipeline import encrypt_files, run_ingest  # noqa: F401
 from ..multimodal.ops import decode_media_batches, resize_media, sample_frames  # noqa: F401
 from ..queries import REGISTRY, Query, all_queries  # noqa: F401
+from ..streaming.hll_job import (  # noqa: F401
+    read_distinct_estimates,
+    start_hll_stream,
+)
+from ..streaming.monitor_job import start_monitor_stream  # noqa: F401
 from ..streaming.jobs import (  # noqa: F401
     dedup_events_within_watermark,
     sessionized_events,
