@@ -1181,3 +1181,63 @@ def q119_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — LATERAL UDTF chunking as an oracle-checked table
+# ---------------------------------------------------------------------------
+# The RAG chunking stage (functions/udtfs.py::ChunkDocument) promoted from
+# smoke-tested kernel to value-checked query: every (doc, chunk) row the
+# Python UDTF yields is mirrored by DuckDB list slicing, chunk text
+# compared by MD5 so row width stays bounded. One of the three sanctioned
+# Python surfaces (crypto, media, UDTF) — chunk slicing is expressible
+# with JVM SEQUENCE+SLICE too (text/pipeline chunkers do exactly that);
+# the UDTF form exists to pin the table-function API end to end.
+_Q125_TOKENS = 32
+
+
+@register(
+    "q125_udtf_chunks",
+    sql=f"""
+    WITH words AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             UNNEST(RANGE(0, (LEN(w) + {_Q125_TOKENS} - 1) // {_Q125_TOKENS})) AS chunk_idx,
+             w
+      FROM words
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(LEN(w[chunk_idx * {_Q125_TOKENS} + 1 : chunk_idx * {_Q125_TOKENS} + {_Q125_TOKENS}]) AS INTEGER) AS n_tokens,
+           MD5(ARRAY_TO_STRING(w[chunk_idx * {_Q125_TOKENS} + 1 : chunk_idx * {_Q125_TOKENS} + {_Q125_TOKENS}], ' ')) AS chunk_md5
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("text", "udtf", "chunking", "rag"),
+)
+def q125_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking via the Python table function (LATERAL
+    ChunkDocument), one row per ≤32-token chunk with an MD5 of the chunk
+    text — the UDTF API surface under the oracle (module comment).
+
+    Scale shape: the UDTF runs Arrow-batched per task, no shuffle until
+    the output sort; chunk rows feed an embedding stage directly (the
+    `examples/rag_document_index.py` funnel). The JVM SEQUENCE+SLICE
+    twin in `text/` is the no-Python path when chunk logic stays this
+    simple; the UDTF wins once chunking needs real tokenizers."""
+    from ..functions.udtfs import ChunkDocument
+
+    spark.udtf.register("chunk_document_q125", ChunkDocument)
+    d = table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("q125_docs")
+    return spark.sql(
+        f"""
+        SELECT doc_id,
+               c.chunk_idx,
+               c.n_tokens,
+               MD5(c.chunk) AS chunk_md5
+        FROM q125_docs, LATERAL chunk_document_q125(text, {_Q125_TOKENS}) AS c
+        ORDER BY doc_id, chunk_idx
+        """
+    )

@@ -87,7 +87,11 @@ def test_no_cartesian_products(spark, name):
 
 # the sanctioned Python kernel (media decode via mapInPandas) and the
 # queries that run through it
-_PYTHON_ALLOWED = {"q70_multimodal_decode", "q121_frame_sample_plan"}
+_PYTHON_ALLOWED = {
+    "q70_multimodal_decode",
+    "q121_frame_sample_plan",
+    "q125_udtf_chunks",  # sanctioned UDTF surface
+}
 
 
 @pytest.mark.parametrize(
