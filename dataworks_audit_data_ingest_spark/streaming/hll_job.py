@@ -61,7 +61,8 @@ def hll_microbatch(
     partitions (dynamic overwrite — replay rewrites its own partitions)."""
     regs = batch_registers(batch_df, key_sql, group_cols, day_col, m)
     (
-        regs.withColumn("batch_id", F.lit(str(batch_id)))
+        regs.withColumn("m", F.lit(m))
+        .withColumn("batch_id", F.lit(str(batch_id)))
         .write.mode("overwrite")
         .partitionBy("day", "batch_id")
         .option("partitionOverwriteMode", "dynamic")
@@ -107,6 +108,13 @@ def read_distinct_estimates(
     ``"day BETWEEN '2026-08-01' AND '2026-08-07'"``) and return one row
     per group: ``(*group_cols, est_distinct)``. Sketch-sized work only."""
     regs = spark.read.parquet(store_dir).filter(F.expr(where))
+    if "m" in regs.columns:
+        widths = [r.m for r in regs.select("m").distinct().collect()]
+        if widths and widths != [m]:
+            raise ValueError(
+                f"register store was written with m={widths}, read asked m={m} "
+                "— estimates would silently use the wrong alpha/shift"
+            )
     merged = regs.groupBy(*group_cols, "bucket").agg(F.max("m_j").alias("m_j"))
     sums = merged.groupBy(*group_cols).agg(
         F.sum(F.expr(SK.hll_term_sql("m_j", m, "spark"))).alias("s_present"),

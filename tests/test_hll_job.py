@@ -139,3 +139,14 @@ def test_day_range_filter_reads_subset(spark, tmp_path):
     one_day = {r.event_type: r.est_distinct for r in head}
     whole = {r.event_type: r.est_distinct for r in full}
     assert all(one_day[k] <= whole[k] for k in one_day)
+
+
+def test_register_width_mismatch_is_refused(spark, tmp_path):
+    """The store records m; reading with a different width raises instead
+    of silently applying the wrong alpha/shift."""
+    import pytest
+
+    ev = table(spark, SF, "events").select("user_id", "event_type", "ts")
+    hll_microbatch(ev, 0, str(tmp_path / "store"), "CAST(user_id AS STRING)", m=32)
+    with pytest.raises(ValueError, match="m="):
+        read_distinct_estimates(spark, str(tmp_path / "store"), m=16)
