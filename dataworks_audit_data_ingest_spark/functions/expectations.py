@@ -62,6 +62,10 @@ def unique(col: str) -> Expectation:
 
 
 def in_range(col: str, lo, hi) -> Expectation:
+    """NULLs do not violate range/set/regex rules (three-valued logic:
+    NOT NULL-comparison is NULL, which WHEN skips) — pair with
+    :func:`not_null` when the column must also be present. This matches
+    SQL CHECK-constraint semantics and keeps each rule orthogonal."""
     return Expectation(
         f"in_range({col},{lo},{hi})",
         F.count(F.when(~F.col(col).between(lo, hi), 1)),
