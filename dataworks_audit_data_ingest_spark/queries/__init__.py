@@ -49,7 +49,8 @@ from . import graph_shaped  # noqa: E402,F401
 # q114_embedding_health, q115_scd2_apply, q116_traffic_anomaly,
 # q117_covariance_matrix, q118_hll_overlap, q119_bigram_surprisal,
 # q120_rolling_active_users, q121_frame_sample_plan, q122_ols_fit, and
-# q123_seasonal_backtest, q124_skew_report, and q125_udtf_chunks
+# q123_seasonal_backtest, q124_skew_report, q125_udtf_chunks, and
+# q126_hashed_features
 # were born after the round-4 top-50 filled: they have multi-scale
 # local oracle evidence (tools/check_oracle.py + the parametrized
 # pytest) and MUST lead the round-5 rotation.

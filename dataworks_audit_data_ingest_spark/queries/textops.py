@@ -1241,3 +1241,68 @@ def q125_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, chunk_idx
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q126 — feature hashing (hashed bag-of-words vectors)
+# ---------------------------------------------------------------------------
+# The model-free featurizer: each document becomes a fixed-width integer
+# count vector with dimension = portable_hash(token) % D — no vocabulary
+# table, no training pass, stable under corpus growth (the property that
+# lets a 100 TB corpus featurize in one map-side pass). D = 16 keeps the
+# oracle rows readable; production uses 2^18+ and the same plan.
+_FH_D = 16
+
+
+@register(
+    "q126_hashed_features",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {duckdb_hash32("w", seed="fh")} % {_FH_D} AS dim
+      FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    )
+    SELECT doc_id,
+           [{", ".join(f"COUNT(CASE WHEN dim = {i} THEN 1 END)" for i in range(_FH_D))}] AS features,
+           CAST({" + ".join(f"COUNT(CASE WHEN dim = {i} THEN 1 END) * COUNT(CASE WHEN dim = {i} THEN 1 END)" for i in range(_FH_D))} AS BIGINT) AS sq_norm
+    FROM toks
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "features", "hashing-trick", "exact-integer"),
+)
+def q126_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words: every document as a fixed D=16 integer count
+    vector (dimension = portable token hash mod D) with its squared L2
+    norm — the vocabulary-free featurizer feeding cheap clustering /
+    linear models when no embedding model is in the loop (module
+    comment).
+
+    Scale shape: hashing and dimension assignment are map-side; ONE
+    doc-keyed exchange carries the conditional-count partials (D BIGINTs
+    per doc per task, combined map-side). No vocabulary build, no second
+    pass, no global state — the whole featurizer is a single
+    whole-stage-codegen aggregation, which is why the hashing trick is
+    the 100 TB baseline before anything learned."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id",
+            F.expr(f"{spark_hash32('w', seed='fh')} % {_FH_D}").alias("dim"),
+        )
+    )
+    counts = [
+        F.count(F.when(F.col("dim") == i, 1)).alias(f"c{i}") for i in range(_FH_D)
+    ]
+    wide = toks.groupBy("doc_id").agg(*counts)
+    return wide.select(
+        "doc_id",
+        F.array(*[F.col(f"c{i}") for i in range(_FH_D)]).alias("features"),
+        sum(
+            (F.col(f"c{i}") * F.col(f"c{i}") for i in range(_FH_D)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("sq_norm"),
+    ).orderBy("doc_id")
