@@ -1263,7 +1263,7 @@ _FH_D = 16
       WHERE w <> ''
     )
     SELECT doc_id,
-           [{", ".join(f"COUNT(CASE WHEN dim = {i} THEN 1 END)" for i in range(_FH_D))}] AS features,
+           ARRAY_TO_STRING([{", ".join(f"COUNT(CASE WHEN dim = {i} THEN 1 END)" for i in range(_FH_D))}], ',') AS features,
            CAST({" + ".join(f"COUNT(CASE WHEN dim = {i} THEN 1 END) * COUNT(CASE WHEN dim = {i} THEN 1 END)" for i in range(_FH_D))} AS BIGINT) AS sq_norm
     FROM toks
     GROUP BY doc_id
@@ -1276,7 +1276,8 @@ def q126_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector (dimension = portable token hash mod D) with its squared L2
     norm — the vocabulary-free featurizer feeding cheap clustering /
     linear models when no embedding model is in the loop (module
-    comment).
+    comment). The vector is serialized (comma-joined) for the driver's
+    hashability invariant; pipeline consumers keep the array form.
 
     Scale shape: hashing and dimension assignment are map-side; ONE
     doc-keyed exchange carries the conditional-count partials (D BIGINTs
@@ -1299,7 +1300,9 @@ def q126_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = toks.groupBy("doc_id").agg(*counts)
     return wide.select(
         "doc_id",
-        F.array(*[F.col(f"c{i}") for i in range(_FH_D)]).alias("features"),
+        F.array_join(
+            F.array(*[F.col(f"c{i}") for i in range(_FH_D)]), ","
+        ).alias("features"),
         sum(
             (F.col(f"c{i}") * F.col(f"c{i}") for i in range(_FH_D)), F.lit(0)
         )
