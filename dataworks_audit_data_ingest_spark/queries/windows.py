@@ -474,3 +474,80 @@ def q110_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "q127_revenue_share",
+    sql="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, region,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST((10000 * CAST(revenue * 100 AS BIGINT))
+                // SUM(CAST(revenue * 100 AS BIGINT)) OVER (PARTITION BY region)
+                AS BIGINT) AS region_share_bps,
+           CAST((10000 * CAST(revenue * 100 AS BIGINT))
+                // SUM(CAST(revenue * 100 AS BIGINT)) OVER ()
+                AS BIGINT) AS global_share_bps
+    FROM rev
+    ORDER BY region, revenue DESC, nation
+    """,
+    tags=("window", "ratio-to-report", "share", "bi"),
+)
+def q127_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation\'s revenue as basis points of its
+    region\'s total and of the global total — the share-of-whole window
+    pattern every BI layer needs, in integer bps over BIGINT cents (the
+    exact decimal sum converts to cents first — decimal division itself
+    rounds engine-dependently, a pitfall this query exists to pin).
+
+    Scale shape: the star join broadcasts nation/region onto a single
+    orders⋈customer exchange; the window partials then run over the
+    AGGREGATED nation table (hundreds of rows), so the share computation
+    is free no matter the fact volume — the global-total window\'s single
+    partition holds |nations| rows, not data. This post-aggregate window
+    placement is the same trick as q37s."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("revenue")
+        )
+    )
+    cents = rev.withColumn(
+        "cents", F.expr("CAST(revenue * 100 AS BIGINT)")
+    )
+    shares = cents.select(
+        "nation",
+        "region",
+        "revenue",
+        "cents",
+        F.sum("cents").over(Window.partitionBy("region")).alias("regsum"),
+        F.sum("cents").over(Window.partitionBy()).alias("allsum"),
+    )
+    return shares.select(
+        "nation",
+        "region",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.expr("CAST((10000 * cents) DIV regsum AS BIGINT)").alias(
+            "region_share_bps"
+        ),
+        F.expr("CAST((10000 * cents) DIV allsum AS BIGINT)").alias(
+            "global_share_bps"
+        ),
+    ).orderBy("region", F.desc("revenue"), "nation")
