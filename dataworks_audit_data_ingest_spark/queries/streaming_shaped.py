@@ -837,3 +837,60 @@ def q123_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q128_journey_trigrams",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type, 2) OVER w AS t1,
+             LAG(event_type, 1) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT t1, t2, event_type AS t3,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ordered
+    WHERE t1 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY n_occurrences DESC, t1, t2, t3
+    LIMIT 10
+    """,
+    tags=("events", "sequence-mining", "journeys", "top-k"),
+)
+def q128_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ten most common three-step user journeys (event-type trigrams
+    over per-user time order) with how many users walk each — the
+    path-mining extension of q102's first-order transition matrix:
+    trigrams expose patterns the Markov matrix factors away (e.g.
+    view→click→purchase vs view→click→error have identical bigram
+    prefixes).
+
+    Scale shape: one user-keyed exchange for the ordered window (each
+    user's events co-locate — the same exchange q102/q106 pay), two lags
+    inside it, then a trigram-keyed count whose key space is |types|³ —
+    bounded regardless of traffic, partial-aggregated. Top-10 is
+    TakeOrderedAndProject. Higher-order journeys are more lags, same
+    plan."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    tri = (
+        ev.withColumn("t1", F.lag("event_type", 2).over(w))
+        .withColumn("t2", F.lag("event_type", 1).over(w))
+        .filter(F.col("t1").isNotNull())
+    )
+    return (
+        tri.groupBy("t1", "t2", F.col("event_type").alias("t3"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "t1", "t2", "t3")
+        .limit(10)
+    )
