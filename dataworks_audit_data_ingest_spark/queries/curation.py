@@ -753,3 +753,65 @@ def q113_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             EX.matches("source", "^[a-z0-9_.-]+$", name="source_slug"),
         ],
     )
+
+
+@register(
+    "q130_source_overlap_matrix",
+    sql=f"""{_sig_ctes()}
+    , tagged AS (
+      SELECT g.simhash, d.source
+      FROM sigs g JOIN documents d USING (doc_id)
+    ), per_sig AS (
+      SELECT simhash, source, COUNT(*) AS c
+      FROM tagged GROUP BY simhash, source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(SUM(a.c * b.c) AS BIGINT) AS n_cross_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_sigs
+    FROM per_sig a JOIN per_sig b
+      ON a.simhash = b.simhash AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY n_cross_pairs DESC, source_a, source_b
+    """,
+    tags=("curation", "dedup", "provenance", "simhash"),
+)
+def q130_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which source pairs share near-duplicate content: for every pair of
+    sources, the number of cross-source near-dup document pairs
+    (identical 32-bit SimHash) and how many distinct signature clusters
+    they share — the provenance diagnostic that tells a curation team
+    where scraped mirrors and syndicated feeds overlap BEFORE choosing
+    which source to keep in `mix_sources`.
+
+    Scale shape: signatures from the shared simhash kernel; the matrix
+    comes from joining per-(signature, source) COUNTS with themselves on
+    the signature — a signature's cost is |sources-present|², bounded by
+    the source vocabulary, never by document volume (the doc×doc product
+    is factored into c_a·c_b exactly, same counting trick as q108).
+    Output rows are |sources|² at most."""
+    d = table(spark, sf_dir, "documents")
+    sigs = _spark_sigs(d.select("doc_id", "text"))
+    per_sig = (
+        sigs.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("simhash", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = per_sig.alias("a")
+    b = per_sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.simhash") == F.col("b.simhash"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(
+            F.sum(F.col("a.c") * F.col("b.c")).cast("bigint").alias(
+                "n_cross_pairs"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_sigs"),
+        )
+        .orderBy(F.desc("n_cross_pairs"), "source_a", "source_b")
+    )

@@ -1309,3 +1309,88 @@ def q126_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sq_norm"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q129 — quality-model calibration table
+# ---------------------------------------------------------------------------
+# The evaluation artifact behind a score threshold decision: documents
+# bucketed by fixed-width score bands (histogram binning, q110's
+# scale-honest pattern — NOT a single-task NTILE), each band reporting
+# volume and the agreement rate with q61's independent hand-rule verdict.
+# A well-calibrated model's agreement should rise monotonically with the
+# band; the table is what a reviewer inspects before moving the q109
+# threshold.
+_Q129_BAND = 50_000  # score units per band
+
+
+@register(
+    "q129_model_calibration",
+    sql=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ({_SW_SQL_LIST}))) AS n_stop,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> LENGTH(w) >= 6)) AS n_long
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             200000 + 900 * LEAST(n_tokens, 400)
+             - ABS(1000000 * n_stop // n_tokens - 300000) // 2
+             + (1000000 * n_long // n_tokens) // 4 AS score,
+             CASE WHEN n_tokens >= 40
+                       AND 1000000 * n_stop // n_tokens BETWEEN 10000 AND 500000
+                  THEN 1 ELSE 0 END AS hand_keep
+      FROM feats WHERE n_tokens > 0
+    )
+    SELECT score // {_Q129_BAND} AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(hand_keep) AS BIGINT) AS n_hand_keep,
+           CAST((1000 * SUM(hand_keep)) // COUNT(*) AS BIGINT) AS agree_milli
+    FROM scored
+    GROUP BY band
+    ORDER BY band
+    """,
+    tags=("text", "quality", "model-eval", "calibration", "exact-integer"),
+)
+def q129_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for the q109 linear quality model: fixed-width
+    score bands vs agreement with q61's independent hand rule (module
+    comment) — the threshold-setting artifact of the model-eval loop.
+
+    Scale shape: identical single-scan moment arithmetic to q109 plus a
+    band-keyed rollup (score DIV band — map-side, bounded key space).
+    The hand rule rides the same scan; nothing is computed twice. Note
+    the hand rule's stopword band here is the integer-ppm restatement of
+    q61's double ratio — the calibration COMPARES verdicts, so both
+    sides must be engine-exact."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    feats = d.select(
+        F.size(words).alias("n_tokens"),
+        F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))).alias("n_stop"),
+        F.size(F.filter(words, lambda w: F.length(w) >= 6)).alias("n_long"),
+    ).filter(F.col("n_tokens") > 0)
+    scored = feats.select(
+        F.expr(
+            "200000 + 900 * LEAST(n_tokens, 400)"
+            " - ABS(1000000 * n_stop DIV n_tokens - 300000) DIV 2"
+            " + (1000000 * n_long DIV n_tokens) DIV 4"
+        ).alias("score"),
+        F.expr(
+            "CASE WHEN n_tokens >= 40"
+            " AND 1000000 * n_stop DIV n_tokens BETWEEN 10000 AND 500000"
+            " THEN 1 ELSE 0 END"
+        ).alias("hand_keep"),
+    )
+    return (
+        scored.groupBy(F.expr(f"score DIV {_Q129_BAND}").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("hand_keep").cast("bigint").alias("n_hand_keep"),
+            F.expr("CAST((1000 * SUM(hand_keep)) DIV COUNT(*) AS BIGINT)").alias(
+                "agree_milli"
+            ),
+        )
+        .orderBy("band")
+    )
