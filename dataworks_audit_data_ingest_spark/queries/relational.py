@@ -865,3 +865,137 @@ def q124_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hot_keys").cast("bigint"),
         )
     )
+
+
+@register(
+    "q131_referential_audit",
+    sql="""
+    WITH o_keys AS (SELECT DISTINCT o_orderkey FROM orders),
+         l_keys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+         c_keys AS (SELECT DISTINCT c_custkey FROM customer)
+    SELECT 'lineitem_orphans' AS rule,
+           CAST((SELECT COUNT(*) FROM l_keys
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM o_keys))
+             AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders_without_lineitems',
+           CAST((SELECT COUNT(*) FROM o_keys
+                 WHERE o_orderkey NOT IN (SELECT l_orderkey FROM l_keys))
+             AS BIGINT)
+    UNION ALL
+    SELECT 'orders_orphan_customers',
+           CAST((SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders)
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM c_keys))
+             AS BIGINT)
+    ORDER BY rule
+    """,
+    tags=("relational", "contract", "referential-integrity", "audit"),
+)
+def q131_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential integrity: orphan lineitems (no parent
+    order), childless orders, and orders pointing at missing customers —
+    the foreign-key contract q113's single-table suite can't express,
+    run as three left-anti joins over DISTINCT key projections.
+
+    Scale shape: each rule is distinct-project → anti-join on the key —
+    column-pruned scans (keys only reach the exchange), partial-distinct
+    combine, and Spark picks broadcast for the smaller key set. At
+    100 TB the key projections are the natural thing to bucket, making
+    every audit co-located. Counts-only output: the audit names the rule,
+    a follow-up query fetches offenders."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+    o_keys = o.select("o_orderkey").distinct()
+    l_keys = li.select("l_orderkey").distinct()
+    c_keys = c.select("c_custkey").distinct()
+
+    def count_anti(left, right, lk, rk, rule):
+        return (
+            left.join(right, F.col(lk) == F.col(rk), "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+            .select(F.lit(rule).alias("rule"), "n_violations")
+        )
+
+    out = (
+        count_anti(l_keys, o_keys, "l_orderkey", "o_orderkey", "lineitem_orphans")
+        .unionByName(
+            count_anti(
+                o_keys, l_keys, "o_orderkey", "l_orderkey",
+                "orders_without_lineitems",
+            )
+        )
+        .unionByName(
+            count_anti(
+                o.select("o_custkey").distinct(), c_keys, "o_custkey", "c_custkey",
+                "orders_orphan_customers",
+            )
+        )
+    )
+    return out.orderBy("rule")
+
+
+@register(
+    "q132_weekly_growth",
+    sql="""
+    WITH weekly AS (
+      SELECT CAST(DATE_TRUNC('week', CAST(o_orderdate AS TIMESTAMP)) AS DATE) AS week,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS gmv_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders
+      WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+      GROUP BY 1
+    )
+    SELECT week, gmv_cents, n_orders,
+           CAST(CASE WHEN LAG(gmv_cents) OVER (ORDER BY week) IS NULL THEN NULL
+                ELSE (10000 * gmv_cents) // LAG(gmv_cents) OVER (ORDER BY week) - 10000
+                END AS BIGINT) AS wow_growth_bps
+    FROM weekly
+    ORDER BY week
+    """,
+    tags=("relational", "bi", "time-series", "growth"),
+)
+def q132_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly GMV with week-over-week growth in basis points — the
+    period-over-period trend every revenue dashboard leads with, growth
+    as BIGINT-cents integer division (q127's rounding-pitfall policy).
+
+    Scale shape: the pushed date filter + week rollup collapse the fact
+    table to ≤53 rows before the lag window touches anything — the
+    ordered window runs over the aggregated series (q37s placement), so
+    the single-partition sort it needs is 53 rows, not orders. Per-
+    segment trends add the segment to both the groupBy and the window
+    partition — the window then parallelizes too."""
+    o = table(spark, sf_dir, "orders")
+    weekly = (
+        o.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .groupBy(
+            F.to_date(F.date_trunc("week", "o_orderdate")).alias("week")
+        )
+        .agg(
+            F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .cast("bigint")
+            .alias("gmv_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("week")
+    prev = F.lag("gmv_cents").over(w)
+    return weekly.select(
+        "week",
+        "gmv_cents",
+        "n_orders",
+        F.when(prev.isNull(), F.lit(None).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "(10000 * gmv_cents) DIV LAG(gmv_cents) OVER (ORDER BY week) - 10000"
+            )
+        )
+        .cast("bigint")
+        .alias("wow_growth_bps"),
+    ).orderBy("week")
