@@ -894,3 +894,62 @@ def q128_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "t1", "t2", "t3")
         .limit(10)
     )
+
+
+@register(
+    "q133_transition_dwell_times",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER w AS prev_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS delta_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(delta_us) // COUNT(*) AS BIGINT) AS mean_dwell_us,
+           CAST(MIN(delta_us) AS BIGINT) AS min_dwell_us,
+           CAST(MAX(delta_us) AS BIGINT) AS max_dwell_us
+    FROM ordered
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+    tags=("events", "sessions", "dwell-time", "transitions"),
+)
+def q133_transition_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long users dwell between consecutive event types: per
+    transition edge, count and mean/min/max inter-event gap in exact
+    integer microseconds — the timing layer q102's count matrix lacks
+    (a view→purchase edge that takes 2 s means something different from
+    one that takes 2 days).
+
+    Scale shape: the same single user-keyed exchange as q102/q106/q128 —
+    the lag window computes both the previous type and the microsecond
+    delta in one pass — then a transition-keyed rollup over a
+    |types|²-bounded key space. Quantile dwell profiles swap the
+    min/max for q110's fixed-bin histogram on delta_us, same plan."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ordered = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("delta_us", F.col("ts_us") - F.lag("ts_us").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    return (
+        ordered.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.expr("SUM(delta_us) DIV COUNT(*)").cast("bigint").alias(
+                "mean_dwell_us"
+            ),
+            F.min("delta_us").cast("bigint").alias("min_dwell_us"),
+            F.max("delta_us").cast("bigint").alias("max_dwell_us"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
