@@ -51,6 +51,7 @@ from ..similarity.quantize import (  # noqa: F401
     quantized_knn,
 )
 from ..sinks.layout import zorder_write  # noqa: F401
+from ..sinks.diff import table_diff  # noqa: F401
 from ..sinks.scd2 import apply_scd2, as_of  # noqa: F401
 from ..sinks.snapshots import SnapshotTable  # noqa: F401
 from ..sinks.writers import (  # noqa: F401

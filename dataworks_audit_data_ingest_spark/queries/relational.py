@@ -999,3 +999,64 @@ def q132_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("wow_growth_bps"),
     ).orderBy("week")
+
+
+@register(
+    "q134_snapshot_diff",
+    sql="""
+    WITH old AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      WHERE c_custkey % 13 <> 0
+    ), new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'REMAPPED' ELSE c_mktsegment END
+               AS c_mktsegment,
+             c_acctbal
+      FROM customer
+      WHERE c_custkey % 11 <> 0
+    ), j AS (
+      SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+             o.c_custkey IS NULL AS is_added,
+             n.c_custkey IS NULL AS is_removed,
+             o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+               AND o.c_mktsegment <> n.c_mktsegment AS seg_changed
+      FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    )
+    SELECT c_custkey,
+           CASE WHEN is_added THEN 'added'
+                WHEN is_removed THEN 'removed'
+                ELSE 'modified' END AS change_type,
+           CASE WHEN NOT is_added AND NOT is_removed
+                THEN 'c_mktsegment' ELSE '' END AS changed_cols
+    FROM j
+    WHERE is_added OR is_removed OR seg_changed
+    ORDER BY c_custkey
+    """,
+    tags=("relational", "cdc", "diff", "snapshot"),
+)
+def q134_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff via the real operator (``sinks.diff.table_diff``) on
+    a deterministic two-version scenario: version B drops every 11th
+    customer, restores every 13th (absent from A), and re-segments every
+    7th — the audit a pipeline runs between two `SnapshotTable` commits
+    to answer "what did that run change?".
+
+    Scale shape: one full-outer join on the business key plus a map —
+    the kernel's only exchange; bucketed storage of recurring snapshots
+    makes it co-located. Null-safe column compare, changed columns named
+    per row, unchanged keys never emitted (so the diff's output size is
+    the CHANGE volume, not the table)."""
+    from ..sinks.diff import table_diff
+
+    c = table(spark, sf_dir, "customer")
+    old = c.filter(F.col("c_custkey") % 13 != 0).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    new = c.filter(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, "REMAPPED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "c_acctbal",
+    )
+    return table_diff(old, new, ["c_custkey"]).orderBy("c_custkey")
