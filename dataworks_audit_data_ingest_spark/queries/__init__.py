@@ -53,7 +53,8 @@ from . import graph_shaped  # noqa: E402,F401
 # q126_hashed_features, q127_revenue_share, q128_journey_trigrams,
 # q129_model_calibration, q130_source_overlap_matrix,
 # q131_referential_audit, q132_weekly_growth,
-# q133_transition_dwell_times, and q134_snapshot_diff
+# q133_transition_dwell_times, q134_snapshot_diff, and
+# q135_duplication_report
 # were born after the round-4 top-50 filled: they have multi-scale
 # local oracle evidence (tools/check_oracle.py + the parametrized
 # pytest) and MUST lead the round-5 rotation.

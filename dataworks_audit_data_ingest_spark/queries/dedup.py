@@ -1549,3 +1549,52 @@ def q99_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q135_duplication_report",
+    sql=f"""{_simhash_sig_ctes()}
+    , clusters AS (
+      SELECT simhash, COUNT(*) AS cluster_size
+      FROM sigs GROUP BY simhash
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS n_removable
+    FROM clusters
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+    tags=("dedup", "simhash", "report", "histogram"),
+)
+def q135_duplication_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplication census run BEFORE any dedup pass: the histogram of
+    near-dup cluster sizes (identical 32-bit SimHash) with, per size, how
+    many documents sit in such clusters and how many a keep-one policy
+    would remove — the numbers that decide whether dedup is worth a full
+    pass at all (n_removable summed = the corpus's duplication overhead).
+
+    Scale shape: signatures from the shared kernel, then two nested
+    counts — signature-keyed (combines map-side) and size-keyed (key
+    space = distinct cluster sizes, tiny). Nothing pairwise, no text
+    past the first aggregation. The same census over q52c's 60-bit
+    production signatures or exact MD5 fingerprints (q50) is a one-line
+    swap of the signature source."""
+    d = table(spark, sf_dir, "documents")
+    clusters = (
+        _spark_simhash_sigs(d.select("doc_id", "text"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+            (F.sum("cluster_size") - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
