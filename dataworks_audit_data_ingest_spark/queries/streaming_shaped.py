@@ -953,3 +953,85 @@ def q133_transition_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "q136_session_length_distribution",
+    sql=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN gap_us IS NULL OR gap_us > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), numbered AS (
+      SELECT user_id, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             (MAX(ts_us) - MIN(ts_us)) // 60000000 AS duration_min
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT LEAST(n_events, 10) AS events_bucket,
+           LEAST(duration_min // 10, 6) AS duration_decaminutes,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM sessions
+    GROUP BY events_bucket, duration_decaminutes
+    ORDER BY events_bucket, duration_decaminutes
+    """,
+    tags=("timeseries", "sessionization", "histogram", "product-analytics"),
+)
+def q136_session_length_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-quality distribution behind engagement metrics: a 2-D
+    histogram of sessions by event count (capped at 10+) and duration in
+    10-minute bands (capped at 60+) with user reach per cell — the
+    report that distinguishes a corpus of drive-by single-event sessions
+    from long engaged ones (bounce rate = the (1, 0) cell over the
+    total; q35b computes it directly).
+
+    Scale shape: q91's single user-keyed exchange builds the sessions;
+    the histogram is then two more aggregations over session rows with
+    capped (≤ 10×7) key space — the distribution costs nothing beyond
+    the sessionization it describes."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("(MAX(ts_us) - MIN(ts_us)) DIV 60000000").alias("duration_min"),
+    )
+    return (
+        sessions.groupBy(
+            F.least(F.col("n_events"), F.lit(10)).alias("events_bucket"),
+            F.least(
+                F.expr("duration_min DIV 10"), F.lit(6)
+            ).alias("duration_decaminutes"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("events_bucket", "duration_decaminutes")
+    )
