@@ -675,3 +675,72 @@ def q114_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@register(
+    "q138_vector_contract",
+    sql=f"""
+    WITH norms AS (
+      SELECT vec_id,
+             LEN(embedding) AS dim,
+             LEN(LIST_FILTER(embedding, x -> ISNAN(CAST(x AS DOUBLE)))) AS n_nan,
+             CAST(LIST_SUM(LIST_TRANSFORM(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * {1 << 20}) AS BIGINT)
+                        * CAST(FLOOR(CAST(x AS DOUBLE) * {1 << 20}) AS BIGINT)))
+               AS BIGINT) AS sq_norm_q
+      FROM embeddings
+    )
+    SELECT CASE WHEN sq_norm_q = 0 THEN -1
+                ELSE LENGTH(BIN(sq_norm_q)) END AS norm_band,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(CASE WHEN dim <> 64 THEN 1 END) AS BIGINT) AS n_bad_dim,
+           CAST(COUNT(CASE WHEN n_nan > 0 THEN 1 END) AS BIGINT) AS n_with_nan
+    FROM norms
+    GROUP BY norm_band
+    ORDER BY norm_band
+    """,
+    tags=("similarity", "embeddings", "contract", "quality", "exact-integer"),
+)
+def q138_vector_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-level contract audit complementing q114's per-dimension
+    moments: every embedding bucketed by the bit-length band of its
+    quantized squared norm (band -1 = exact zero vector — dead input that
+    poisons cosine), with dimension-mismatch and NaN counts per band —
+    the checks an ANN index build runs before trusting a vector batch.
+
+    Scale shape: entirely map-side per-vector arithmetic (higher-order
+    TRANSFORM/AGGREGATE over the array, quantized to BIGINT so both
+    engines agree bit-for-bit) followed by one ≤ ~45-band rollup. At
+    100 TB the audit rides whatever scan ingests the vectors — zero
+    extra passes. Gate writes on `n_bad_dim = 0 AND n_with_nan = 0`
+    like q113 gates documents."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = f"CAST(FLOOR(CAST(x AS DOUBLE) * {1 << 20}) AS BIGINT)"
+    norms = emb.select(
+        F.size("embedding").alias("dim"),
+        F.expr(
+            "SIZE(FILTER(embedding, x -> ISNAN(CAST(x AS DOUBLE))))"
+        ).alias("n_nan"),
+        F.expr(
+            f"AGGREGATE(embedding, CAST(0 AS BIGINT),"
+            f" (acc, x) -> acc + {q} * {q})"
+        ).alias("sq_norm_q"),
+    )
+    return (
+        norms.groupBy(
+            F.expr(
+                "CASE WHEN sq_norm_q = 0 THEN -1"
+                " ELSE LENGTH(BIN(sq_norm_q)) END"
+            ).alias("norm_band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.count(F.when(F.col("dim") != 64, 1)).cast("bigint").alias(
+                "n_bad_dim"
+            ),
+            F.count(F.when(F.col("n_nan") > 0, 1)).cast("bigint").alias(
+                "n_with_nan"
+            ),
+        )
+        .orderBy("norm_band")
+    )

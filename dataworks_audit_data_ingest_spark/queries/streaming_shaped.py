@@ -1035,3 +1035,49 @@ def q136_session_length_distribution(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("events_bucket", "duration_decaminutes")
     )
+
+
+@register(
+    "q137_seasonality_profile",
+    sql="""
+    WITH cells AS (
+      SELECT EXTRACT(ISODOW FROM CAST(ts AS TIMESTAMP)) AS dow,
+             EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS hr,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr,
+           CAST(n AS BIGINT) AS n_events,
+           CAST((10000 * n) // SUM(n) OVER () AS BIGINT) AS share_bps
+    FROM cells
+    ORDER BY dow, hr
+    """,
+    tags=("events", "seasonality", "heatmap", "observability"),
+)
+def q137_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-of-week × hour-of-day traffic heatmap (ISO weekday) with
+    each cell's share of total in basis points — the seasonality surface
+    q123's baseline summarizes per hour, kept 2-D here for capacity
+    planning (when to schedule compaction, when the anomaly band should
+    widen).
+
+    Scale shape: one partial-aggregated rollup to ≤168 cells; the share
+    window runs over those 168 rows (q37s placement — a window over an
+    aggregate, never the table). The integer-bps share reuses q127's
+    rounding policy."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.expr("EXTRACT(DAYOFWEEK_ISO FROM ts)").cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    total = F.sum("n").over(Window.partitionBy())
+    return cells.select(
+        "dow",
+        "hr",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.expr(
+            "CAST((10000 * n) DIV (SUM(n) OVER ()) AS BIGINT)"
+        ).alias("share_bps"),
+    ).orderBy("dow", "hr")
