@@ -55,7 +55,8 @@ from . import graph_shaped  # noqa: E402,F401
 # q131_referential_audit, q132_weekly_growth,
 # q133_transition_dwell_times, q134_snapshot_diff, and
 # q135_duplication_report, q136_session_length_distribution,
-# q137_seasonality_profile, and q138_vector_contract
+# q137_seasonality_profile, q138_vector_contract, q139_label_balance,
+# and q140_join_size_audit
 # were born after the round-4 top-50 filled: they have multi-scale
 # local oracle evidence (tools/check_oracle.py + the parametrized
 # pytest) and MUST lead the round-5 rotation.

@@ -1060,3 +1060,57 @@ def q134_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
     )
     return table_diff(old, new, ["c_custkey"]).orderBy("c_custkey")
+
+
+@register(
+    "q140_join_size_audit",
+    sql="""
+    WITH ok AS (
+      SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1
+    ), lk AS (
+      SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1
+    )
+    SELECT CAST((SELECT SUM(ok.c * lk.c) FROM ok JOIN lk USING (k)) AS BIGINT)
+             AS join_rows,
+           CAST((SELECT COUNT(*) FROM ok) AS BIGINT) AS n_left_keys,
+           CAST((SELECT COUNT(*) FROM lk) AS BIGINT) AS n_right_keys,
+           CAST((SELECT MAX(ok.c * lk.c) FROM ok JOIN lk USING (k)) AS BIGINT)
+             AS max_key_contribution
+    """,
+    tags=("relational", "diagnostics", "join-size", "planning"),
+)
+def q140_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT output size of orders⋈lineitem computed WITHOUT running the
+    join: per-key count histograms joined on the key, Σ c_left·c_right —
+    the counting identity q130 uses for pair matrices, standalone. The
+    pre-flight a pipeline runs before an expensive fact-fact join: the
+    total says whether the output fits the budget, max_key_contribution
+    says whether one key will dominate a task (q124's skew verdict in
+    output-row units).
+
+    Scale shape: two partial-aggregated key histograms and a count-only
+    join — the shuffle carries one row per distinct key instead of one
+    per data row, typically 10-1000× less than the audited join. This is
+    exact for inner equi-joins; theta-join estimates need sampling (out
+    of scope, documented)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ok = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_l")
+    )
+    lk = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_r")
+    )
+    joined = ok.join(lk, "k").select(
+        (F.col("c_l") * F.col("c_r")).alias("contrib")
+    )
+    contrib = joined.agg(
+        F.sum("contrib").cast("bigint").alias("join_rows"),
+        F.max("contrib").cast("bigint").alias("max_key_contribution"),
+    )
+    sides = ok.agg(F.count(F.lit(1)).cast("bigint").alias("n_left_keys")).crossJoin(
+        lk.agg(F.count(F.lit(1)).cast("bigint").alias("n_right_keys"))
+    )
+    return contrib.crossJoin(F.broadcast(sides)).select(
+        "join_rows", "n_left_keys", "n_right_keys", "max_key_contribution"
+    )

@@ -744,3 +744,52 @@ def q138_vector_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("norm_band")
     )
+
+
+@register(
+    "q139_label_balance",
+    sql="""
+    WITH counts AS (
+      SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+    ), stats AS (
+      SELECT COUNT(*) AS k, SUM(n) AS total FROM counts
+    )
+    SELECT c.label,
+           CAST(c.n AS BIGINT) AS n_vectors,
+           CAST((10000 * c.n) // s.total AS BIGINT) AS share_bps,
+           CAST((10000 * c.n * s.k) // s.total - 10000 AS BIGINT)
+             AS dev_from_uniform_bps
+    FROM counts c CROSS JOIN stats s
+    ORDER BY c.label
+    """,
+    tags=("similarity", "labels", "class-balance", "ml-data"),
+)
+def q139_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit of the embedding labels: each class's share in
+    basis points and its deviation from the uniform share — the
+    imbalance check run before training or evaluating any classifier on
+    the vectors (a class at dev −9000 bps is 10× under-represented and
+    needs reweighting or resampling; q88's quota capping is the fix on
+    the document side).
+
+    Scale shape: one partial-aggregated count per label, then integer
+    arithmetic against a broadcast 1-row total — the audit is free at
+    any scale. Grouped variants (balance per source, per day) add keys
+    to the first agg only."""
+    emb = table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("n").alias("total")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "label",
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.expr("CAST((10000 * n) DIV total AS BIGINT)").alias("share_bps"),
+            F.expr(
+                "CAST((10000 * n * k) DIV total - 10000 AS BIGINT)"
+            ).alias("dev_from_uniform_bps"),
+        )
+        .orderBy("label")
+    )
