@@ -1,5 +1,6 @@
 """Similarity-search API."""
 
+from .ivfpq import encode_ivfpq, ivfpq_knn, train_ivfpq  # noqa: F401
 from .knn import cosine_expr, knn_join  # noqa: F401
 from .mmr import knn_mmr, mmr_rerank  # noqa: F401
 from .opq import encode_opq, opq_knn, train_opq  # noqa: F401
