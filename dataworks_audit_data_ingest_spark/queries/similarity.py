@@ -793,3 +793,218 @@ def q139_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composed two-level index (similarity/ivfpq.py) under the
+# oracle. Training loops are not SQL-expressible (q59's rows-only reason),
+# so the registered query runs the RETRIEVAL machinery on a deterministic,
+# training-free instance: cells = the fixture label clusters (q56's device),
+# codebooks = the init-only state of train_pq (the ksub lowest-portable-hash
+# residual sub-vectors — pure hashing + ranking, fully SQL-expressible).
+# Lloyd-trained cells/codebooks keep their pytest evidence (test_ivfpq.py);
+# what the oracle pins is everything that runs per-query at serve time:
+# residual encode, argmin code assignment, exact reconstruction norms,
+# cell routing, the ⟨q,c⟩ + Σ LUT ADC identity, candidate top-c, and the
+# exact-cosine rerank.
+
+_IVFPQ_M = 8  # subspaces (d=64 → 8-dim sub-vectors)
+_IVFPQ_KSUB = 16  # codewords per subspace
+_IVFPQ_PROBE = 2  # cells probed per query
+_IVFPQ_RERANK = 10  # ADC candidates kept for exact rerank
+_IVFPQ_K = 3
+
+from ..functions.hashing import duckdb_hash32 as _duck_h32  # noqa: E402
+
+
+@register(
+    "q141_ann_ivfpq",
+    sql=f"""
+    WITH indexed AS (
+      SELECT vec_id, label, embedding,
+             UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
+      FROM embeddings
+    ), elems AS (
+      SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM indexed
+    ), cent AS (  -- coarse centroids: exact decimal means per label cell
+      SELECT label, pos,
+             CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS cv
+      FROM elems GROUP BY label, pos
+    ), res AS (   -- residuals r = x - c(cell), split into subspaces
+      SELECT e.vec_id, e.label, e.pos,
+             e.pos // {64 // _IVFPQ_M} AS sub, e.pos % {64 // _IVFPQ_M} AS spos,
+             e.v - c.cv AS r
+      FROM elems e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+    ), init_ids AS (  -- train_pq init: ksub lowest-portable-hash ids
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell
+      FROM (SELECT DISTINCT vec_id,
+                   {_duck_h32("CAST(vec_id AS VARCHAR)", "pq")} AS h
+            FROM elems)
+      QUALIFY cell < {_IVFPQ_KSUB}
+    ), codebook AS (  -- (sub, cell, spos, cw): the picked residual subvectors
+      SELECT r.sub, i.cell, r.spos, r.r AS cw
+      FROM res r JOIN init_ids i USING (vec_id)
+    ), dists AS (     -- per-subspace argmin code assignment
+      SELECT r.vec_id, r.sub, cb.cell,
+             CAST(SUM(CAST((r.r - cb.cw) * (r.r - cb.cw)
+                           AS DECIMAL(28,18))) AS DOUBLE) AS sq
+      FROM res r JOIN codebook cb ON cb.sub = r.sub AND cb.spos = r.spos
+      GROUP BY r.vec_id, r.sub, cb.cell
+    ), codes AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT vec_id, sub, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY sq, cell) AS rn
+        FROM dists) WHERE rn = 1
+    ), vec_cells AS (
+      SELECT DISTINCT vec_id, label FROM elems
+    ), recon AS (     -- exact reconstruction norm ||c + r_hat||
+      SELECT c.vec_id,
+             SQRT(CAST(SUM(CAST((ct.cv + cb.cw) * (ct.cv + cb.cw)
+                                AS DECIMAL(28,18))) AS DOUBLE)) AS recon_norm
+      FROM codes c
+        JOIN codebook cb ON cb.sub = c.sub AND cb.cell = c.cell
+        JOIN vec_cells vc ON vc.vec_id = c.vec_id
+        JOIN cent ct ON ct.label = vc.label
+                    AND ct.pos = c.sub * {64 // _IVFPQ_M} + cb.spos
+      GROUP BY c.vec_id
+    ), queries AS (
+      SELECT vec_id AS query_id, pos, v FROM elems WHERE vec_id < {_N_QUERIES}
+    ), qnorm AS (
+      SELECT query_id,
+             SQRT(CAST(SUM(CAST(v * v AS DECIMAL(28,18))) AS DOUBLE)) AS qn
+      FROM queries GROUP BY query_id
+    ), routing AS (   -- decimal <q, c> per cell, ranked by cosine
+      SELECT q.query_id, c.label,
+             SUM(CAST(q.v * c.cv AS DECIMAL(28,18))) AS cdot,
+             CAST(SUM(CAST(q.v * c.cv AS DECIMAL(28,18))) AS DOUBLE)
+               / (MIN(qn.qn)
+                  * SQRT(CAST(SUM(CAST(c.cv * c.cv AS DECIMAL(28,18)))
+                              AS DOUBLE))) AS rcos
+      FROM queries q
+        JOIN cent c USING (pos)
+        JOIN qnorm qn USING (query_id)
+      GROUP BY q.query_id, c.label
+    ), probes AS (
+      SELECT query_id, label, cdot FROM (
+        SELECT query_id, label, cdot,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rcos DESC, label) AS pr
+        FROM routing) WHERE pr <= {_IVFPQ_PROBE}
+    ), qsub AS (
+      SELECT query_id, pos // {64 // _IVFPQ_M} AS sub,
+             pos % {64 // _IVFPQ_M} AS spos, v
+      FROM queries
+    ), lut AS (       -- per-query codeword partial dots (decimal-exact)
+      SELECT q.query_id, cb.sub, cb.cell,
+             SUM(CAST(q.v * cb.cw AS DECIMAL(28,18))) AS pd
+      FROM qsub q JOIN codebook cb ON cb.sub = q.sub AND cb.spos = q.spos
+      GROUP BY q.query_id, cb.sub, cb.cell
+    ), adc AS (       -- ADC score: <q,c> + sum of LUT reads, all decimal
+      SELECT p.query_id, vc.vec_id AS neighbor_id,
+             CAST(p.cdot + SUM(l.pd) AS DOUBLE)
+               / (MIN(qn.qn) * MIN(r.recon_norm)) AS qcos
+      FROM probes p
+        JOIN vec_cells vc ON vc.label = p.label AND vc.vec_id != p.query_id
+        JOIN codes c ON c.vec_id = vc.vec_id
+        JOIN lut l ON l.query_id = p.query_id
+                  AND l.sub = c.sub AND l.cell = c.cell
+        JOIN recon r ON r.vec_id = vc.vec_id
+        JOIN qnorm qn ON qn.query_id = p.query_id
+      GROUP BY p.query_id, vc.vec_id, p.cdot
+    ), cand AS (      -- top-c ADC candidates per query
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY qcos DESC, neighbor_id) AS cr
+        FROM adc) WHERE cr <= {_IVFPQ_RERANK}
+    ), rerank AS (    -- exact full-precision cosine over the candidates
+      SELECT cd.query_id, cd.neighbor_id,
+             CAST(SUM(CAST(q.v * e.v AS DECIMAL(28,18))) AS DOUBLE)
+               / (SQRT(CAST(SUM(CAST(q.v * q.v AS DECIMAL(28,18))) AS DOUBLE))
+                  * SQRT(CAST(SUM(CAST(e.v * e.v AS DECIMAL(28,18)))
+                              AS DOUBLE))) AS cosine
+      FROM cand cd
+        JOIN elems e ON e.vec_id = cd.neighbor_id
+        JOIN queries q ON q.query_id = cd.query_id AND q.pos = e.pos
+      GROUP BY cd.query_id, cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rnk, ROUND(cosine, 6) AS score
+    FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM rerank)
+    WHERE rnk <= {_IVFPQ_K}
+    ORDER BY query_id, rnk
+    """,
+    tags=("similarity", "ann", "ivf", "pq", "scale-path"),
+)
+def q141_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (`similarity/ivfpq.py`): route each query to its
+    ``n_probe`` nearest cells, ADC-score only those cells' residual PQ
+    codes via the ``⟨q,c⟩ + Σ LUT`` decomposition, exact-rerank the top
+    candidates — the FAISS-IVFADC shape, here end-to-end in DataFrame
+    ops with decimal-exact ADC (``exact_adc=True``) so the full DuckDB
+    oracle can hash-match candidate selection, not just the reranked
+    tail.
+
+    Cells are the fixture label clusters and codebooks are train_pq's
+    deterministic init state (no Lloyd rounds), keeping every stage
+    SQL-expressible; the iterative trainings keep pytest evidence
+    (`tests/test_ivfpq.py`). At 100 TB the encoded corpus is stored
+    partitioned by ``cell`` so the probe is partition pruning; the
+    centroid table, codebooks, and per-query LUTs all broadcast."""
+    from ..similarity.ivfpq import encode_ivfpq, ivfpq_knn, residuals
+    from ..similarity.pq import train_pq
+
+    e = table(spark, sf_dir, "embeddings")
+    elems = e.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.posexplode(F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "pos", "v"
+        ),
+    )
+    centroids = (
+        elems.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(28,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cv")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pcv"))
+        .select(
+            F.col("label").alias("cell"),
+            F.expr("TRANSFORM(pcv, x -> x.cv)").alias("cvec"),
+        )
+    )
+    books = train_pq(
+        residuals(e, centroids, cell_col="label"),
+        m=_IVFPQ_M,
+        ksub=_IVFPQ_KSUB,
+        n_iter=0,
+        id_col="id",
+        vec_col="rvec",
+    )
+    enc = encode_ivfpq(e, centroids, books, m=_IVFPQ_M, cell_col="label")
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    out = ivfpq_knn(
+        q,
+        enc,
+        centroids,
+        books,
+        k=_IVFPQ_K,
+        m=_IVFPQ_M,
+        ksub=_IVFPQ_KSUB,
+        n_probe=_IVFPQ_PROBE,
+        rerank=_IVFPQ_RERANK,
+        corpus=e,
+        exact_adc=True,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("score")
+    ).orderBy("query_id", "rnk")
