@@ -1394,3 +1394,71 @@ def q129_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# q142 — training shard manifest
+# ---------------------------------------------------------------------------
+# The manifest computation behind `sinks/shards.py::write_training_shards`:
+# placement (shard = h(id) mod N), exact per-shard volumes, the order-free
+# integer checksum a loader verifies against, and the first document in the
+# deterministic epoch-0 order. Everything is portable-hash + integer
+# arithmetic, so the layout contract itself is oracle-checked — a driver
+# row here means the shard writer puts every document where the manifest
+# says, on any engine.
+_N_SHARDS = 8
+
+
+@register(
+    "q142_shard_manifest",
+    sql=f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             {duckdb_hash32("CAST(doc_id AS VARCHAR)", seed="shards")} AS ord
+      FROM documents
+    ), placed AS (
+      SELECT doc_id, n_chars, ord, ord % {_N_SHARDS} AS shard,
+             ROW_NUMBER() OVER (PARTITION BY ord % {_N_SHARDS}
+                                ORDER BY ord, doc_id) AS rn
+      FROM h
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(ord) AS BIGINT) AS checksum,
+           CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS first_doc_id
+    FROM placed
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    tags=("curation", "shards", "hash", "sink-shaped"),
+)
+def q142_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-layout manifest (`sinks/shards.py`): deterministic placement
+    ``shard = h(doc_id) mod N`` plus the per-shard row count, char
+    volume, order-free hash checksum, and the first document of the
+    epoch-0 stream — the integrity record a training loader checks
+    before consuming a shard set.
+
+    Scale shape: placement and the hash are map-side; the only exchange
+    is the N-group rollup (the same shuffle the shard write itself
+    performs, whose output these stats ride at zero extra cost). The
+    within-shard ROW_NUMBER the oracle uses is expressed here as a
+    min-struct aggregate — no second window pass."""
+    from ..sinks.shards import shard_assignment
+
+    d = table(spark, sf_dir, "documents")
+    a = shard_assignment(d, "doc_id", _N_SHARDS)
+    return (
+        a.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("shard_ord").cast("bigint").alias("checksum"),
+            F.min(F.struct("shard_ord", "doc_id"))
+            .getField("doc_id")
+            .cast("bigint")
+            .alias("first_doc_id"),
+        )
+        .orderBy("shard")
+    )

@@ -1,0 +1,184 @@
+"""Training shard writer — the last stage of a curation pipeline: lay the
+corpus out as N deterministic, balanced, pseudo-randomly ordered shards
+that a data loader can stream per epoch.
+
+Training wants three properties that a plain ``df.write.parquet`` does not
+give:
+
+- **Global shuffle, reproducibly.** Examples must arrive in an order
+  uncorrelated with the corpus layout (source, crawl date, …), and the
+  SAME order on every rerun/backfill. A seeded RNG over rows gives
+  neither under re-partitioning; a portable hash of the id gives both:
+  ``shard = h(id) mod N``, within-shard order = ``(h(id), id)``.
+- **Balanced shards.** The hash spreads ids uniformly, so shard sizes
+  concentrate around n/N (binomial); the manifest records exact counts
+  so a loader can detect drift.
+- **A manifest.** Per-shard row counts, char volume, and an integer
+  checksum (sum of id hashes — order-free, overflow-safe in Python) let
+  any consumer verify a shard without reading the corpus twice, and make
+  shard sets diffable across pipeline versions.
+
+Layout: ``path/shard=K/part-*.parquet`` — one file per shard (each shard
+is written by exactly one task), rows pre-sorted in the epoch-0 order.
+Later epochs re-order without rewriting: :func:`epoch_shard_order`
+permutes the shard list and :func:`epoch_sort_key` re-keys rows within a
+shard, both pure hash functions of (seed, epoch).
+
+At 100 TB: one shuffle total (the repartition to shards — unavoidable,
+it IS the global shuffle), each task streams one shard to one file;
+shard count should target 0.5–2 GB per file. The manifest aggregation
+rides the same shuffle's output. The oracle-checked q142 registers the
+manifest computation itself.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import spark_hash32
+
+MANIFEST_NAME = "_shards_manifest.json"
+
+
+def shard_assignment(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "shards",
+) -> DataFrame:
+    """Input columns plus ``shard`` (int) and ``shard_ord`` (bigint) — the
+    deterministic placement and within-shard order. Pure map-side
+    arithmetic; safe to recompute anywhere (no state, no RNG)."""
+    h = F.expr(spark_hash32(f"CAST({id_col} AS STRING)", seed))
+    return df.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("int")).withColumn(
+        "shard_ord", h
+    )
+
+
+def epoch_sort_key(id_col: str, epoch: int, seed: str = "shards") -> F.Column:
+    """Within-shard order for a later epoch — re-hash with the epoch mixed
+    into the seed. Epoch 0 equals the stored file order."""
+    if epoch == 0:
+        return F.expr(spark_hash32(f"CAST({id_col} AS STRING)", seed))
+    return F.expr(
+        spark_hash32(f"CAST({id_col} AS STRING)", f"{seed}|epoch{epoch}")
+    )
+
+
+def epoch_shard_order(n_shards: int, epoch: int, seed: str = "shards") -> list[int]:
+    """The order a loader should visit shards in epoch ``epoch`` — a
+    deterministic permutation keyed by (seed, epoch). Uses the same MD5
+    family as the row hashes; epoch 0 is ascending (the write order)."""
+    import hashlib
+
+    if epoch == 0:
+        return list(range(n_shards))
+
+    def key(s: int) -> tuple[int, int]:
+        digest = hashlib.md5(
+            f"{seed}|epoch{epoch}|{s}".encode()
+        ).hexdigest()[:8]
+        return int(digest, 16), s
+
+    return sorted(range(n_shards), key=key)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "shards",
+    size_col: str | None = None,
+) -> dict:
+    """Write the shard layout and manifest; returns the manifest dict.
+
+    One ``repartition(n_shards, shard)`` — the single, intentional global
+    shuffle — then each task sorts its shard by ``(shard_ord, id)`` and
+    writes one file under ``shard=K/``. The manifest records per-shard
+    ``n_rows``, optional ``total_size`` (sum of ``size_col``), and
+    ``checksum`` = exact Python-int sum of the row hashes."""
+    assigned = shard_assignment(df, id_col, n_shards, seed)
+    (
+        # sort leads with the partition column: the dynamic-partition
+        # writer requires rows ordered by `shard` and would inject its own
+        # (unstable) sort otherwise, clobbering the within-shard order
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shard_ord", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    stats = (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("shard_ord").alias("checksum"),
+            *(
+                [F.sum(size_col).alias("total_size")]
+                if size_col
+                else []
+            ),
+        )
+        .collect()
+    )
+    shards = {
+        int(r.shard): {
+            "n_rows": int(r.n_rows),
+            "checksum": int(r.checksum),
+            **({"total_size": int(r.total_size)} if size_col else {}),
+        }
+        for r in stats
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "seed": seed,
+        "id_col": id_col,
+        "total_rows": sum(s["n_rows"] for s in shards.values()),
+        "shards": {str(k): shards.get(k, {"n_rows": 0, "checksum": 0}) for k in range(n_shards)},
+    }
+    Path(path, MANIFEST_NAME).write_text(json.dumps(manifest, indent=1))
+    return manifest
+
+
+def read_manifest(path: str) -> dict:
+    return json.loads(Path(path, MANIFEST_NAME).read_text())
+
+
+def read_shard(
+    spark: SparkSession, path: str, shard: int, epoch: int = 0, seed: str = "shards"
+) -> DataFrame:
+    """One shard in its epoch order. Epoch 0 is the stored file order
+    (already sorted at write time); later epochs re-key with the epoch
+    hash — a per-shard local sort, never a shuffle (one shard = one
+    partition-dir read)."""
+    df = spark.read.parquet(f"{path}/shard={shard}")
+    man = read_manifest(path)
+    if epoch == 0:
+        return df.sortWithinPartitions("shard_ord", man["id_col"])
+    return df.sortWithinPartitions(
+        epoch_sort_key(man["id_col"], epoch, seed), F.col(man["id_col"])
+    )
+
+
+def verify_shards(spark: SparkSession, path: str) -> bool:
+    """Recompute counts + checksums from the files and compare to the
+    manifest — the loader-side integrity check."""
+    man = read_manifest(path)
+    got = {
+        int(r.shard): (int(r.n_rows), int(r.checksum))
+        for r in spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("shard_ord").alias("checksum"))
+        .collect()
+    }
+    want = {
+        int(k): (v["n_rows"], v["checksum"])
+        for k, v in man["shards"].items()
+        if v["n_rows"]
+    }
+    return got == want

@@ -1,0 +1,111 @@
+"""Training shard writer (`sinks/shards.py`): lossless coverage, balance,
+single-file deterministic layout, manifest integrity, and epoch
+re-ordering properties."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from dataworks_audit_data_ingest_spark.sinks.shards import (
+    epoch_shard_order,
+    epoch_sort_key,
+    read_manifest,
+    read_shard,
+    verify_shards,
+    write_training_shards,
+)
+from dataworks_audit_data_ingest_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+N = 4
+
+
+def _write(spark, tmp_path):
+    d = table(spark, SF, "documents")
+    path = str(tmp_path / "shards")
+    man = write_training_shards(d, path, N, id_col="doc_id", size_col="n_chars")
+    return d, path, man
+
+
+def test_shards_partition_input_losslessly(spark, tmp_path):
+    d, path, man = _write(spark, tmp_path)
+    back = spark.read.parquet(path)
+    assert back.count() == d.count() == man["total_rows"]
+    got = sorted(r.doc_id for r in back.select("doc_id").collect())
+    want = sorted(r.doc_id for r in d.select("doc_id").collect())
+    assert got == want
+    # every doc in exactly one shard
+    assert back.select("doc_id").distinct().count() == len(got)
+
+
+def test_shards_balanced_and_single_file(spark, tmp_path):
+    _, path, man = _write(spark, tmp_path)
+    sizes = [v["n_rows"] for v in man["shards"].values()]
+    mean = sum(sizes) / N
+    assert max(sizes) < 2 * mean and min(sizes) > mean / 2, sizes
+    for k in range(N):
+        files = glob.glob(f"{path}/shard={k}/*.parquet")
+        assert len(files) == 1, files
+
+
+def test_epoch0_file_order_is_the_hash_order(spark, tmp_path):
+    """Rows inside a shard file are stored in (shard_ord, id) order — a
+    loader that streams the file gets the epoch-0 shuffle for free."""
+    _, path, _ = _write(spark, tmp_path)
+    rows = (
+        spark.read.parquet(f"{path}/shard=0").select("shard_ord", "doc_id").collect()
+    )
+    keys = [(r.shard_ord, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    # and the order is not the trivial id order (it IS shuffled)
+    ids = [r.doc_id for r in rows]
+    assert ids != sorted(ids)
+
+
+def test_manifest_verifies_and_detects_tamper(spark, tmp_path):
+    _, path, man = _write(spark, tmp_path)
+    assert verify_shards(spark, path)
+    m = read_manifest(path)
+    assert m == man
+    import json
+    from pathlib import Path
+
+    m["shards"]["0"]["checksum"] += 1
+    Path(path, "_shards_manifest.json").write_text(json.dumps(m))
+    assert not verify_shards(spark, path)
+
+
+def test_rewrite_is_deterministic(spark, tmp_path):
+    d = table(spark, SF, "documents")
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1 = write_training_shards(d, p1, N)
+    m2 = write_training_shards(d.repartition(7), p2, N)
+    assert m1 == m2
+    r1 = [tuple(r) for r in spark.read.parquet(f"{p1}/shard=1").collect()]
+    r2 = [tuple(r) for r in spark.read.parquet(f"{p2}/shard=1").collect()]
+    assert r1 == r2  # including stored order
+
+
+def test_epoch_reordering_is_a_permutation_and_differs(spark, tmp_path):
+    _, path, _ = _write(spark, tmp_path)
+    order1 = epoch_shard_order(N, 1)
+    assert sorted(order1) == list(range(N))
+    assert epoch_shard_order(N, 0) == list(range(N))
+    assert epoch_shard_order(N, 1) == order1  # stable
+    e0 = [r.doc_id for r in read_shard(spark, path, 0, epoch=0).select("doc_id").collect()]
+    e1 = [r.doc_id for r in read_shard(spark, path, 0, epoch=1).select("doc_id").collect()]
+    assert sorted(e0) == sorted(e1)
+    assert e0 != e1  # different epoch, different order
+
+
+def test_epoch_sort_key_matches_stored_order_for_epoch0(spark):
+    d = table(spark, SF, "documents").limit(50)
+    from dataworks_audit_data_ingest_spark.sinks.shards import shard_assignment
+
+    a = shard_assignment(d, "doc_id", N)
+    chk = a.withColumn("k0", epoch_sort_key("doc_id", 0)).filter(
+        F.col("k0") != F.col("shard_ord")
+    )
+    assert chk.count() == 0
