@@ -82,3 +82,35 @@ def hll_term_sql(mj_expr: str, m: int, dialect: str) -> str:
     if dialect == "spark":
         return f"SHIFTLEFT({one}, {shift} - ({mj_expr}))"
     return f"({one} << ({shift} - ({mj_expr})))"
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — Bar-Yossef et al., "Counting
+# distinct elements in a data stream" (RANDOM 2002); estimator form from
+# Beyer et al., "On synopses for distinct-value estimation under multiset
+# operations" (SIGMOD 2007): keep the k smallest distinct hash values;
+# with the k-th smallest of a [0, 2^32) integer hash at U_k, the unbiased
+# estimate is (k-1) * 2^32 / U_k.
+#
+# Unlike HLL, every quantity here is exact integer arithmetic over the
+# portable MD5 hash — the sketch, the merge (a k-smallest union), AND the
+# estimate are bit-identical across engines, so KMV queries can be fully
+# hash-checked by the oracle (HLL's q107 pattern, without even needing
+# shared float constants). Accuracy ~ 1/sqrt(k): k=256 → ~6 % rel. error.
+# The sketch also supports multiset ops: union = k-smallest of the merged
+# value lists; Jaccard = overlap fraction within the union's k-set.
+
+KMV_DOMAIN = 1 << 32  # hash values are uniform in [0, 2^32)
+
+
+def kmv_estimate_sql(kth_expr: str, n_expr: str, k: int, dialect: str) -> str:
+    """Distinct-count estimate from the k-th smallest hash — exact integer
+    arithmetic; only the integer-division token differs by dialect
+    (Spark ``DIV``, DuckDB ``//``). ``n_expr`` is the number of values
+    actually held (< k means the group's distinct count is exact —
+    return it directly)."""
+    div = "DIV" if dialect == "spark" else "//"
+    return (
+        f"CASE WHEN {n_expr} < {k} THEN {n_expr} "
+        f"ELSE ({k} - 1) * {KMV_DOMAIN} {div} {kth_expr} END"
+    )

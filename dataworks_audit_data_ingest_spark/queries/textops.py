@@ -1462,3 +1462,106 @@ def q142_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 — KMV distinct sketch (exactly checkable estimator)
+# ---------------------------------------------------------------------------
+# The k-minimum-values sketch from `functions/sketches.py`: unlike HLL
+# (whose q42 form is rows-only and whose q107 twin needs shared float
+# constants), KMV is pure integer arithmetic over the portable hash — the
+# sketch, the estimate, AND the error column are bit-identical across
+# engines. Reported per source over the distinct token space, with the
+# exact distinct count alongside so the estimator's accuracy is visible in
+# the result itself.
+_KMV_K = 64
+
+from ..functions.sketches import kmv_estimate_sql as _kmv_est  # noqa: E402
+
+_KMV_EST_DUCK = _kmv_est("kth_hash", "n_held", _KMV_K, dialect="duckdb")
+
+
+@register(
+    "q143_kmv_distinct",
+    sql=f"""
+    WITH toks AS (
+      SELECT DISTINCT source,
+             {duckdb_hash32("w", seed="kmv")} AS h
+      FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), ranked AS (
+      SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n_distinct
+      FROM toks
+    ), sk AS (
+      SELECT source, MIN(n_distinct) AS n_distinct,
+             COUNT(*) AS n_held, MAX(h) AS kth_hash
+      FROM ranked WHERE rn <= {_KMV_K}
+      GROUP BY source
+    )
+    SELECT source, CAST(n_held AS BIGINT) AS n_held,
+           CAST(kth_hash AS BIGINT) AS kth_hash,
+           CAST({_KMV_EST_DUCK} AS BIGINT) AS kmv_estimate,
+           CAST(({_KMV_EST_DUCK}) * 10000 // n_distinct - 10000
+                AS BIGINT) AS err_bps,
+           CAST(n_distinct AS BIGINT) AS exact_distinct
+    FROM sk
+    ORDER BY source
+    """,
+    tags=("sketch", "kmv", "distinct", "text"),
+)
+def q143_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-token estimate per source: keep the k smallest
+    distinct token hashes, estimate ``(k-1)·2³²/U_k`` (Beyer et al.,
+    SIGMOD 2007), report against the exact distinct count with signed
+    error in bps — the sketch whose whole lifecycle is integer-exact and
+    therefore fully oracle-checked (the HLL family's checkable
+    complement, `functions/sketches.py::kmv_estimate_sql`).
+
+    Scale shape: token hashing is map-side; the (source, h) DISTINCT
+    pre-aggregates map-side before its one exchange; the k-smallest
+    selection is a per-source window over distinct hashes only. At
+    100 TB the exact_distinct column is dropped (it is the quantity
+    being avoided) and the k-set itself is kept as the mergeable sketch:
+    unions are k-smallest-of-union, so per-day sketches roll up to any
+    period without rescanning tokens."""
+    from ..functions.sketches import kmv_estimate_sql
+
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "source",
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select("source", F.expr(spark_hash32("w", seed="kmv")).alias("h"))
+        .distinct()
+    )
+    w_rank = Window.partitionBy("source").orderBy("h")
+    w_all = Window.partitionBy("source")
+    ranked = toks.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n_distinct", F.count(F.lit(1)).over(w_all)
+    )
+    sk = (
+        ranked.filter(F.col("rn") <= _KMV_K)
+        .groupBy("source")
+        .agg(
+            F.min("n_distinct").alias("n_distinct"),
+            F.count(F.lit(1)).alias("n_held"),
+            F.max("h").alias("kth_hash"),
+        )
+    )
+    est = kmv_estimate_sql("kth_hash", "n_held", _KMV_K, dialect="spark")
+    return sk.select(
+        "source",
+        F.col("n_held").cast("bigint").alias("n_held"),
+        F.col("kth_hash").cast("bigint").alias("kth_hash"),
+        F.expr(est).cast("bigint").alias("kmv_estimate"),
+        F.col("n_distinct").cast("bigint").alias("exact_distinct"),
+        # est*10000 is non-negative, so trunc (Spark DIV) == floor
+        # (DuckDB //) — a signed numerator would diverge between engines
+        F.expr(f"CAST(({est}) * 10000 DIV n_distinct - 10000 AS BIGINT)").alias(
+            "err_bps"
+        ),
+    ).orderBy("source")
