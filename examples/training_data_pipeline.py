@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 from dataworks_audit_data_ingest_spark.ingest import IngestConfig, run_ingest
 from dataworks_audit_data_ingest_spark.ingest.decrypt import read_encrypted_json
 from dataworks_audit_data_ingest_spark.session import get_spark
-from dataworks_audit_data_ingest_spark.sinks import write_partitioned_parquet
+from dataworks_audit_data_ingest_spark.sinks import (
+    verify_shards,
+    write_partitioned_parquet,
+    write_training_shards,
+)
 from dataworks_audit_data_ingest_spark.tables import table
 from dataworks_audit_data_ingest_spark.text import (
     annotate_quality,
@@ -80,7 +84,7 @@ def main() -> None:
         extra_boto_kwargs=creds,
     )
     committed = run_ingest(spark, cfg)
-    print(f"[1/4] ingested days: {[str(d) for d in committed]}")
+    print(f"[1/5] ingested days: {[str(d) for d in committed]}")
 
     # --- stage 2: decrypt source back to typed rows
     priv_pem = priv.private_bytes(
@@ -92,7 +96,7 @@ def main() -> None:
         spark, cfg, priv_pem, "doc_id long, text string, lang string, source string"
     )
     n_raw = typed.count()
-    print(f"[2/4] decrypted {n_raw} documents")
+    print(f"[2/5] decrypted {n_raw} documents")
 
     # --- stage 3: curation
     curated = redact_pii(typed)
@@ -107,7 +111,7 @@ def main() -> None:
     n_budget = curated.count()
     total_tokens = curated.select(F.sum(F.size(F.split("text", " ")))).first()[0]
     print(
-        f"[3/4] curation: {n_raw} raw -> {n_quality} quality -> "
+        f"[3/5] curation: {n_raw} raw -> {n_quality} quality -> "
         f"{n_dedup} deduped -> {n_mixed} mixed -> {n_budget} in budget "
         f"({total_tokens} tokens)"
     )
@@ -116,10 +120,21 @@ def main() -> None:
     out = str(work / "curated")
     write_partitioned_parquet(curated, out, partition_by=("day",))
     back = spark.read.parquet(out)
-    print(f"[4/4] curated corpus at {out}: {back.count()} docs, "
+    print(f"[4/5] curated corpus at {out}: {back.count()} docs, "
           f"partitions={sorted(r.day for r in back.select('day').distinct().collect())}")
+
+    # --- stage 5: loader-ready shards (deterministic global shuffle)
+    shards_out = str(work / "shards")
+    manifest = write_training_shards(
+        curated, shards_out, n_shards=4, id_col="doc_id", size_col=None
+    )
+    assert verify_shards(spark, shards_out)
+    sizes = {k: v["n_rows"] for k, v in manifest["shards"].items()}
+    print(f"[5/5] training shards at {shards_out}: {sizes} "
+          f"(total {manifest['total_rows']}, manifest verified)")
     server.stop()
     assert n_budget > 0 and total_tokens <= 8_000
+    assert manifest["total_rows"] == n_budget
 
 
 if __name__ == "__main__":
