@@ -815,3 +815,64 @@ def q130_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_cross_pairs"), "source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q144 — temperature mixture allocation (largest-remainder seats)
+# ---------------------------------------------------------------------------
+# `text/pipeline.py::temperature_allocation` under the oracle: rebalance
+# the source distribution at temperature T=0.5 (weights ∝ √count — the
+# multilingual-corpus flattening move) and hand out EXACTLY `total`
+# integer seats by the largest-remainder method. Portable because √ is
+# correctly-rounded IEEE, the weight sum runs in DECIMAL (order-free),
+# and remainder ties break on the source name.
+_MIX_TOTAL = 300
+
+
+@register(
+    "q144_temperature_mixture",
+    sql=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), weighted AS (
+      SELECT source, n_docs, SQRT(CAST(n_docs AS DOUBLE)) AS w FROM counts
+    ), sums AS (
+      SELECT CAST(SUM(CAST(w AS DECIMAL(28,18))) AS DOUBLE) AS s,
+             COUNT(*) AS k
+      FROM weighted
+    ), quoted AS (
+      SELECT source, n_docs,
+             {_MIX_TOTAL} * w / s AS quota,
+             CAST(FLOOR({_MIX_TOTAL} * w / s) AS BIGINT) AS fl,
+             {_MIX_TOTAL} * w / s - FLOOR({_MIX_TOTAL} * w / s) AS frac
+      FROM weighted, sums
+    ), ranked AS (
+      SELECT source, n_docs, fl, frac,
+             ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rk,
+             SUM(fl) OVER () AS fsum
+      FROM quoted
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(fl + CASE WHEN rk <= {_MIX_TOTAL} - fsum THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc,
+           (fl + CASE WHEN rk <= {_MIX_TOTAL} - fsum THEN 1 ELSE 0 END)
+             > n_docs AS oversampled
+    FROM ranked
+    ORDER BY source
+    """,
+    tags=("curation", "mixing", "allocation"),
+)
+def q144_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 source-mixing allocation
+    (`text/pipeline.py::temperature_allocation`): per-source integer seat
+    counts ∝ √(docs) that sum to exactly {total} via largest-remainder
+    rounding, with the oversampling flag (alloc > inventory ⇒ the loader
+    repeats that source rather than the corpus growing).
+
+    Scale shape: one map-combined count shuffle to |sources| rows; all
+    allocation arithmetic happens on that broadcast-sized table — free at
+    any corpus size. The only window is over |sources| rows."""
+    from ..text.pipeline import temperature_allocation
+
+    d = table(spark, sf_dir, "documents")
+    return temperature_allocation(d, _MIX_TOTAL, temperature=0.5).orderBy("source")

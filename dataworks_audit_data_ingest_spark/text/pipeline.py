@@ -424,3 +424,95 @@ def pack_sequences(
     return placed.withColumn(
         "seq_id", F.col("_bucket").cast("bigint") * 1_000_000_000 + local_seq
     ).drop("_h", "_bucket", "_cum")
+
+
+def temperature_allocation(
+    docs: DataFrame,
+    total: int,
+    temperature: float = 0.5,
+    source_col: str = "source",
+) -> DataFrame:
+    """Exact document-count allocation for temperature-based source
+    mixing: weight each source ``c_i^T / Σ c_j^T`` (T < 1 flattens the
+    source distribution — the multilingual-corpus rebalancing move), then
+    convert weights to integer seat counts with the largest-remainder
+    method so the allocations sum to EXACTLY ``total``.
+
+    Returns (source, n_docs, alloc, oversampled): ``oversampled`` marks
+    sources whose allocation exceeds their inventory — the consumer
+    decides between repeating examples (epoch > 1 for that source) and
+    capping (`resample_to_allocation` caps).
+
+    ``temperature`` is restricted to {0.5, 1.0, 2.0}: √, identity, and
+    square are the powers whose cross-engine determinism is guaranteed
+    (IEEE sqrt is correctly rounded; integer products are exact) —
+    arbitrary ``pow`` is not portably rounded and would break the oracle
+    contract. The weight sum runs in DECIMAL (order-free exact), floors
+    and fractional remainders are IEEE-identical, remainder ties break on
+    the source name.
+
+    Scale shape: everything after the per-source count (one map-combined
+    shuffle to |sources| rows) is arithmetic on a broadcast-sized table —
+    the allocation itself is free at any corpus size."""
+    if temperature not in (0.5, 1.0, 2.0):
+        raise ValueError("temperature must be 0.5, 1.0, or 2.0 (portable powers)")
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    if temperature == 0.5:
+        w_expr = "SQRT(CAST(n_docs AS DOUBLE))"
+    elif temperature == 1.0:
+        w_expr = "CAST(n_docs AS DOUBLE)"
+    else:
+        w_expr = "CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)"
+    weighted = counts.withColumn("_w", F.expr(w_expr))
+    sums = weighted.agg(
+        F.sum(F.expr("CAST(_w AS DECIMAL(28,18))")).cast("double").alias("_s")
+    )
+    quoted = (
+        weighted.crossJoin(F.broadcast(sums))
+        .withColumn("_quota", F.lit(total) * F.col("_w") / F.col("_s"))
+        .withColumn("_floor", F.floor("_quota").cast("bigint"))
+        .withColumn("_frac", F.col("_quota") - F.floor("_quota"))
+    )
+    floors = quoted.agg(F.sum("_floor").alias("_fsum"))
+    w_rank = Window.orderBy(F.desc("_frac"), F.asc(source_col))
+    return (
+        quoted.crossJoin(F.broadcast(floors))
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .select(
+            source_col,
+            "n_docs",
+            (
+                F.col("_floor")
+                + F.when(F.col("_rk") <= F.lit(total) - F.col("_fsum"), 1).otherwise(0)
+            ).cast("bigint").alias("alloc"),
+        )
+        .withColumn("oversampled", F.col("alloc") > F.col("n_docs"))
+    )
+
+
+def resample_to_allocation(
+    docs: DataFrame,
+    allocation: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: str = "mix",
+) -> DataFrame:
+    """Keep ``min(alloc, n_docs)`` documents per source, chosen by
+    portable-hash rank — `cap_per_source` with a per-source cap taken
+    from a `temperature_allocation` table instead of one constant.
+    Repeating oversampled sources (alloc > inventory) is a loader
+    concern (epoch multiplicity), not a corpus rewrite — this keeps the
+    corpus a subset of its input."""
+    from pyspark.sql import Window
+
+    h = F.expr(spark_hash32(f"CAST({id_col} AS STRING)", seed))
+    w = Window.partitionBy(source_col).orderBy("_qh", F.col(id_col))
+    return (
+        docs.withColumn("_qh", h)
+        .join(F.broadcast(allocation.select(source_col, "alloc")), source_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("alloc"))
+        .drop("_qh", "_rk", "alloc")
+    )

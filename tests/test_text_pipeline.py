@@ -417,3 +417,92 @@ def test_cap_per_source_prethin_filter_is_mapside(spark):
     # the thin happens before (below) the per-source window exchange
     exch_pos = plan.index("Exchange hashpartitioning(source")
     assert plan.index(thin_lines[0]) > exch_pos
+
+
+# ---------------------------------------------------------------------------
+# temperature_allocation / resample_to_allocation
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_allocation_sums_exactly(spark):
+    from dataworks_audit_data_ingest_spark.tables import table
+    from dataworks_audit_data_ingest_spark.text.pipeline import (
+        temperature_allocation,
+    )
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    for t in (0.5, 1.0, 2.0):
+        alloc = temperature_allocation(d, 137, temperature=t)
+        rows = alloc.collect()
+        assert sum(r.alloc for r in rows) == 137, (t, rows)
+        assert all(r.alloc >= 0 for r in rows)
+
+
+def test_temperature_one_is_proportional(spark):
+    """T=1 largest remainder == Hamilton apportionment of raw counts:
+    every alloc within 1 of the real-valued quota."""
+    from dataworks_audit_data_ingest_spark.tables import table
+    from dataworks_audit_data_ingest_spark.text.pipeline import (
+        temperature_allocation,
+    )
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    total = 200
+    rows = temperature_allocation(d, total, temperature=1.0).collect()
+    n_all = sum(r.n_docs for r in rows)
+    for r in rows:
+        quota = total * r.n_docs / n_all
+        assert quota - 1 < r.alloc < quota + 1, (r, quota)
+
+
+def test_temperature_half_flattens(spark):
+    """T=0.5 moves every source's share toward uniform relative to T=1:
+    the biggest source loses seats, the smallest gains (or holds)."""
+    from dataworks_audit_data_ingest_spark.tables import table
+    from dataworks_audit_data_ingest_spark.text.pipeline import (
+        temperature_allocation,
+    )
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    a1 = {r.source: r.alloc for r in temperature_allocation(d, 200, 1.0).collect()}
+    ah = {r.source: r.alloc for r in temperature_allocation(d, 200, 0.5).collect()}
+    ns = {r.source: r.n_docs for r in temperature_allocation(d, 200, 1.0).collect()}
+    big = max(ns, key=ns.get)
+    small = min(ns, key=ns.get)
+    assert ah[big] <= a1[big]
+    assert ah[small] >= a1[small]
+
+
+def test_temperature_rejects_unportable_powers(spark):
+    import pytest as _pytest
+
+    from dataworks_audit_data_ingest_spark.tables import table
+    from dataworks_audit_data_ingest_spark.text.pipeline import (
+        temperature_allocation,
+    )
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    with _pytest.raises(ValueError, match="portable powers"):
+        temperature_allocation(d, 10, temperature=0.7)
+
+
+def test_resample_to_allocation_caps_per_source(spark):
+    from pyspark.sql import functions as F
+
+    from dataworks_audit_data_ingest_spark.tables import table
+    from dataworks_audit_data_ingest_spark.text.pipeline import (
+        resample_to_allocation,
+        temperature_allocation,
+    )
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    alloc = temperature_allocation(d, 100, temperature=0.5)
+    out = resample_to_allocation(d, alloc)
+    got = {r.source: r.cnt for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    want = {r.source: min(r.alloc, r.n_docs) for r in alloc.collect()}
+    assert got == {k: v for k, v in want.items() if v > 0}
+    # deterministic under repartitioning
+    out2 = resample_to_allocation(d.repartition(7), alloc)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in out2.collect()
+    )
