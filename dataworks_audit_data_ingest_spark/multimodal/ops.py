@@ -140,3 +140,114 @@ def resize_media(df: DataFrame, max_width: int = 224, max_height: int = 224) -> 
     )
     return df.withColumn("target_width", F.floor(F.col("width") * scale).cast("int")) \
              .withColumn("target_height", F.floor(F.col("height") * scale).cast("int"))
+
+
+def extract_pixels(
+    df: DataFrame, n_pixels: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pixels: array<int>) — the fake decoder's luminance plane: the
+    payload byte stream nearest-neighbor-resampled to ``n_pixels`` values
+    (pixel j = byte at ``(j·n) div n_pixels``). Arrow-batched mapInPandas
+    like `decode_media_batches`; a real build swaps the byte resample for
+    PIL's ``convert("L").resize(...)`` — same shape, same schema, so the
+    downstream perceptual-hash algebra is decode-backend-agnostic."""
+    import pandas as pd
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            ids, px = [], []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(p)
+                n = len(b)
+                px.append(
+                    [b[(j * n) // n_pixels] if n else 0 for j in range(n_pixels)]
+                )
+                ids.append(i)
+            yield pd.DataFrame({id_col: ids, "pixels": px})
+
+    return df.select(id_col, "payload").mapInPandas(
+        gen, schema=f"{id_col} long, pixels array<int>"
+    )
+
+
+def average_hash_bands(
+    pixels: DataFrame, n_pixels: int = 64, n_bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band, bval) — the aHash signature split into LSH bands, all
+    JVM expressions over the pixel array.
+
+    aHash (the classic perceptual average hash): bit j = pixel j above
+    the image mean. The threshold comparison is kept integer-exact —
+    ``n_pixels·p_j >= Σp`` instead of ``p_j >= mean`` — so the signature
+    is bit-identical on any engine. Bits pack little-endian into
+    ``n_bands`` equal slices; a pair of re-encodes agreeing on ≥1 band
+    becomes a candidate (the simhash/minhash banding discipline from
+    queries/dedup.py applied to media)."""
+    bits_per = n_pixels // n_bands
+    sum_p = (
+        "AGGREGATE(pixels, CAST(0 AS BIGINT), (acc, v) -> acc + CAST(v AS BIGINT))"
+    )
+    band_val = (
+        f"TRANSFORM(SEQUENCE(0, {n_bands - 1}), b -> "
+        + "("
+        + " + ".join(
+            f"CASE WHEN CAST({n_pixels} AS BIGINT) * pixels[b * {bits_per} + {r}] "
+            f">= _sump THEN CAST({1 << r} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            for r in range(bits_per)
+        )
+        + "))"
+    )
+    return (
+        pixels.withColumn("_sump", F.expr(sum_p))
+        .withColumn("_bands", F.expr(band_val))
+        .select(id_col, F.posexplode("_bands").alias("band", "bval"))
+    )
+
+
+def phash_near_duplicates(
+    pixels: DataFrame,
+    max_hamming: int = 6,
+    n_pixels: int = 64,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, hamming) — perceptual near-duplicate pairs: candidates
+    share ≥1 aHash band (pigeonhole: any pair within
+    ``n_bands - 1`` banded bit-flips collides somewhere), verified by the
+    exact Hamming distance summed band-wise (``bit_count(a XOR b)`` per
+    band — no 64-bit sign games). The verify join carries only
+    (id, band, bval) triples; pixel arrays never cross the wire twice."""
+    bands = average_hash_bands(pixels, n_pixels, n_bands, id_col)
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band", F.col("bval").alias("bval_a")
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), "band", F.col("bval").alias("bval_b")
+    )
+    cand = (
+        a.join(b, (a.band == b.band) & (a.bval_a == b.bval_b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sig_a = bands.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("band", "bval"))).alias("_sig")
+    )
+    ham = (
+        "AGGREGATE(ZIP_WITH(_siga, _sigb, (x, y) -> "
+        "BIT_COUNT(CAST(x.bval AS BIGINT) ^ CAST(y.bval AS BIGINT))), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return (
+        cand.join(
+            sig_a.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_siga")),
+            "id_a",
+        )
+        .join(
+            sig_a.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sigb")),
+            "id_b",
+        )
+        .withColumn("hamming", F.expr(ham))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+    )

@@ -145,3 +145,103 @@ def q121_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q145 — perceptual-hash media dedup (aHash + banding + Hamming verify)
+# ---------------------------------------------------------------------------
+# `multimodal/ops.py::extract_pixels → average_hash_bands →
+# phash_near_duplicates` end-to-end: re-encoded copies of an image differ
+# byte-wise (checksum dedup misses them) but share the luminance
+# signature. The corpus plants re-encodes in-query (every 25th document's
+# payload with a fixed 3-byte overlay — length-preserving, so it perturbs
+# ≤4 resampled pixels plus the mean, the way a lossy re-encode perturbs a
+# few blocks; a length CHANGE would shift every sampled position and
+# defeat any pixel-grid hash, the documented aHash limitation),
+# and the fake decoder's byte arithmetic keeps the whole pipeline — pixel
+# plane, integer aHash threshold, band values, Hamming distances —
+# bit-identical in DuckDB.
+_PHASH_PIXELS = 64
+_PHASH_BANDS = 4
+_PHASH_MAXHAM = 6
+
+
+def _phash_oracle() -> str:
+    bits = _PHASH_PIXELS // _PHASH_BANDS
+    band_terms = " + ".join(
+        f"(CASE WHEN 64 * MAX(CASE WHEN j % {bits} = {r} THEN p END) "
+        f">= MIN(sump) THEN {1 << r} ELSE 0 END)"
+        for r in range(bits)
+    )
+    return f"""
+    WITH media AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id,
+             SUBSTRING(text, 1, 4) || 'ZZZ' || SUBSTRING(text, 8) AS text
+      FROM documents WHERE doc_id % 25 = 0
+    ), px AS (
+      SELECT doc_id,
+             j,
+             ASCII(SUBSTRING(text, (j * LENGTH(text)) // {_PHASH_PIXELS} + 1, 1))
+               AS p
+      FROM media, UNNEST(RANGE(0, {_PHASH_PIXELS})) AS t(j)
+    ), sums AS (
+      SELECT doc_id, SUM(p) AS sump FROM px GROUP BY doc_id
+    ), bands AS (
+      SELECT px.doc_id, j // {bits} AS band,
+             {band_terms} AS bval
+      FROM px JOIN sums USING (doc_id)
+      GROUP BY px.doc_id, j // {bits}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    ), ham AS (
+      SELECT c.id_a, c.id_b, SUM(BIT_COUNT(XOR(CAST(xa.bval AS BIGINT),
+                                               CAST(xb.bval AS BIGINT)))) AS hamming
+      FROM cand c
+        JOIN bands xa ON xa.doc_id = c.id_a
+        JOIN bands xb ON xb.doc_id = c.id_b AND xb.band = xa.band
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM ham WHERE hamming <= {_PHASH_MAXHAM}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "q145_media_phash_dedup",
+    sql=_phash_oracle(),
+    tags=("multimodal", "dedup", "phash", "mapinpandas"),
+)
+def q145_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection for media payloads: Arrow
+    decode to a 64-value luminance plane (`extract_pixels`), integer
+    aHash (bit = pixel above image mean), 4×16-bit LSH banding for
+    candidates, exact band-wise Hamming verify ≤ {max_hamming} — the
+    re-encode dedup that byte checksums (q70's n_distinct) cannot see.
+
+    Scale shape: pixels and signatures are map-side per payload; the
+    only corpus-wide exchange carries (id, band, bval) triples — the
+    minhash/simhash banding discipline with the signature derived from
+    pixels instead of tokens. Band collisions gate the quadratic term
+    exactly as in q51/q52."""
+    from ..multimodal.ops import extract_pixels, phash_near_duplicates, with_media_payload
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.expr(
+            "CONCAT(SUBSTRING(text, 1, 4), 'ZZZ', SUBSTRING(text, 8))"
+        ).alias("text"),
+    )
+    media = with_media_payload(d.unionByName(clones))
+    px = extract_pixels(media, n_pixels=_PHASH_PIXELS)
+    return phash_near_duplicates(
+        px,
+        max_hamming=_PHASH_MAXHAM,
+        n_pixels=_PHASH_PIXELS,
+        n_bands=_PHASH_BANDS,
+    ).orderBy("id_a", "id_b")

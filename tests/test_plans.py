@@ -91,6 +91,7 @@ _PYTHON_ALLOWED = {
     "q70_multimodal_decode",
     "q121_frame_sample_plan",
     "q125_udtf_chunks",  # sanctioned UDTF surface
+    "q145_media_phash_dedup",  # media pixel decode (extract_pixels)
 }
 
 
