@@ -297,3 +297,65 @@ def pagerank_integer(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").cast("bigint").alias("rank_scaled"))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """One-row triangle census of an undirected graph:
+    (n_nodes, n_edges, n_wedges, n_triangles, closure_bps).
+
+    The ordered-edge algorithm (Schank & Wagner 2005; the standard
+    distributed form): canonicalize each edge low→high, build wedges
+    ``(a<b<c)`` from two edges sharing their lower endpoint, close them
+    against the edge set. Each triangle is counted exactly once (at its
+    smallest vertex), so the join volume is O(Σ deg_low²) — the m^{3/2}
+    bound — instead of the naive 3× over-count. ``n_wedges`` is the full
+    path-of-length-2 count Σ C(deg, 2) (from the degree table, no join),
+    and ``closure_bps = 10⁴·3·triangles / wedges`` is the global
+    clustering coefficient in basis points — exact integer division.
+
+    At 100 TB: two shuffles keyed by vertex (degree count, wedge build)
+    plus one edge-keyed join to close wedges. Heavy-hitter vertices
+    dominate via deg²; cap or sample super-nodes upstream if the degree
+    distribution is unbounded (the dedup-graph use never is — bucket
+    caps bound degrees by construction)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    counts = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
+    tri = wedges.join(
+        e.select(F.col("u").alias("b"), F.col("v").alias("c")), ["b", "c"]
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(counts)
+        .crossJoin(tri)
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_wedges").cast("bigint").alias("n_wedges"),
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            F.expr(
+                "CASE WHEN n_wedges > 0 THEN 10000 * 3 * n_triangles DIV n_wedges "
+                "ELSE 0 END"
+            ).cast("bigint").alias("closure_bps"),
+        )
+    )

@@ -102,3 +102,71 @@ def q106_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, iterations=_PR_ITERS, scale=_PR_SCALE, damping_pct=_PR_DAMP
     )
     return ranks.orderBy(F.desc("rank_scaled"), "node")
+
+
+# ---------------------------------------------------------------------------
+# q146 — triangle census of the near-dup candidate graph
+# ---------------------------------------------------------------------------
+# `functions/graph.py::triangle_count` over the q52c SimHash pair graph: a
+# healthy near-dup graph is clique-ish (re-encodes of one document all pair
+# with each other → high closure); low closure means the banding is
+# chaining unrelated documents through hubs — the dedup-QA signal that
+# says "tighten the Hamming threshold before transitive-closing clusters".
+# The oracle reuses q52c's full SQL as the edge CTE, then runs the same
+# ordered-edge algebra — all integer, hash-exact.
+
+
+def _triangle_oracle_sql() -> str:
+    from .dedup import _simhash60_sql
+
+    pair_sql = _simhash60_sql().strip().rstrip(";")
+    return f"""
+    WITH pairs AS (
+      {pair_sql}
+    ), e AS (
+      SELECT DISTINCT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
+      FROM pairs WHERE doc_a != doc_b
+    ), deg AS (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+      GROUP BY n
+    ), counts AS (
+      SELECT COUNT(*) AS n_nodes, SUM(d * (d - 1) // 2) AS n_wedges FROM deg
+    ), tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN n_wedges > 0
+                     THEN 10000 * 3 * n_triangles // n_wedges
+                     ELSE 0 END AS BIGINT) AS closure_bps
+    FROM counts, tri
+    """
+
+
+@register(
+    "q146_dedup_triangle_census",
+    sql=_triangle_oracle_sql(),
+    tags=("graph", "triangles", "dedup", "audit"),
+)
+def q146_dedup_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census (`functions/graph.py::triangle_count`) of the
+    60-bit SimHash near-dup pair graph (q52c's edges): global clustering
+    coefficient in bps as the dedup-QA closure metric — clique-like
+    clusters (true re-encode piles) close their wedges; hub-and-spoke
+    chaining (banding artifacts) does not, and a low closure_bps is the
+    signal to tighten thresholds before transitive clustering (q58/q90).
+
+    Scale shape: the ordered-edge algorithm — wedges built at each
+    edge's LOWER endpoint only (each triangle counted once), closure via
+    one edge-keyed join; wedge volume Σ deg² stays bounded because the
+    LSH bucket cap bounds degrees by construction."""
+    from ..functions.graph import triangle_count
+    from .dedup import q52c_simhash60_hamming
+
+    pairs = q52c_simhash60_hamming(spark, sf_dir)
+    return triangle_count(pairs, src="doc_a", dst="doc_b")

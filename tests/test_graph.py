@@ -206,3 +206,58 @@ def test_pagerank_overflow_guard_and_normalization(spark):
     norm = pagerank_integer(small, normalize_weights=True).collect()
     order = lambda rows: [r.node for r in sorted(rows, key=lambda r: -r.rank_scaled)]
     assert order(plain) == order(norm)
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+
+def _tc(spark, edges):
+    from dataworks_audit_data_ingest_spark.functions.graph import triangle_count
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    return triangle_count(df).first()
+
+
+def test_triangle_count_complete_k4(spark):
+    """K4: 4 triangles, 12 wedges, closure = 10000 (every wedge closes)."""
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = _tc(spark, edges)
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert r.closure_bps == 10000
+
+
+def test_triangle_count_star_has_none(spark):
+    """Hub-and-spoke: many wedges, zero triangles — the chaining shape
+    q146's closure metric is built to expose."""
+    edges = [(0, i) for i in range(1, 9)]
+    r = _tc(spark, edges)
+    assert r.n_triangles == 0
+    assert r.n_wedges == 8 * 7 // 2
+    assert r.closure_bps == 0
+
+
+def test_triangle_count_canonicalizes_input(spark):
+    """Reversed duplicates, self-loops, and double edges collapse to the
+    simple undirected graph before counting."""
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (3, 1)]
+    r = _tc(spark, edges)
+    assert (r.n_edges, r.n_triangles) == (3, 1)
+
+
+def test_triangle_count_matches_bruteforce_on_random_graph(spark):
+    import itertools
+    import random
+
+    rnd = random.Random(42)
+    nodes = list(range(30))
+    edges = [(a, b) for a, b in itertools.combinations(nodes, 2) if rnd.random() < 0.2]
+    adj = set(edges)
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    r = _tc(spark, edges)
+    assert r.n_triangles == want
