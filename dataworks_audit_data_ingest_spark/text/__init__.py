@@ -2,6 +2,8 @@
 
 from .bpe import tokenize_documents, train_bpe, word_frequency_table  # noqa: F401
 
+from .config import STAGES, build_pipeline, run_pipeline  # noqa: F401
+
 from .incremental_semantic import (  # noqa: F401
     incremental_semantic_batch,
     sign_and_quantize,
@@ -16,5 +18,7 @@ from .pipeline import (  # noqa: F401
     mix_sources,
     pack_sequences,
     redact_pii,
+    resample_to_allocation,
+    temperature_allocation,
     token_budget_sample,
 )
