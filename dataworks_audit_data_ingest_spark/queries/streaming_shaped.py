@@ -1081,3 +1081,110 @@ def q137_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((10000 * n) DIV (SUM(n) OVER ()) AS BIGINT)"
         ).alias("share_bps"),
     ).orderBy("dow", "hr")
+
+
+# ---------------------------------------------------------------------------
+# q147 — conversion attribution (first-touch / last-touch matrix)
+# ---------------------------------------------------------------------------
+# Which interactions lead to purchases: each purchase attributes to the
+# FIRST and LAST preceding event inside its own 30-min session (q91's exact
+# boundary logic); purchases that open a session attribute to 'direct'.
+# Revenue follows q132's FLOOR(x·100+0.5) cents policy so sums stay
+# integer-exact across engines.
+
+
+@register(
+    "q147_attribution",
+    sql=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN gap_us IS NULL OR gap_us > {_SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, event_id, event_type, value, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), touched AS (
+      SELECT *,
+             FIRST_VALUE(event_type) OVER
+               (PARTITION BY user_id, session_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_prev,
+             LAG(event_type) OVER
+               (PARTITION BY user_id, session_id ORDER BY ts_us, event_id)
+               AS last_prev
+      FROM sessions
+    )
+    SELECT COALESCE(first_prev, 'direct') AS first_touch,
+           COALESCE(last_prev, 'direct') AS last_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    ORDER BY first_touch, last_touch
+    """,
+    tags=("timeseries", "sessionization", "attribution", "bi"),
+)
+def q147_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution: every purchase is
+    credited to the first and last event preceding it in its own 30-min
+    session (session-opening purchases → 'direct'), rolled up to the
+    touch-pair matrix with integer-cents revenue — the marketing-style
+    attribution query a BI user runs on the event stream.
+
+    Scale shape: ONE shuffle on ``user_id`` feeds the gap window, the
+    session numbering, and both intra-session touch windows (all share
+    the same partitioning; the plan keeps a single exchange before the
+    final ≤|types|²-group rollup). Hot users are the skew unit, exactly
+    as in q91."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts_us", "event_id")
+    touched = sessions.withColumn(
+        "first_prev",
+        F.first("event_type").over(
+            ws.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).withColumn("last_prev", F.lag("event_type").over(ws))
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("first_prev", F.lit("direct")).alias("first_touch"),
+            F.coalesce("last_prev", F.lit("direct")).alias("last_touch"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("first_touch", "last_touch")
+    )
