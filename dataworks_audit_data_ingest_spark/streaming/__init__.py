@@ -13,3 +13,8 @@ from .stateful import (  # noqa: F401
     running_user_profiles,
     running_user_profiles_v2,
 )
+from .topk_job import (  # noqa: F401
+    read_topk,
+    start_topk_stream,
+    topk_microbatch,
+)

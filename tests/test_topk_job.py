@@ -1,0 +1,114 @@
+"""Streaming heavy hitters (`streaming/topk_job.py`): merged grids equal
+the one-pass sketch, streamed top-k matches the exact batch top-k on the
+fixture, and replays are idempotent."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from dataworks_audit_data_ingest_spark.streaming.topk_job import (
+    batch_sketch,
+    merged_sketch,
+    read_topk,
+    start_topk_stream,
+    topk_microbatch,
+)
+from dataworks_audit_data_ingest_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+EVENT_SCHEMA = "user_id long, event_type string, ts timestamp"
+KEY = "CONCAT(event_type, ':', CAST(user_id % 7 AS STRING))"
+
+
+def _event_rows(spark):
+    return (
+        table(spark, SF, "events").select("user_id", "event_type", "ts").collect()
+    )
+
+
+def _write_event_files(src, rows, n_files=3):
+    src.mkdir()
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        with open(src / f"{i}.json", "w") as f:
+            for r in rows[i * per : (i + 1) * per]:
+                f.write(
+                    json.dumps(
+                        {
+                            "user_id": r.user_id,
+                            "event_type": r.event_type,
+                            "ts": r.ts.isoformat(),
+                        }
+                    )
+                    + "\n"
+                )
+
+
+def _run_stream(spark, tmp_path, sub="store"):
+    rows = _event_rows(spark)
+    if not (tmp_path / "in").exists():
+        _write_event_files(tmp_path / "in", rows)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("json")
+        .load(str(tmp_path / "in"))
+    )
+    q = start_topk_stream(
+        stream,
+        str(tmp_path / sub),
+        str(tmp_path / f"ckpt_{sub}"),
+        key_sql=KEY,
+        m_candidates=16,
+    )
+    q.awaitTermination(120)
+    return str(tmp_path / sub)
+
+
+def test_merged_grid_equals_one_pass_sketch(spark, tmp_path):
+    store = _run_stream(spark, tmp_path)
+    ev = table(spark, SF, "events")
+    want = {
+        (r.row_idx, r.cell): r.c for r in batch_sketch(ev, KEY).collect()
+    }
+    got = {
+        (r.row_idx, r.cell): r.c for r in merged_sketch(spark, store).collect()
+    }
+    assert got == want
+
+
+def test_streamed_topk_matches_exact_batch_topk(spark, tmp_path):
+    store = _run_stream(spark, tmp_path)
+    got = read_topk(spark, store, k=5)
+    exact = (
+        table(spark, SF, "events")
+        .select(F.expr(KEY).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(5)
+        .collect()
+    )
+    got_keys = [r.key for r in got.orderBy("rnk").collect()]
+    want_keys = [r.key for r in exact]
+    assert got_keys == want_keys
+    # count-min estimates are one-sided: est >= true
+    true = {r.key: r.n for r in exact}
+    for r in got.collect():
+        assert r.est_count >= true[r.key]
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    store = _run_stream(spark, tmp_path)
+    before = sorted(map(tuple, read_topk(spark, store, k=5).collect()))
+    # replay batch 0 (lost-checkpoint scenario): rewrite its partitions
+    rows = _event_rows(spark)
+    per = (len(rows) + 2) // 3
+    batch0 = spark.createDataFrame(
+        [(r.user_id, r.event_type, r.ts) for r in rows[:per]], EVENT_SCHEMA
+    )
+    topk_microbatch(batch0, 0, store, KEY, m_candidates=16)
+    after = sorted(map(tuple, read_topk(spark, store, k=5).collect()))
+    assert after == before
