@@ -329,3 +329,39 @@ def ivfpq_knn(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", "cosine")
     )
+
+
+def save_ivfpq_index(
+    path: str,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    encoded: DataFrame,
+) -> None:
+    """Persist a trained+encoded IVF-PQ index:
+
+    - ``centroids/``, ``codebooks/`` — broadcast-sized plain parquet;
+    - ``encoded/`` — the corpus codes partitioned by ``cell``, so a
+      search's ``n_probe`` cells become partition pruning at scan time
+      (the probe reads n_probe directories, never the corpus).
+
+    One file per cell keeps the layout compact; at 100 TB shard large
+    cells by lifting the repartition count."""
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    (
+        encoded.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/encoded")
+    )
+
+
+def load_ivfpq_index(spark, path: str):
+    """(centroids, codebooks, encoded) — the search-ready triple.
+    ``encoded`` is the cell-partitioned scan; filters on ``cell`` prune
+    directories before any byte is read."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/codebooks"),
+        spark.read.parquet(f"{path}/encoded"),
+    )

@@ -155,3 +155,30 @@ def test_ivfpq_deterministic_across_partitionings(spark):
     rows1 = sorted(map(tuple, r1.collect()))
     rows2 = sorted(map(tuple, r2.collect()))
     assert rows1 == rows2
+
+
+def test_index_roundtrip_preserves_search_results(spark, tmp_path):
+    """save → load → search returns bit-identical results, and the
+    encoded store is laid out one directory per cell (the probe's
+    partition-pruning contract)."""
+    import glob
+
+    from dataworks_audit_data_ingest_spark.similarity.ivfpq import (
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    e, cents, books, enc = _index(spark)
+    q = e.filter(F.col("vec_id") < 4)
+    before = sorted(
+        map(tuple, ivfpq_knn(q, enc, cents, books, k=5, m=M, ksub=KSUB, n_probe=2).collect())
+    )
+    path = str(tmp_path / "ivfpq")
+    save_ivfpq_index(path, cents, books, enc)
+    cents2, books2, enc2 = load_ivfpq_index(spark, path)
+    after = sorted(
+        map(tuple, ivfpq_knn(q, enc2, cents2, books2, k=5, m=M, ksub=KSUB, n_probe=2).collect())
+    )
+    assert after == before
+    cell_dirs = glob.glob(f"{path}/encoded/cell=*")
+    assert len(cell_dirs) == enc.select("cell").distinct().count()
