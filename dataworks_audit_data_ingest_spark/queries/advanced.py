@@ -1211,3 +1211,120 @@ def q122_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((1000 * sy - ({slope}) * sx) DIV (1000 * n) AS BIGINT)"
         ).alias("intercept_q"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q148 — association rules (Apriori-pruned brand affinity)
+# ---------------------------------------------------------------------------
+# Market-basket mining over orders: which part brands co-occur in the same
+# order beyond chance. The Apriori property does the scale work: items
+# below the support floor are pruned BEFORE any pair is generated, so the
+# pair space is bounded by the frequent-item vocabulary (≤ C(25,2) here),
+# never by basket volume. Support/confidence/lift in exact integer bps —
+# non-negative numerators keep Spark DIV == DuckDB //.
+_AFF_MIN_ITEM = 50  # min orders containing an item to consider it
+_AFF_MIN_PAIR = 20  # min orders containing the pair to report it
+
+
+@register(
+    "q148_brand_affinity",
+    sql=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), totals AS (
+      SELECT COUNT(DISTINCT okey) AS n_orders FROM baskets
+    ), items AS (
+      SELECT item, COUNT(*) AS n_item FROM baskets GROUP BY item
+      HAVING COUNT(*) >= {_AFF_MIN_ITEM}
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_pair
+      FROM baskets a
+        JOIN baskets b ON a.okey = b.okey AND a.item < b.item
+        JOIN items ia ON ia.item = a.item
+        JOIN items ib ON ib.item = b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= {_AFF_MIN_PAIR}
+    )
+    SELECT item_a, item_b,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(10000 * n_pair // ia.n_item AS BIGINT) AS conf_a_to_b_bps,
+           CAST(10000 * n_pair // ib.n_item AS BIGINT) AS conf_b_to_a_bps,
+           CAST(1000 * n_pair * t.n_orders // (ia.n_item * ib.n_item)
+                AS BIGINT) AS lift_milli
+    FROM pairs
+      JOIN items ia ON ia.item = item_a
+      JOIN items ib ON ib.item = item_b
+      CROSS JOIN totals t
+    ORDER BY item_a, item_b
+    """,
+    tags=("analytics", "association-rules", "basket", "apriori"),
+)
+def q148_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: brand pairs with support ≥
+    {min_pair}, their directional confidences and lift (bps/milli,
+    integer-exact) — the market-basket query of a BI/recommender
+    workload.
+
+    Scale shape: ONE okey-keyed exchange total — each order's brand set
+    collects to a sorted array (collect_set dedups in the same shuffle),
+    and every downstream quantity rides those arrays map-side: item
+    counts by exploding the arrays, pairs by an in-array combination
+    explode (≤ C(25, 2) structs per order — never an okey self-join,
+    which would re-shuffle the basket table against itself). The Apriori
+    prune (items under the support floor) is a broadcast semi-join on
+    the exploded pairs BEFORE their vocabulary²-sized count exchange.
+    Result-identical to the oracle's self-join formulation."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    arrs = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
+    )
+    totals = arrs.agg(F.count(F.lit(1)).alias("n_orders"))
+    items = (
+        arrs.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        .filter(F.col("n_item") >= _AFF_MIN_ITEM)
+    )
+    pair_structs = (
+        "FLATTEN(TRANSFORM(items, (x, i) -> "
+        "TRANSFORM(SLICE(items, i + 2, SIZE(items)), "
+        "y -> STRUCT(x AS item_a, y AS item_b))))"
+    )
+    exploded = arrs.select(
+        F.explode(F.expr(pair_structs)).alias("p")
+    ).select("p.item_a", "p.item_b")
+    pairs = (
+        exploded.join(
+            F.broadcast(items.select(F.col("item").alias("item_a"))), "item_a"
+        )
+        .join(F.broadcast(items.select(F.col("item").alias("item_b"))), "item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _AFF_MIN_PAIR)
+    )
+    ia = items.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))
+    ib = items.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.expr("CAST(10000 * n_pair DIV n_a AS BIGINT)").alias(
+                "conf_a_to_b_bps"
+            ),
+            F.expr("CAST(10000 * n_pair DIV n_b AS BIGINT)").alias(
+                "conf_b_to_a_bps"
+            ),
+            F.expr(
+                "CAST(1000 * n_pair * n_orders DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+        .orderBy("item_a", "item_b")
+    )
