@@ -1328,3 +1328,115 @@ def q148_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item_a", "item_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — robust dispersion: median absolute deviation + MAD outliers
+# ---------------------------------------------------------------------------
+# The robust counterpart to q37b's z-scores: median and MAD ignore the
+# heavy tail that drags mean/stddev, so "value > median + 3·MAD" flags
+# genuine outliers even when the tail is the thing being measured. Both
+# medians are the exact lower order statistic (q28's portable convention —
+# no interpolation-rule drift), deviations are exact IEEE |a−b|, so the
+# whole report hash-matches.
+
+
+@register(
+    "q149_mad_outliers",
+    sql="""
+    WITH ranked AS (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), med AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = 1 + CAST(FLOOR(0.5 * (n - 1)) AS BIGINT)
+                      THEN value END) AS median,
+             MAX(n) AS n
+      FROM ranked GROUP BY event_type
+    ), dev AS (
+      SELECT r.event_type, r.event_id, r.value, m.median, m.n,
+             ABS(r.value - m.median) AS d,
+             ROW_NUMBER() OVER (PARTITION BY r.event_type
+                                ORDER BY ABS(r.value - m.median), r.event_id)
+               AS drn
+      FROM ranked r JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type,
+             MAX(CASE WHEN drn = 1 + CAST(FLOOR(0.5 * (n - 1)) AS BIGINT)
+                      THEN d END) AS mad,
+             MAX(median) AS median, MAX(n) AS n
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(m.n AS BIGINT) AS n_events,
+           m.median, m.mad,
+           CAST(COUNT(CASE WHEN d.d > 3 * m.mad THEN 1 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.n, m.median, m.mad
+    ORDER BY d.event_type
+    """,
+    tags=("agg", "statistics", "robust", "outliers"),
+)
+def q149_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type with a 3×MAD outlier
+    count — the robust dispersion report (median and MAD as exact lower
+    order statistics, q28's convention; |value − median| is one IEEE op,
+    so every column is engine-exact).
+
+    Scale shape: one exchange on ``event_type`` feeds both ranking
+    passes and the final rollup (the second ranking re-sorts within the
+    same partitioning — a task-local sort, not a new shuffle). For
+    global (ungrouped) MAD at 100 TB use two approx-quantile passes
+    instead — this exact form is the per-group path, exactly like
+    q28 vs q16s."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == 1 + F.floor(F.lit(0.5) * (F.col("n") - 1)).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("median"),
+        F.max("n").alias("n"),
+    )
+    dev = ranked.drop("n").join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("median"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("d", "event_id")
+    dev_ranked = dev.withColumn("drn", F.row_number().over(wd))
+    mad = dev_ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("drn")
+                == 1 + F.floor(F.lit(0.5) * (F.col("n") - 1)).cast("bigint"),
+                F.col("d"),
+            )
+        ).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.max("median").alias("median"),
+            F.max("mad").alias("mad"),
+            F.count(F.when(F.col("d") > 3 * F.col("mad"), 1))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
