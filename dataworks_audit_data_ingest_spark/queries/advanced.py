@@ -1440,3 +1440,99 @@ def q149_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — semi-structured VARIANT path extraction (Spark 4 surface)
+# ---------------------------------------------------------------------------
+# The modern semi-structured path: build a nested JSON document per order
+# (object + nested object + numeric array), ingest it as a VARIANT
+# (`parse_json`), and read it back with typed `variant_get` paths — the
+# engine surface a log/event lake uses instead of schema-on-write. The
+# oracle never sees the JSON: it computes the same aggregates straight
+# from the relational inputs, so a hash match proves the whole
+# value → JSON → VARIANT → typed-path round trip is lossless.
+
+
+@register(
+    "q150_variant_extract",
+    sql="""
+    WITH cents AS (
+      SELECT l_orderkey,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+    ), lines AS (
+      SELECT l_orderkey, MIN(c) AS first_line, COUNT(*) AS n_lines
+      FROM cents GROUP BY l_orderkey
+    )
+    SELECT o.o_orderstatus AS status, c.c_mktsegment AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(l.first_line) AS BIGINT) AS sum_first_line_cents,
+           CAST(SUM(l.n_lines) AS BIGINT) AS sum_lines
+    FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lines l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    ORDER BY status, seg
+    """,
+    tags=("semistructured", "variant", "json", "spark4"),
+)
+def q150_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion + typed path reads: each order becomes a nested
+    JSON document (id, cust{key, seg}, lines[...], status) via
+    ``to_json``, is parsed to a VARIANT, and every downstream value is a
+    ``variant_get`` typed path — ``$.status``, the nested
+    ``$.cust.seg``, the array index ``$.lines[0]``, and the array pull
+    ``$.lines`` — rolled up per (status, segment). The oracle computes
+    the same numbers relationally, pinning the round trip lossless.
+
+    Scale shape: document assembly is one lineitem rollup + a broadcast
+    customer join; parse/extract are map-side expressions (VARIANT's
+    binary encoding decodes paths without re-parsing text per access —
+    the reason it beats get_json_object chains at 100 TB)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("c"),
+    )
+    lines = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("c")).alias("lines")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    docs = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(lines, o.o_orderkey == lines.l_orderkey)
+        .select(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("id"),
+                    F.struct(
+                        F.col("c_custkey").alias("key"),
+                        F.col("c_mktsegment").alias("seg"),
+                    ).alias("cust"),
+                    F.col("lines"),
+                    F.col("o_orderstatus").alias("status"),
+                )
+            ).alias("j")
+        )
+    )
+    v = docs.select(F.parse_json("j").alias("v"))
+    extracted = v.select(
+        F.expr("variant_get(v, '$.status', 'string')").alias("status"),
+        F.expr("variant_get(v, '$.cust.seg', 'string')").alias("seg"),
+        F.expr("variant_get(v, '$.lines[0]', 'bigint')").alias("first_line"),
+        F.expr("SIZE(variant_get(v, '$.lines', 'array<bigint>'))").alias(
+            "n_lines"
+        ),
+    )
+    return (
+        extracted.groupBy("status", "seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("first_line").cast("bigint").alias("sum_first_line_cents"),
+            F.sum("n_lines").cast("bigint").alias("sum_lines"),
+        )
+        .orderBy("status", "seg")
+    )
