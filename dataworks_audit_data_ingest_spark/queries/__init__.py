@@ -59,7 +59,8 @@ from . import graph_shaped  # noqa: E402,F401
 # q140_join_size_audit, q141_ann_ivfpq, q142_shard_manifest,
 # q143_kmv_distinct, q144_temperature_mixture, q145_media_phash_dedup,
 # q146_dedup_triangle_census, q147_attribution, q148_brand_affinity,
-# q149_mad_outliers, and q150_variant_extract
+# q149_mad_outliers, q150_variant_extract, q151_benford_audit, and
+# q152_keep_best_copy
 # were born after the round-4 top-50 filled: they have multi-scale
 # local oracle evidence (tools/check_oracle.py + the parametrized
 # pytest) and MUST lead the round-5 rotation.

@@ -1536,3 +1536,86 @@ def q150_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status", "seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — Benford's-law first-digit audit
+# ---------------------------------------------------------------------------
+# The classic anomaly screen for financial columns: organically-generated
+# amounts follow log10(1 + 1/d) first-digit frequencies; fabricated or
+# clipped data does not. Expected frequencies are fixed constants embedded
+# as integer ppm (no runtime log), observed shares are integer ppm, and
+# the chi-square-style statistic is exact integer arithmetic — fully
+# hash-checkable. Uniformly-generated fixture prices will FAIL the
+# conformity check, which is itself the point: the audit's job is to
+# flag non-Benford columns, and the oracle pins that verdict exactly.
+_BENFORD_PPM = {  # round(log10(1 + 1/d) * 1e6)
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@register(
+    "q151_benford_audit",
+    sql=f"""
+    WITH digits AS (
+      SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ), counts AS (
+      SELECT d, COUNT(*) AS n FROM digits GROUP BY d
+    ), expected(d, exp_ppm) AS (
+      VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM.items())}
+    )
+    SELECT e.d AS digit,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+           CAST(1000000 * COALESCE(c.n, 0) // t.total AS BIGINT) AS obs_ppm,
+           CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+           CAST(ABS(1000000 * COALESCE(c.n, 0) // t.total - e.exp_ppm)
+                AS BIGINT) AS abs_dev_ppm
+    FROM expected e
+      LEFT JOIN counts c ON c.d = e.d
+      CROSS JOIN (SELECT SUM(n) AS total FROM counts) t
+    ORDER BY digit
+    """,
+    tags=("audit", "statistics", "benford", "bi"),
+)
+def q151_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformity audit of order totals: observed vs
+    expected first-digit shares in integer ppm with absolute deviations —
+    the data-forensics screen run over financial columns (synthetic
+    uniform prices deviate wildly, and the audit says exactly how much).
+
+    Scale shape: the digit is map-side string arithmetic; the only
+    exchange carries 9 counter rows. The expected table is a 9-row
+    literal (constants ARE the model — no runtime log10, no float
+    drift)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.expr(
+            "CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) "
+            "AS STRING), 1, 1) AS BIGINT)"
+        ).alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_PPM.items()], "digit long, exp_ppm long"
+    )
+    return (
+        F.broadcast(expected)
+        .join(counts.withColumnRenamed("d", "digit"), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.expr("CAST(1000000 * COALESCE(n, 0) DIV total AS BIGINT)").alias(
+                "obs_ppm"
+            ),
+            F.col("exp_ppm").cast("bigint").alias("exp_ppm"),
+            F.expr(
+                "CAST(ABS(1000000 * COALESCE(n, 0) DIV total - exp_ppm) AS BIGINT)"
+            ).alias("abs_dev_ppm"),
+        )
+        .orderBy("digit")
+    )

@@ -1598,3 +1598,112 @@ def q135_duplication_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# q152 — keep-best-copy canonical selection
+# ---------------------------------------------------------------------------
+# Dedup policy, not just dedup mechanics: when a cluster holds several
+# near-identical copies, WHICH one survives matters — min-id ("first
+# seen", append-stable) vs best-quality ("most complete copy", what a
+# curation pass actually wants). This registers the longest-copy policy
+# (quality stand-in: n_chars; `annotate_quality`'s score slots into the
+# same ORDER BY) over exact-SimHash clusters, reporting per source how
+# much survives and where the two policies pick DIFFERENT canonicals —
+# the auditable delta of switching policy. Programmatic twin:
+# `text/pipeline.py::drop_near_duplicates(keep="longest")`.
+
+
+@register(
+    "q152_keep_best_copy",
+    sql=f"""{_simhash_sig_ctes()}
+    , meta AS (
+      SELECT s.doc_id, s.simhash, c.source, LENGTH(c.text) AS n_chars
+      FROM sigs s JOIN corpus_meta c ON c.doc_id = s.doc_id
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY simhash
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             MIN(doc_id) OVER (PARTITION BY simhash) AS min_id
+      FROM meta
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN rk = 1 THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(COUNT(CASE WHEN rk > 1 THEN 1 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN rk = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars,
+           CAST(COUNT(CASE WHEN rk = 1 AND doc_id != min_id THEN 1 END)
+                AS BIGINT) AS n_policy_divergent
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """.replace(
+        "SELECT doc_id, text FROM documents",
+        "SELECT doc_id, text FROM media_corpus",
+    ).replace(
+        "WITH corpus AS (",
+        """WITH media_corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 20000000 AS doc_id,
+             text || ' extra trailing context words' AS text
+      FROM documents WHERE doc_id % 20 = 0
+    ), corpus_meta AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id >= 20000000 THEN 'clones' ELSE
+               (SELECT d.source FROM documents d WHERE d.doc_id = media_corpus.doc_id)
+             END AS source
+      FROM media_corpus
+    ), corpus AS (""",
+    ),
+    tags=("dedup", "simhash", "policy", "curation"),
+)
+def q152_keep_best_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-copy dedup: per exact-SimHash cluster the LONGEST copy
+    survives (ties → lower id), against a corpus where every 20th
+    document has a planted longer superset copy — the policy keeps the
+    superset where min-id would keep the original, and
+    ``n_policy_divergent`` counts exactly those flips per source.
+
+    Scale shape: signatures from the shared kernel (one doc-keyed agg),
+    then one simhash-keyed window pass and a per-source rollup — nothing
+    pairwise; policy choice is an ORDER BY swap, free at any scale."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    clones = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing context words")).alias(
+            "text"
+        ),
+        F.lit("clones").alias("source"),
+    )
+    corpus = d.unionByName(clones)
+    sigs = _spark_simhash_sigs(corpus.select("doc_id", "text"))
+    meta = sigs.join(
+        corpus.select("doc_id", "source", F.length("text").alias("n_chars")),
+        "doc_id",
+    )
+    w = Window.partitionBy("simhash").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wm = Window.partitionBy("simhash")
+    ranked = meta.withColumn("rk", F.row_number().over(w)).withColumn(
+        "min_id", F.min("doc_id").over(wm)
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("rk") == 1, 1)).cast("bigint").alias("n_kept"),
+            F.count(F.when(F.col("rk") > 1, 1)).cast("bigint").alias("n_dropped"),
+            F.sum(F.when(F.col("rk") == 1, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+            F.count(
+                F.when((F.col("rk") == 1) & (F.col("doc_id") != F.col("min_id")), 1)
+            )
+            .cast("bigint")
+            .alias("n_policy_divergent"),
+        )
+        .orderBy("source")
+    )

@@ -42,11 +42,20 @@ def annotate_quality(
 
 
 def drop_near_duplicates(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: str = "min_id",
 ) -> DataFrame:
     """Keep one representative per near-dup cluster: MinHash-LSH candidate
     pairs (q51's signature pipeline) reduced to a keep/drop decision — a row
-    is dropped if any kept row with a smaller id shares an LSH bucket.
+    is dropped if any BETTER row shares an LSH bucket.
+
+    ``keep`` picks the canonical copy: ``"min_id"`` (the oracle-pinned
+    default — first-seen wins, stable under appends) or ``"longest"``
+    (the curation policy — among near-identical copies keep the most
+    complete one; ties break on the lower id). q152 runs the longest
+    policy under the oracle over exact-signature clusters.
 
     One-round approximation of full connected components (q58): ideal for
     curation where clusters are shallow; chains longer than one hop keep one
@@ -54,15 +63,28 @@ def drop_near_duplicates(
     """
     from ..queries.dedup import _spark_bands, _spark_sigs
 
-    bands = _spark_bands(_spark_sigs(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    bands = _spark_bands(_spark_sigs(base))
+    if keep == "longest":
+        lens = base.select("doc_id", F.length("text").alias("_len"))
+        bands = bands.join(lens, "doc_id")
     a, b = bands.alias("a"), bands.alias("b")
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") > F.col("b.doc_id")),
+    same_bucket = (F.col("a.band_idx") == F.col("b.band_idx")) & (
+        F.col("a.band_hash") == F.col("b.band_hash")
+    )
+    if keep == "min_id":
+        b_better = F.col("a.doc_id") > F.col("b.doc_id")
+    elif keep == "longest":
+        b_better = (F.col("b._len") > F.col("a._len")) | (
+            (F.col("b._len") == F.col("a._len"))
+            & (F.col("b.doc_id") < F.col("a.doc_id"))
         )
+    else:
+        raise ValueError(f"unknown keep policy {keep!r}: min_id | longest")
+    dropped = (
+        a.join(b, same_bucket & b_better)
         .select(F.col("a.doc_id").alias(id_col))
         .distinct()
     )

@@ -506,3 +506,47 @@ def test_resample_to_allocation_caps_per_source(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in out2.collect()
     )
+
+
+def test_drop_near_duplicates_longest_policy(spark):
+    """keep="longest" keeps the most complete copy of a planted pile;
+    min_id keeps the first — both keep exactly one."""
+    from pyspark.sql import functions as F
+
+    from dataworks_audit_data_ingest_spark.tables import table
+    from dataworks_audit_data_ingest_spark.text.pipeline import (
+        drop_near_duplicates,
+    )
+
+    d = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    base = d.limit(30)
+    longer = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = base.unionByName(longer)
+    kept_min = {r.doc_id for r in drop_near_duplicates(corpus).collect()}
+    kept_long = {
+        r.doc_id
+        for r in drop_near_duplicates(corpus, keep="longest").collect()
+    }
+    planted = {r.doc_id for r in longer.collect()}
+    # for every planted pair that actually collided (exactly one member
+    # survived), min-id must keep the ORIGINAL and longest must keep the
+    # CLONE (it is strictly longer)
+    n_collided = 0
+    for clone_id in planted:
+        orig = clone_id - 1_000_000
+        if (orig in kept_min) != (clone_id in kept_min):
+            n_collided += 1
+            assert orig in kept_min and clone_id not in kept_min
+            assert clone_id in kept_long and orig not in kept_long
+    assert n_collided > 0  # the planted piles did collide
+    assert len(kept_long) == len(kept_min)  # same one-per-cluster cardinality
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown keep policy"):
+        drop_near_duplicates(corpus, keep="best")
