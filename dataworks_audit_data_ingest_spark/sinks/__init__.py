@@ -1,5 +1,6 @@
 """Sink writers."""
 
+from .forget import forget_keys  # noqa: F401
 from .bucketed import (  # noqa: F401
     aligned,
     bucket_join,
