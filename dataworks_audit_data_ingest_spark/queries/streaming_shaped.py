@@ -1188,3 +1188,107 @@ def q147_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_touch", "last_touch")
     )
+
+
+from ..functions.hashing import duckdb_hash32, spark_hash32  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# q154 — A/B experiment readout (deterministic hash assignment)
+# ---------------------------------------------------------------------------
+# The experimentation readout: users assign to arms by portable hash (the
+# production method — stable across sessions, devices, reruns; never an
+# RNG), conversion is purchase-within-exposure, and the readout reports
+# per-arm exposure/conversion plus the two-proportion z statistic. The z
+# numerator/denominator use only IEEE-deterministic ops (sqrt included),
+# and the final z is quantized to milli via the shared ROUND discipline.
+
+
+@register(
+    "q154_ab_readout",
+    sql=f"""
+    WITH assigned AS (
+      SELECT DISTINCT user_id,
+             {duckdb_hash32("CAST(user_id AS VARCHAR)", seed="exp1")} % 2 AS arm
+      FROM events
+    ), converted AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), arms AS (
+      SELECT a.arm, COUNT(*) AS exposed,
+             COUNT(c.user_id) AS converted
+      FROM assigned a LEFT JOIN converted c ON c.user_id = a.user_id
+      GROUP BY a.arm
+    ), wide AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN exposed END) AS n0,
+             MAX(CASE WHEN arm = 0 THEN converted END) AS c0,
+             MAX(CASE WHEN arm = 1 THEN exposed END) AS n1,
+             MAX(CASE WHEN arm = 1 THEN converted END) AS c1
+      FROM arms
+    )
+    SELECT CAST(n0 AS BIGINT) AS exposed_a, CAST(c0 AS BIGINT) AS converted_a,
+           CAST(n1 AS BIGINT) AS exposed_b, CAST(c1 AS BIGINT) AS converted_b,
+           CAST(10000 * c0 // n0 AS BIGINT) AS rate_a_bps,
+           CAST(10000 * c1 // n1 AS BIGINT) AS rate_b_bps,
+           CAST(ROUND(
+             (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) /
+             NULLIF(SQRT((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                  * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                  * (1.0 / n0 + 1.0 / n1)), 0) * 1000, 0) AS BIGINT) AS z_milli
+    FROM wide
+    """,
+    tags=("experimentation", "ab-test", "statistics", "bi"),
+)
+def q154_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout over the event stream: deterministic hash arms (the
+    rerun-stable assignment every experimentation platform uses),
+    purchase conversion per arm, and the pooled two-proportion z
+    statistic in milli — exposure, lift, and significance in one row.
+
+    Scale shape: assignment is map-side hash arithmetic; the readout is
+    two user-keyed distinct aggregations and a 2-row rollup. The z
+    arithmetic uses only correctly-rounded IEEE ops (÷, √), so even the
+    test statistic hash-matches across engines."""
+    ev = table(spark, sf_dir, "events")
+    assigned = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn(
+            "arm",
+            F.expr(spark_hash32("CAST(user_id AS STRING)", seed="exp1")) % 2,
+        )
+    )
+    converted = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    arms = (
+        assigned.join(
+            converted.withColumn("_c", F.lit(1)), "user_id", "left"
+        )
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("exposed"),
+            F.count("_c").alias("converted"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("exposed"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("converted"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("exposed"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("converted"))).alias("c1"),
+    )
+    # NULLIF: a degenerate experiment (everyone or no one converted)
+    # has no defined z — report NULL instead of an ANSI divide error
+    z = (
+        "(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) / "
+        "NULLIF(SQRT((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) "
+        "* (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) "
+        "* (1.0 / n0 + 1.0 / n1)), 0)"
+    )
+    return wide.select(
+        F.col("n0").cast("bigint").alias("exposed_a"),
+        F.col("c0").cast("bigint").alias("converted_a"),
+        F.col("n1").cast("bigint").alias("exposed_b"),
+        F.col("c1").cast("bigint").alias("converted_b"),
+        F.expr("CAST(10000 * c0 DIV n0 AS BIGINT)").alias("rate_a_bps"),
+        F.expr("CAST(10000 * c1 DIV n1 AS BIGINT)").alias("rate_b_bps"),
+        F.expr(f"CAST(ROUND({z} * 1000, 0) AS BIGINT)").alias("z_milli"),
+    )

@@ -1565,3 +1565,132 @@ def q143_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "err_bps"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q153 — record linkage (Fellegi–Sunter-lite entity resolution)
+# ---------------------------------------------------------------------------
+# Match a dirty registry (planted: every 10th customer re-entered with one
+# name typo and a small balance drift) back to the master table WITHOUT a
+# shared key: block on (nation, mask-at-i name keys — q66's edit-distance
+# blocking, so any 1-substitution pair is guaranteed a shared key), then
+# score field agreements with integer weights (name edit distance tiered,
+# balance proximity, nation implicit in the block) and keep pairs above
+# the match threshold. Everything is integer/IEEE-exact, so the linkage
+# decisions themselves hash-match across engines.
+_RL_THRESHOLD = 30
+_RL_NAME_PTS = "CASE WHEN ld = 0 THEN 24 WHEN ld = 1 THEN 16 WHEN ld = 2 THEN 4 ELSE -12 END"
+_RL_BAL_PTS = "CASE WHEN ABS(bal_delta) <= 5.0 THEN 16 ELSE -8 END"
+
+
+@register(
+    "q153_record_linkage",
+    sql=f"""
+    WITH dirty AS (
+      SELECT c_custkey + 30000000 AS d_key,
+             CONCAT(SUBSTRING(c_name, 1, 11), 'Q', SUBSTRING(c_name, 13))
+               AS d_name,
+             c_nationkey AS d_nation,
+             c_acctbal + (c_custkey % 7 - 3) * 0.01 AS d_bal
+      FROM customer WHERE c_custkey % 10 = 0
+    ), clean_keys AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+             CASE WHEN i = 0 THEN c_name
+                  ELSE CONCAT(SUBSTRING(c_name, 1, i - 1), CHR(1),
+                              SUBSTRING(c_name, i + 1)) END AS bkey
+      FROM customer, UNNEST(RANGE(0, LENGTH('Customer#000000001') + 1)) t(i)
+    ), dirty_keys AS (
+      SELECT d_key, d_name, d_nation, d_bal,
+             CASE WHEN i = 0 THEN d_name
+                  ELSE CONCAT(SUBSTRING(d_name, 1, i - 1), CHR(1),
+                              SUBSTRING(d_name, i + 1)) END AS bkey
+      FROM dirty, UNNEST(RANGE(0, LENGTH('Customer#000000001') + 1)) t(i)
+    ), cand AS (
+      SELECT DISTINCT c.c_custkey, c.c_name, c.c_acctbal,
+                      d.d_key, d.d_name, d.d_bal
+      FROM clean_keys c
+        JOIN dirty_keys d ON d.bkey = c.bkey AND d.d_nation = c.c_nationkey
+    ), scored AS (
+      SELECT c_custkey, d_key,
+             levenshtein(c_name, d_name) AS ld,
+             d_bal - c_acctbal AS bal_delta
+      FROM cand
+    )
+    SELECT c_custkey AS clean_key, d_key AS dirty_key,
+           CAST(ld AS BIGINT) AS edit_dist,
+           CAST(({_RL_NAME_PTS}) + ({_RL_BAL_PTS}) AS BIGINT) AS score
+    FROM scored
+    WHERE ({_RL_NAME_PTS}) + ({_RL_BAL_PTS}) >= {_RL_THRESHOLD}
+    ORDER BY clean_key, dirty_key
+    """,
+    tags=("linkage", "entity-resolution", "fuzzy", "blocking"),
+)
+def q153_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution without a shared key: a dirty re-entry of every
+    10th customer (one name typo + balance drift) links back to the
+    master via mask-at-i blocking keys (any single-substitution pair
+    provably shares one — q66's device) and Fellegi–Sunter-style integer
+    agreement weights; pairs above the threshold are declared matches.
+
+    Scale shape: each record emits O(name_len) blocking keys map-side;
+    the only exchange is the (nation, key) equi-join — candidate fan-out
+    is bounded by per-key collision groups (≈10 digit-siblings), never
+    the all-pairs product; the exact levenshtein runs on candidates
+    only. At 100 TB the same shape holds with phonetic or q-gram keys
+    for free-text names."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    dirty = c.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 30000000).alias("d_key"),
+        F.expr(
+            "CONCAT(SUBSTRING(c_name, 1, 11), 'Q', SUBSTRING(c_name, 13))"
+        ).alias("d_name"),
+        F.col("c_nationkey").alias("d_nation"),
+        (F.col("c_acctbal") + (F.col("c_custkey") % 7 - 3) * 0.01).alias(
+            "d_bal"
+        ),
+    )
+
+    def with_keys(df, name_col):
+        return df.select(
+            "*",
+            F.explode(
+                F.expr(
+                    f"TRANSFORM(SEQUENCE(0, LENGTH({name_col})), i -> "
+                    f"CASE WHEN i = 0 THEN {name_col} "
+                    f"ELSE CONCAT(SUBSTRING({name_col}, 1, i - 1), CHR(1), "
+                    f"SUBSTRING({name_col}, i + 1)) END)"
+                )
+            ).alias("bkey"),
+        )
+
+    ck = with_keys(c, "c_name")
+    dk = with_keys(dirty, "d_name")
+    cand = (
+        ck.join(
+            dk,
+            (ck.bkey == dk.bkey) & (ck.c_nationkey == dk.d_nation),
+        )
+        .select("c_custkey", "c_name", "c_acctbal", "d_key", "d_name", "d_bal")
+        .distinct()
+    )
+    scored = cand.select(
+        "c_custkey",
+        "d_key",
+        F.expr("levenshtein(c_name, d_name)").alias("ld"),
+        (F.col("d_bal") - F.col("c_acctbal")).alias("bal_delta"),
+    )
+    return (
+        scored.withColumn(
+            "score", F.expr(f"CAST(({_RL_NAME_PTS}) + ({_RL_BAL_PTS}) AS BIGINT)")
+        )
+        .filter(F.col("score") >= _RL_THRESHOLD)
+        .select(
+            F.col("c_custkey").alias("clean_key"),
+            F.col("d_key").alias("dirty_key"),
+            F.col("ld").cast("bigint").alias("edit_dist"),
+            "score",
+        )
+        .orderBy("clean_key", "dirty_key")
+    )
