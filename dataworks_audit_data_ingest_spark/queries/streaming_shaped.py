@@ -1292,3 +1292,123 @@ def q154_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(10000 * c1 DIV n1 AS BIGINT)").alias("rate_b_bps"),
         F.expr(f"CAST(ROUND({z} * 1000, 0) AS BIGINT)").alias("z_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q155 — CUSUM drift detection over the daily metric table
+# ---------------------------------------------------------------------------
+# Sequential change detection done declaratively: the one-sided CUSUM
+# recursion S_t = max(0, S_{t-1} + x_t − (μ + κ)) unrolls exactly to
+#   S_t = RS_t − min_{j ≤ t} RS_j,   RS_t = Σ_{i ≤ t} (x_i − μ − κ)
+# — a running sum and a running min, ONE window pass, no recursion, no
+# iteration (the identity that makes CUSUM distributable). Everything is
+# integer cents: μ is the per-type global mean in cents (floor), κ the
+# slack, h the alarm threshold. Complements q116's static volume bands
+# with a test that accumulates small persistent shifts.
+# slack and alarm threshold scale with each series' own mean level:
+# kappa = mu/20 (5 % daily drift is noise), h = mu/4 (a quarter-day of
+# volume accumulated in excess rings the alarm) — adaptive, still exact
+_CUSUM_K_DIV = 20
+_CUSUM_H_DIV = 4
+
+
+@register(
+    "q155_cusum_drift",
+    sql=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ), mu AS (
+      SELECT event_type, SUM(cents) // COUNT(*) AS mu_cents
+      FROM daily GROUP BY event_type
+    ), rs AS (
+      SELECT d.event_type, d.day, d.cents, m.mu_cents,
+             SUM(d.cents - m.mu_cents - m.mu_cents // {_CUSUM_K_DIV}) OVER
+               (PARTITION BY d.event_type ORDER BY d.day
+                ROWS UNBOUNDED PRECEDING) AS run_sum
+      FROM daily d JOIN mu m USING (event_type)
+    ), cusum AS (
+      SELECT event_type, day, cents, mu_cents,
+             run_sum - LEAST(MIN(run_sum) OVER
+               (PARTITION BY event_type ORDER BY day
+                ROWS UNBOUNDED PRECEDING), 0) AS s
+      FROM rs
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(s) AS BIGINT) AS max_cusum_cents,
+           CAST(COUNT(CASE WHEN s > mu_cents // {_CUSUM_H_DIV} THEN 1 END)
+                AS BIGINT) AS n_alarm_days,
+           CAST(MIN(CASE WHEN s > mu_cents // {_CUSUM_H_DIV} THEN day END)
+                AS DATE) AS first_alarm_day
+    FROM cusum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "monitoring", "drift", "cusum"),
+)
+def q155_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift monitor per event type: daily revenue cents
+    against the series mean with slack κ, alarm when the cumulative
+    excess crosses h — the change-point test that catches small
+    persistent shifts q116's static bands miss. The recursion
+    ``S_t = max(0, S_{t-1} + x_t − μ − κ)`` runs as its closed form
+    ``RS_t − min(0, min_{j≤t} RS_j)`` — one running sum + one running
+    min over the same window, fully declarative.
+
+    Scale shape: the event scan collapses to the (type, day) cell table
+    first (map-side partial agg); the windows run over ≤|types|×|days|
+    rows. All arithmetic integer cents."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")).alias(
+                "cents"
+            )
+        )
+    )
+    mu = daily.groupBy("event_type").agg(
+        F.expr("SUM(cents) DIV COUNT(*)").alias("mu_cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rs = daily.join(F.broadcast(mu), "event_type").withColumn(
+        "run_sum",
+        F.sum(
+            F.col("cents")
+            - F.col("mu_cents")
+            - F.expr(f"mu_cents DIV {_CUSUM_K_DIV}")
+        ).over(w),
+    )
+    cusum = rs.withColumn(
+        "s", F.col("run_sum") - F.least(F.min("run_sum").over(w), F.lit(0))
+    )
+    return (
+        cusum.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.max("s").cast("bigint").alias("max_cusum_cents"),
+            F.count(
+                F.when(F.col("s") > F.expr(f"mu_cents DIV {_CUSUM_H_DIV}"), 1)
+            )
+            .cast("bigint")
+            .alias("n_alarm_days"),
+            F.min(
+                F.when(
+                    F.col("s") > F.expr(f"mu_cents DIV {_CUSUM_H_DIV}"),
+                    F.col("day"),
+                )
+            ).alias("first_alarm_day"),
+        )
+        .orderBy("event_type")
+    )
