@@ -1412,3 +1412,121 @@ def q155_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — point-in-time-correct feature matrix (feature-store join)
+# ---------------------------------------------------------------------------
+# The leakage rule of ML feature engineering: every feature attached to a
+# training label may use only what was knowable STRICTLY BEFORE the label
+# event. Doing that per-label with subqueries is O(labels × history); the
+# scalable form is one user-keyed union of history and labels with window
+# frames that END BEFORE the current row — running counts (ROWS …
+# 1 PRECEDING), as-of carry-forward (MAX over the same frame), and a
+# trailing event-time hour (RANGE on unix_micros). Label rows at the same
+# microsecond as a history event order AFTER it (is_label sorts last), so
+# same-instant events are knowable; the RANGE hour frame ends at
+# 1 µs PRECEDING for the same reason.
+
+
+@register(
+    "q156_point_in_time_features",
+    sql="""
+    WITH unioned AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_label
+      FROM events
+    ), feat AS (
+      SELECT user_id, event_id, ts_us, is_label,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER
+               (PARTITION BY user_id ORDER BY ts_us, is_label, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS n_clicks_before,
+             MAX(CASE WHEN event_type = 'error' THEN ts_us END) OVER
+               (PARTITION BY user_id ORDER BY ts_us, is_label, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_error_us,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER
+               (PARTITION BY user_id ORDER BY ts_us
+                RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+               AS views_prev_hour
+      FROM unioned
+    )
+    SELECT user_id, event_id AS label_event_id,
+           CAST(COALESCE(n_clicks_before, 0) AS BIGINT) AS n_clicks_before,
+           CAST(COALESCE((ts_us - last_error_us) // 1000000, -1) AS BIGINT)
+             AS last_error_gap_s,
+           CAST(COALESCE(views_prev_hour, 0) AS BIGINT) AS views_prev_hour
+    FROM feat
+    WHERE is_label = 1
+    ORDER BY user_id, label_event_id
+    """,
+    tags=("ml", "feature-store", "point-in-time", "window"),
+)
+def q156_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature matrix for purchase labels: clicks-to-date,
+    seconds since last error, and views in the trailing event-time hour —
+    every frame ends strictly before the label row, so no feature can see
+    the label's own instant or its future (the feature-store leakage
+    contract, enforced by frame bounds instead of per-label subqueries).
+
+    Scale shape: ONE user_id exchange serves all three window frames
+    (two ROWS frames share a sort; the RANGE frame re-sorts task-locally
+    on the same partitioning); cost is linear in events, never
+    labels × history. New features are new window columns on the same
+    exchange."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "is_label"
+        ),
+    )
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_label", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, -1)
+    )
+    feat = ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "is_label",
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .over(w_rows)
+        .alias("n_clicks_before"),
+        F.max(F.when(F.col("event_type") == "error", F.col("ts_us")))
+        .over(w_rows)
+        .alias("last_error_us"),
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .over(w_range)
+        .alias("views_prev_hour"),
+    )
+    return (
+        feat.filter(F.col("is_label") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("label_event_id"),
+            F.coalesce("n_clicks_before", F.lit(0))
+            .cast("bigint")
+            .alias("n_clicks_before"),
+            F.coalesce(
+                F.expr("(ts_us - last_error_us) DIV 1000000"), F.lit(-1)
+            )
+            .cast("bigint")
+            .alias("last_error_gap_s"),
+            F.coalesce("views_prev_hour", F.lit(0))
+            .cast("bigint")
+            .alias("views_prev_hour"),
+        )
+        .orderBy("user_id", "label_event_id")
+    )
