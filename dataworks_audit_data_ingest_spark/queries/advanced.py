@@ -1619,3 +1619,88 @@ def q151_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# q157 — leave-one-out target encoding
+# ---------------------------------------------------------------------------
+# Categorical feature encoding with the leakage control: a category's
+# naive target mean includes each row's OWN label, which leaks it into the
+# feature (high-cardinality categories memorize). The leave-one-out form
+# (Σ_g − y_i)/(n_g − 1) is one grouped aggregate + map-side arithmetic —
+# never a per-row subquery. All integer cents; the rollup reports the
+# exact naive-vs-LOO divergence per category, which shrinks as 1/n_g (the
+# sanity law the pytest-free oracle makes visible in the result itself).
+
+
+@register(
+    "q157_target_encoding",
+    sql="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), g AS (
+      SELECT seg, SUM(y) AS sy, COUNT(*) AS n FROM base GROUP BY seg
+    ), loo AS (
+      SELECT b.seg, b.y, g.sy, g.n,
+             (g.sy - b.y) // (g.n - 1) AS enc
+      FROM base b JOIN g USING (seg)
+    )
+    SELECT seg,
+           CAST(MIN(n) AS BIGINT) AS n_rows,
+           CAST(MIN(sy) // MIN(n) AS BIGINT) AS naive_mean_cents,
+           CAST(SUM(enc) // MIN(n) AS BIGINT) AS mean_loo_cents,
+           CAST(MIN(enc) AS BIGINT) AS min_loo_cents,
+           CAST(MAX(enc) AS BIGINT) AS max_loo_cents,
+           CAST(MAX(ABS(enc - sy // n)) AS BIGINT) AS max_abs_leak_cents
+    FROM loo
+    GROUP BY seg
+    ORDER BY seg
+    """,
+    tags=("ml", "feature-encoding", "target-encoding", "leakage"),
+)
+def q157_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of market segment against order
+    value: each row's encoding excludes its own label,
+    ``(Σ_g − y_i)/(n_g − 1)`` — the leakage-controlled form of the
+    classic categorical encoder — with a per-segment rollup of the LOO
+    range and the exact naive-vs-LOO divergence (the leak magnitude a
+    naive encoder would inject, shrinking as 1/n).
+
+    Scale shape: one broadcast dim join, one grouped sum (map-side
+    partial), then the LOO value is map-side arithmetic against the
+    broadcast |categories|-row aggregate — no per-row subquery at any
+    scale. Integer cents throughout."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("y"),
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), "y"
+    )
+    g = base.groupBy("seg").agg(
+        F.sum("y").alias("sy"), F.count(F.lit(1)).alias("n")
+    )
+    loo = base.join(F.broadcast(g), "seg").withColumn(
+        "enc", F.expr("(sy - y) DIV (n - 1)")
+    )
+    return (
+        loo.groupBy("seg")
+        .agg(
+            F.min("n").cast("bigint").alias("n_rows"),
+            F.expr("CAST(MIN(sy) DIV MIN(n) AS BIGINT)").alias(
+                "naive_mean_cents"
+            ),
+            F.expr("CAST(SUM(enc) DIV MIN(n) AS BIGINT)").alias(
+                "mean_loo_cents"
+            ),
+            F.min("enc").cast("bigint").alias("min_loo_cents"),
+            F.max("enc").cast("bigint").alias("max_loo_cents"),
+            F.expr("CAST(MAX(ABS(enc - sy DIV n)) AS BIGINT)").alias(
+                "max_abs_leak_cents"
+            ),
+        )
+        .orderBy("seg")
+    )
