@@ -136,3 +136,103 @@ def q49_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q158 — merged interval coverage (union-of-intervals length)
+# ---------------------------------------------------------------------------
+# Each event opens a 5-minute activity window; the question "how long was
+# each user actually active" is the LENGTH OF THE UNION of overlapping
+# intervals — the classic SQL problem solved by gaps-and-islands: an
+# interval starts a new island iff its start exceeds the running max end
+# of everything before it; island id = running count of such starts; then
+# coverage = Σ per island (max end − min start). One user-keyed window
+# pass, exact integer microseconds.
+_ACT_WINDOW_US = 5 * 60 * 1_000_000
+
+
+@register(
+    "q158_interval_coverage",
+    sql=f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + {_ACT_WINDOW_US} AS e
+      FROM events
+    ), marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER
+               (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -9223372036854775807) THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ), merged AS (
+      SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(me - ms) // 1000000 AS BIGINT) AS covered_s,
+           CAST(MAX(me - ms) // 1000000 AS BIGINT) AS longest_island_s
+    FROM merged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("interval", "gaps-and-islands", "coverage", "timeseries"),
+)
+def q158_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals activity coverage per user: 5-minute windows
+    around each event merged into maximal islands (an interval opens a
+    new island iff it starts after the running max end of all earlier
+    ones), reporting island count, total covered seconds, and the
+    longest stretch — the exact answer to "how much wall-clock was this
+    user active", which naive Σ(window lengths) overstates wherever
+    windows overlap.
+
+    Scale shape: one user_id exchange; the island detection is two
+    window passes over the same sort (running max end, running island
+    count) and a per-island rollup. Exact integer microseconds end to
+    end."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + _ACT_WINDOW_US).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    marked = ev.withColumn(
+        "new_island",
+        F.when(
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(-9223372036854775807),
+            ),
+            1,
+        ).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.expr("CAST(SUM(me - ms) DIV 1000000 AS BIGINT)").alias(
+                "covered_s"
+            ),
+            F.expr("CAST(MAX(me - ms) DIV 1000000 AS BIGINT)").alias(
+                "longest_island_s"
+            ),
+        )
+        .orderBy("user_id")
+    )
