@@ -78,3 +78,64 @@ def test_phash_bands_deterministic_across_partitionings(spark):
     b1 = average_hash_bands(extract_pixels(with_media_payload(d)))
     b2 = average_hash_bands(extract_pixels(with_media_payload(d.repartition(7))))
     assert sorted(map(tuple, b1.collect())) == sorted(map(tuple, b2.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Incremental perceptual store (multimodal/incremental_phash.py)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_phash_cross_batch_and_replay(spark, tmp_path):
+    """Batch 2 re-encodes of batch-1 payloads are caught against the
+    store; within-batch twins are caught; replaying batch 2 after a lost
+    downstream write changes nothing (idempotent)."""
+    from pyspark.sql import functions as F
+
+    from dataworks_audit_data_ingest_spark.multimodal.incremental_phash import (
+        incremental_phash_batch,
+    )
+    from dataworks_audit_data_ingest_spark.tables import table
+
+    store = str(tmp_path / "phash_store")
+    d = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    b1 = d.filter(F.col("doc_id") < 60)
+    u1, p1 = incremental_phash_batch(spark, store, b1, "b1")
+    n1 = u1.count()
+    assert n1 > 0
+
+    # batch 2: re-encodes of batch-1 docs (length-preserving overlay) +
+    # fresh docs + one within-batch twin pair
+    reenc = b1.filter(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.expr("CONCAT(SUBSTRING(text, 1, 4), 'ZZZ', SUBSTRING(text, 8))").alias(
+            "text"
+        ),
+    )
+    fresh = d.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 90))
+    twin = fresh.limit(1).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), "text"
+    )
+    b2 = reenc.unionByName(fresh).unionByName(twin)
+    u2, p2 = incremental_phash_batch(spark, store, b2, "b2")
+
+    pair_rows = p2.collect()
+    cross = {(r.doc_a, r.doc_b) for r in pair_rows if r.doc_b >= 500_000 and r.doc_b < 900_000}
+    n_reenc = reenc.count()
+    # most planted re-encodes link back to their stored original
+    hits = {b - 500_000 for _, b in cross} & {
+        r.doc_id for r in b1.collect()
+    }
+    assert len(hits) >= max(1, int(0.7 * n_reenc))
+    # the exact twin is caught within-batch (hamming 0)
+    twin_id = twin.first().doc_id
+    assert any(r.doc_b == twin_id and r.hamming == 0 for r in pair_rows)
+    # caught docs are not in the unique set
+    u2_ids = {r.doc_id for r in u2.collect()}
+    assert not ({r.doc_b for r in pair_rows} & u2_ids)
+
+    # replay batch 2: same result, store unchanged
+    u2r, p2r = incremental_phash_batch(spark, store, b2, "b2")
+    assert sorted(r.doc_id for r in u2r.collect()) == sorted(u2_ids)
+    assert sorted(map(tuple, p2r.collect())) == sorted(map(tuple, pair_rows))
