@@ -1694,3 +1694,124 @@ def q153_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("clean_key", "dirty_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# q159 — vocabulary drift between corpus snapshots
+# ---------------------------------------------------------------------------
+# Distribution-shift monitoring for training data: compare token shares
+# between two corpus slices (here the deterministic source halves standing
+# in for consecutive snapshots) and report the biggest movers in exact
+# integer ppm. The report catches "the crawl changed under me" — new
+# boilerplate, lost domains, template churn — before it shows up as model
+# regressions. Same shape against yesterday/today partitions in
+# production.
+_DRIFT_TOP = 30
+_DRIFT_MIN_COUNT = 50  # ignore rare-token noise
+
+
+@register(
+    "q159_vocab_drift",
+    sql=f"""
+    WITH toks AS (
+      SELECT CASE WHEN CAST(SUBSTRING(source, 4) AS BIGINT) < 10
+                  THEN 'a' ELSE 'b' END AS snap,
+             UNNEST(STRING_SPLIT(text, ' ')) AS w
+      FROM documents
+    ), counts AS (
+      SELECT snap, w, COUNT(*) AS n FROM toks WHERE w <> '' GROUP BY snap, w
+    ), totals AS (
+      SELECT snap, SUM(n) AS total FROM counts GROUP BY snap
+    ), shares AS (
+      SELECT w,
+             COALESCE(MAX(CASE WHEN c.snap = 'a' THEN n END), 0) AS n_a,
+             COALESCE(MAX(CASE WHEN c.snap = 'b' THEN n END), 0) AS n_b,
+             COALESCE(MAX(CASE WHEN c.snap = 'a'
+                      THEN 1000000 * n // t.total END), 0) AS ppm_a,
+             COALESCE(MAX(CASE WHEN c.snap = 'b'
+                      THEN 1000000 * n // t.total END), 0) AS ppm_b
+      FROM counts c JOIN totals t USING (snap)
+      GROUP BY w
+    )
+    SELECT w AS token,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(ppm_a AS BIGINT) AS ppm_a, CAST(ppm_b AS BIGINT) AS ppm_b,
+           CAST(ABS(ppm_b - ppm_a) AS BIGINT) AS abs_drift_ppm
+    FROM shares
+    WHERE n_a + n_b >= {_DRIFT_MIN_COUNT}
+    ORDER BY abs_drift_ppm DESC, token
+    LIMIT {_DRIFT_TOP}
+    """,
+    tags=("text", "drift", "monitoring", "distribution-shift"),
+)
+def q159_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-share drift between two corpus snapshots (the source halves
+    as stand-ins): per token the exact ppm share in each slice and the
+    absolute drift, top movers first — the vocabulary-level
+    distribution-shift report run between crawls (KL-style summaries
+    need logs; the movers table is exact, actionable, and
+    hash-checkable).
+
+    Scale shape: token counts partial-aggregate map-side; the pivot to
+    (n_a, n_b) is one token-keyed exchange over the distinct vocabulary;
+    totals broadcast. Top movers via TakeOrderedAndProject, never a
+    global sort."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            F.when(
+                F.expr("CAST(SUBSTRING(source, 4) AS BIGINT)") < 10, "a"
+            )
+            .otherwise("b")
+            .alias("snap"),
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    counts = toks.groupBy("snap", "w").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("snap").agg(F.sum("n").alias("total"))
+    shares = (
+        counts.join(F.broadcast(totals), "snap")
+        .groupBy("w")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("snap") == "a", F.col("n"))), F.lit(0)
+            ).alias("n_a"),
+            F.coalesce(
+                F.max(F.when(F.col("snap") == "b", F.col("n"))), F.lit(0)
+            ).alias("n_b"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("snap") == "a",
+                        F.expr("1000000 * n DIV total"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("ppm_a"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("snap") == "b",
+                        F.expr("1000000 * n DIV total"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("ppm_b"),
+        )
+    )
+    return (
+        shares.filter(F.col("n_a") + F.col("n_b") >= _DRIFT_MIN_COUNT)
+        .select(
+            F.col("w").alias("token"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("ppm_a").cast("bigint").alias("ppm_a"),
+            F.col("ppm_b").cast("bigint").alias("ppm_b"),
+            F.expr("CAST(ABS(ppm_b - ppm_a) AS BIGINT)").alias(
+                "abs_drift_ppm"
+            ),
+        )
+        .orderBy(F.desc("abs_drift_ppm"), "token")
+        .limit(_DRIFT_TOP)
+    )
