@@ -1704,3 +1704,108 @@ def q157_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — RFM customer segmentation
+# ---------------------------------------------------------------------------
+# The classic CRM analysis: score every customer 1–5 on Recency (days
+# since last order, inverted — recent = 5), Frequency (order count), and
+# Monetary (lifetime cents) via NTILE quintiles with fully-deterministic
+# tie-breaks (metric, custkey), then roll up the 125 possible segments.
+# Quintile boundaries are rank-based, so the whole report is
+# integer-exact.
+
+
+@register(
+    "q160_rfm_segmentation",
+    sql="""
+    WITH per_cust AS (
+      SELECT o_custkey AS cust,
+             MAX(CAST(o_orderdate AS DATE)) AS last_day,
+             COUNT(*) AS freq,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), anchor AS (
+      SELECT MAX(last_day) AS maxd FROM per_cust
+    ), metrics AS (
+      SELECT cust, (maxd - last_day) AS rec_days, freq, cents
+      FROM per_cust, anchor
+    ), scored AS (
+      SELECT cust, rec_days, freq, cents,
+             NTILE(5) OVER (ORDER BY rec_days DESC, cust) AS r_score,
+             NTILE(5) OVER (ORDER BY freq, cust) AS f_score,
+             NTILE(5) OVER (ORDER BY cents, cust) AS m_score
+      FROM metrics
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(MIN(rec_days) AS BIGINT) AS min_rec_days,
+           CAST(MAX(rec_days) AS BIGINT) AS max_rec_days
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    tags=("bi", "segmentation", "rfm", "window"),
+)
+def q160_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: rank-based quintile scores for recency (recent
+    buyers score high), frequency, and monetary value with deterministic
+    tie-breaks, rolled up to segment counts and revenue — the CRM
+    report that routes each (r, f, m) cell to a campaign.
+
+    Scale shape: one customer rollup (map-side partial), then three
+    NTILE windows over the |customers|-row metric table. The global
+    NTILEs pin exact quintiles; at 100 TB swap them for
+    percentile_approx boundary buckets (q16s's documented trade) — the
+    rollup is unchanged."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")).alias(
+            "cents"
+        ),
+    )
+    anchor = per_cust.agg(F.max("last_day").alias("maxd"))
+    metrics = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "cust",
+        F.datediff("maxd", "last_day").alias("rec_days"),
+        "freq",
+        "cents",
+    )
+    scored = metrics.select(
+        "cust",
+        "rec_days",
+        "freq",
+        "cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("rec_days"), F.asc("cust")))
+        .alias("r_score"),
+        F.ntile(5).over(Window.orderBy("freq", "cust")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("cents", "cust")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.min("rec_days").cast("bigint").alias("min_rec_days"),
+            F.max("rec_days").cast("bigint").alias("max_rec_days"),
+        )
+        .select(
+            F.col("r_score").cast("bigint").alias("r_score"),
+            F.col("f_score").cast("bigint").alias("f_score"),
+            F.col("m_score").cast("bigint").alias("m_score"),
+            "n_customers",
+            "total_cents",
+            "min_rec_days",
+            "max_rec_days",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
