@@ -331,3 +331,136 @@ def test_hll_estimate_scales_monotonically(n):
 
     assert est(n) <= est(n + n // 2)
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# Round-4 kernels: allocation, CUSUM identity, triangles, interval union
+# ---------------------------------------------------------------------------
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=500), min_size=2, max_size=8),
+    total=st.integers(min_value=1, max_value=400),
+)
+@settings(max_examples=8, deadline=None)
+def test_temperature_allocation_hamilton_property(counts, total, spark):
+    """Property (any source histogram, any seat total, every portable
+    temperature): allocations are non-negative, sum EXACTLY to the total,
+    and each is within 1 of its real-valued quota (the largest-remainder
+    guarantee)."""
+    from dataworks_audit_data_ingest_spark.text.pipeline import (
+        temperature_allocation,
+    )
+
+    rows = [(f"s{i}", j) for i, c in enumerate(counts) for j in range(c)]
+    docs = spark.createDataFrame(rows, "source string, doc_id long")
+    for t in (0.5, 1.0, 2.0):
+        got = {r.source: r.alloc for r in temperature_allocation(docs, total, t).collect()}
+        assert sum(got.values()) == total
+        w = {f"s{i}": c ** t for i, c in enumerate(counts)}
+        s = sum(w.values())
+        for src, alloc in got.items():
+            quota = total * w[src] / s
+            assert alloc >= 0
+            assert quota - 1 < alloc < quota + 1 + 1e-9, (src, alloc, quota)
+
+
+@given(
+    xs=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60),
+    drift=st.integers(min_value=0, max_value=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_cusum_closed_form_identity(xs, drift):
+    """The identity q155 rides: max(0, S_{t-1} + x_t − κ) recursion ==
+    RS_t − min(0, min_{j≤t} RS_j) for EVERY integer series and slack."""
+    s = 0
+    rs = 0
+    min_rs = 0  # min over prefixes INCLUDING the current row (and the
+    # empty prefix 0) — the frame the query's ROWS UNBOUNDED PRECEDING
+    # (.. AND CURRENT ROW) window uses; excluding the current row breaks
+    # the identity exactly when RS_t is the new minimum (hypothesis
+    # found that counterexample against an earlier draft of this test)
+    for x in xs:
+        s = max(0, s + x - drift)
+        rs += x - drift
+        min_rs = min(min_rs, rs)
+        closed = rs - min(0, min_rs)
+        assert s == closed, (xs, drift)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_triangle_count_matches_bruteforce_property(edges, spark):
+    import itertools
+
+    from dataworks_audit_data_ingest_spark.functions.graph import triangle_count
+
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({n for e in simple for n in e})
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in simple and (b, c) in simple and (a, c) in simple
+    )
+    df = spark.createDataFrame(list(edges) or [(0, 0)], "u long, v long")
+    got = triangle_count(df).first()
+    assert got.n_triangles == want
+    assert got.n_edges == len(simple)
+
+
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 200), st.integers(1, 50)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_interval_union_matches_sweep(iv, spark):
+    """q158's gaps-and-islands union length == a plain sweep-line model,
+    for arbitrary interval sets."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(1, s, s + d) for s, d in iv]
+    df = spark.createDataFrame(rows, "user_id long, s long, e long")
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    marked = df.withColumn(
+        "new_island",
+        F.when(
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(-(1 << 62)),
+            ),
+            1,
+        ).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    got = (
+        islands.groupBy("user_id", "island")
+        .agg((F.max("e") - F.min("s")).alias("len"))
+        .agg(F.sum("len").alias("total"))
+        .first()
+        .total
+    )
+    # sweep-line model
+    want = 0
+    cur_s = cur_e = None
+    for s0, e0 in sorted((s, s + d) for s, d in iv):
+        if cur_e is None or s0 > cur_e:
+            if cur_e is not None:
+                want += cur_e - cur_s
+            cur_s, cur_e = s0, e0
+        else:
+            cur_e = max(cur_e, e0)
+    want += cur_e - cur_s
+    assert got == want
