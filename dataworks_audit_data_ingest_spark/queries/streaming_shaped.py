@@ -1530,3 +1530,89 @@ def q156_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "label_event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 — trending entities (exact half-life decay)
+# ---------------------------------------------------------------------------
+# Recency-weighted activity ranking — "trending" — with the decay chosen
+# so the score is EXACT: a one-day half-life means weight 2^(-age), and
+# multiplying through by 2^max_age turns every term into the integer
+# ``count_day << (max_age - age)`` — no floats, no truncation, identical
+# ranking, portable SHIFTLEFT on both engines. The generic trending shape
+# for tokens/items/domains; here ranked over users.
+_TREND_TOP = 20
+
+
+@register(
+    "q161_trending_users",
+    sql=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), anchor AS (
+      SELECT MAX(day) AS maxd, MIN(day) AS mind FROM daily
+    ), weighted AS (
+      SELECT user_id,
+             SUM(n * (CAST(1 AS BIGINT) << (maxd - day))) AS raw_score,
+             SUM(n) AS total_events,
+             MAX(day) AS last_day
+      FROM daily, anchor
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(raw_score AS BIGINT) AS decayed_score_scaled,
+           CAST(total_events AS BIGINT) AS total_events,
+           last_day,
+           CAST(ROW_NUMBER() OVER (ORDER BY raw_score DESC, user_id)
+                AS BIGINT) AS rnk
+    FROM weighted
+    QUALIFY rnk <= {_TREND_TOP}
+    ORDER BY rnk
+    """,
+    tags=("timeseries", "trending", "decay", "bi"),
+)
+def q161_trending_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending users: activity decayed with a one-day half-life, scored
+    exactly as ``Σ count_day · 2^(max_day − day)`` — the scaled-integer
+    form of exponential decay (same ranking, zero float drift), top
+    {top} by score with total volume and last-seen day alongside.
+
+    Scale shape: the event scan collapses to (user, day) cells map-side;
+    decay weighting is integer arithmetic against a broadcast anchor;
+    top-k via TakeOrderedAndProject. Half-life choices stay exact as
+    long as the day span × lg(1/decay) fits BIGINT (here: spans ≤ 62
+    days; chunk longer histories by re-anchoring per period and
+    dividing — documented, not needed at fixture spans)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    anchor = daily.agg(F.max("day").alias("maxd"))
+    weighted = (
+        daily.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr("n * SHIFTLEFT(CAST(1 AS BIGINT), DATEDIFF(maxd, day))")
+            ).alias("raw_score"),
+            F.sum("n").alias("total_events"),
+            F.max("day").alias("last_day"),
+        )
+    )
+    w = Window.orderBy(F.desc("raw_score"), F.asc("user_id"))
+    return (
+        weighted.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TREND_TOP)
+        .select(
+            "user_id",
+            F.col("raw_score").cast("bigint").alias("decayed_score_scaled"),
+            F.col("total_events").cast("bigint").alias("total_events"),
+            "last_day",
+            "rnk",
+        )
+        .orderBy("rnk")
+    )
