@@ -101,14 +101,26 @@ def test_streamed_topk_matches_exact_batch_topk(spark, tmp_path):
 
 
 def test_replay_is_idempotent(spark, tmp_path):
-    store = _run_stream(spark, tmp_path)
-    before = sorted(map(tuple, read_topk(spark, store, k=5).collect()))
-    # replay batch 0 (lost-checkpoint scenario): rewrite its partitions
+    """Re-running a micro-batch (lost-checkpoint scenario) rewrites only
+    its own partitions and changes nothing. Batches are driven directly
+    through topk_microbatch with pinned contents — the streaming file
+    reader's file→batch assignment is not deterministic across runs, so
+    a stream-then-replay form of this test would race (it flaked in the
+    full suite; this form cannot)."""
     rows = _event_rows(spark)
     per = (len(rows) + 2) // 3
-    batch0 = spark.createDataFrame(
-        [(r.user_id, r.event_type, r.ts) for r in rows[:per]], EVENT_SCHEMA
+    store = str(tmp_path / "direct_store")
+    batches = [rows[i * per : (i + 1) * per] for i in range(3)]
+    for i, chunk in enumerate(batches):
+        df = spark.createDataFrame(
+            [(r.user_id, r.event_type, r.ts) for r in chunk], EVENT_SCHEMA
+        )
+        topk_microbatch(df, i, store, KEY, m_candidates=16)
+    before = sorted(map(tuple, read_topk(spark, store, k=5).collect()))
+    # replay batch 0 with identical contents
+    df0 = spark.createDataFrame(
+        [(r.user_id, r.event_type, r.ts) for r in batches[0]], EVENT_SCHEMA
     )
-    topk_microbatch(batch0, 0, store, KEY, m_candidates=16)
+    topk_microbatch(df0, 0, store, KEY, m_candidates=16)
     after = sorted(map(tuple, read_topk(spark, store, k=5).collect()))
     assert after == before
