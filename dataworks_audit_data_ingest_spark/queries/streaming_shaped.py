@@ -1616,3 +1616,97 @@ def q161_trending_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q162 — cohort LTV curves (cumulative revenue by cohort age)
+# ---------------------------------------------------------------------------
+# The revenue companion to q36b's retention matrix: users cohorted by
+# first-seen week, revenue accumulated by week-age — "how much has the
+# week-W cohort earned per user by age K" — the curve that values an
+# acquisition channel. Integer cents, cumulative via one window over the
+# (cohort, age) cell table.
+
+
+@register(
+    "q162_cohort_ltv",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(DATE_TRUNC('week', ts) AS DATE)) AS cohort
+      FROM events GROUP BY user_id
+    ), rev AS (
+      SELECT f.cohort,
+             (CAST(DATE_TRUNC('week', e.ts) AS DATE) - f.cohort) // 7 AS age_w,
+             SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events e JOIN firsts f USING (user_id)
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT cohort, COUNT(*) AS n_users FROM firsts GROUP BY cohort
+    )
+    SELECT r.cohort, CAST(r.age_w AS BIGINT) AS age_w,
+           CAST(s.n_users AS BIGINT) AS cohort_users,
+           CAST(r.cents AS BIGINT) AS week_cents,
+           CAST(SUM(r.cents) OVER (PARTITION BY r.cohort ORDER BY r.age_w
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_cents,
+           CAST(SUM(r.cents) OVER (PARTITION BY r.cohort ORDER BY r.age_w
+                                   ROWS UNBOUNDED PRECEDING) // s.n_users
+                AS BIGINT) AS cum_cents_per_user
+    FROM rev r JOIN sizes s USING (cohort)
+    ORDER BY cohort, age_w
+    """,
+    tags=("bi", "cohort", "ltv", "window"),
+)
+def q162_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first-seen week,
+    purchase revenue accumulated by week-age, absolute and per-user —
+    the report that says which acquisition week pays back (q36b's
+    retention counts with money attached).
+
+    Scale shape: first-seen is one user rollup; revenue collapses to the
+    (cohort, age) cell table before the cumulative window (≤ weeks²
+    cells); cohort sizes broadcast. Integer cents throughout."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts").cast("date")).alias("cohort")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            F.expr(
+                "CAST(DATEDIFF(CAST(DATE_TRUNC('week', ts) AS DATE), cohort) "
+                "DIV 7 AS BIGINT)"
+            ).alias("age_w"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")).alias(
+                "cents"
+            )
+        )
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_w")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort")
+        .withColumn("cum_cents", F.sum("cents").over(w))
+        .select(
+            "cohort",
+            F.col("age_w").cast("bigint").alias("age_w"),
+            F.col("n_users").cast("bigint").alias("cohort_users"),
+            F.col("cents").cast("bigint").alias("week_cents"),
+            F.col("cum_cents").cast("bigint").alias("cum_cents"),
+            F.expr("CAST(cum_cents DIV n_users AS BIGINT)").alias(
+                "cum_cents_per_user"
+            ),
+        )
+        .orderBy("cohort", "age_w")
+    )
