@@ -99,20 +99,41 @@ def write_training_shards(
 
     One ``repartition(n_shards, shard)`` — the single, intentional global
     shuffle — then each task sorts its shard by ``(shard_ord, id)`` and
-    writes one file under ``shard=K/``. The manifest records per-shard
-    ``n_rows``, optional ``total_size`` (sum of ``size_col``), and
-    ``checksum`` = exact Python-int sum of the row hashes."""
+    writes one file under ``shard=K/``. The write stages to a dot-hidden
+    sibling and swaps per-shard atomically (writers.py's crash-safe
+    machinery): a failure mid-write leaves the PREVIOUS shard set fully
+    intact — a training run may be streaming it at that moment. A crash
+    in the gap between swap and manifest write leaves new shards with the
+    old manifest, which ``verify_shards`` flags loudly (checksums
+    mismatch) rather than silently serving. The manifest records
+    per-shard ``n_rows``, optional ``total_size`` (sum of ``size_col``),
+    and ``checksum`` = exact Python-int sum of the row hashes."""
+    import shutil
+
+    from .writers import _stage_dir, _swap_partition_dirs
+
     assigned = shard_assignment(df, id_col, n_shards, seed)
-    (
-        # sort leads with the partition column: the dynamic-partition
-        # writer requires rows ordered by `shard` and would inject its own
-        # (unstable) sort otherwise, clobbering the within-shard order
-        assigned.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "shard_ord", id_col)
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(path)
-    )
+    # stage + atomic per-shard swap (writers.py's crash-safe machinery):
+    # a failure mid-write must never destroy the previous shard set — a
+    # training run may be streaming it at that very moment
+    staged = _stage_dir(path)
+    try:
+        (
+            # sort leads with the partition column: the dynamic-partition
+            # writer requires rows ordered by `shard` and would inject its
+            # own (unstable) sort otherwise, clobbering within-shard order
+            assigned.repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", "shard_ord", id_col)
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(staged)
+        )
+        _swap_partition_dirs(staged, path, 1)
+    except BaseException:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
     stats = (
         assigned.groupBy("shard")
         .agg(

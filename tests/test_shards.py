@@ -109,3 +109,34 @@ def test_epoch_sort_key_matches_stored_order_for_epoch0(spark):
         F.col("k0") != F.col("shard_ord")
     )
     assert chk.count() == 0
+
+
+def test_failed_rewrite_preserves_previous_shards(spark, tmp_path, monkeypatch):
+    """Crash-safety: a failure at swap time leaves the v1 shard set fully
+    readable and manifest-consistent (the staged dir is discarded)."""
+    import dataworks_audit_data_ingest_spark.sinks.writers as wr
+
+    d = table(spark, SF, "documents")
+    path = str(tmp_path / "cs")
+    man1 = write_training_shards(d, path, N)
+    v1 = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    def boom(*a, **k):
+        raise RuntimeError("injected swap failure")
+
+    monkeypatch.setattr(wr, "_swap_partition_dirs", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected swap failure"):
+        write_training_shards(d.limit(50), path, N)
+    monkeypatch.undo()
+
+    # previous data intact, manifest still verifies, no stray staging dirs
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == v1
+    from dataworks_audit_data_ingest_spark.sinks.shards import read_manifest
+
+    assert read_manifest(path) == man1
+    assert verify_shards(spark, path)
+    import os
+
+    assert not [x for x in os.listdir(path) if x.startswith(".staged_")]
