@@ -61,7 +61,14 @@ def write_bucketed(
     the order when each bucket is a single file, so by default the frame
     is repartitioned on the bucket key first (one task → one file per
     bucket). Pass ``single_file_buckets=False`` for parallel multi-file
-    writes when only the exchange (not the sort) elimination matters."""
+    writes when only the exchange (not the sort) elimination matters.
+
+    Atomicity note: ``mode="overwrite"`` on a catalog table is NOT
+    crash-safe (Spark drops-then-recreates) — rewrite a bucketed table
+    under a versioned name (``t_v2``) and repoint readers, or publish it
+    through a `sinks.snapshots.SnapshotTable` whose HEAD swap is atomic.
+    The shard/partition sinks stage-and-swap instead; the catalog layer
+    is what makes that impossible here."""
     cols = list(bucket_cols)
     sort = list(sort_cols) if sort_cols is not None else cols
     if single_file_buckets:
