@@ -63,7 +63,8 @@ from . import graph_shaped  # noqa: E402,F401
 # q152_keep_best_copy, q153_record_linkage, q154_ab_readout, and
 # q155_cusum_drift, q156_point_in_time_features, and
 # q157_target_encoding, q158_interval_coverage, q159_vocab_drift, and
-# q160_rfm_segmentation, q161_trending_users, and q162_cohort_ltv
+# q160_rfm_segmentation, q161_trending_users, q162_cohort_ltv, and
+# q163_numeric_drift
 # were born after the round-4 top-50 filled: they have multi-scale
 # local oracle evidence (tools/check_oracle.py + the parametrized
 # pytest) and MUST lead the round-5 rotation.

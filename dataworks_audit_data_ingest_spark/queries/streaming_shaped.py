@@ -1710,3 +1710,118 @@ def q162_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age_w")
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — numeric drift (quantile-shift table between snapshots)
+# ---------------------------------------------------------------------------
+# The numeric companion to q159's vocabulary drift: compare a feature's
+# distribution between two time slices by the shift at each decile —
+# PSI-style summaries need logs; the decile-shift table is exact (q28's
+# order-statistic convention), actionable (WHERE the distribution moved),
+# and hash-checkable. Snapshots: first vs second half of the event
+# window, split at the exact midpoint microsecond.
+
+
+@register(
+    "q163_numeric_drift",
+    sql="""
+    WITH bounds AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+    ), tagged AS (
+      SELECT CASE WHEN epoch_us(ts) < mid THEN 'a' ELSE 'b' END AS snap,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             event_id
+      FROM events, bounds
+    ), ranked AS (
+      SELECT snap, cents,
+             ROW_NUMBER() OVER (PARTITION BY snap ORDER BY cents, event_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY snap) AS n
+      FROM tagged
+    ), deciles AS (
+      SELECT snap, d.q,
+             MAX(CASE WHEN rn = 1 + CAST(FLOOR(d.q * (n - 1) / 10.0)
+                                         AS BIGINT)
+                      THEN cents END) AS v
+      FROM ranked, (SELECT UNNEST(RANGE(1, 10)) AS q) d
+      GROUP BY snap, d.q
+    )
+    SELECT a.q AS decile,
+           CAST(a.v AS BIGINT) AS cents_a,
+           CAST(b.v AS BIGINT) AS cents_b,
+           CAST(b.v - a.v AS BIGINT) AS shift_cents
+    FROM deciles a JOIN deciles b ON a.q = b.q AND a.snap = 'a' AND b.snap = 'b'
+    ORDER BY decile
+    """,
+    tags=("monitoring", "drift", "distribution-shift", "percentile"),
+)
+def q163_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-shift drift table for the event value: exact order-statistic
+    deciles (q28's convention) in each half of the time window and the
+    signed shift at every decile — the numeric-feature drift monitor
+    (where q159 watches the vocabulary). Stationary fixtures show noise-
+    level shifts; a real input change shows up at the deciles it moved.
+
+    Scale shape: one snap-keyed window over integer cents; the decile
+    probe is a 9-row broadcast; output is 9 rows. At 100 TB swap the
+    exact rank for percentile_approx per snapshot — the comparison
+    logic is unchanged (q16s's documented trade)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr("(MIN(unix_micros(ts)) + MAX(unix_micros(ts))) DIV 2").alias(
+            "mid"
+        )
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.unix_micros("ts") < F.col("mid"), "a").otherwise("b").alias(
+            "snap"
+        ),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("snap").orderBy("cents", "event_id")
+    wn = Window.partitionBy("snap")
+    ranked = tagged.select(
+        "snap",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    qs = spark.range(1, 10).select(F.col("id").alias("q"))
+    deciles = (
+        ranked.crossJoin(F.broadcast(qs))
+        .groupBy("snap", "q")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == 1
+                    + F.floor(
+                        F.col("q") * (F.col("n") - 1) / 10.0
+                    ).cast("bigint"),
+                    F.col("cents"),
+                )
+            ).alias("v")
+        )
+    )
+    a = deciles.filter(F.col("snap") == "a").select(
+        F.col("q").alias("decile"), F.col("v").alias("cents_a")
+    )
+    b = deciles.filter(F.col("snap") == "b").select(
+        F.col("q").alias("decile"), F.col("v").alias("cents_b")
+    )
+    return (
+        a.join(b, "decile")
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("cents_a").cast("bigint").alias("cents_a"),
+            F.col("cents_b").cast("bigint").alias("cents_b"),
+            (F.col("cents_b") - F.col("cents_a"))
+            .cast("bigint")
+            .alias("shift_cents"),
+        )
+        .orderBy("decile")
+    )
