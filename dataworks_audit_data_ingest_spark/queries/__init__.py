@@ -64,7 +64,7 @@ from . import graph_shaped  # noqa: E402,F401
 # q155_cusum_drift, q156_point_in_time_features, and
 # q157_target_encoding, q158_interval_coverage, q159_vocab_drift, and
 # q160_rfm_segmentation, q161_trending_users, q162_cohort_ltv, and
-# q163_numeric_drift
+# q163_numeric_drift, and q164_model_ece
 # were born after the round-4 top-50 filled: they have multi-scale
 # local oracle evidence (tools/check_oracle.py + the parametrized
 # pytest) and MUST lead the round-5 rotation.

@@ -876,3 +876,122 @@ def q144_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return temperature_allocation(d, _MIX_TOTAL, temperature=0.5).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q164 — model-quality scorecard (ECE + sharpness, one row)
+# ---------------------------------------------------------------------------
+# q129 prints the calibration TABLE; operations wants one NUMBER to alarm
+# on. Expected calibration error = the band-size-weighted mean gap between
+# a band's predicted confidence (its normalized score midpoint) and its
+# observed keep rate, in exact integer milli; sharpness = the spread of
+# band keep-rates (max − min) — a calibrated-but-flat model scores well on
+# ECE and uselessly on sharpness, so the pair is the scorecard. Same
+# feature/score/band definitions as q109/q129, character for character.
+
+
+@register(
+    "q164_model_ece",
+    sql="""
+    WITH feats AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'on'))) AS n_stop,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> LENGTH(w) >= 6)) AS n_long
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             200000 + 900 * LEAST(n_tokens, 400)
+             - ABS(1000000 * n_stop // n_tokens - 300000) // 2
+             + (1000000 * n_long // n_tokens) // 4 AS score,
+             CASE WHEN n_tokens >= 40
+                       AND 1000000 * n_stop // n_tokens BETWEEN 10000 AND 500000
+                  THEN 1 ELSE 0 END AS hand_keep
+      FROM feats WHERE n_tokens > 0
+    ), banded AS (
+      SELECT score // 50000 AS band, COUNT(*) AS n,
+             SUM(hand_keep) AS k,
+             (1000 * SUM(hand_keep)) // COUNT(*) AS actual_milli,
+             -- predicted confidence: band midpoint of the normalized
+             -- score range observed across bands (min..max -> 0..1000)
+             1000 * (score // 50000 * 50000 + 25000
+                     - MIN(score // 50000 * 50000) OVER ())
+               // NULLIF((MAX(score // 50000 * 50000) OVER ())
+                         + 50000
+                         - (MIN(score // 50000 * 50000) OVER ()), 0)
+               AS pred_milli
+      FROM scored
+      GROUP BY score // 50000
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_bands,
+           CAST(SUM(n * ABS(pred_milli - actual_milli)) // SUM(n) AS BIGINT)
+             AS ece_milli,
+           CAST(MAX(actual_milli) - MIN(actual_milli) AS BIGINT)
+             AS sharpness_milli
+    FROM banded
+    """,
+    tags=("ml", "calibration", "ece", "monitoring"),
+)
+def q164_model_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row model scorecard for the q109 quality model: expected
+    calibration error (band-weighted |predicted − observed| keep rate,
+    milli) and sharpness (spread of band keep-rates) — the alarmable
+    pair that summarizes q129's calibration table (calibrated-but-flat
+    fails sharpness; sharp-but-miscalibrated fails ECE). All integer
+    arithmetic, same score/band definitions as q109/q129.
+
+    Scale shape: one scan + a band rollup (≤ ~20 groups) + window over
+    the band table — the scorecard is free at any corpus size."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        F.expr("SIZE(SPLIT(text, ' '))").alias("n_tokens"),
+        F.expr(
+            "SIZE(FILTER(SPLIT(text, ' '), w -> w IN "
+            "('the', 'a', 'of', 'to', 'and', 'in', 'is', 'on')))"
+        ).alias("n_stop"),
+        F.expr("SIZE(FILTER(SPLIT(text, ' '), w -> LENGTH(w) >= 6))").alias(
+            "n_long"
+        ),
+    ).filter(F.col("n_tokens") > 0)
+    scored = feats.select(
+        F.expr(
+            "200000 + 900 * LEAST(n_tokens, 400) "
+            "- ABS(1000000 * n_stop DIV n_tokens - 300000) DIV 2 "
+            "+ (1000000 * n_long DIV n_tokens) DIV 4"
+        ).alias("score"),
+        F.expr(
+            "CASE WHEN n_tokens >= 40 AND 1000000 * n_stop DIV n_tokens "
+            "BETWEEN 10000 AND 500000 THEN 1 ELSE 0 END"
+        ).alias("hand_keep"),
+    )
+    banded = scored.groupBy(F.expr("score DIV 50000").alias("band")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("hand_keep").alias("k"),
+        F.expr("(1000 * SUM(hand_keep)) DIV COUNT(*)").alias("actual_milli"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    banded = banded.withColumn("lo", F.min(F.expr("band * 50000")).over(w)).withColumn(
+        "hi", F.max(F.expr("band * 50000")).over(w)
+    ).withColumn(
+        "pred_milli",
+        F.expr(
+            "1000 * (band * 50000 + 25000 - lo) "
+            "DIV NULLIF(hi + 50000 - lo, 0)"
+        ),
+    )
+    return banded.agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bands"),
+        F.expr(
+            "CAST(SUM(n * ABS(pred_milli - actual_milli)) DIV SUM(n) AS BIGINT)"
+        ).alias("ece_milli"),
+        F.expr(
+            "CAST(MAX(actual_milli) - MIN(actual_milli) AS BIGINT)"
+        ).alias("sharpness_milli"),
+    )
