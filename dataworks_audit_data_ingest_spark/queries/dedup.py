@@ -1217,7 +1217,7 @@ def _cdc_window_hash(text_col: str, pos_col: str) -> str:
     SELECT source,
            COUNT(*) AS n_chunks,
            COUNT(DISTINCT chunk_hash) AS n_unique_chunks,
-           SUM(chunk_len) AS total_chars,
+           CAST(SUM(chunk_len) AS BIGINT) AS total_chars,
            MAX(chunk_len) AS max_chunk_len
     FROM chunks
     GROUP BY source

@@ -462,11 +462,11 @@ def q87_heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, ch, COUNT(*) AS cnt FROM chars GROUP BY doc_id, ch
     )
     SELECT doc_id,
-           SUM(cnt) AS n_chars_total,
+           CAST(SUM(cnt) AS BIGINT) AS n_chars_total,
            COUNT(*) AS n_distinct_chars,
-           (MAX(cnt) * 1000000) // SUM(cnt) AS top_char_ppm,
-           ((SUM(cnt) * SUM(cnt) - SUM(cnt * cnt)) * 1000000)
-             // (SUM(cnt) * SUM(cnt)) AS gini_ppm
+           CAST((MAX(cnt) * 1000000) // SUM(cnt) AS BIGINT) AS top_char_ppm,
+           CAST(((SUM(cnt) * SUM(cnt) - SUM(cnt * cnt)) * 1000000)
+             // (SUM(cnt) * SUM(cnt)) AS BIGINT) AS gini_ppm
     FROM counts
     GROUP BY doc_id
     ORDER BY doc_id

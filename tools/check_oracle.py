@@ -54,6 +54,75 @@ def _canon(cols, rows):
     return [cols[i] for i in order], out
 
 
+def duck_type_class(t: str) -> str:
+    """Collapse a DuckDB logical type name (from ``DESCRIBE <sql>``) to the
+    pandas-dtype class the driver's canonicalizer would see. HUGEINT is its
+    own class on purpose: pandas renders it float64/object while Spark's
+    BIGINT stays int64 — the exact r04 q92/q93 hash-mismatch."""
+    u = t.upper()
+    if u in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if u.startswith("DECIMAL"):
+        return "decimal"
+    if u in (
+        "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+    ):
+        return "int"
+    if u in ("FLOAT", "REAL"):
+        return "float32"
+    if u == "DOUBLE":
+        return "float"
+    if u in ("VARCHAR", "TEXT", "STRING"):
+        return "str"
+    if u == "DATE":
+        return "date"
+    if u.startswith("TIMESTAMP"):
+        return "datetime"
+    if u == "BOOLEAN":
+        return "bool"
+    return f"other:{u}"
+
+
+def spark_type_class(t: str) -> str:
+    """Same classes for a Spark ``dataType.simpleString()``. int32-vs-int64
+    and ns-vs-us land in the same class (the driver-proven-benign diffs);
+    int-vs-float / int-vs-hugeint / object-vs-numeric land in different
+    classes and fail the gate."""
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if t == "float":
+        return "float32"
+    if t == "double":
+        return "float"
+    if t.startswith("decimal"):
+        return "decimal"
+    if t == "string":
+        return "str"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "datetime"
+    if t == "boolean":
+        return "bool"
+    return f"other:{t}"
+
+
+def dtype_class_diffs(sdf_schema, con, sql) -> dict[str, tuple[str, str]]:
+    """{col: (spark_class, duck_class)} for every column whose pandas dtype
+    class differs between engines — computed from plan-time metadata only
+    (Spark analyzed schema + DuckDB DESCRIBE), no execution."""
+    s_cls = {f.name: spark_type_class(f.dataType.simpleString())
+             for f in sdf_schema.fields}
+    d_cls = {row[0]: duck_type_class(row[1])
+             for row in con.execute(f"DESCRIBE {sql}").fetchall()}
+    return {
+        c: (s_cls[c], d_cls[c])
+        for c in s_cls
+        if c in d_cls and s_cls[c] != d_cls[c]
+    }
+
+
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -95,6 +164,16 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:400]}")
+            continue
+        try:
+            cls_diffs = dtype_class_diffs(sdf.schema, con, q.sql)
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: DESCRIBE error: {type(e).__name__}: {str(e)[:200]}")
+            continue
+        if cls_diffs:
+            failures.append(name)
+            print(f"FAIL  {name}: dtype class mismatch (spark, duckdb): {cls_diffs}")
             continue
         sc, sv = _canon(s_cols, s_rows)
         dc, dv = _canon(d_cols, d_rows)
