@@ -30,100 +30,69 @@ from . import graph_shaped  # noqa: E402,F401
 # registration order indices 0-49). DRIVER_PRIORITY pins an explicit order,
 # rotated per round so every query accumulates a current driver row.
 #
-# Round-4 rotation: q90 (brand-new this round — semantic dedup's first
-# driver row, the round-3 verdict's top ask) first, then the 41 queries
-# whose newest driver row is round 2 (the r02-only set plus the q50/q21/q27
-# refreshes dropped in round 3), then the other four queries born this
-# round (q91–q97, no driver row yet), then one round-3-green
-# representative whose code changed this round (q88's cap_per_source
-# gained the pre-thin). r02 ∪ r03 ∪ r04 then keeps every registered
-# query except q98/q99 with a driver row at most one round old (the
-# seven representatives dropped for space — q01, q30, q51, q56, q58,
-# q82, q89 — are r03-green with unchanged code). q98_bpe_pair_counts,
-# q99_novelty_score, q100_vocab_coverage, q101_funnel, and
-# q102_event_transitions, q103_bm25, q104_train_split,
-# q105_posting_lists, q106_event_pagerank, q107_hll_exact_registers,
-# q108_split_leakage, q109_quality_model_score,
-# q110_histogram_quantiles, q111_hll_daily_rollup,
-# q112_unigram_surprisal, q113_data_expectations,
-# q114_embedding_health, q115_scd2_apply, q116_traffic_anomaly,
-# q117_covariance_matrix, q118_hll_overlap, q119_bigram_surprisal,
-# q120_rolling_active_users, q121_frame_sample_plan, q122_ols_fit, and
-# q123_seasonal_backtest, q124_skew_report, q125_udtf_chunks, and
-# q126_hashed_features, q127_revenue_share, q128_journey_trigrams,
-# q129_model_calibration, q130_source_overlap_matrix,
-# q131_referential_audit, q132_weekly_growth,
-# q133_transition_dwell_times, q134_snapshot_diff, and
-# q135_duplication_report, q136_session_length_distribution,
-# q137_seasonality_profile, q138_vector_contract, q139_label_balance,
-# q140_join_size_audit, q141_ann_ivfpq, q142_shard_manifest,
-# q143_kmv_distinct, q144_temperature_mixture, q145_media_phash_dedup,
-# q146_dedup_triangle_census, q147_attribution, q148_brand_affinity,
-# q149_mad_outliers, q150_variant_extract, q151_benford_audit, and
-# q152_keep_best_copy, q153_record_linkage, q154_ab_readout, and
-# q155_cusum_drift, q156_point_in_time_features, and
-# q157_target_encoding, q158_interval_coverage, q159_vocab_drift, and
-# q160_rfm_segmentation, q161_trending_users, q162_cohort_ltv, and
-# q163_numeric_drift, and q164_model_ece
-# were born after the round-4 top-50 filled: they have multi-scale
-# local oracle evidence (tools/check_oracle.py + the parametrized
-# pytest) and MUST lead the round-5 rotation.
+# Round-5 rotation is COMPUTED, not hand-curated: the list below is the
+# verbatim output of `python tools/rotation.py --emit` over the r01–r04
+# driver history (DRIVER_PRIORITY_AS_OF_ROUND pins which history it was
+# computed from; tests/test_cli_operators.py asserts the paste matches the
+# computation, so hand-drift is a test failure). Head: q92/q93 PINNED —
+# they are the repo's only red driver rows ever (r04 hash-fail, root cause
+# the oracle-side HUGEINT promotion, fixed this round) and must re-prove
+# green. Then the first 48 of the 67 never-driver-run queries in
+# registration order. The ~19 remaining never-run queries lead round 6.
+DRIVER_PRIORITY_AS_OF_ROUND = 4
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- added in round 4, no driver row yet --
-    "q90_semantic_dedup",
-    # -- newest driver row is round 2: refresh all 41 --
-    "q02_top_orders_by_revenue",
-    "q03_regional_revenue",
-    "q05_order_priority_semi",
-    "q06_customers_without_orders",
-    "q12_topk_per_customer",
-    "q13_running_total",
-    "q18_set_operations",
-    "q19_string_functions",
-    "q20_date_functions",
-    "q21_json_functions",
-    "q22_case_and_nulls",
-    "q23_math_functions",
-    "q24_price_band_join",
-    "q25_asof_join",
-    "q27_array_functions",
-    "q32_session_windows",
-    "q36b_retention_cohorts",
-    "q37s_distribution_ranks_scale",
-    "q40_incremental_watermark",
-    "q41_binary_payload_stats",
-    "q46_interval_self_join",
-    "q47_histogram",
-    "q49_filtered_aggregates",
-    "q50_dedup_exact",
-    "q52_dedup_simhash",
-    "q52b_simhash_hamming",
-    "q53_dedup_ngram_jaccard",
-    "q54_dedup_embedding_cosine",
-    "q57_minhash_jaccard_estimate",
-    "q60_lang_id_heuristic",
-    "q61_quality_score",
-    "q62_token_count",
-    "q63_fingerprint",
-    "q64_deterministic_sample",
-    "q65_tfidf_top_terms",
-    "q71_nation_trade_volume",
-    "q72_region_market_share",
-    "q73_returned_item_customers",
-    "q80_pii_redaction",
-    "q81_repetition_quality",
-    "q83_source_mixing",
-    # -- born in round 4, no driver row yet --
-    "q91_sessionize_batch",     # batch sessionization (streaming family)
-    "q92_char_diversity",       # char-diversity quality (text family)
-    "q93_cdc_chunk_dedup",      # content-defined chunking (dedup family)
-    "q94_salted_join",          # skew-salted join (relational family)
-    "q95_diverse_sample",       # SRP-bucket diversity sampling (similarity)
-    # -- born in round 4 (late): Bloom blocklist + ExactSubstr spans --
-    "q96_bloom_blocklist",      # Bloom-prefiltered blocklist decontamination
-    "q97_exact_substr_spans",   # repeated-window span dedup (ExactSubstr)
-    # -- round-3-green representative whose code changed this round --
-    "q88_source_quota",         # curation quota (pre-thin landed this round)
+    # -- pinned: r04 red rows, oracle cast fixed, must re-prove green --
+    "q92_char_diversity",
+    "q93_cdc_chunk_dedup",
+    # -- never driver-run, registration order (tools/rotation.py --emit) --
+    "q115_scd2_apply",
+    "q124_skew_report",
+    "q131_referential_audit",
+    "q132_weekly_growth",
+    "q134_snapshot_diff",
+    "q140_join_size_audit",
+    "q107_hll_exact_registers",
+    "q111_hll_daily_rollup",
+    "q117_covariance_matrix",
+    "q118_hll_overlap",
+    "q120_rolling_active_users",
+    "q122_ols_fit",
+    "q148_brand_affinity",
+    "q149_mad_outliers",
+    "q150_variant_extract",
+    "q151_benford_audit",
+    "q157_target_encoding",
+    "q160_rfm_segmentation",
+    "q110_histogram_quantiles",
+    "q127_revenue_share",
+    "q101_funnel",
+    "q102_event_transitions",
+    "q116_traffic_anomaly",
+    "q123_seasonal_backtest",
+    "q128_journey_trigrams",
+    "q133_transition_dwell_times",
+    "q136_session_length_distribution",
+    "q137_seasonality_profile",
+    "q147_attribution",
+    "q154_ab_readout",
+    "q155_cusum_drift",
+    "q156_point_in_time_features",
+    "q161_trending_users",
+    "q162_cohort_ltv",
+    "q163_numeric_drift",
+    "q99_novelty_score",
+    "q135_duplication_report",
+    "q152_keep_best_copy",
+    "q114_embedding_health",
+    "q138_vector_contract",
+    "q139_label_balance",
+    "q141_ann_ivfpq",
+    "q98_bpe_pair_counts",
+    "q100_vocab_coverage",
+    "q103_bm25",
+    "q104_train_split",
+    "q105_posting_lists",
+    "q109_quality_model_score",
 )
 
 

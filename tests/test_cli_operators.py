@@ -55,20 +55,45 @@ def test_rotation_plan_orders_never_run_first():
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-    from tools.rotation import TOP_N, history, plan
+    from tools.rotation import PINNED, TOP_N, history, plan
 
     newest, latest = history()
     assert latest >= 3  # r01–r03 ship with the repo
     top, info = plan()
     assert len(top) == TOP_N
     assert info["registered"] >= 165
-    # every never-run query in the top block precedes every has-run query
+    # pins lead, in PINNED order
+    pins = [n for n in PINNED]
+    assert top[: len(pins)] == pins
+    # after the pins: every never-run query precedes every has-run query
     seen_has_run = False
-    for n in top:
+    for n in top[len(pins):]:
         if n in newest:
             seen_has_run = True
         else:
             assert not seen_has_run, f"never-run {n} after a has-run entry"
     # has-run entries are in non-decreasing staleness order
-    rounds = [newest[n] for n in top if n in newest]
+    rounds = [newest[n] for n in top[len(pins):] if n in newest]
     assert rounds == sorted(rounds)
+
+
+def test_driver_priority_matches_computed_rotation():
+    """DRIVER_PRIORITY is load-bearing (the driver only reads the first 50
+    entries), so the pasted list must BE the computed rotation — hand-drift
+    is a test failure. Compared against the driver history as of
+    DRIVER_PRIORITY_AS_OF_ROUND so a newly landed CORRECTNESS_r{N}.json
+    doesn't retro-redden the committed list; the next-round self bumps the
+    constant when re-pasting."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.rotation import plan
+
+    from dataworks_audit_data_ingest_spark.queries import (
+        DRIVER_PRIORITY,
+        DRIVER_PRIORITY_AS_OF_ROUND,
+    )
+
+    top, _ = plan(as_of=DRIVER_PRIORITY_AS_OF_ROUND)
+    assert list(DRIVER_PRIORITY) == top

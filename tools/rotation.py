@@ -26,9 +26,24 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 ROOT = Path(__file__).resolve().parent.parent
 TOP_N = 50
 
+# Queries force-included at the HEAD of the next rotation regardless of how
+# fresh their last driver row is — used for red rows that must re-prove
+# themselves (the tool would otherwise rank a just-failed query last because
+# its row is the newest). Round 5: q92/q93 failed r04 on the oracle HUGEINT
+# cast (fixed; the repo's only red driver rows ever) — pin both until green.
+PINNED: tuple[str, ...] = (
+    "q92_char_diversity",
+    "q93_cdc_chunk_dedup",
+)
 
-def history() -> tuple[dict[str, int], int]:
-    """{query: newest round with a driver row}, latest round seen."""
+
+def history(as_of: int | None = None) -> tuple[dict[str, int], int]:
+    """{query: newest round with a driver row}, latest round seen.
+
+    ``as_of`` restricts to CORRECTNESS files from rounds <= as_of, so the
+    CI contract test can reproduce the rotation as it was computed when the
+    current DRIVER_PRIORITY was pasted (a new driver round landing must not
+    retro-redden the committed list)."""
     newest: dict[str, int] = {}
     latest = 0
     for f in sorted(ROOT.glob("CORRECTNESS_r*.json")):
@@ -36,24 +51,27 @@ def history() -> tuple[dict[str, int], int]:
         if not m:
             continue
         rnd = int(m.group(1))
+        if as_of is not None and rnd > as_of:
+            continue
         latest = max(latest, rnd)
         for name in json.loads(f.read_text()):
             newest[name] = max(newest.get(name, 0), rnd)
     return newest, latest
 
 
-def plan() -> tuple[list[str], dict]:
+def plan(as_of: int | None = None) -> tuple[list[str], dict]:
     from dataworks_audit_data_ingest_spark.queries import REGISTRY
 
-    newest, latest = history()
-    never = [n for n in REGISTRY if n not in newest]
+    newest, latest = history(as_of)
+    pinned = [n for n in PINNED if n in REGISTRY]
+    never = [n for n in REGISTRY if n not in newest and n not in pinned]
     staleness = sorted(
-        ((newest[n], n) for n in REGISTRY if n in newest),
+        ((newest[n], n) for n in REGISTRY if n in newest and n not in pinned),
         key=lambda t: (t[0], t[1]),
     )
-    # never-run first (registration order preserves family grouping),
-    # then stalest; ties alphabetical via the sort above
-    order = never + [n for _, n in staleness]
+    # pinned first (must re-prove), then never-run (registration order
+    # preserves family grouping), then stalest; ties alphabetical
+    order = pinned + never + [n for _, n in staleness]
     top = order[:TOP_N]
     info = {
         "registered": len(REGISTRY),
@@ -68,8 +86,9 @@ def plan() -> tuple[list[str], dict]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--emit", action="store_true")
+    ap.add_argument("--as-of", type=int, default=None)
     args = ap.parse_args()
-    top, info = plan()
+    top, info = plan(args.as_of)
     if args.emit:
         for n in top:
             print(f'    "{n}",')
@@ -81,9 +100,11 @@ def main() -> int:
     print(f"\nproposed next top-{TOP_N}:")
     from dataworks_audit_data_ingest_spark.queries import REGISTRY  # noqa
 
-    newest, _ = history()
+    newest, _ = history(args.as_of)
     for i, n in enumerate(top, 1):
         tag = "NEVER" if n not in newest else f"r{newest[n]:02d}"
+        if n in PINNED:
+            tag += " PIN"
         print(f"  {i:2d}. {n:38s} [{tag}]")
     n_drop = len(info["dropped"])
     print(f"\n({n_drop} queries deferred to the following round — every one "
