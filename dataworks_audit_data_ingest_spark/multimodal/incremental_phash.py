@@ -82,16 +82,16 @@ def incremental_phash_batch(
     ``{store_path}/batch_id={batch_id}``."""
     new_bands = band_media(batch, text_col=text_col).localCheckpoint()
 
-    try:
-        store = (
-            spark.read.parquet(store_path)
-            .filter(F.col("batch_id") != F.lit(batch_id))
-            .drop("batch_id")
+    from ..sources.readers import read_parquet_store_or_none
+
+    # path-missing ⇒ first batch; corrupt/permission/IO errors propagate
+    # (a swallowed read error would silently skip cross-batch dedup)
+    store = read_parquet_store_or_none(spark, store_path)
+    have_store = store is not None
+    if have_store:
+        store = store.filter(F.col("batch_id") != F.lit(batch_id)).drop(
+            "batch_id"
         )
-        have_store = True
-    except Exception:  # first batch
-        store = None
-        have_store = False
 
     a = new_bands.select(
         F.col("doc_id").alias("doc_a"), "band", F.col("bval").alias("bv")

@@ -1644,7 +1644,7 @@ def q151_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT seg, SUM(y) AS sy, COUNT(*) AS n FROM base GROUP BY seg
     ), loo AS (
       SELECT b.seg, b.y, g.sy, g.n,
-             (g.sy - b.y) // (g.n - 1) AS enc
+             (g.sy - b.y) // NULLIF(g.n - 1, 0) AS enc
       FROM base b JOIN g USING (seg)
     )
     SELECT seg,
@@ -1683,8 +1683,13 @@ def q157_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = base.groupBy("seg").agg(
         F.sum("y").alias("sy"), F.count(F.lit(1)).alias("n")
     )
+    # NULLIF guard: a single-row segment would divide by zero — DuckDB //
+    # raises while Spark DIV yields NULL (or errors under ANSI), so the
+    # engines would diverge on degenerate groups instead of hash-matching.
+    # With the guard both emit NULL encodings (and NULL LOO aggregates)
+    # for n=1 segments.
     loo = base.join(F.broadcast(g), "seg").withColumn(
-        "enc", F.expr("(sy - y) DIV (n - 1)")
+        "enc", F.expr("(sy - y) DIV NULLIF(n - 1, 0)")
     )
     return (
         loo.groupBy("seg")

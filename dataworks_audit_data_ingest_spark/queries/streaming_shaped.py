@@ -1559,6 +1559,7 @@ _TREND_TOP = 20
              SUM(n) AS total_events,
              MAX(day) AS last_day
       FROM daily, anchor
+      WHERE maxd - day <= 62
       GROUP BY user_id
     )
     SELECT user_id,
@@ -1581,10 +1582,14 @@ def q161_trending_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the event scan collapses to (user, day) cells map-side;
     decay weighting is integer arithmetic against a broadcast anchor;
-    top-k via TakeOrderedAndProject. Half-life choices stay exact as
-    long as the day span × lg(1/decay) fits BIGINT (here: spans ≤ 62
-    days; chunk longer histories by re-anchoring per period and
-    dividing — documented, not needed at fixture spans)."""
+    top-k via TakeOrderedAndProject. The decay window is a HARD trailing
+    63-day horizon (``maxd − day ≤ 62``) enforced on both engines: the
+    shift amount is thereby always in [0, 62], inside BIGINT — without
+    the guard, Java shift semantics wrap the amount mod 64, silently
+    corrupting scores on long histories (while DuckDB's ``<<`` behaves
+    differently — engine divergence with no error). Days older than the
+    horizon carry weight < 2⁻⁶² of the newest day, i.e. they are dropped,
+    not shifted; score longer histories by re-anchoring per period."""
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")
@@ -1594,6 +1599,7 @@ def q161_trending_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor = daily.agg(F.max("day").alias("maxd"))
     weighted = (
         daily.crossJoin(F.broadcast(anchor))
+        .filter(F.expr("DATEDIFF(maxd, day) <= 62"))
         .groupBy("user_id")
         .agg(
             F.sum(

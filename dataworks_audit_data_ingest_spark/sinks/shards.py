@@ -108,9 +108,10 @@ def write_training_shards(
     mismatch) rather than silently serving. The manifest records
     per-shard ``n_rows``, optional ``total_size`` (sum of ``size_col``),
     and ``checksum`` = exact Python-int sum of the row hashes."""
+    import os
     import shutil
 
-    from .writers import _stage_dir, _swap_partition_dirs
+    from .writers import _partition_dirs, _stage_dir, _swap_partition_dirs
 
     assigned = shard_assignment(df, id_col, n_shards, seed)
     # stage + atomic per-shard swap (writers.py's crash-safe machinery):
@@ -128,7 +129,22 @@ def write_training_shards(
             .partitionBy("shard")
             .parquet(staged)
         )
+        staged_rels = set(_partition_dirs(staged, 1))
         _swap_partition_dirs(staged, path, 1)
+        # a rewrite is a FULL replacement of the shard set: any
+        # pre-existing shard=K dir the staged output did not produce
+        # (shard emptied by the new data, or a smaller n_shards) would
+        # otherwise survive with stale rows — silently wrong until
+        # verify_shards runs. Remove them with the same aside-then-delete
+        # discipline as forget.py's fully-emptied-partition case.
+        for rel in _partition_dirs(path, 1):
+            if rel not in staged_rels and rel.startswith("shard="):
+                dest = os.path.join(path, rel)
+                aside = os.path.join(path, "." + rel + ".old")
+                if os.path.exists(aside):
+                    shutil.rmtree(aside)
+                os.rename(dest, aside)
+                shutil.rmtree(aside, ignore_errors=True)
     except BaseException:
         shutil.rmtree(staged, ignore_errors=True)
         raise
@@ -173,11 +189,17 @@ def read_manifest(path: str) -> dict:
 def read_shard(
     spark: SparkSession, path: str, shard: int, epoch: int = 0, seed: str = "shards"
 ) -> DataFrame:
-    """One shard in its epoch order. Epoch 0 is the stored file order
-    (already sorted at write time); later epochs re-key with the epoch
-    hash — a per-shard local sort, never a shuffle (one shard = one
-    partition-dir read)."""
-    df = spark.read.parquet(f"{path}/shard={shard}")
+    """One shard in its epoch order. The read is coalesced to ONE partition
+    before the local sort: Spark splits parquet files at
+    ``spark.sql.files.maxPartitionBytes`` (128 MB default), so a 0.5–2 GB
+    shard reads as several input splits and a bare ``sortWithinPartitions``
+    would return independently-sorted blocks interleaved, not the
+    documented deterministic permutation (epoch 0 only survived because
+    splits preserve file order). ``coalesce(1)`` merges the splits without
+    a shuffle — one shard is one loader's sequential stream, so
+    single-partition is the consumption shape anyway — and makes the
+    within-partition sort a true total order for every epoch."""
+    df = spark.read.parquet(f"{path}/shard={shard}").coalesce(1)
     man = read_manifest(path)
     if epoch == 0:
         return df.sortWithinPartitions("shard_ord", man["id_col"])

@@ -104,3 +104,34 @@ def read_orc(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.orc(path)
+
+
+def read_parquet_store_or_none(
+    spark: SparkSession, store_path: str
+) -> DataFrame | None:
+    """Incremental-store reader: ``None`` when the store doesn't exist yet
+    (first batch), the DataFrame otherwise — and real read errors PROPAGATE.
+
+    The incremental dedup/index jobs used to wrap their store read in a
+    bare ``except Exception: first batch``, which treated corrupt parquet,
+    permission errors, and transient IO the same as 'no store yet' —
+    silently skipping cross-batch dedup and admitting duplicates for that
+    batch. Only the path-missing case means first batch; everything else
+    is a failure the job must surface."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(store_path)
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        klass = cond() if cond else ""
+        if klass == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
+    except Py4JJavaError as e:  # some FS layers raise FileNotFound via JVM
+        if "FileNotFoundException" in str(e):
+            return None
+        raise

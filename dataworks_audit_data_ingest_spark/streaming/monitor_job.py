@@ -47,12 +47,13 @@ def monitor_microbatch(
     spark = batch_df.sparkSession
     cells = batch_cells(batch_df, day_col).localCheckpoint(eager=True)
 
-    try:
-        prior = spark.read.parquet(store_dir).filter(
-            F.col("batch_id") != str(batch_id)
-        )
-    except Exception:  # first batch: empty store
-        prior = None
+    from ..sources.readers import read_parquet_store_or_none
+
+    # path-missing ⇒ first batch; corrupt/permission/IO errors propagate
+    # (a swallowed read error would silently re-baseline the monitor)
+    prior = read_parquet_store_or_none(spark, store_dir)
+    if prior is not None:
+        prior = prior.filter(F.col("batch_id") != str(batch_id))
 
     if prior is not None:
         baseline = prior.groupBy("hr", "event_type").agg(

@@ -55,21 +55,21 @@ def incremental_dedup_batch(
     """
     new_bands = band_documents(batch).localCheckpoint()
 
-    try:
-        # Exclude this batch's own partition: on a replay (failure after the
-        # store write but before the curated-sink write) the store already
-        # holds this batch's bands, and reading them back would make every
-        # doc self-match and silently drop the whole batch from the corpus.
-        # The partition-column filter also prunes the scan.
-        store = (
-            spark.read.parquet(store_path)
-            .filter(F.col("batch_id") != F.lit(batch_id))
-            .drop("batch_id")
+    from ..sources.readers import read_parquet_store_or_none
+
+    # path-missing ⇒ first batch; corrupt/permission/IO errors propagate
+    # (a swallowed read error would silently skip cross-batch dedup).
+    # Exclude this batch's own partition: on a replay (failure after the
+    # store write but before the curated-sink write) the store already
+    # holds this batch's bands, and reading them back would make every
+    # doc self-match and silently drop the whole batch from the corpus.
+    # The partition-column filter also prunes the scan.
+    store = read_parquet_store_or_none(spark, store_path)
+    have_store = store is not None
+    if have_store:
+        store = store.filter(F.col("batch_id") != F.lit(batch_id)).drop(
+            "batch_id"
         )
-        have_store = True
-    except Exception:  # first batch: no store yet
-        store = None
-        have_store = False
 
     # within-batch pairs (doc_a < doc_b: keep the earlier, drop the later)
     within = lsh_candidate_pairs(new_bands, bucket_cap=bucket_cap)

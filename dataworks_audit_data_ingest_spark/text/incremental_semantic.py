@@ -125,16 +125,16 @@ def incremental_semantic_batch(
         "_v",
     ).select("doc_id", "_v", F.col("_nrm").alias("_n"))
 
-    try:
-        store = (
-            spark.read.parquet(store_path)
-            .filter(F.col("batch_id") != F.lit(batch_id))
-            .drop("batch_id")
+    from ..sources.readers import read_parquet_store_or_none
+
+    # path-missing ⇒ first batch; corrupt/permission/IO errors propagate
+    # (a swallowed read error would silently skip cross-batch dedup)
+    store = read_parquet_store_or_none(spark, store_path)
+    have_store = store is not None
+    if have_store:
+        store = store.filter(F.col("batch_id") != F.lit(batch_id)).drop(
+            "batch_id"
         )
-        have_store = True
-    except Exception:  # first batch: no store yet
-        store = None
-        have_store = False
 
     # -- candidates, level 1: exact full-signature agreement --
     w_sig = Window.partitionBy("fullsig")

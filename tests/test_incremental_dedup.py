@@ -170,3 +170,33 @@ def test_streaming_curation_dedups_across_microbatches(spark, tmp_path):
     curated = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert 1 in curated and 2 in curated and 11 in curated
     assert 10 not in curated  # cross-micro-batch near-dup dropped
+
+
+def test_missing_store_is_first_batch_but_corrupt_store_raises(spark, tmp_path):
+    """The store read treats ONLY path-missing as 'first batch'. A corrupt
+    store (or any real read error) must propagate — the old bare except
+    silently skipped cross-batch dedup and admitted duplicates."""
+    import pytest
+
+    from dataworks_audit_data_ingest_spark.sources.readers import (
+        read_parquet_store_or_none,
+    )
+
+    # missing path -> None (first batch)
+    assert read_parquet_store_or_none(spark, str(tmp_path / "absent")) is None
+
+    # corrupt store -> the error surfaces
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception, match="[Pp]arquet|PAR1|[Ff]ooter"):
+        read_parquet_store_or_none(spark, str(corrupt)).collect()
+
+    # and the incremental job inherits both behaviors
+    docs = table(spark, SF, "documents").filter(
+        F.size(F.split("text", " ")) > 8
+    )
+    batch = docs.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    with pytest.raises(Exception, match="[Pp]arquet|PAR1|[Ff]ooter"):
+        uniq, dups = incremental_dedup_batch(spark, str(corrupt), batch, "b1")
+        uniq.count()

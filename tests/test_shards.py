@@ -140,3 +140,58 @@ def test_failed_rewrite_preserves_previous_shards(spark, tmp_path, monkeypatch):
     import os
 
     assert not [x for x in os.listdir(path) if x.startswith(".staged_")]
+
+
+def test_rewrite_removes_emptied_and_stale_shards(spark, tmp_path):
+    """A rewrite is a FULL replacement: shard=K dirs the new data doesn't
+    produce (emptied shard, or a smaller n_shards) must not survive with
+    stale rows — previously they did until verify_shards flagged them."""
+    import os
+
+    d = table(spark, SF, "documents")
+    path = str(tmp_path / "re")
+    write_training_shards(d, path, N)
+
+    # rewrite with a single row: exactly one shard is non-empty
+    man2 = write_training_shards(d.limit(1), path, N)
+    present = {x for x in os.listdir(path) if x.startswith("shard=")}
+    want = {
+        f"shard={k}" for k, v in man2["shards"].items() if v["n_rows"] > 0
+    }
+    assert present == want and len(present) == 1
+    assert verify_shards(spark, path)
+    assert spark.read.parquet(path).count() == 1
+
+    # rewrite with fewer shards: the tail dirs disappear too
+    man3 = write_training_shards(d, path, 2)
+    present = {x for x in os.listdir(path) if x.startswith("shard=")}
+    assert present == {"shard=0", "shard=1"}
+    assert verify_shards(spark, path)
+    assert spark.read.parquet(path).count() == man3["total_rows"] == d.count()
+
+
+def test_read_shard_order_is_total_under_split_reads(spark, tmp_path):
+    """read_shard must return ONE partition in a true total order even when
+    the shard file is larger than spark.sql.files.maxPartitionBytes (the
+    default 128 MB splits a 0.5–2 GB shard into several input splits; a
+    bare sortWithinPartitions would interleave independently-sorted
+    blocks). The coalesce(1) inside read_shard makes the local sort a
+    global order for every epoch."""
+    _, path, _ = _write(spark, tmp_path)
+    man = read_manifest(path)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        for epoch in (0, 1):
+            df = read_shard(spark, path, 0, epoch=epoch)
+            assert df.rdd.getNumPartitions() == 1
+            got = [r.doc_id for r in df.select("doc_id").collect()]
+            exp = [
+                r.doc_id
+                for r in spark.read.parquet(f"{path}/shard=0")
+                .orderBy(epoch_sort_key(man["id_col"], epoch), F.col(man["id_col"]))
+                .collect()
+            ]
+            assert got == exp, f"epoch {epoch} order not total"
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
