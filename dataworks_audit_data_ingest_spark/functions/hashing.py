@@ -62,3 +62,21 @@ def universal_hash(base_expr: str, i: int) -> str:
 # drop_semantic_duplicates, and tools/srp_study.py — every SRP signature
 # in the repo must use the same scale or bucket joins stop matching.
 SRP_SCALE = 1 << 20
+
+
+def cdc_window_hash(text_col: str, pos_col: str, win: int = 8) -> str:
+    """Polynomial hash of the ``win``-char window at 1-based position
+    ``pos``: fold(h*31 + codepoint), pure BIGINT arithmetic (max value
+    0x10FFFF·(31^win−1)/30 ≈ 3.1e16 at win=8 — no overflow, no libm),
+    identical SQL text in Spark and DuckDB. The boundary rule
+    ``hash % div == 0`` gives Rabin/Gear-style content-defined chunk cuts
+    (expected chunk length ≈ div). Shared by q93 and text/cdc.py — both
+    must cut at identical positions or chunk hashes stop matching."""
+    if win > 12:
+        raise ValueError(
+            f"win={win}: 0x10FFFF*31^{win - 1} overflows BIGINT headroom"
+        )
+    h = f"CAST(ascii(substr({text_col}, {pos_col}, 1)) AS BIGINT)"
+    for k in range(1, win):
+        h = f"({h} * 31 + ascii(substr({text_col}, {pos_col} + {k}, 1)))"
+    return h

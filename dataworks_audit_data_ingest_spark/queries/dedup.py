@@ -1176,14 +1176,11 @@ _CDC_DIV = 64  # boundary divisor -> ~64-char expected chunk length
 
 
 def _cdc_window_hash(text_col: str, pos_col: str) -> str:
-    """Polynomial hash of the WIN-char window at 1-based position ``pos``:
-    fold(h*31 + codepoint), pure BIGINT arithmetic (max value
-    0x10FFFF·(31⁸−1)/30 ≈ 3.1e16 — no overflow, no libm), identical text
-    in Spark SQL and DuckDB."""
-    h = f"CAST(ascii(substr({text_col}, {pos_col}, 1)) AS BIGINT)"
-    for k in range(1, _CDC_WIN):
-        h = f"({h} * 31 + ascii(substr({text_col}, {pos_col} + {k}, 1)))"
-    return h
+    """The shared CDC rolling hash (functions/hashing.py) at this module's
+    window width — q93 and text/cdc.py must cut identically."""
+    from ..functions.hashing import cdc_window_hash
+
+    return cdc_window_hash(text_col, pos_col, _CDC_WIN)
 
 
 @register(
@@ -1269,6 +1266,9 @@ def q93_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end_pos",
         (F.coalesce(F.lag("end_pos").over(w), F.lit(0)) + 1).alias("start_pos"),
     )
+    # broadcast of document TEXT is safe ONLY because this oracle query is
+    # bounded to the doc_id < 200 fixture slice; the production CDC API
+    # (text/cdc.py::chunk_documents_cdc) key-joins spans to docs instead
     chunks = spans.join(F.broadcast(docs), "doc_id").select(
         "source",
         F.md5(

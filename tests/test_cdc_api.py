@@ -1,0 +1,148 @@
+"""CDC chunking API (`text/cdc.py`): q93-equivalence, keyed (non-broadcast)
+span→text join shape, shift resilience, and the incremental chunk store."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataworks_audit_data_ingest_spark.tables import table
+from dataworks_audit_data_ingest_spark.text.cdc import (
+    cdc_dedup_stats,
+    chunk_documents_cdc,
+    incremental_cdc_batch,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return (
+        table(spark, SF, "documents")
+        .filter((F.col("doc_id") < 200) & (F.length("text") >= 8))
+        .select("doc_id", "source", "text")
+    )
+
+
+def _random_text(n, seed):
+    rng = random.Random(seed)
+    return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(n))
+
+
+def test_api_matches_q93_oracle_aggregate(spark):
+    """The API chunker must cut at exactly q93's boundaries: its per-source
+    rollup equals the registered (oracle-verified) q93 output."""
+    from dataworks_audit_data_ingest_spark.queries.dedup import (
+        q93_cdc_chunk_dedup,
+    )
+
+    got = sorted(
+        map(tuple, cdc_dedup_stats(_docs(spark), group_col="source").collect())
+    )
+    want = sorted(map(tuple, q93_cdc_chunk_dedup(spark, SF).collect()))
+    assert got == want
+
+
+def test_chunks_reassemble_to_document(spark):
+    """Chunks partition each document exactly: contiguous, ordered,
+    concatenating back to the original text."""
+    d = _docs(spark).limit(20)
+    chunks = chunk_documents_cdc(d, with_text=True)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text")))
+                .getField("chunk_text")
+            ).alias("rebuilt"),
+            F.sum("chunk_len").alias("n"),
+            F.max("end_pos").alias("last"),
+        )
+        .join(d, "doc_id")
+    )
+    bad = rebuilt.filter(
+        (F.col("rebuilt") != F.col("text"))
+        | (F.col("n") != F.length("text"))
+        | (F.col("last") != F.length("text"))
+    )
+    assert bad.count() == 0
+
+
+def test_span_text_join_is_keyed_not_broadcast(spark):
+    """The production difference vs q93: with auto-broadcast disabled the
+    span→text rejoin sort-merges on the id key — document text is never
+    forced through a broadcast."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        chunks = chunk_documents_cdc(_docs(spark))
+        plan = chunks._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Broadcast" not in plan, plan
+        assert chunks.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_short_document_is_one_whole_chunk(spark):
+    d = spark.createDataFrame([(1, "tiny")], "doc_id int, text string")
+    rows = chunk_documents_cdc(d, with_text=True).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.start_pos, r.end_pos, r.chunk_len, r.chunk_text) == (1, 4, 4, "tiny")
+
+
+def test_api_shift_resilience(spark):
+    """The CDC property at API level: a 1-char early insertion re-aligns at
+    most the chunks up to the next content-defined boundary."""
+    text = _random_text(4000, seed=23)
+    shifted = text[:10] + "X" + text[10:]
+    d = spark.createDataFrame(
+        [(1, text), (2, shifted)], "doc_id int, text string"
+    )
+    chunks = chunk_documents_cdc(d)
+    h1 = {r.chunk_hash for r in chunks.filter("doc_id = 1").collect()}
+    h2 = {r.chunk_hash for r in chunks.filter("doc_id = 2").collect()}
+    assert len(h1) >= 20
+    assert len(h1 & h2) >= len(h1) - 2, (len(h1), len(h2), len(h1 & h2))
+
+
+def test_incremental_store_dedupes_across_batches_and_replays(spark, tmp_path):
+    store = str(tmp_path / "chunkstore")
+    d = _docs(spark)
+
+    b1 = d.filter(F.col("doc_id") < 40)
+    novel1, stats1 = incremental_cdc_batch(spark, store, b1, "b1")
+    n1 = novel1.count()
+    total1 = chunk_documents_cdc(b1).select("chunk_hash").distinct().count()
+    assert n1 == total1  # first batch: every distinct chunk is novel
+
+    # batch 2 repeats batch 1's docs plus fresh ones: repeats score 0 novel
+    b2 = d.filter(F.col("doc_id") < 60)
+    novel2, stats2 = incremental_cdc_batch(spark, store, b2, "b2")
+    repeated = stats2.filter(F.col("doc_id") < 40)
+    assert repeated.filter(F.col("n_novel") > 0).count() == 0
+    fresh_novel = stats2.filter(
+        (F.col("doc_id") >= 40) & (F.col("n_novel") > 0)
+    )
+    assert fresh_novel.count() > 0
+
+    # replay of batch 2 is idempotent: same novel set, store unchanged
+    novel2b, stats2b = incremental_cdc_batch(spark, store, b2, "b2")
+    assert sorted(map(tuple, novel2b.collect())) == sorted(
+        map(tuple, novel2.collect())
+    )
+    store_now = spark.read.parquet(store)
+    assert store_now.count() == store_now.select("chunk_hash").distinct().count()
+
+
+def test_incremental_corrupt_store_raises(spark, tmp_path):
+    corrupt = tmp_path / "bad"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"not parquet")
+    d = _docs(spark).limit(5)
+    with pytest.raises(Exception, match="[Pp]arquet|PAR1|[Ff]ooter"):
+        novel, stats = incremental_cdc_batch(spark, str(corrupt), d, "b1")
+        novel.count()
