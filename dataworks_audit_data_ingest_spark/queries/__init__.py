@@ -37,14 +37,15 @@ from . import graph_shaped  # noqa: E402,F401
 # computation, so hand-drift is a test failure). Head: q92/q93 PINNED —
 # they are the repo's only red driver rows ever (r04 hash-fail, root cause
 # the oracle-side HUGEINT promotion, fixed this round) and must re-prove
-# green. Then the first 48 of the 67 never-driver-run queries in
-# registration order. The ~19 remaining never-run queries lead round 6.
+# green. Then the first 48 of the 74 never-driver-run queries (67 from
+# round 4's backlog + the 7 registered this round, q165–q171) in
+# registration order. The ~26 remaining never-run queries lead round 6.
 DRIVER_PRIORITY_AS_OF_ROUND = 4
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- pinned: r04 red rows, oracle cast fixed, must re-prove green --
+    # -- q92/q93 pinned (r04 red rows, oracle cast fixed, must re-prove
+    # -- green); then never-driver-run queries in registration order --
     "q92_char_diversity",
     "q93_cdc_chunk_dedup",
-    # -- never driver-run, registration order (tools/rotation.py --emit) --
     "q115_scd2_apply",
     "q124_skew_report",
     "q131_referential_audit",
@@ -58,11 +59,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q120_rolling_active_users",
     "q122_ols_fit",
     "q148_brand_affinity",
+    "q166_item_cf_neighbors",
     "q149_mad_outliers",
     "q150_variant_extract",
     "q151_benford_audit",
     "q157_target_encoding",
     "q160_rfm_segmentation",
+    "q169_trimmed_mean",
     "q110_histogram_quantiles",
     "q127_revenue_share",
     "q101_funnel",
@@ -80,19 +83,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q161_trending_users",
     "q162_cohort_ltv",
     "q163_numeric_drift",
+    "q168_funnel_latency",
+    "q165_cdc_novelty",
     "q99_novelty_score",
     "q135_duplication_report",
     "q152_keep_best_copy",
+    "q171_lsh_precision_audit",
     "q114_embedding_health",
     "q138_vector_contract",
     "q139_label_balance",
     "q141_ann_ivfpq",
-    "q98_bpe_pair_counts",
-    "q100_vocab_coverage",
-    "q103_bm25",
-    "q104_train_split",
-    "q105_posting_lists",
-    "q109_quality_model_score",
+    "q170_hard_negatives",
 )
 
 

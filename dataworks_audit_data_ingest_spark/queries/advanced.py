@@ -1331,6 +1331,122 @@ def q148_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q166 — item-item collaborative-filtering neighbors (co-occurrence Jaccard)
+# ---------------------------------------------------------------------------
+# The recommender primitive q148's rules don't give: a top-k NEIGHBOR LIST
+# per item, ranked by co-occurrence Jaccard |A∩B|/|A∪B| over order
+# baskets — "users who bought X also bought" as a similarity join, at part
+# (not brand) granularity so the item vocabulary is real (thousands, not
+# 25). Exact integer ppm; the pair floor prunes noise pairs before any
+# ranking.
+
+_CF_MIN_PAIR = 2  # min co-orders for a candidate neighbor
+_CF_TOP = 3  # neighbors reported per item
+
+
+@register(
+    "q166_item_cf_neighbors",
+    sql=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem
+    ), items AS (
+      SELECT item, COUNT(*) AS n_item FROM baskets GROUP BY item
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_pair
+      FROM baskets a JOIN baskets b ON a.okey = b.okey AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= {_CF_MIN_PAIR}
+    ), sym AS (
+      SELECT item_a, item_b, n_pair FROM pairs
+      UNION ALL
+      SELECT item_b, item_a, n_pair FROM pairs
+    ), scored AS (
+      SELECT s.item_a, s.item_b,
+             CAST(s.n_pair AS BIGINT) AS n_pair,
+             CAST(1000000 * s.n_pair
+                  // (ia.n_item + ib.n_item - s.n_pair) AS BIGINT)
+               AS jaccard_ppm
+      FROM sym s
+        JOIN items ia ON ia.item = s.item_a
+        JOIN items ib ON ib.item = s.item_b
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY item_a
+                                   ORDER BY jaccard_ppm DESC, item_b)
+               AS rnk
+      FROM scored
+    )
+    SELECT item_a, item_b, n_pair, jaccard_ppm, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_CF_TOP}
+    ORDER BY item_a, rnk
+    """,
+    tags=("analytics", "recommender", "similarity", "basket"),
+)
+def q166_item_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for every part, the top
+    {top} co-occurrence neighbors by basket Jaccard (exact integer ppm)
+    with the co-order count — the neighbor-list build behind an
+    "also bought" recommender, and the item-similarity complement of
+    q148's directional rules.
+
+    Scale shape: q148's discipline at item granularity — ONE okey-keyed
+    exchange collects each order's part set; pairs come from an in-array
+    combination explode (baskets are small — never an okey self-join);
+    the pair floor prunes before the vocabulary-sized count exchange;
+    ranking is one item_a-keyed window over the surviving pairs.
+    Result-identical to the oracle's self-join formulation."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    arrs = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    items = (
+        arrs.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    pair_structs = (
+        "FLATTEN(TRANSFORM(items, (x, i) -> "
+        "TRANSFORM(SLICE(items, i + 2, SIZE(items)), "
+        "y -> STRUCT(x AS item_a, y AS item_b))))"
+    )
+    pairs = (
+        arrs.select(F.explode(F.expr(pair_structs)).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _CF_MIN_PAIR)
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "n_pair",
+        )
+    )
+    ia = items.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))
+    ib = items.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))
+    w = Window.partitionBy("item_a").orderBy(
+        F.desc("jaccard_ppm"), F.asc("item_b")
+    )
+    return (
+        sym.join(ia, "item_a")
+        .join(ib, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.expr(
+                "CAST(1000000 * n_pair DIV (n_a + n_b - n_pair) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _CF_TOP)
+        .orderBy("item_a", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q149 — robust dispersion: median absolute deviation + MAD outliers
 # ---------------------------------------------------------------------------
 # The robust counterpart to q37b's z-scores: median and MAD ignore the
@@ -1813,4 +1929,129 @@ def q160_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_rec_days",
         )
         .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q169 — trimmed & winsorized means (robust location report)
+# ---------------------------------------------------------------------------
+# The third robust-statistics rung after q37b (z-scores) and q149 (MAD):
+# the 5 % trimmed mean (drop each tail) and the winsorized mean (clamp
+# each tail to the 5th/95th order statistic) of order value per market
+# segment — the estimators finance/ops dashboards use when a handful of
+# whale orders should not move the location estimate. Exact integer
+# cents; tail boundaries use the portable lower-order-statistic rank
+# convention, so every cell hash-matches.
+
+
+@register(
+    "q169_trimmed_mean",
+    sql="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o.o_orderkey AS okey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), ranked AS (
+      SELECT seg, cents,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents, okey) AS rn,
+             COUNT(*) OVER (PARTITION BY seg) AS n
+      FROM base
+    ), bounds AS (
+      SELECT seg,
+             MAX(CASE WHEN rn = 1 + CAST(FLOOR(0.05 * (n - 1)) AS BIGINT)
+                      THEN cents END) AS lo_cents,
+             MAX(CASE WHEN rn = 1 + CAST(FLOOR(0.95 * (n - 1)) AS BIGINT)
+                      THEN cents END) AS hi_cents,
+             CAST(MAX(n) AS BIGINT) AS n,
+             CAST(n // 20 AS BIGINT) AS k
+      FROM ranked GROUP BY seg, n
+    )
+    SELECT r.seg,
+           b.n AS n_orders,
+           CAST(SUM(r.cents) // b.n AS BIGINT) AS mean_cents,
+           CAST(SUM(CASE WHEN r.rn > b.k AND r.rn <= b.n - b.k
+                         THEN r.cents ELSE 0 END)
+                // NULLIF(b.n - 2 * b.k, 0) AS BIGINT) AS trimmed_mean_cents,
+           CAST(SUM(LEAST(GREATEST(r.cents, b.lo_cents), b.hi_cents)) // b.n
+                AS BIGINT) AS winsor_mean_cents,
+           b.lo_cents, b.hi_cents
+    FROM ranked r JOIN bounds b USING (seg)
+    GROUP BY r.seg, b.n, b.k, b.lo_cents, b.hi_cents
+    ORDER BY r.seg
+    """,
+    tags=("analytics", "robust-stats", "aggregation"),
+)
+def q169_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment robust location report: plain, 5 %-trimmed, and
+    5 %-winsorized mean order value in exact integer cents, plus the
+    winsorization bounds (5th/95th lower order statistics).
+
+    Scale shape: ONE seg-keyed exchange shared by the rank window, the
+    count window, and the final aggregate (same partitioning all the
+    way down); the bounds table is |segments| rows broadcast back. The
+    trim drops rank ranges — no second sort, no per-group collect."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderkey").alias("okey"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), "cents", "okey"
+    )
+    w = Window.partitionBy("seg").orderBy("cents", "okey")
+    wn = Window.partitionBy("seg")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    bounds = (
+        ranked.groupBy("seg", "n")
+        .agg(
+            F.expr(
+                "MAX(CASE WHEN rn = 1 + CAST(FLOOR(0.05 * (n - 1)) AS BIGINT)"
+                " THEN cents END)"
+            ).alias("lo_cents"),
+            F.expr(
+                "MAX(CASE WHEN rn = 1 + CAST(FLOOR(0.95 * (n - 1)) AS BIGINT)"
+                " THEN cents END)"
+            ).alias("hi_cents"),
+        )
+        .select(
+            "seg",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("CAST(n DIV 20 AS BIGINT)").alias("k"),
+            "lo_cents",
+            "hi_cents",
+        )
+    )
+    return (
+        ranked.drop("n")
+        .join(F.broadcast(bounds), "seg")
+        .groupBy("seg", "n", "k", "lo_cents", "hi_cents")
+        .agg(
+            F.expr("CAST(SUM(cents) DIV n AS BIGINT)").alias("mean_cents"),
+            F.expr(
+                "CAST(SUM(CASE WHEN rn > k AND rn <= n - k THEN cents"
+                " ELSE 0 END) DIV NULLIF(n - 2 * k, 0) AS BIGINT)"
+            ).alias("trimmed_mean_cents"),
+            F.expr(
+                "CAST(SUM(LEAST(GREATEST(cents, lo_cents), hi_cents)) DIV n"
+                " AS BIGINT)"
+            ).alias("winsor_mean_cents"),
+        )
+        .select(
+            "seg",
+            F.col("n").alias("n_orders"),
+            "mean_cents",
+            "trimmed_mean_cents",
+            "winsor_mean_cents",
+            "lo_cents",
+            "hi_cents",
+        )
+        .orderBy("seg")
     )

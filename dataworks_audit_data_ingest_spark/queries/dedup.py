@@ -1291,6 +1291,94 @@ def q93_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q165_cdc_novelty",
+    sql=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 200 AND length(text) >= {_CDC_WIN}
+    ), pos AS (
+      SELECT doc_id, text,
+             UNNEST(generate_series(1, length(text) - {_CDC_WIN - 1})) AS p
+      FROM docs
+    ), cuts AS (
+      SELECT DISTINCT doc_id, end_pos FROM (
+        SELECT doc_id, p + {_CDC_WIN - 1} AS end_pos
+        FROM pos WHERE {_cdc_window_hash('text', 'p')} % {_CDC_DIV} = 0
+        UNION ALL
+        SELECT doc_id, length(text) AS end_pos FROM docs) u
+    ), spans AS (
+      SELECT doc_id, end_pos,
+             COALESCE(LAG(end_pos) OVER (PARTITION BY doc_id ORDER BY end_pos),
+                      0) + 1 AS start_pos
+      FROM cuts
+    ), chunks AS (
+      SELECT s.doc_id, s.start_pos,
+             md5(substr(d.text, CAST(s.start_pos AS INT),
+                        CAST(s.end_pos - s.start_pos + 1 AS INT))) AS chunk_hash,
+             s.end_pos - s.start_pos + 1 AS chunk_len
+      FROM spans s JOIN docs d USING (doc_id)
+    ), flagged AS (
+      SELECT doc_id, chunk_len,
+             ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                                ORDER BY doc_id, start_pos) AS rk
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN rk = 1 THEN chunk_len ELSE 0 END)
+                AS BIGINT) AS novel_chars,
+           CAST(SUM(CASE WHEN rk = 1 THEN chunk_len ELSE 0 END) * 1000000
+                // SUM(chunk_len) AS BIGINT) AS novelty_ppm
+    FROM flagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "cdc", "novelty", "chunking"),
+)
+def q165_cdc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC chunk-level novelty per document: a chunk is NOVEL iff its hash
+    first occurs in this document (corpus order = (doc_id, chunk offset)),
+    and a document's novelty is the fraction of its characters inside
+    novel chunks, in exact integer ppm. The batch analog — and the oracle
+    pin — of ``text/cdc.py::incremental_cdc_batch``'s per-doc stats: a
+    re-crawled boilerplate page scores ~0, fresh content ~10⁶. Runs the
+    production API (`chunk_documents_cdc`, keyed span→text join) under
+    the DuckDB oracle, so the API's cut positions and hashes — not a
+    parallel reimplementation — are what the driver verifies.
+
+    Scale shape: the API's chunking plan (map-side boundary filter, one
+    id-keyed window, one keyed join) plus ONE chunk_hash-keyed window for
+    first-occurrence attribution and a doc_id-keyed final agg."""
+    from pyspark.sql import Window
+
+    from ..text.cdc import chunk_documents_cdc
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & (F.length("text") >= _CDC_WIN))
+        .select("doc_id", "text")
+    )
+    chunks = chunk_documents_cdc(docs, win=_CDC_WIN, div=_CDC_DIV)
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    flagged = chunks.withColumn("rk", F.row_number().over(w))
+    novel_len = F.when(F.col("rk") == 1, F.col("chunk_len")).otherwise(F.lit(0))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).alias("n_novel"),
+            F.sum(novel_len).alias("novel_chars"),
+            F.expr(
+                "SUM(CASE WHEN rk = 1 THEN chunk_len ELSE 0 END) * 1000000"
+                " DIV SUM(chunk_len)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact-substring (repeated token-window) span dedup
 # ---------------------------------------------------------------------------
@@ -1706,4 +1794,139 @@ def q152_keep_best_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_policy_divergent"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q171 — LSH banding precision audit (exact vs estimated Jaccard)
+# ---------------------------------------------------------------------------
+# The monitoring query a production LSH deployment runs on a sample: for
+# every candidate pair the banding surfaces, the EXACT shingle-set Jaccard
+# next to the signature ESTIMATE — false positives (candidates whose true
+# overlap is low) quantify wasted verify work, and the est−exact gap
+# audits the signature width. Both values in exact integer ppm, so the
+# whole report hash-matches; the texts are re-read ONLY for the bounded
+# candidate set (the audit sample), never corpus-wide.
+
+
+@register(
+    "q171_lsh_precision_audit",
+    sql=(
+        _minhash_jaccard_sql()
+        .split("SELECT doc_a, doc_b,")[0]
+        + f""", shingle_sets AS (
+      SELECT DISTINCT doc_id, h FROM shingled
+    ), set_sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM shingle_sets GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+        JOIN shingle_sets sa ON sa.doc_id = c.doc_a
+        JOIN shingle_sets sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(({" + ".join(f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(_N_SEEDS))})
+                * 1000000 // {_N_SEEDS} AS BIGINT) AS est_ppm,
+           CAST(COALESCE(i.n_inter, 0) * 1000000
+                // (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0))
+                AS BIGINT) AS exact_ppm,
+           CAST(ABS(({" + ".join(f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(_N_SEEDS))})
+                * 1000000 // {_N_SEEDS}
+                - COALESCE(i.n_inter, 0) * 1000000
+                  // (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)))
+                AS BIGINT) AS abs_err_ppm
+    FROM cand c
+      JOIN sigs a ON a.doc_id = c.doc_a
+      JOIN sigs b ON b.doc_id = c.doc_b
+      JOIN set_sizes za ON za.doc_id = c.doc_a
+      JOIN set_sizes zb ON zb.doc_id = c.doc_b
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    ORDER BY c.doc_a, c.doc_b
+    """
+    ),
+    tags=("dedup", "minhash", "lsh", "audit", "quality"),
+)
+def q171_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-quality audit over q51's LSH candidates: per candidate
+    pair, the signature-estimated Jaccard next to the exact shingle-set
+    Jaccard and their absolute gap (integer ppm). Low exact_ppm rows are
+    banding false positives; the est−exact spread audits whether
+    {seeds} minhash components are enough for the corpus.
+
+    Scale shape: candidates come from the banded join (never all-pairs);
+    the exact-Jaccard stage joins distinct shingle hashes ONLY for docs
+    in the candidate set — the audit cost scales with candidates, not
+    corpus. Uncapped buckets here mirror the oracle exactly; production
+    candidate generation keeps q51's bucket cap."""
+    d = table(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(_variants(d))
+    shingled = (
+        corpus.withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "TRANSFORM(SEQUENCE(1, SIZE(words) - 2),"
+                    " i -> ARRAY_JOIN(SLICE(words, i, 3), ' '))"
+                )
+            ).alias("shingle"),
+        )
+        .select("doc_id", F.expr(spark_hash32("shingle", "mh")).alias("h"))
+    )
+    sigs = shingled.groupBy("doc_id").agg(
+        *[
+            F.expr(f"MIN({universal_hash('h', i)})").alias(f"mh_{i}")
+            for i in range(_N_SEEDS)
+        ]
+    )
+    cand = lsh_candidate_pairs(_spark_bands(sigs), bucket_cap=None)
+    shingle_sets = shingled.distinct()
+    set_sizes = shingle_sets.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh")
+    )
+    sa = shingle_sets.select(F.col("doc_id").alias("doc_a"), "h")
+    sb = shingle_sets.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a_mh_{i} = b_mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(_N_SEEDS)
+    )
+    siga = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(_N_SEEDS)],
+    )
+    sigb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(_N_SEEDS)],
+    )
+    za = set_sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = set_sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    est = f"({agree}) * 1000000 DIV {_N_SEEDS}"
+    exact = (
+        "COALESCE(n_inter, 0) * 1000000"
+        " DIV (n_a + n_b - COALESCE(n_inter, 0))"
+    )
+    return (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"CAST({est} AS BIGINT)").alias("est_ppm"),
+            F.expr(f"CAST({exact} AS BIGINT)").alias("exact_ppm"),
+            F.expr(f"CAST(ABS({est} - {exact}) AS BIGINT)").alias(
+                "abs_err_ppm"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
     )

@@ -1008,3 +1008,167 @@ def q141_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("score")
     ).orderBy("query_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# q170 — hard-negative mining (contrastive training-pair selection)
+# ---------------------------------------------------------------------------
+# The training-data op behind every contrastive/metric-learning pipeline:
+# for each anchor vector, the HARDEST NEGATIVE (most-similar vector with a
+# DIFFERENT label — the pair the loss learns most from) and the FARTHEST
+# POSITIVE (least-similar same-label vector), plus the triplet margin
+# between them (negative margin ⇒ the triplet is currently violated).
+# Brute-force over the fixture slice with q55's decimal-exact dot
+# products; the IVF/SRP routing rungs (q56/q89) are the scale path for
+# candidate generation — the selection logic here is routing-agnostic.
+
+_HN_ANCHORS = 20  # vec_id < 20 act as anchors
+
+
+@register(
+    "q170_hard_negatives",
+    sql=f"""
+    WITH base0 AS (
+      SELECT vec_id, label,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), norm_terms AS (
+      SELECT vec_id, label, emb, UNNEST(RANGE(1, LEN(emb) + 1)) AS i
+      FROM base0
+    ), base AS (
+      SELECT vec_id, ANY_VALUE(label) AS label, ANY_VALUE(emb) AS emb,
+             SQRT(CAST(SUM(CAST(emb[i] * emb[i] AS {{dot}})) AS DOUBLE)) AS nrm
+      FROM norm_terms GROUP BY vec_id
+    ), pairs AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             t.vec_id AS other_id, t.label AS other_label,
+             a.emb AS ea, t.emb AS et, a.nrm AS na, t.nrm AS nt
+      FROM base a JOIN base t ON t.vec_id != a.vec_id
+      WHERE a.vec_id < {{anchors}}
+    ), indexed AS (
+      SELECT anchor_id, anchor_label, other_id, other_label,
+             ea, et, na, nt, UNNEST(RANGE(1, LEN(ea) + 1)) AS i
+      FROM pairs
+    ), scored AS (
+      SELECT anchor_id, ANY_VALUE(anchor_label) AS anchor_label,
+             other_id, ANY_VALUE(other_label) AS other_label,
+             CAST(SUM(CAST(ea[i] * et[i] AS {{dot}})) AS DOUBLE)
+               / (ANY_VALUE(na) * ANY_VALUE(nt)) AS cosine
+      FROM indexed GROUP BY anchor_id, other_id
+    ), neg AS (
+      SELECT anchor_id, anchor_label, other_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine DESC, other_id) AS rn
+      FROM scored WHERE other_label != anchor_label
+    ), pos AS (
+      SELECT anchor_id, other_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine ASC, other_id) AS rn
+      FROM scored WHERE other_label = anchor_label
+    )
+    SELECT n.anchor_id,
+           CAST(n.anchor_label AS BIGINT) AS anchor_label,
+           n.other_id AS hard_neg_id,
+           ROUND(n.cosine, 6) AS hard_neg_cos,
+           p.other_id AS far_pos_id,
+           ROUND(p.cosine, 6) AS far_pos_cos,
+           ROUND(p.cosine - n.cosine, 6) AS margin
+    FROM neg n JOIN pos p
+      ON p.anchor_id = n.anchor_id AND p.rn = 1
+    WHERE n.rn = 1
+    ORDER BY n.anchor_id
+    """.format(dot=_DOT_DEC, anchors=_HN_ANCHORS),
+    tags=("similarity", "training-pairs", "contrastive", "mining"),
+)
+def q170_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative / farthest-positive triplet mining per anchor vector:
+    the most-similar different-label vector, the least-similar same-label
+    vector, and the triplet margin between them — the pair-selection pass
+    a contrastive fine-tune runs over its corpus each round.
+
+    Scale shape: anchors broadcast against the corpus (one scan), q55's
+    JVM-side ZIP_WITH/AGGREGATE decimal dot products, then two
+    anchor-keyed rank windows (negatives by cosine desc, positives asc)
+    over the scored pairs. Swap the brute-force pair stage for q56/q89
+    routing when the corpus stops fitting a single scan per anchor set."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    norm = (
+        f"SQRT(CAST(AGGREGATE(TRANSFORM(emb, x -> CAST(x * x AS {_DOT_DEC})), "
+        f"CAST(0 AS {_DOT_DEC}), (acc, v) -> CAST(acc + v AS {_DOT_DEC})) AS DOUBLE))"
+    )
+    base = e.select(
+        "vec_id",
+        "label",
+        F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    ).withColumn("nrm", F.expr(norm))
+    a = base.filter(F.col("vec_id") < _HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("emb").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    t = base.select(
+        F.col("vec_id").alias("other_id"),
+        F.col("label").alias("other_label"),
+        F.col("emb").alias("et"),
+        F.col("nrm").alias("nt"),
+    )
+    dot = (
+        f"AGGREGATE(ZIP_WITH(ea, et, (p, v) -> CAST(p * v AS {_DOT_DEC})), "
+        f"CAST(0 AS {_DOT_DEC}), (acc, v) -> CAST(acc + v AS {_DOT_DEC}))"
+    )
+    scored = (
+        F.broadcast(a)
+        .join(t, F.col("other_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "other_id",
+            "other_label",
+            (
+                F.expr(f"CAST({dot} AS DOUBLE)") / (F.col("na") * F.col("nt"))
+            ).alias("cosine"),
+        )
+    )
+    w_neg = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("other_id")
+    )
+    w_pos = Window.partitionBy("anchor_id").orderBy(
+        F.asc("cosine"), F.asc("other_id")
+    )
+    neg = (
+        scored.filter(F.col("other_label") != F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w_neg))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("anchor_label").cast("bigint").alias("anchor_label"),
+            F.col("other_id").alias("hard_neg_id"),
+            F.col("cosine").alias("_nc"),
+        )
+    )
+    pos = (
+        scored.filter(F.col("other_label") == F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w_pos))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("other_id").alias("far_pos_id"),
+            F.col("cosine").alias("_pc"),
+        )
+    )
+    return (
+        neg.join(pos, "anchor_id")
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "hard_neg_id",
+            F.round("_nc", 6).alias("hard_neg_cos"),
+            "far_pos_id",
+            F.round("_pc", 6).alias("far_pos_cos"),
+            F.round(F.col("_pc") - F.col("_nc"), 6).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )

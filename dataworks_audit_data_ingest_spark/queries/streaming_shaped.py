@@ -1831,3 +1831,154 @@ def q163_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q168 — funnel conversion-latency distribution (exact order statistics)
+# ---------------------------------------------------------------------------
+# q101 reports WHO converts; this reports HOW FAST — the exact quantiles of
+# per-step latency (view→click, click→purchase, end-to-end) in whole
+# seconds, using q28/q149's portable lower-order-statistic convention
+# (rank 1 + FLOOR(q·(n−1)), fully deterministic tie-breaks) so every cell
+# hash-matches. The latency distribution is the product signal (a p75
+# regression means friction) that a mean alone hides.
+
+
+@register(
+    "q168_funnel_latency",
+    sql=f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = '{_FUNNEL[1]}' AND epoch_us(e.ts) > s1.t1
+        AND epoch_us(e.ts) <= s1.t1 + {_FUNNEL_STEP_US}
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = '{_FUNNEL[2]}' AND epoch_us(e.ts) > s2.t2
+        AND epoch_us(e.ts) <= s2.t2 + {_FUNNEL_STEP_US}
+      GROUP BY e.user_id
+    ), lat AS (
+      SELECT '1_view_to_click' AS segment, s2.user_id,
+             (s2.t2 - s1.t1) // 1000000 AS lat_s
+      FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+      UNION ALL
+      SELECT '2_click_to_purchase', s3.user_id,
+             (s3.t3 - s2.t2) // 1000000
+      FROM s3 JOIN s2 ON s3.user_id = s2.user_id
+      UNION ALL
+      SELECT '3_view_to_purchase', s3.user_id,
+             (s3.t3 - s1.t1) // 1000000
+      FROM s3 JOIN s1 ON s3.user_id = s1.user_id
+    ), ranked AS (
+      SELECT segment, lat_s,
+             ROW_NUMBER() OVER (PARTITION BY segment
+                                ORDER BY lat_s, user_id) AS rn,
+             COUNT(*) OVER (PARTITION BY segment) AS n
+      FROM lat
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(lat_s) AS BIGINT) AS min_s,
+           CAST(MAX(CASE WHEN rn = 1 + CAST(FLOOR(0.25 * (n - 1)) AS BIGINT)
+                    THEN lat_s END) AS BIGINT) AS p25_s,
+           CAST(MAX(CASE WHEN rn = 1 + CAST(FLOOR(0.5 * (n - 1)) AS BIGINT)
+                    THEN lat_s END) AS BIGINT) AS median_s,
+           CAST(MAX(CASE WHEN rn = 1 + CAST(FLOOR(0.75 * (n - 1)) AS BIGINT)
+                    THEN lat_s END) AS BIGINT) AS p75_s,
+           CAST(MAX(lat_s) AS BIGINT) AS max_s
+    FROM ranked
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    tags=("events", "funnel", "latency", "analytics"),
+)
+def q168_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution: exact {{min, p25, median, p75, max}}
+    of step and end-to-end conversion latency in whole seconds, per
+    funnel segment, over q101's sequenced-conversion semantics (first
+    qualifying event per step, 24 h step windows).
+
+    Scale shape: q101's chain of one-row-per-user aggregates, then ONE
+    segment-keyed window over (converted users × 3 segments) rows — the
+    quantile input is funnel-sized, never event-sized."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    s1 = (
+        e.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == _FUNNEL[1])
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t1"))
+            & (F.col("ts_us") <= F.col("t1") + F.lit(_FUNNEL_STEP_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == _FUNNEL[2])
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t2"))
+            & (F.col("ts_us") <= F.col("t2") + F.lit(_FUNNEL_STEP_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    lat = (
+        s2.join(s1, "user_id")
+        .select(
+            F.lit("1_view_to_click").alias("segment"),
+            "user_id",
+            F.expr("(t2 - t1) DIV 1000000").alias("lat_s"),
+        )
+        .unionByName(
+            s3.join(s2, "user_id").select(
+                F.lit("2_click_to_purchase").alias("segment"),
+                "user_id",
+                F.expr("(t3 - t2) DIV 1000000").alias("lat_s"),
+            )
+        )
+        .unionByName(
+            s3.join(s1, "user_id").select(
+                F.lit("3_view_to_purchase").alias("segment"),
+                "user_id",
+                F.expr("(t3 - t1) DIV 1000000").alias("lat_s"),
+            )
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("lat_s", "user_id")
+    wn = Window.partitionBy("segment")
+    ranked = lat.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+
+    def _q(q: str, alias: str) -> F.Column:
+        return F.expr(
+            f"CAST(MAX(CASE WHEN rn = 1 + CAST(FLOOR({q} * (n - 1)) AS BIGINT)"
+            f" THEN lat_s END) AS BIGINT)"
+        ).alias(alias)
+
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("lat_s").cast("bigint").alias("min_s"),
+            _q("0.25", "p25_s"),
+            _q("0.5", "median_s"),
+            _q("0.75", "p75_s"),
+            F.max("lat_s").cast("bigint").alias("max_s"),
+        )
+        .orderBy("segment")
+    )

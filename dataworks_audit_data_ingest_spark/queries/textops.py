@@ -1815,3 +1815,84 @@ def q159_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("abs_drift_ppm"), "token")
         .limit(_DRIFT_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q167 — integer readability scoring (Flesch-style, libm-free)
+# ---------------------------------------------------------------------------
+# The readability axis q61's quality gate doesn't measure: sentence length
+# and syllable density. Syllables are approximated by maximal vowel runs
+# (the classic heuristic); the Flesch reading-ease formula
+# 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) is evaluated
+# in exact integer milli-points with truncating division (non-negative
+# numerators, so Spark DIV == DuckDB //) — cross-engine bit-identical, no
+# floats, no libm. Low scores flag run-on machine-generated text; high
+# scores flag fragmentary boilerplate — both curation signals.
+
+
+@register(
+    "q167_readability",
+    sql="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+             GREATEST(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
+                 '[.!?]', '', 'g')) AS BIGINT), 1) AS n_sentences,
+             GREATEST(CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+                 '[aeiouy]+')) AS BIGINT), 1) AS n_syllables
+      FROM documents WHERE doc_id < 200 AND LENGTH(text) > 0
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(1000 * n_words // n_sentences AS BIGINT)
+             AS words_per_sentence_milli,
+           CAST(1000 * n_syllables // n_words AS BIGINT)
+             AS syllables_per_word_milli,
+           CAST(206835 - (1015000 * n_words // n_sentences) // 1000
+                       - (84600 * n_syllables) // n_words
+                AS BIGINT) AS flesch_milli
+    FROM base
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "readability"),
+)
+def q167_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Flesch-style readability per document: whitespace words
+    (q62's convention), sentences counted as terminal-punctuation marks,
+    syllables approximated by maximal vowel runs, and the reading-ease
+    score in exact milli-points. Everything is integer arithmetic with
+    non-negative numerators, so both engines truncate identically and
+    the score hash-matches bit-for-bit.
+
+    Scale shape: pure map-side expressions (two regexes + a split per
+    document) and no join — the final ORDER BY is the only exchange."""
+    d = table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & (F.length("text") > 0)
+    )
+    base = d.select(
+        "doc_id",
+        F.expr("CAST(SIZE(SPLIT(text, ' ')) AS BIGINT)").alias("n_words"),
+        F.expr(
+            "GREATEST(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text,"
+            " '[.!?]', '')) AS BIGINT), 1)"
+        ).alias("n_sentences"),
+        F.expr(
+            "GREATEST(CAST(SIZE(REGEXP_EXTRACT_ALL(LOWER(text),"
+            " '[aeiouy]+', 0)) AS BIGINT), 1)"
+        ).alias("n_syllables"),
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr("CAST(1000 * n_words DIV n_sentences AS BIGINT)").alias(
+            "words_per_sentence_milli"
+        ),
+        F.expr("CAST(1000 * n_syllables DIV n_words AS BIGINT)").alias(
+            "syllables_per_word_milli"
+        ),
+        F.expr(
+            "CAST(206835 - (1015000 * n_words DIV n_sentences) DIV 1000"
+            " - (84600 * n_syllables) DIV n_words AS BIGINT)"
+        ).alias("flesch_milli"),
+    ).orderBy("doc_id")
