@@ -1,0 +1,69 @@
+"""Streaming CDC chunk dedup: documents arrive as a stream; each
+micro-batch is chunked at content-defined boundaries and deduplicated at
+CHUNK granularity against everything previously ingested — the
+re-crawl-resilient rung of the incremental family (lexical bands:
+``curation_job``; semantic signatures: ``incremental_semantic``;
+perceptual hashes: ``incremental_phash``; content chunks: here).
+
+Why chunk-level for streams: a re-crawl of a page with one edited
+paragraph is NOT a near-duplicate the signature stores necessarily catch
+cheaply, but every unchanged chunk hashes identically — the sink stores
+only the novel chunks and a per-document novelty score (re-crawled
+boilerplate scores ~0), so storage grows with NEW content, not with crawl
+frequency. State is the external (chunk_hash, chunk_len) store from
+``text/cdc.py`` — batch_id-partitioned, dynamic-overwrite idempotent, the
+same exactly-once discipline as the other incremental jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..text.cdc import DEFAULT_DIV, DEFAULT_WIN, incremental_cdc_batch
+
+
+def start_cdc_stream(
+    docs_stream: DataFrame,
+    out_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    win: int = DEFAULT_WIN,
+    div: int = DEFAULT_DIV,
+    available_now: bool = True,
+):
+    """foreachBatch CDC dedup: chunk → dedup vs the chunk store → land the
+    novel chunks and the per-doc novelty stats under batch_id=
+    (dynamic overwrite ⇒ replayed batches rewrite their own output)."""
+
+    def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        novel, doc_stats = incremental_cdc_batch(
+            spark,
+            store_path,
+            batch_df,
+            str(batch_id),
+            id_col=id_col,
+            text_col=text_col,
+            win=win,
+            div=div,
+        )
+        for sub, df in (("chunks", novel), ("doc_stats", doc_stats)):
+            (
+                df.withColumn("batch_id", F.lit(str(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(f"{out_dir}/{sub}")
+            )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
