@@ -84,6 +84,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q162_cohort_ltv",
     "q163_numeric_drift",
     "q168_funnel_latency",
+    "q172_cuped_readout",
     "q165_cdc_novelty",
     "q99_novelty_score",
     "q135_duplication_report",
@@ -93,7 +94,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q138_vector_contract",
     "q139_label_balance",
     "q141_ann_ivfpq",
-    "q170_hard_negatives",
 )
 
 

@@ -1982,3 +1982,156 @@ def q168_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 — CUPED variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+# The experimentation-platform upgrade to q154: CUPED (Controlled-experiment
+# Using Pre-Experiment Data) regresses the post-period metric on the
+# pre-period covariate and reads out the ADJUSTED means — same expectation,
+# materially lower variance, so experiments conclude earlier. All
+# arithmetic is exact integers: cents-scale centered moments (bounded well
+# inside BIGINT at fixture scales), θ in milli via truncating division.
+# Portability note: integer division of NEGATIVE values truncates toward
+# zero on BOTH engines (Spark DIV and DuckDB // — verified -7÷2 = -3 on
+# both), so the signed covariance/deviation arithmetic here hash-matches;
+# the repo's earlier non-negative-numerator discipline was conservative.
+
+
+@register(
+    "q172_cuped_readout",
+    sql=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), span AS (
+      SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid FROM ev
+    ), per_user AS (
+      SELECT user_id,
+             COALESCE(SUM(CASE WHEN ts_us <= mid THEN cents END), 0) AS x,
+             COALESCE(SUM(CASE WHEN ts_us > mid THEN cents END), 0) AS y
+      FROM ev, span GROUP BY user_id
+    ), assigned AS (
+      SELECT user_id, x, y,
+             {duckdb_hash32("CAST(user_id AS VARCHAR)", seed="exp1")} % 2 AS arm
+      FROM per_user
+    ), gstats AS (
+      SELECT COUNT(*) AS n, SUM(x) // COUNT(*) AS xbar_c FROM assigned
+    ), dev AS (
+      SELECT arm, user_id, x, y, (x - xbar_c) AS dx FROM assigned, gstats
+    ), theta AS (
+      SELECT (1000 * SUM(dx * y)) // NULLIF(SUM(dx * dx), 0) AS theta_milli
+      FROM dev
+    ), adj AS (
+      SELECT arm, user_id, y,
+             (1000 * y - theta_milli * dx) // 1000 AS y_adj_c
+      FROM dev, theta
+    ), arm_means AS (
+      SELECT arm, COUNT(*) AS n_arm,
+             SUM(y) // COUNT(*) AS ybar_c,
+             SUM(y_adj_c) // COUNT(*) AS yabar_c
+      FROM adj GROUP BY arm
+    )
+    SELECT a.arm,
+           CAST(m.n_arm AS BIGINT) AS n_users,
+           CAST((1000 * SUM(a.y)) // m.n_arm AS BIGINT) AS mean_y_milli,
+           CAST((1000 * SUM(a.y_adj_c)) // m.n_arm AS BIGINT)
+             AS mean_yadj_milli,
+           CAST(MAX(t.theta_milli) AS BIGINT) AS theta_milli,
+           CAST(1000 - (1000 * SUM((a.y_adj_c - m.yabar_c)
+                                   * (a.y_adj_c - m.yabar_c)))
+                // NULLIF(SUM((a.y - m.ybar_c) * (a.y - m.ybar_c)), 0)
+                AS BIGINT) AS var_reduction_pm
+    FROM adj a JOIN arm_means m USING (arm) CROSS JOIN theta t
+    GROUP BY a.arm, m.n_arm
+    ORDER BY a.arm
+    """,
+    tags=("experimentation", "ab-test", "cuped", "variance-reduction"),
+)
+def q172_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED readout: per hash-assigned arm (q154's assignment), the raw
+    and covariate-adjusted mean post-period spend (milli-cents), the
+    pooled regression coefficient θ (milli), and the achieved variance
+    reduction in per-mille — the Deng et al. estimator
+    ``Y_adj = Y − θ·(X − X̄)`` with X the pre-period spend of the same
+    user, in exact integer arithmetic end to end (floor-mean centering,
+    truncating division — verified identical for signed values on both
+    engines).
+
+    Scale shape: ONE user_id-keyed aggregation builds (x, y) per user;
+    the global mean, θ, and per-arm means are rows-sized broadcasts; the
+    adjustment is map-side arithmetic. Centered cents-scale moments keep
+    every intermediate ≳10⁴× inside BIGINT at fixture scales (guard the
+    scale, not the algebra, when porting to bigger money columns)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    span = ev.agg(F.expr("(MIN(ts_us) + MAX(ts_us)) DIV 2").alias("mid"))
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CASE WHEN ts_us <= mid THEN cents END")),
+                F.lit(0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.expr("CASE WHEN ts_us > mid THEN cents END")),
+                F.lit(0),
+            ).alias("y"),
+        )
+    )
+    assigned = per_user.withColumn(
+        "arm", F.expr(spark_hash32("CAST(user_id AS STRING)", seed="exp1")) % 2
+    )
+    glob = assigned.agg(
+        F.expr("SUM(x) DIV COUNT(*)").alias("xbar_c")
+    )
+    dev = assigned.crossJoin(F.broadcast(glob)).withColumn(
+        "dx", F.col("x") - F.col("xbar_c")
+    )
+    theta = dev.agg(
+        F.expr(
+            "(1000 * SUM(dx * y)) DIV NULLIF(SUM(dx * dx), 0)"
+        ).alias("theta_milli")
+    )
+    adj = dev.crossJoin(F.broadcast(theta)).withColumn(
+        "y_adj_c", F.expr("(1000 * y - theta_milli * dx) DIV 1000")
+    )
+    arm_means = adj.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        F.expr("SUM(y) DIV COUNT(*)").alias("ybar_c"),
+        F.expr("SUM(y_adj_c) DIV COUNT(*)").alias("yabar_c"),
+    )
+    return (
+        adj.join(F.broadcast(arm_means), "arm")
+        .groupBy("arm", "n_arm")
+        .agg(
+            F.expr("CAST((1000 * SUM(y)) DIV n_arm AS BIGINT)").alias(
+                "mean_y_milli"
+            ),
+            F.expr("CAST((1000 * SUM(y_adj_c)) DIV n_arm AS BIGINT)").alias(
+                "mean_yadj_milli"
+            ),
+            F.expr("CAST(MAX(theta_milli) AS BIGINT)").alias("theta_milli"),
+            F.expr(
+                "CAST(1000 - (1000 * SUM((y_adj_c - yabar_c)"
+                " * (y_adj_c - yabar_c)))"
+                " DIV NULLIF(SUM((y - ybar_c) * (y - ybar_c)), 0)"
+                " AS BIGINT)"
+            ).alias("var_reduction_pm"),
+        )
+        .select(
+            "arm",
+            F.col("n_arm").cast("bigint").alias("n_users"),
+            "mean_y_milli",
+            "mean_yadj_milli",
+            "theta_milli",
+            "var_reduction_pm",
+        )
+        .orderBy("arm")
+    )
