@@ -30,70 +30,67 @@ from . import graph_shaped  # noqa: E402,F401
 # registration order indices 0-49). DRIVER_PRIORITY pins an explicit order,
 # rotated per round so every query accumulates a current driver row.
 #
-# Round-5 rotation is COMPUTED, not hand-curated: the list below is the
-# verbatim output of `python tools/rotation.py --emit` over the r01–r04
+# Round-6 rotation is COMPUTED, not hand-curated: the list below is the
+# verbatim output of `python tools/rotation.py --emit` over the r01–r05
 # driver history (DRIVER_PRIORITY_AS_OF_ROUND pins which history it was
 # computed from; tests/test_cli_operators.py asserts the paste matches the
-# computation, so hand-drift is a test failure). Head: q92/q93 PINNED —
-# they are the repo's only red driver rows ever (r04 hash-fail, root cause
-# the oracle-side HUGEINT promotion, fixed this round) and must re-prove
-# green. Then the first 48 of the 74 never-driver-run queries (67 from
-# round 4's backlog + the 7 registered this round, q165–q171) in
-# registration order. The ~26 remaining never-run queries lead round 6.
-DRIVER_PRIORITY_AS_OF_ROUND = 4
+# computation, so hand-drift is a test failure). The q92/q93 pins are
+# cleared (both re-proved green in r05). Head: ALL 27 remaining
+# never-driver-run queries — after this round every registered query has a
+# driver row — then the 23 stalest refreshes (all r03-latest), dropping
+# the staleness ceiling.
+DRIVER_PRIORITY_AS_OF_ROUND = 5
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- q92/q93 pinned (r04 red rows, oracle cast fixed, must re-prove
-    # -- green); then never-driver-run queries in registration order --
-    "q92_char_diversity",
-    "q93_cdc_chunk_dedup",
-    "q115_scd2_apply",
-    "q124_skew_report",
-    "q131_referential_audit",
-    "q132_weekly_growth",
-    "q134_snapshot_diff",
-    "q140_join_size_audit",
-    "q107_hll_exact_registers",
-    "q111_hll_daily_rollup",
-    "q117_covariance_matrix",
-    "q118_hll_overlap",
-    "q120_rolling_active_users",
-    "q122_ols_fit",
-    "q148_brand_affinity",
-    "q166_item_cf_neighbors",
-    "q149_mad_outliers",
-    "q150_variant_extract",
-    "q151_benford_audit",
-    "q157_target_encoding",
-    "q160_rfm_segmentation",
-    "q169_trimmed_mean",
-    "q110_histogram_quantiles",
-    "q127_revenue_share",
-    "q101_funnel",
-    "q102_event_transitions",
-    "q116_traffic_anomaly",
-    "q123_seasonal_backtest",
-    "q128_journey_trigrams",
-    "q133_transition_dwell_times",
-    "q136_session_length_distribution",
-    "q137_seasonality_profile",
-    "q147_attribution",
-    "q154_ab_readout",
-    "q155_cusum_drift",
-    "q156_point_in_time_features",
-    "q161_trending_users",
-    "q162_cohort_ltv",
-    "q163_numeric_drift",
-    "q168_funnel_latency",
-    "q172_cuped_readout",
-    "q165_cdc_novelty",
-    "q99_novelty_score",
-    "q135_duplication_report",
-    "q152_keep_best_copy",
-    "q171_lsh_precision_audit",
-    "q114_embedding_health",
-    "q138_vector_contract",
-    "q139_label_balance",
-    "q141_ann_ivfpq",
+    "q170_hard_negatives",
+    "q98_bpe_pair_counts",
+    "q100_vocab_coverage",
+    "q103_bm25",
+    "q104_train_split",
+    "q105_posting_lists",
+    "q109_quality_model_score",
+    "q112_unigram_surprisal",
+    "q119_bigram_surprisal",
+    "q125_udtf_chunks",
+    "q126_hashed_features",
+    "q129_model_calibration",
+    "q142_shard_manifest",
+    "q143_kmv_distinct",
+    "q153_record_linkage",
+    "q159_vocab_drift",
+    "q167_readability",
+    "q121_frame_sample_plan",
+    "q145_media_phash_dedup",
+    "q158_interval_coverage",
+    "q108_split_leakage",
+    "q113_data_expectations",
+    "q130_source_overlap_matrix",
+    "q144_temperature_mixture",
+    "q164_model_ece",
+    "q106_event_pagerank",
+    "q146_dedup_triangle_census",
+    "q01_pricing_summary",
+    "q04_revenue_forecast",
+    "q07_customer_order_stats",
+    "q08_distinct_agg",
+    "q09_rollup",
+    "q10_cube",
+    "q11_grouping_sets",
+    "q14_event_gaps",
+    "q15_moving_average",
+    "q16_acctbal_deciles",
+    "q16s_acctbal_deciles_scale",
+    "q17_nation_rank",
+    "q26_top_parts_global",
+    "q28_percentiles",
+    "q29_scalar_subquery",
+    "q30_tumbling_daily",
+    "q31_sliding_hourly",
+    "q33_dedup_within_watermark",
+    "q34_pivot",
+    "q34b_funnel_conversion",
+    "q35_unpivot",
+    "q35b_session_bounce_rate",
+    "q36_first_last_window",
 )
 
 

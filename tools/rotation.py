@@ -29,12 +29,10 @@ TOP_N = 50
 # Queries force-included at the HEAD of the next rotation regardless of how
 # fresh their last driver row is — used for red rows that must re-prove
 # themselves (the tool would otherwise rank a just-failed query last because
-# its row is the newest). Round 5: q92/q93 failed r04 on the oracle HUGEINT
-# cast (fixed; the repo's only red driver rows ever) — pin both until green.
-PINNED: tuple[str, ...] = (
-    "q92_char_diversity",
-    "q93_cdc_chunk_dedup",
-)
+# its row is the newest). Round 6: empty — q92/q93 (the repo's only red
+# driver rows ever, red in r04 on the oracle HUGEINT cast) re-proved green
+# in CORRECTNESS_r05, so their pins are cleared.
+PINNED: tuple[str, ...] = ()
 
 
 def history(as_of: int | None = None) -> tuple[dict[str, int], int]:
