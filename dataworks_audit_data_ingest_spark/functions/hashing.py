@@ -71,10 +71,19 @@ def cdc_window_hash(text_col: str, pos_col: str, win: int = 8) -> str:
     identical SQL text in Spark and DuckDB. The boundary rule
     ``hash % div == 0`` gives Rabin/Gear-style content-defined chunk cuts
     (expected chunk length ≈ div). Shared by q93 and text/cdc.py — both
-    must cut at identical positions or chunk hashes stop matching."""
-    if win > 12:
+    must cut at identical positions or chunk hashes stop matching.
+
+    The guard is ``win <= 9``: the max hash 0x10FFFF·(31^win−1)/30 stays
+    under BIGINT max (9.22e18) only through win=9 (≈9.8e17); at win=10 it
+    reaches ≈3.0e19, where Spark (non-ANSI) wraps silently while DuckDB
+    raises — chunk boundaries would silently diverge across engines for
+    non-ASCII text. win 10-12 previously passed the guard; they were
+    only safe under an undeclared ASCII-only input contract."""
+    if win > 9:
         raise ValueError(
-            f"win={win}: 0x10FFFF*31^{win - 1} overflows BIGINT headroom"
+            f"win={win}: 0x10FFFF*(31^{win}-1)/30 exceeds BIGINT max; "
+            "Spark wraps silently where DuckDB raises, so cross-engine "
+            "chunk boundaries diverge. Use win <= 9."
         )
     h = f"CAST(ascii(substr({text_col}, {pos_col}, 1)) AS BIGINT)"
     for k in range(1, win):

@@ -198,9 +198,25 @@ def read_shard(
     splits preserve file order). ``coalesce(1)`` merges the splits without
     a shuffle — one shard is one loader's sequential stream, so
     single-partition is the consumption shape anyway — and makes the
-    within-partition sort a true total order for every epoch."""
-    df = spark.read.parquet(f"{path}/shard={shard}").coalesce(1)
+    within-partition sort a true total order for every epoch.
+
+    A shard the manifest records as empty (``n_rows == 0`` — e.g. after a
+    rewrite that emptied it, where stale-shard cleanup removed its
+    ``shard=K`` directory) returns an EMPTY DataFrame with the dataset
+    schema instead of raising path-not-found, so a loader iterating
+    ``range(n_shards)`` from the manifest never crashes on a gap. The
+    schema comes from a root read (partition column dropped — a direct
+    ``shard=K`` read never carries it), which matches the non-empty
+    branch's column order exactly."""
     man = read_manifest(path)
+    if man["shards"].get(str(shard), {}).get("n_rows", 0) == 0:
+        return (
+            spark.read.parquet(path)
+            .filter(F.col("shard") == shard)
+            .drop("shard")
+            .coalesce(1)
+        )
+    df = spark.read.parquet(f"{path}/shard={shard}").coalesce(1)
     if epoch == 0:
         return df.sortWithinPartitions("shard_ord", man["id_col"])
     return df.sortWithinPartitions(

@@ -13,6 +13,18 @@ boilerplate scores ~0), so storage grows with NEW content, not with crawl
 frequency. State is the external (chunk_hash, chunk_len) store from
 ``text/cdc.py`` — batch_id-partitioned, dynamic-overwrite idempotent, the
 same exactly-once discipline as the other incremental jobs.
+
+Recovery precondition (shared by every job in the incremental family):
+replay idempotency holds only when a restart REUSES the checkpoint, so
+the stream re-slices into the SAME (batch_id → files) assignment and
+dynamic overwrite rewrites exactly the partitions the failed run wrote.
+A fresh checkpoint with different slicing (e.g. a changed
+``maxFilesPerTrigger``) restarts batch_ids from 0 but leaves the old
+run's higher-batch_id store partitions in place — their chunk hashes
+still match the left-anti join, so genuinely re-arriving content looks
+non-novel. On a fresh-checkpoint restart either point at a fresh
+``store_path``/``out_dir`` or delete store partitions with batch_id at
+or beyond the restart point first.
 """
 
 from __future__ import annotations

@@ -65,6 +65,13 @@ def chunk_documents_cdc(
         F.col(text_col).alias("_t"),
         *[c for c in docs.columns if c not in (id_col, text_col)],
     )
+    # null/empty text short-circuits to zero chunks: the final-cut union
+    # below would otherwise emit a degenerate row per empty doc
+    # (start_pos=1 > end_pos=0, md5('')) and a null-hash row per null doc
+    # — and a null chunk_hash never matches incremental_cdc_batch's
+    # left-anti store join, so such docs would be re-marked novel and
+    # re-written to the store every batch.
+    d = d.filter(F.col("_t").isNotNull() & (F.length("_t") > 0))
     long_enough = d.filter(F.length("_t") >= win)
     pos = long_enough.select(
         id_col,

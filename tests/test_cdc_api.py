@@ -208,3 +208,26 @@ def test_streaming_cdc_job_matches_driven_batches(spark, tmp_path):
     assert out2.select("doc_id").distinct().count() == len(docs)
     store = spark.read.parquet(str(tmp_path / "store"))
     assert store.count() == store.select("chunk_hash").distinct().count()
+
+
+def test_null_and_empty_text_short_circuit_to_zero_chunks(spark, tmp_path):
+    """Empty-text docs must not emit a degenerate chunk (start_pos=1 >
+    end_pos=0, md5('')) and null-text docs must not emit a null-hash
+    chunk — a null chunk_hash never matches the store's left-anti join,
+    so such docs would be re-marked novel and re-written every batch."""
+    docs = spark.createDataFrame(
+        [(1, "hello world, this is a real document body"), (2, ""), (3, None)],
+        "doc_id bigint, text string",
+    )
+    chunks = chunk_documents_cdc(docs, "doc_id", "text")
+    assert chunks.filter(F.col("doc_id").isin(2, 3)).count() == 0
+    assert chunks.filter(F.col("doc_id") == 1).count() >= 1
+
+    store = str(tmp_path / "store")
+    novel1, _ = incremental_cdc_batch(spark, store, docs, "0")
+    assert novel1.filter(F.col("doc_id").isin(2, 3)).count() == 0
+    # replaying identical content: NOTHING is novel — in particular the
+    # null-text doc no longer re-registers as novel on every batch
+    novel2, stats2 = incremental_cdc_batch(spark, store, docs, "1")
+    assert novel2.count() == 0
+    assert stats2.filter(F.col("n_novel") > 0).count() == 0

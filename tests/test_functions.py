@@ -191,3 +191,19 @@ def test_expectations_single_aggregation_job(spark):
         .toString()
     )
     assert plan.count("Range (0, 100") == 1, plan
+
+
+def test_cdc_window_hash_overflow_guard():
+    """win=9 is the largest window whose max hash 0x10FFFF*(31^win-1)/30
+    fits BIGINT for the FULL codepoint range; at win=10 Spark (non-ANSI)
+    wraps silently where DuckDB raises, so cross-engine chunk boundaries
+    would silently diverge on non-ASCII text. The guard must reject it."""
+    from dataworks_audit_data_ingest_spark.functions.hashing import (
+        cdc_window_hash,
+    )
+
+    assert "ascii" in cdc_window_hash("t", "p", 9)  # allowed
+    assert 0x10FFFF * (31**9 - 1) // 30 < 2**63 - 1
+    assert 0x10FFFF * (31**10 - 1) // 30 > 2**63 - 1
+    with pytest.raises(ValueError):
+        cdc_window_hash("t", "p", 10)

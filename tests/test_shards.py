@@ -195,3 +195,21 @@ def test_read_shard_order_is_total_under_split_reads(spark, tmp_path):
             assert got == exp, f"epoch {epoch} order not total"
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_read_shard_of_emptied_shard_returns_empty_frame(spark, tmp_path):
+    """After a rewrite empties a shard, its shard=K directory is cleaned
+    up but the manifest still lists it with n_rows=0; read_shard must
+    return an EMPTY frame with the dataset schema (matching a non-empty
+    shard's columns exactly) instead of raising path-not-found, so a
+    loader iterating range(n_shards) from the manifest never crashes."""
+    d = table(spark, SF, "documents")
+    path = str(tmp_path / "re")
+    write_training_shards(d, path, N)
+    man = write_training_shards(d.limit(1), path, N)
+    empties = [int(k) for k, v in man["shards"].items() if v["n_rows"] == 0]
+    fulls = [int(k) for k, v in man["shards"].items() if v["n_rows"] > 0]
+    assert empties and fulls
+    got = read_shard(spark, path, empties[0])
+    assert got.count() == 0
+    assert got.columns == read_shard(spark, path, fulls[0]).columns
