@@ -88,6 +88,16 @@ def get_spark(app_name: str = "dataworks-audit-data-ingest-spark") -> SparkSessi
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
+    # Two local sessions sharing a cwd share ./spark-warehouse and the
+    # Derby metastore_db — a concurrent run (e.g. an oracle sweep while
+    # pytest executes) can corrupt either. SPARK_GRAFT_WAREHOUSE points
+    # both at a caller-owned directory; the pytest fixture sets it to a
+    # per-session tmp dir so suites are immune to a second local session.
+    wh = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if wh:
+        builder = builder.config("spark.sql.warehouse.dir", wh).config(
+            "spark.driver.extraJavaOptions", f"-Dderby.system.home={wh}"
+        )
     return tune(builder.getOrCreate())
 
 

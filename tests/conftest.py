@@ -21,9 +21,15 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_SF_DIR_ORACLE", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from dataworks_audit_data_ingest_spark.session import get_spark
 
+    # Per-session warehouse + Derby home: a concurrent local Spark session
+    # in the same cwd (e.g. tools/check_oracle.py sweeping while the suite
+    # runs) must not share ./spark-warehouse or ./metastore_db with us.
+    os.environ.setdefault(
+        "SPARK_GRAFT_WAREHOUSE", str(tmp_path_factory.mktemp("warehouse"))
+    )
     s = get_spark("pytest")
     yield s
     s.stop()
