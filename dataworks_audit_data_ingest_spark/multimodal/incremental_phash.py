@@ -82,16 +82,10 @@ def incremental_phash_batch(
     ``{store_path}/batch_id={batch_id}``."""
     new_bands = band_media(batch, text_col=text_col).localCheckpoint()
 
-    from ..sources.readers import read_parquet_store_or_none
+    from ..incremental.store import read_store_excluding_batch
 
-    # path-missing ⇒ first batch; corrupt/permission/IO errors propagate
-    # (a swallowed read error would silently skip cross-batch dedup)
-    store = read_parquet_store_or_none(spark, store_path)
+    store = read_store_excluding_batch(spark, store_path, batch_id)
     have_store = store is not None
-    if have_store:
-        store = store.filter(F.col("batch_id") != F.lit(batch_id)).drop(
-            "batch_id"
-        )
 
     a = new_bands.select(
         F.col("doc_id").alias("doc_a"), "band", F.col("bval").alias("bv")
@@ -120,12 +114,9 @@ def incremental_phash_batch(
     dup_ids = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     unique_docs = batch.join(dup_ids, "doc_id", "left_anti")
 
-    (
-        new_bands.join(dup_ids, "doc_id", "left_anti")
-        .withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(store_path)
+    from ..incremental.store import commit_batch_partition
+
+    commit_batch_partition(
+        new_bands.join(dup_ids, "doc_id", "left_anti"), store_path, batch_id
     )
     return unique_docs, pairs

@@ -30,7 +30,6 @@ or beyond the restart point first.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ..text.cdc import DEFAULT_DIV, DEFAULT_WIN, incremental_cdc_batch
 
@@ -62,14 +61,10 @@ def start_cdc_stream(
             win=win,
             div=div,
         )
+        from ..incremental.store import commit_batch_partition
+
         for sub, df in (("chunks", novel), ("doc_stats", doc_stats)):
-            (
-                df.withColumn("batch_id", F.lit(str(batch_id)))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(f"{out_dir}/{sub}")
-            )
+            commit_batch_partition(df, f"{out_dir}/{sub}", str(batch_id))
 
     writer = (
         docs_stream.writeStream.foreachBatch(one_batch)

@@ -173,7 +173,10 @@ def incremental_cdc_batch(
     never enters the store or the comparison shuffle; per-batch cost is
     one chunking pass + one hash-keyed left-anti join against the store.
     """
-    from ..sources.readers import read_parquet_store_or_none
+    from ..incremental.store import (
+        commit_batch_partition,
+        read_store_excluding_batch,
+    )
 
     chunks = chunk_documents_cdc(batch, id_col, text_col, win, div)
     chunks = chunks.localCheckpoint()
@@ -186,11 +189,8 @@ def incremental_cdc_batch(
         .drop("_rk")
     )
 
-    store = read_parquet_store_or_none(spark, store_path)
+    store = read_store_excluding_batch(spark, store_path, batch_id)
     if store is not None:
-        store = store.filter(F.col("batch_id") != F.lit(batch_id)).drop(
-            "batch_id"
-        )
         novel = firsts.join(
             store.select("chunk_hash"), "chunk_hash", "left_anti"
         )
@@ -215,12 +215,7 @@ def incremental_cdc_batch(
         )
     )
 
-    (
-        novel.select("chunk_hash", "chunk_len")
-        .withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(store_path)
+    commit_batch_partition(
+        novel.select("chunk_hash", "chunk_len"), store_path, batch_id
     )
     return novel, doc_stats

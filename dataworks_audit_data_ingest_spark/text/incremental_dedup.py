@@ -55,21 +55,10 @@ def incremental_dedup_batch(
     """
     new_bands = band_documents(batch).localCheckpoint()
 
-    from ..sources.readers import read_parquet_store_or_none
+    from ..incremental.store import read_store_excluding_batch
 
-    # path-missing ⇒ first batch; corrupt/permission/IO errors propagate
-    # (a swallowed read error would silently skip cross-batch dedup).
-    # Exclude this batch's own partition: on a replay (failure after the
-    # store write but before the curated-sink write) the store already
-    # holds this batch's bands, and reading them back would make every
-    # doc self-match and silently drop the whole batch from the corpus.
-    # The partition-column filter also prunes the scan.
-    store = read_parquet_store_or_none(spark, store_path)
+    store = read_store_excluding_batch(spark, store_path, batch_id)
     have_store = store is not None
-    if have_store:
-        store = store.filter(F.col("batch_id") != F.lit(batch_id)).drop(
-            "batch_id"
-        )
 
     # within-batch pairs (doc_a < doc_b: keep the earlier, drop the later)
     within = lsh_candidate_pairs(new_bands, bucket_cap=bucket_cap)
@@ -106,12 +95,9 @@ def incremental_dedup_batch(
     unique_docs = batch.join(dup_ids, "doc_id", "left_anti")
 
     # persist the unique docs' bands under this batch's partition
-    (
-        new_bands.join(dup_ids, "doc_id", "left_anti")
-        .withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(store_path)
+    from ..incremental.store import commit_batch_partition
+
+    commit_batch_partition(
+        new_bands.join(dup_ids, "doc_id", "left_anti"), store_path, batch_id
     )
     return unique_docs, dup_pairs

@@ -125,16 +125,10 @@ def incremental_semantic_batch(
         "_v",
     ).select("doc_id", "_v", F.col("_nrm").alias("_n"))
 
-    from ..sources.readers import read_parquet_store_or_none
+    from ..incremental.store import read_store_excluding_batch
 
-    # path-missing ⇒ first batch; corrupt/permission/IO errors propagate
-    # (a swallowed read error would silently skip cross-batch dedup)
-    store = read_parquet_store_or_none(spark, store_path)
+    store = read_store_excluding_batch(spark, store_path, batch_id)
     have_store = store is not None
-    if have_store:
-        store = store.filter(F.col("batch_id") != F.lit(batch_id)).drop(
-            "batch_id"
-        )
 
     # -- candidates, level 1: exact full-signature agreement --
     w_sig = Window.partitionBy("fullsig")
@@ -228,12 +222,9 @@ def incremental_semantic_batch(
         dup_ids, "doc_id", "left_anti"
     ).withColumnRenamed("doc_id", id_col)
 
-    (
-        sq.join(dup_ids, "doc_id", "left_anti")
-        .withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(store_path)
+    from ..incremental.store import commit_batch_partition
+
+    commit_batch_partition(
+        sq.join(dup_ids, "doc_id", "left_anti"), store_path, batch_id
     )
     return unique_docs, dup_pairs
