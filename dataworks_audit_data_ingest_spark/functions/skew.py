@@ -52,3 +52,67 @@ def salted_join(
     right_replicated = right.select("*", buckets)
     joined = left_salted.join(right_replicated, [key, "_salt"])
     return joined.drop("_salt")
+
+
+def key_skew_milli(df: DataFrame, key: str) -> int:
+    """Integer skew factor of ``df``'s ``key`` histogram: max rows-per-key
+    over mean rows-per-key in milli-units (1000 = perfectly uniform) —
+    the same metric q124's skew report computes
+    (`queries/relational.py::q124_skew_report`), reduced to the one
+    number a salting decision needs.
+
+    Cost: one partial-aggregated count per key plus a constant-size
+    moment reduction; the single-row collect is driver-small by
+    construction. At scale, compute this once per table/key from the
+    standing q124-style report and pass it to :func:`maybe_salted_join`
+    via ``skew_milli`` instead of re-scanning per join.
+    """
+    rows = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_c"),
+        )
+        .select(
+            F.expr("CAST((1000 * max_c * n_keys) DIV n_rows AS BIGINT)").alias(
+                "skew_milli"
+            )
+        )
+        .collect()
+    )
+    # empty input: n_rows = 0 ⇒ DIV yields NULL ⇒ treat as uniform
+    if not rows or rows[0]["skew_milli"] is None:
+        return 1000
+    return int(rows[0]["skew_milli"])
+
+
+def maybe_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    skew_threshold_milli: int = 10_000,
+    skew_milli: int | None = None,
+) -> DataFrame:
+    """Equi-join that salts ONLY when the left side's key histogram says
+    it must — the decision loop q124's report describes, closed.
+
+    ``skew_milli`` ≥ ``skew_threshold_milli`` (default 10⁴: one key
+    holds ≥ 10× its uniform share, enough to straggle a plain shuffle
+    join even with AQE's skew split, which cannot split a single key's
+    build side) ⇒ :func:`salted_join`; below it, a plain join so the
+    optimizer keeps every strategy (broadcast, sort-merge, AQE) open and
+    no replication cost is paid. Pass a precomputed ``skew_milli`` (from
+    a standing q124-style report) to skip the histogram scan; otherwise
+    :func:`key_skew_milli` computes it from ``left``.
+
+    Both branches return identical rows and column order
+    (key, left-cols, right-cols) — pinned by test.
+    """
+    if skew_milli is None:
+        skew_milli = key_skew_milli(left, key)
+    if skew_milli >= skew_threshold_milli:
+        return salted_join(left, right, key, salt_buckets)
+    return left.join(right, key)

@@ -4,7 +4,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dataworks_audit_data_ingest_spark.functions.skew import salted_agg, salted_join
+from dataworks_audit_data_ingest_spark.functions.skew import (
+    key_skew_milli,
+    maybe_salted_join,
+    salted_agg,
+    salted_join,
+)
 from dataworks_audit_data_ingest_spark.sources import read_json_with_quarantine
 from dataworks_audit_data_ingest_spark.tables import table
 
@@ -80,3 +85,40 @@ def test_quarantine_does_not_mutate_caller_schema(spark, tmp_path):
         good, bad = read_json_with_quarantine(spark, str(p), schema)
         assert good.count() == 1 and bad.count() == 0
     assert [f.name for f in schema.fields] == ["a", "b"]
+
+
+def test_key_skew_milli_uniform_vs_hot(spark):
+    uniform = spark.range(1000).select((F.col("id") % 100).alias("k"))
+    assert key_skew_milli(uniform, "k") == 1000
+    # one key with 901 rows, 99 keys with 1: mean ~10, max 901 => ~90x
+    hot = spark.range(1000).select(
+        F.when(F.col("id") < 901, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    assert key_skew_milli(hot, "k") > 10_000
+    assert key_skew_milli(uniform.limit(0), "k") == 1000  # empty => uniform
+
+
+def test_maybe_salted_join_engages_only_past_threshold(spark):
+    """Equivalence: both branches return identical rows AND columns; plan:
+    the salted branch replicates the right side (explode + _salt key), the
+    plain branch must NOT pay that cost."""
+    ev = table(spark, SF, "events")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("error", 5.0), ("purchase", 2.0), ("signup", 0.5), ("view", 0.1)],
+        "event_type string, weight double",
+    )
+    plain = maybe_salted_join(ev, dim, "event_type", skew_milli=1_000)
+    salted = maybe_salted_join(ev, dim, "event_type", skew_milli=50_000)
+    assert plain.columns == salted.columns
+    a = sorted((r.event_id, r.weight) for r in plain.select("event_id", "weight").collect())
+    b = sorted((r.event_id, r.weight) for r in salted.select("event_id", "weight").collect())
+    assert a == b
+    plan_plain = plain._jdf.queryExecution().optimizedPlan().toString()
+    plan_salted = salted._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan_salted and "explode" in plan_salted.lower()
+    assert "_salt" not in plan_plain
+
+    # with no precomputed skew_milli it consults the histogram itself:
+    # events' event_type histogram is mildly skewed but far below 10x
+    auto = maybe_salted_join(ev, dim, "event_type")
+    assert "_salt" not in auto._jdf.queryExecution().optimizedPlan().toString()
