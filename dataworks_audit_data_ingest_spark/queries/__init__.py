@@ -35,12 +35,15 @@ from . import graph_shaped  # noqa: E402,F401
 # driver history (DRIVER_PRIORITY_AS_OF_ROUND pins which history it was
 # computed from; tests/test_cli_operators.py asserts the paste matches the
 # computation, so hand-drift is a test failure). The q92/q93 pins are
-# cleared (both re-proved green in r05). Head: ALL 27 remaining
-# never-driver-run queries — after this round every registered query has a
-# driver row — then the 23 stalest refreshes (all r03-latest), dropping
-# the staleness ceiling.
+# cleared (both re-proved green in r05). Head: ALL 30 never-driver-run
+# queries (the 27 from the r05 backlog plus this round's q173/q174/q175)
+# — after this round every registered query has a driver row — then the
+# 20 stalest refreshes (all r03-latest), dropping the staleness ceiling.
 DRIVER_PRIORITY_AS_OF_ROUND = 5
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "q173_skew_aware_join",
+    "q175_ks_drift",
+    "q174_ngram_containment",
     "q170_hard_negatives",
     "q98_bpe_pair_counts",
     "q100_vocab_coverage",
@@ -88,9 +91,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q33_dedup_within_watermark",
     "q34_pivot",
     "q34b_funnel_conversion",
-    "q35_unpivot",
-    "q35b_session_bounce_rate",
-    "q36_first_last_window",
 )
 
 

@@ -2055,3 +2055,109 @@ def q169_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# q175 — exact two-sample Kolmogorov–Smirnov drift per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q175_ks_drift",
+    sql="""
+    WITH base AS (
+      SELECT source, n_chars FROM documents
+    ), vals AS (
+      SELECT DISTINCT n_chars AS v FROM base
+    ), srcs AS (
+      SELECT source, COUNT(*) AS n_s FROM base GROUP BY source
+    ), sv AS (
+      SELECT source, n_chars AS v, COUNT(*) AS c FROM base GROUP BY 1, 2
+    ), gv AS (
+      SELECT v, SUM(c) AS c FROM sv GROUP BY v
+    ), gcum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v) AS cum_all,
+             (SELECT COUNT(*) FROM base) AS n_all
+      FROM gv
+    ), grid AS (
+      SELECT s.source, s.n_s, g.v, g.cum_all, g.n_all, COALESCE(sv.c, 0) AS c
+      FROM srcs s CROSS JOIN gcum g
+      LEFT JOIN sv ON sv.source = s.source AND sv.v = g.v
+    ), cums AS (
+      SELECT source, n_s, n_all, cum_all,
+             SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum_s
+      FROM grid
+    )
+    SELECT source,
+           CAST(n_s AS BIGINT) AS n_s,
+           CAST(1000 * MAX(ABS(cum_s * (n_all - n_s) - (cum_all - cum_s) * n_s))
+                // (n_s * (n_all - n_s)) AS BIGINT) AS ks_milli
+    FROM cums
+    GROUP BY source, n_s, n_all
+    ORDER BY source
+    """,
+    tags=("analytics", "drift", "robust-stats", "observability"),
+)
+def q175_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per source: each
+    source's document-length distribution against the REST of the corpus,
+    as max ECDF gap in integer milli-units. Pure integer arithmetic —
+    |cum_s·n_r − cum_r·n_s| maxed over the merged value support, divided
+    once at the end — so both engines agree exactly (no float ECDFs).
+    Complements q163's binned drift score: KS is binning-free and
+    detects location/shape shifts a fixed-bin PSI can smear.
+
+    Scale shape: one (source, value) count aggregation, a global
+    per-value cumsum (|support| rows), then a |sources|×|support| grid
+    with two window cumsums partitioned by source — the exchange is
+    keyed by source and the grid never exceeds sources × distinct
+    values. The exact form is for bounded-support statistics (lengths,
+    scores, quantized features); for unbounded doubles at 100 TB,
+    pre-bucket through q110's equi-width histogram and run the same
+    pipeline on bucket ids.
+    """
+    from pyspark.sql import Window
+
+    base = table(spark, sf_dir, "documents").select("source", "n_chars")
+    vals = base.select(F.col("n_chars").alias("v")).distinct()
+    srcs = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    sv = base.groupBy(
+        "source", F.col("n_chars").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    gv = sv.groupBy("v").agg(F.sum("c").alias("c"))
+    n_all_df = base.agg(F.count(F.lit(1)).alias("n_all"))
+    gcum = (
+        gv.withColumn(
+            "cum_all", F.sum("c").over(Window.orderBy("v"))
+        )
+        .drop("c")
+        .crossJoin(F.broadcast(n_all_df))
+    )
+    grid = (
+        srcs.crossJoin(gcum)
+        .join(sv, ["source", "v"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+    )
+    cums = grid.withColumn(
+        "cum_s",
+        F.sum("c").over(Window.partitionBy("source").orderBy("v")),
+    )
+    return (
+        cums.groupBy("source", "n_s", "n_all")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_s") * (F.col("n_all") - F.col("n_s"))
+                    - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+                )
+            ).alias("max_gap")
+        )
+        .select(
+            "source",
+            F.col("n_s").cast("bigint"),
+            F.expr(
+                "CAST(1000 * max_gap DIV (n_s * (n_all - n_s)) AS BIGINT)"
+            ).alias("ks_milli"),
+        )
+        .orderBy("source")
+    )

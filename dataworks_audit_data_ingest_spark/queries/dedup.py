@@ -1930,3 +1930,122 @@ def q171_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q174 — asymmetric n-gram containment (sub-document duplication)
+# ---------------------------------------------------------------------------
+# Jaccard (q53) misses the quote-inclusion case: a short document wholly
+# embedded in a much longer one has tiny union-normalized similarity but
+# containment ~1. Containment(A in B) = |A∩B| / |A| over distinct char
+# 8-gram sets — the deduped-training-corpus signal for "this page is a
+# fragment of that page".
+_CONTAIN_W = 8  # char-gram width
+_CONTAIN_DF_CAP = 16  # grams present in more docs than this are dropped
+_CONTAIN_MILLI = 500  # keep pairs with containment >= 0.5
+
+
+@register(
+    "q174_ngram_containment",
+    sql=f"""
+    WITH positions AS (
+      SELECT doc_id, text, UNNEST(RANGE(1, LENGTH(text) - {_CONTAIN_W - 2})) AS i
+      FROM documents WHERE LENGTH(text) >= {_CONTAIN_W}
+    ), all_grams AS (
+      SELECT DISTINCT doc_id, SUBSTRING(text, i, {_CONTAIN_W}) AS gram
+      FROM positions
+    ), stop_grams AS (
+      SELECT gram FROM all_grams GROUP BY gram HAVING COUNT(*) > {_CONTAIN_DF_CAP}
+    ), grams AS (
+      SELECT all_grams.* FROM all_grams ANTI JOIN stop_grams USING (gram)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(1000 * n_common // sa.n AS BIGINT) AS containment_milli
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE (sa.n < sb.n OR (sa.n = sb.n AND doc_a < doc_b))
+      AND 1000 * n_common // sa.n >= {_CONTAIN_MILLI}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "ngram", "containment"),
+)
+def q174_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs: (doc_a, doc_b) where at least half of
+    doc_a's distinct char-8-gram set also appears in the (larger) doc_b —
+    the sub-document-duplication signal Jaccard (q53) structurally misses.
+    Containment is exact integer milli-units from distinct-gram counts;
+    the smaller-gram-set side is always doc_a (ties broken by id).
+
+    Scale shape (mirrors q53's guards): the gram⨝gram join is keyed by
+    gram with a document-frequency cap (> {_CONTAIN_DF_CAP} docs ⇒
+    dropped from every set on both engines) so no single gram fans out
+    quadratically; 8-char grams are selective enough that surviving
+    buckets are near-singletons. The asymmetric n_a < n_b direction
+    filter halves the pair space before the count aggregation.
+    """
+    d = table(spark, sf_dir, "documents")
+    all_grams = (
+        d.filter(F.length("text") >= _CONTAIN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"TRANSFORM(SEQUENCE(1, LENGTH(text) - {_CONTAIN_W - 1}),"
+                    f" i -> SUBSTRING(text, i, {_CONTAIN_W}))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    stop_grams = (
+        all_grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _CONTAIN_DF_CAP)
+        .select("gram")
+    )
+    grams = all_grams.join(F.broadcast(stop_grams), "gram", "left_anti")
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            (F.col("na") < F.col("nb"))
+            | ((F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b")))
+        )
+        .filter(
+            F.expr(f"1000 * n_common DIV na >= {_CONTAIN_MILLI}")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("n_common").cast("bigint"),
+            F.expr("CAST(1000 * n_common DIV na AS BIGINT)").alias(
+                "containment_milli"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

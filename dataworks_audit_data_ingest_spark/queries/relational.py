@@ -1114,3 +1114,72 @@ def q140_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.crossJoin(F.broadcast(sides)).select(
         "join_rows", "n_left_keys", "n_right_keys", "max_key_contribution"
     )
+
+
+# ---------------------------------------------------------------------------
+# q173 — histogram-driven salting decision, end to end
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q173_skew_aware_join",
+    sql="""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 9 THEN -1
+                  ELSE l_orderkey % 1000 END AS k,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ), dim AS (
+      SELECT k, CAST(ABS(k) % 7 + 1 AS BIGINT) AS w
+      FROM (SELECT DISTINCT k FROM fact)
+    )
+    SELECT d.w,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(f.cents * d.w) AS BIGINT) AS weighted_cents
+    FROM fact f JOIN dim d USING (k)
+    GROUP BY d.w
+    ORDER BY d.w
+    """,
+    tags=("join", "skew", "salted", "diagnostics"),
+)
+def q173_skew_aware_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q124→salting loop closed end to end: a fact table with a
+    genuinely hot key (~90 % of lineitem rows map to one derived key)
+    joins a per-key weight dim through
+    ``functions.skew.maybe_salted_join``, whose histogram probe
+    (``key_skew_milli`` ≈ 9×10⁵ here) crosses the 10⁴ threshold and
+    engages the salted rewrite — the driver row proves the DECIDED
+    salted join equals the plain join the oracle runs. Contrast q94,
+    which pins ``salted_join`` unconditionally.
+
+    Scale shape: the decision probe is one partial-aggregated count per
+    key + a constant-size reduction (at 100 TB you'd feed a standing
+    q124 report via ``skew_milli=`` instead); the engaged join shuffles
+    on (k, salt) so the hot key spreads over 16 reducers; weighted sums
+    are exact integer cents.
+    """
+    from ..functions.skew import maybe_salted_join
+
+    li = table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.expr(
+            "CASE WHEN l_orderkey % 10 < 9 THEN -1 ELSE l_orderkey % 1000 END"
+        ).alias("k"),
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    dim = fact.select("k").distinct().select(
+        "k", F.expr("CAST(ABS(k) % 7 + 1 AS BIGINT)").alias("w")
+    )
+    joined = maybe_salted_join(fact, dim, "k")
+    return (
+        joined.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("cents") * F.col("w")).cast("bigint").alias(
+                "weighted_cents"
+            ),
+        )
+        .orderBy("w")
+    )
