@@ -78,6 +78,7 @@ from ..text.incremental_semantic import incremental_semantic_batch  # noqa: F401
 from ..text.pipeline import (  # noqa: F401
     annotate_quality,
     cap_per_source,
+    drop_contained_duplicates,
     drop_contaminated,
     drop_near_duplicates,
     drop_semantic_duplicates,

@@ -1945,6 +1945,77 @@ _CONTAIN_DF_CAP = 16  # grams present in more docs than this are dropped
 _CONTAIN_MILLI = 500  # keep pairs with containment >= 0.5
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = _CONTAIN_W,
+    df_cap: int = _CONTAIN_DF_CAP,
+) -> DataFrame:
+    """All ordered containment candidate pairs ``(doc_a, doc_b, n_a,
+    n_common, containment_milli)`` over distinct char-``width``-gram
+    sets, with ``doc_a`` always the smaller-gram-set side (ties by id)
+    and containment = |A∩B|/|A| in exact integer milli-units. The q174
+    kernel, unfiltered — `text/pipeline.py::drop_contained_duplicates`
+    consumes it as a curation step. Scale guards as q174: DF-capped
+    gram join, direction filter before the count aggregation."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    all_grams = (
+        base.filter(F.length("text") >= width)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"TRANSFORM(SEQUENCE(1, LENGTH(text) - {width - 1}),"
+                    f" i -> SUBSTRING(text, i, {width}))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    stop_grams = (
+        all_grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("gram")
+    )
+    grams = all_grams.join(F.broadcast(stop_grams), "gram", "left_anti")
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            (F.col("na") < F.col("nb"))
+            | ((F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b")))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("n_common").cast("bigint"),
+            F.expr("CAST(1000 * n_common DIV na AS BIGINT)").alias(
+                "containment_milli"
+            ),
+        )
+    )
+
+
 @register(
     "q174_ngram_containment",
     sql=f"""
@@ -1993,59 +2064,8 @@ def q174_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter halves the pair space before the count aggregation.
     """
     d = table(spark, sf_dir, "documents")
-    all_grams = (
-        d.filter(F.length("text") >= _CONTAIN_W)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"TRANSFORM(SEQUENCE(1, LENGTH(text) - {_CONTAIN_W - 1}),"
-                    f" i -> SUBSTRING(text, i, {_CONTAIN_W}))"
-                )
-            ).alias("gram"),
-        )
-        .distinct()
-    )
-    stop_grams = (
-        all_grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > _CONTAIN_DF_CAP)
-        .select("gram")
-    )
-    grams = all_grams.join(F.broadcast(stop_grams), "gram", "left_anti")
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = grams.alias("a"), grams.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
-            (F.col("na") < F.col("nb"))
-            | ((F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b")))
-        )
-        .filter(
-            F.expr(f"1000 * n_common DIV na >= {_CONTAIN_MILLI}")
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("na").cast("bigint").alias("n_a"),
-            F.col("n_common").cast("bigint"),
-            F.expr("CAST(1000 * n_common DIV na AS BIGINT)").alias(
-                "containment_milli"
-            ),
-        )
+        containment_pairs(d)
+        .filter(F.col("containment_milli") >= _CONTAIN_MILLI)
         .orderBy("doc_a", "doc_b")
     )

@@ -91,6 +91,47 @@ def drop_near_duplicates(
     return docs.join(dropped, id_col, "left_anti")
 
 
+def drop_contained_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_milli: int = 500,
+    gram_width: int = 8,
+    df_cap: int = 16,
+) -> DataFrame:
+    """Remove documents whose distinct char-gram set is at least
+    ``threshold_milli``/1000 contained in a LARGER document's set — the
+    sub-document-duplication step (fragments, pull-quotes, partial
+    re-crawls of pages already kept) that :func:`drop_near_duplicates`'
+    symmetric Jaccard misses by construction: a short fragment embedded
+    in a long page has near-zero union-normalized similarity but
+    containment ~1. q174 runs the same kernel
+    (`queries/dedup.py::containment_pairs`) under the DuckDB oracle.
+
+    The SMALLER side of every qualifying pair is dropped, so the kept
+    set is exactly the documents not ≥-threshold contained in any larger
+    one; content always survives through its largest container (a
+    container that is itself contained was dropped in favor of a still
+    larger one — the drop set is downward-closed, no re-ranking round
+    needed).
+
+    Scale: inherits q174's guards — gram-keyed join under a document
+    frequency cap (no quadratic fan-out), direction filter before the
+    count aggregation; the drop-id set is distinct ids only.
+    """
+    from ..queries.dedup import containment_pairs
+
+    pairs = containment_pairs(
+        docs, id_col=id_col, text_col=text_col, width=gram_width, df_cap=df_cap
+    )
+    dropped = (
+        pairs.filter(F.col("containment_milli") >= threshold_milli)
+        .select(F.col("doc_a").alias(id_col))
+        .distinct()
+    )
+    return docs.join(dropped, id_col, "left_anti")
+
+
 def token_budget_sample(
     docs: DataFrame,
     budget_tokens: int,

@@ -550,3 +550,36 @@ def test_drop_near_duplicates_longest_policy(spark):
 
     with _pytest.raises(ValueError, match="unknown keep policy"):
         drop_near_duplicates(corpus, keep="best")
+
+
+def test_drop_contained_duplicates_removes_fragments(spark):
+    """A fragment (strict substring) of a kept page is dropped; an
+    unrelated page survives; a chain fragment-of-a-fragment is dropped in
+    the same round (the drop set is downward-closed). Near-zero Jaccard
+    between fragment and page shows why drop_near_duplicates can't do
+    this."""
+    from dataworks_audit_data_ingest_spark.text.pipeline import (
+        drop_contained_duplicates,
+    )
+
+    page = (
+        "the quarterly results show steady revenue growth across all regions "
+        "with particular strength in the northern markets where the new "
+        "product line exceeded every internal forecast by a wide margin "
+        "and management expects the momentum to continue through the year"
+    )
+    frag = page[40:140]            # pull-quote: wholly inside the page
+    subfrag = page[60:110]         # fragment of the fragment
+    other = (
+        "completely different content about gardening tips for growing "
+        "tomatoes in containers on a small urban balcony with limited sun"
+    )
+    docs = spark.createDataFrame(
+        [(1, page), (2, frag), (3, subfrag), (4, other)],
+        "doc_id bigint, text string",
+    )
+    kept = drop_contained_duplicates(docs)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 4]
+    # threshold high enough that nothing qualifies -> no-op
+    kept_all = drop_contained_duplicates(docs, threshold_milli=1001)
+    assert kept_all.count() == 4
