@@ -67,6 +67,7 @@ STAGES: dict[str, Callable[..., DataFrame]] = {
     "quality_filter": _quality_filter,
     "annotate_quality": P.annotate_quality,
     "drop_near_duplicates": P.drop_near_duplicates,
+    "drop_contained_duplicates": P.drop_contained_duplicates,
     "drop_semantic_duplicates": P.drop_semantic_duplicates,
     "drop_contaminated": P.drop_contaminated,
     "cap_per_source": P.cap_per_source,

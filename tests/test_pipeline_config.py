@@ -77,3 +77,24 @@ def test_temperature_resample_stage(spark):
     )
     assert out.count() <= 80
     assert out.count() > 0
+
+
+def test_drop_contained_duplicates_stage(spark):
+    """The containment-dedup stage is recipe-addressable and matches the
+    direct call, including parameter passthrough."""
+    from dataworks_audit_data_ingest_spark.text.pipeline import (
+        drop_contained_duplicates,
+    )
+
+    d = table(spark, SF, "documents").limit(100)
+    fn = build_pipeline(
+        [{"stage": "drop_contained_duplicates", "threshold_milli": 700}]
+    )
+    got = sorted(r.doc_id for r in fn(d).select("doc_id").collect())
+    want = sorted(
+        r.doc_id
+        for r in drop_contained_duplicates(d, threshold_milli=700)
+        .select("doc_id")
+        .collect()
+    )
+    assert got == want and len(got) <= 100
