@@ -54,6 +54,60 @@ def salted_join(
     return joined.drop("_salt")
 
 
+def key_skew_report(df: DataFrame, key: str) -> DataFrame:
+    """Join-key skew report as a reusable operator: one row of
+    ``(n_keys, n_rows, max_rows_per_key, skew_milli, n_hot_keys)`` for
+    ``df``'s ``key`` histogram — q124 runs exactly this against the
+    DuckDB oracle (`queries/relational.py::q124_skew_report` delegates
+    here). skew_milli is max/mean rows-per-key in milli-units (1000 =
+    uniform); n_hot_keys counts keys above 3× the mean (pure integer:
+    c·n_keys > 3·n_rows).
+
+    Persist it per table/key (``report.write.parquet(path)``) on the
+    ingest cadence and feed joins via :func:`load_skew_milli` — the
+    production wiring that avoids a per-join histogram scan.
+
+    Scale shape: one partial-aggregated count per key, then
+    constant-size moments; the histogram never leaves the cluster and
+    the five numbers are the entire result.
+    """
+    keyed = df.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = keyed.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_c"),
+    )
+    hot = (
+        keyed.join(F.broadcast(stats))
+        .filter(F.expr("c * n_keys > 3 * n_rows"))
+        .agg(F.count(F.lit(1)).alias("n_hot_keys"))
+    )
+    return stats.join(F.broadcast(hot)).select(
+        F.col("n_keys").cast("bigint"),
+        F.col("n_rows").cast("bigint"),
+        F.col("max_c").cast("bigint").alias("max_rows_per_key"),
+        F.expr("CAST((1000 * max_c * n_keys) DIV n_rows AS BIGINT)").alias(
+            "skew_milli"
+        ),
+        F.col("n_hot_keys").cast("bigint"),
+    )
+
+
+def load_skew_milli(spark, path: str) -> int:
+    """skew_milli from a persisted :func:`key_skew_report` parquet — the
+    one number :func:`maybe_salted_join` needs; a missing/empty report
+    raises (a silently-defaulted 1000 would quietly disable salting)."""
+    rows = spark.read.parquet(path).select("skew_milli").collect()
+    if len(rows) != 1 or rows[0]["skew_milli"] is None:
+        raise ValueError(
+            f"{path}: expected exactly one key_skew_report row with a "
+            f"non-null skew_milli, got {len(rows)}"
+        )
+    return int(rows[0]["skew_milli"])
+
+
 def key_skew_milli(df: DataFrame, key: str) -> int:
     """Integer skew factor of ``df``'s ``key`` histogram: max rows-per-key
     over mean rows-per-key in milli-units (1000 = perfectly uniform) —

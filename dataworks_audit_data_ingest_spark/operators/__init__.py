@@ -40,6 +40,14 @@ from ..functions.expectations import (  # noqa: F401
     unique,
 )
 from ..functions.graph import connected_components, pagerank_integer  # noqa: F401
+from ..functions.skew import (  # noqa: F401
+    key_skew_milli,
+    key_skew_report,
+    load_skew_milli,
+    maybe_salted_join,
+    salted_agg,
+    salted_join,
+)
 from ..similarity.knn import knn_join  # noqa: F401
 from ..similarity.mmr import knn_mmr, mmr_rerank  # noqa: F401
 from ..similarity.pca import fit_pca, transform_pca  # noqa: F401

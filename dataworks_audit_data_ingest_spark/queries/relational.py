@@ -838,33 +838,12 @@ def q124_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one partial-aggregated count per key, then constant-size
     moments — the histogram itself never leaves the cluster, and the five
     output numbers are the entire result. Run it per partition (add `day`
-    to the key) to watch skew drift over time."""
-    li = table(spark, sf_dir, "lineitem")
-    keyed = li.groupBy(F.col("l_orderkey").alias("k")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    stats = keyed.agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum("c").alias("n_rows"),
-        F.max("c").alias("max_c"),
-    )
-    hot = (
-        keyed.join(F.broadcast(stats))
-        .filter(F.expr("c * n_keys > 3 * n_rows"))
-        .agg(F.count(F.lit(1)).alias("n_hot_keys"))
-    )
-    return (
-        stats.join(F.broadcast(hot))
-        .select(
-            F.col("n_keys").cast("bigint"),
-            F.col("n_rows").cast("bigint"),
-            F.col("max_c").cast("bigint").alias("max_rows_per_key"),
-            F.expr("CAST((1000 * max_c * n_keys) DIV n_rows AS BIGINT)").alias(
-                "skew_milli"
-            ),
-            F.col("n_hot_keys").cast("bigint"),
-        )
-    )
+    to the key) to watch skew drift over time. The computation is
+    `functions/skew.py::key_skew_report`, the reusable operator whose
+    persisted output feeds `maybe_salted_join` via `load_skew_milli`."""
+    from ..functions.skew import key_skew_report
+
+    return key_skew_report(table(spark, sf_dir, "lineitem"), "l_orderkey")
 
 
 @register(

@@ -2,10 +2,14 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from dataworks_audit_data_ingest_spark.functions.skew import (
     key_skew_milli,
+    key_skew_report,
+    load_skew_milli,
     maybe_salted_join,
     salted_agg,
     salted_join,
@@ -122,3 +126,22 @@ def test_maybe_salted_join_engages_only_past_threshold(spark):
     # events' event_type histogram is mildly skewed but far below 10x
     auto = maybe_salted_join(ev, dim, "event_type")
     assert "_salt" not in auto._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_persisted_skew_report_feeds_the_join_decision(spark, tmp_path):
+    """key_skew_report persists; load_skew_milli reads the one number
+    back; maybe_salted_join consumes it without re-scanning the fact
+    side. A missing/empty report raises instead of silently defaulting
+    to 'uniform'."""
+    hot = spark.range(1000).select(
+        F.when(F.col("id") < 901, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    path = str(tmp_path / "skew_report")
+    key_skew_report(hot, "k").write.parquet(path)
+    milli = load_skew_milli(spark, path)
+    assert milli == key_skew_milli(hot, "k") > 10_000
+    dim = spark.createDataFrame([(0, 1.0)], "k bigint, weight double")
+    joined = maybe_salted_join(hot, dim, "k", skew_milli=milli)
+    assert "_salt" in joined._jdf.queryExecution().optimizedPlan().toString()
+    with pytest.raises(Exception):
+        load_skew_milli(spark, str(tmp_path / "nope"))
