@@ -2067,8 +2067,6 @@ def q169_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH base AS (
       SELECT source, n_chars FROM documents
-    ), vals AS (
-      SELECT DISTINCT n_chars AS v FROM base
     ), srcs AS (
       SELECT source, COUNT(*) AS n_s FROM base GROUP BY source
     ), sv AS (
@@ -2090,8 +2088,13 @@ def q169_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            CAST(n_s AS BIGINT) AS n_s,
-           CAST(1000 * MAX(ABS(cum_s * (n_all - n_s) - (cum_all - cum_s) * n_s))
-                // (n_s * (n_all - n_s)) AS BIGINT) AS ks_milli
+           -- HUGEINT keeps the cross products and the final integral
+           -- division exact (DuckDB's // on DECIMAL degrades to DOUBLE);
+           -- the Spark twin uses DECIMAL(38,0) with DIV, also exact
+           CAST(1000 * MAX(ABS(CAST(cum_s AS HUGEINT) * (n_all - n_s)
+                              - CAST(cum_all - cum_s AS HUGEINT) * n_s))
+                // (CAST(n_s AS HUGEINT) * (n_all - n_s))
+             AS BIGINT) AS ks_milli
     FROM cums
     GROUP BY source, n_s, n_all
     ORDER BY source
@@ -2101,9 +2104,16 @@ def q169_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q175_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov statistic per source: each
     source's document-length distribution against the REST of the corpus,
-    as max ECDF gap in integer milli-units. Pure integer arithmetic —
+    as max ECDF gap in integer milli-units. Exact arithmetic —
     |cum_s·n_r − cum_r·n_s| maxed over the merged value support, divided
     once at the end — so both engines agree exactly (no float ECDFs).
+    The cross products and the final integral division run in wide exact
+    types — DECIMAL(38,0) with DIV on the Spark side, HUGEINT with //
+    in the oracle (DuckDB's // on DECIMAL degrades to DOUBLE): the gap
+    bound is n_s·n_r ≤ (n_all/2)², which exceeds BIGINT past
+    n_all ≈ 6×10⁹ rows, where a plain BIGINT Spark product would wrap
+    silently while DuckDB promotes — the q92/q93-class divergence; both
+    wide forms stay exact to ≥10³⁸ (n_all ≈ 10¹⁹, far past any corpus).
     Complements q163's binned drift score: KS is binning-free and
     detects location/shape shifts a fixed-bin PSI can smear.
 
@@ -2119,7 +2129,6 @@ def q175_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     base = table(spark, sf_dir, "documents").select("source", "n_chars")
-    vals = base.select(F.col("n_chars").alias("v")).distinct()
     srcs = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     sv = base.groupBy(
         "source", F.col("n_chars").alias("v")
@@ -2147,8 +2156,10 @@ def q175_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(
                 F.abs(
-                    F.col("cum_s") * (F.col("n_all") - F.col("n_s"))
-                    - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+                    F.expr("CAST(cum_s AS DECIMAL(38,0))")
+                    * (F.col("n_all") - F.col("n_s"))
+                    - F.expr("CAST(cum_all - cum_s AS DECIMAL(38,0))")
+                    * F.col("n_s")
                 )
             ).alias("max_gap")
         )
@@ -2156,7 +2167,8 @@ def q175_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("n_s").cast("bigint"),
             F.expr(
-                "CAST(1000 * max_gap DIV (n_s * (n_all - n_s)) AS BIGINT)"
+                "CAST(1000 * max_gap DIV "
+                "(CAST(n_s AS DECIMAL(38,0)) * (n_all - n_s)) AS BIGINT)"
             ).alias("ks_milli"),
         )
         .orderBy("source")

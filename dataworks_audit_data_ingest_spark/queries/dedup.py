@@ -1959,6 +1959,8 @@ def containment_pairs(
     kernel, unfiltered — `text/pipeline.py::drop_contained_duplicates`
     consumes it as a curation step. Scale guards as q174: DF-capped
     gram join, direction filter before the count aggregation."""
+    from pyspark.sql import Window
+
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
@@ -1982,37 +1984,40 @@ def containment_pairs(
         .select("gram")
     )
     grams = all_grams.join(F.broadcast(stop_grams), "gram", "left_anti")
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = grams.alias("a"), grams.alias("b")
+    # gram-set sizes ride along via a doc-keyed window (q53's idiom) so
+    # the smaller-side direction filter lives IN the join condition —
+    # the 2x mirrored pair space is pruned before the count aggregation
+    # and no post-agg size joins are needed
+    wd = Window.partitionBy("doc_id")
+    sized = grams.withColumn("n", F.count(F.lit(1)).over(wd))
+    a, b = sized.alias("a"), sized.alias("b")
     inter = (
         a.join(
             b,
             (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (
+                (F.col("a.n") < F.col("b.n"))
+                | (
+                    (F.col("a.n") == F.col("b.n"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            ),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
-            (F.col("na") < F.col("nb"))
-            | ((F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b")))
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("na").cast("bigint").alias("n_a"),
-            F.col("n_common").cast("bigint"),
-            F.expr("CAST(1000 * n_common DIV na AS BIGINT)").alias(
-                "containment_milli"
-            ),
-        )
+    return inter.select(
+        "doc_a",
+        "doc_b",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("n_common").cast("bigint"),
+        F.expr("CAST(1000 * n_common DIV na AS BIGINT)").alias(
+            "containment_milli"
+        ),
     )
 
 

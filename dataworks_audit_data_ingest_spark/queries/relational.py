@@ -1156,9 +1156,12 @@ def q173_skew_aware_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("w")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(F.col("cents") * F.col("w")).cast("bigint").alias(
-                "weighted_cents"
-            ),
+            # DECIMAL(38,0) sum: a BIGINT sum of cents*w (~7e7/row) wraps
+            # silently past ~1.3e11 rows while the oracle's SUM promotes
+            # to HUGEINT — the q92/q93 divergence class; decimal is exact
+            F.sum(F.expr("CAST(cents * w AS DECIMAL(38,0))"))
+            .cast("bigint")
+            .alias("weighted_cents"),
         )
         .orderBy("w")
     )

@@ -200,16 +200,24 @@ def read_shard(
     single-partition is the consumption shape anyway — and makes the
     within-partition sort a true total order for every epoch.
 
-    A shard the manifest records as empty (``n_rows == 0`` — e.g. after a
+    A shard the manifest RECORDS as empty (``n_rows == 0`` — e.g. after a
     rewrite that emptied it, where stale-shard cleanup removed its
     ``shard=K`` directory) returns an EMPTY DataFrame with the dataset
     schema instead of raising path-not-found, so a loader iterating
     ``range(n_shards)`` from the manifest never crashes on a gap. The
     schema comes from a root read (partition column dropped — a direct
     ``shard=K`` read never carries it), which matches the non-empty
-    branch's column order exactly."""
+    branch's column order exactly. A shard id the manifest does NOT
+    list raises KeyError: that is a caller bug (wrong n_shards, stale
+    manifest from another dataset version) and an empty frame there
+    would silently truncate the corpus."""
     man = read_manifest(path)
-    if man["shards"].get(str(shard), {}).get("n_rows", 0) == 0:
+    if str(shard) not in man["shards"]:
+        raise KeyError(
+            f"shard {shard} not in manifest ({len(man['shards'])} shards "
+            f"recorded at {path})"
+        )
+    if man["shards"][str(shard)].get("n_rows", 0) == 0:
         return (
             spark.read.parquet(path)
             .filter(F.col("shard") == shard)

@@ -159,7 +159,9 @@ def incremental_cdc_batch(
       — the only content a downstream sink must store or re-process.
     - ``doc_stats``: per-document ``(id_col, n_chunks, n_novel,
       novel_chars)`` — a novelty score usable as a crawl-dedup signal
-      (re-crawled boilerplate scores ~0).
+      (re-crawled boilerplate scores ~0). EVERY batch document gets a
+      row: null/empty-text docs (zero chunks by contract) appear with
+      all-zero counts rather than vanishing.
 
     Side effect: novel chunks' ``(chunk_hash, chunk_len)`` land under
     ``{store_path}/batch_id={batch_id}`` (dynamic overwrite ⇒ replay
@@ -214,6 +216,22 @@ def incremental_cdc_batch(
             F.coalesce("novel_chars", F.lit(0)).alias("novel_chars"),
         )
     )
+    # per-document means EVERY batch document: docs that produced zero
+    # chunks (null/empty text, short-circuited by chunk_documents_cdc)
+    # still get an all-zero row, so "was this doc processed?" checks
+    # keyed on doc_stats never report them missing
+    zero_chunk_docs = (
+        batch.select(F.col(id_col))
+        .distinct()
+        .join(chunks.select(id_col).distinct(), id_col, "left_anti")
+        .select(
+            id_col,
+            F.lit(0).cast("bigint").alias("n_chunks"),
+            F.lit(0).cast("bigint").alias("n_novel"),
+            F.lit(0).cast("bigint").alias("novel_chars"),
+        )
+    )
+    doc_stats = doc_stats.unionByName(zero_chunk_docs)
 
     commit_batch_partition(
         novel.select("chunk_hash", "chunk_len"), store_path, batch_id

@@ -110,10 +110,15 @@ def drop_contained_duplicates(
 
     The SMALLER side of every qualifying pair is dropped, so the kept
     set is exactly the documents not ≥-threshold contained in any larger
-    one; content always survives through its largest container (a
-    container that is itself contained was dropped in favor of a still
-    larger one — the drop set is downward-closed, no re-ranking round
-    needed).
+    one — kept or dropped. At ``threshold_milli=1000`` (exact subset)
+    containment is transitive, so dropped content provably survives
+    through its largest container; at lower thresholds a chain A⊂~B⊂~C
+    can drop both A and B while A is below threshold against the kept C
+    — one-round semantics that can over-delete relative to the ideal,
+    the same trade :func:`drop_near_duplicates` documents for multi-hop
+    LSH clusters. Raise the threshold (or run the pairs through
+    `functions/graph.py` connected components with a keep-max policy)
+    when chain-loss matters.
 
     Scale: inherits q174's guards — gram-keyed join under a document
     frequency cap (no quadratic fan-out), direction filter before the

@@ -231,3 +231,11 @@ def test_null_and_empty_text_short_circuit_to_zero_chunks(spark, tmp_path):
     novel2, stats2 = incremental_cdc_batch(spark, store, docs, "1")
     assert novel2.count() == 0
     assert stats2.filter(F.col("n_novel") > 0).count() == 0
+    # ...but doc_stats still covers EVERY batch doc: the zero-chunk docs
+    # appear with all-zero counts instead of vanishing
+    zeros = stats2.filter(F.col("doc_id").isin(2, 3)).collect()
+    assert sorted(r.doc_id for r in zeros) == [2, 3]
+    assert all(
+        (r.n_chunks, r.n_novel, r.novel_chars) == (0, 0, 0) for r in zeros
+    )
+    assert stats2.count() == 3
