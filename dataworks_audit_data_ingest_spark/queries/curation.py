@@ -808,9 +808,13 @@ def q130_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
         )
         .agg(
-            F.sum(F.col("a.c") * F.col("b.c")).cast("bigint").alias(
-                "n_cross_pairs"
-            ),
+            # DECIMAL(38,0) sum: a boilerplate signature shared by two
+            # huge sources makes c_a·c_b ~ |src|², and the pair total can
+            # pass BIGINT where Spark wraps silently but the oracle's SUM
+            # promotes to HUGEINT (q92/q93 class); decimal stays exact
+            F.sum(
+                F.expr("CAST(a.c AS DECIMAL(38,0)) * b.c")
+            ).cast("bigint").alias("n_cross_pairs"),
             F.count(F.lit(1)).cast("bigint").alias("n_shared_sigs"),
         )
         .orderBy(F.desc("n_cross_pairs"), "source_a", "source_b")

@@ -659,14 +659,24 @@ def q114_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).alias("dim"),
         F.expr(f"CAST(FLOOR(CAST(x AS DOUBLE) * {1 << 20}) AS BIGINT)").alias("q"),
     )
+    # Moment accumulators in DECIMAL(38,0): |q| ≤ 2^20·max|x|, so a plain
+    # BIGINT SUM(q·q) wraps past ~10⁷ vectors and n·Σq² past ~10⁵, where
+    # Spark (non-ANSI) wraps silently while the oracle's SUM promotes to
+    # HUGEINT — the q92/q93 divergence class. Decimal keeps the moments
+    # exact to 10³⁸; the final var_q always fits BIGINT (≤ range²/4).
     return (
         elems.groupBy("dim")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-            F.expr("SUM(q) DIV COUNT(*)").cast("bigint").alias("mean_q"),
             F.expr(
-                "(COUNT(*) * SUM(q * q) - SUM(q) * SUM(q))"
-                " DIV (COUNT(*) * COUNT(*))"
+                "SUM(CAST(q AS DECIMAL(38,0))) DIV COUNT(*)"
+            ).cast("bigint").alias("mean_q"),
+            F.expr(
+                "(COUNT(*) * SUM(CAST(q AS DECIMAL(38,0))"
+                " * CAST(q AS DECIMAL(38,0)))"
+                " - SUM(CAST(q AS DECIMAL(38,0)))"
+                " * SUM(CAST(q AS DECIMAL(38,0))))"
+                " DIV (CAST(COUNT(*) AS DECIMAL(38,0)) * COUNT(*))"
             )
             .cast("bigint")
             .alias("var_q"),

@@ -2062,9 +2062,11 @@ def q172_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE user_id-keyed aggregation builds (x, y) per user;
     the global mean, θ, and per-arm means are rows-sized broadcasts; the
-    adjustment is map-side arithmetic. Centered cents-scale moments keep
-    every intermediate ≳10⁴× inside BIGINT at fixture scales (guard the
-    scale, not the algebra, when porting to bigger money columns)."""
+    adjustment is map-side arithmetic. The corpus-level moment sums
+    (Σdx·y, Σdx², the squared-deviation sums, 1000·Σy) accumulate in
+    DECIMAL(38,0) on the Spark side — matching the oracle's HUGEINT
+    promotion — so the readout stays exact at any user count; per-user
+    row values remain BIGINT-bounded by the cents scale."""
     ev = table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
@@ -2094,9 +2096,15 @@ def q172_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = assigned.crossJoin(F.broadcast(glob)).withColumn(
         "dx", F.col("x") - F.col("xbar_c")
     )
+    # moment sums in DECIMAL(38,0): dx·y per user reaches cents², and the
+    # corpus-level Σdx·y / Σdx² wrap BIGINT well inside realistic user
+    # counts — Spark would wrap silently while the oracle's SUM promotes
+    # to HUGEINT (q92/q93 class); decimal keeps both sides exact and the
+    # truncating DIV is verified identical for signed values
     theta = dev.agg(
         F.expr(
-            "(1000 * SUM(dx * y)) DIV NULLIF(SUM(dx * dx), 0)"
+            "(1000 * SUM(CAST(dx AS DECIMAL(38,0)) * y))"
+            " DIV NULLIF(SUM(CAST(dx AS DECIMAL(38,0)) * dx), 0)"
         ).alias("theta_milli")
     )
     adj = dev.crossJoin(F.broadcast(theta)).withColumn(
@@ -2111,17 +2119,20 @@ def q172_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         adj.join(F.broadcast(arm_means), "arm")
         .groupBy("arm", "n_arm")
         .agg(
-            F.expr("CAST((1000 * SUM(y)) DIV n_arm AS BIGINT)").alias(
-                "mean_y_milli"
-            ),
-            F.expr("CAST((1000 * SUM(y_adj_c)) DIV n_arm AS BIGINT)").alias(
-                "mean_yadj_milli"
-            ),
+            F.expr(
+                "CAST((1000 * SUM(CAST(y AS DECIMAL(38,0)))) DIV n_arm"
+                " AS BIGINT)"
+            ).alias("mean_y_milli"),
+            F.expr(
+                "CAST((1000 * SUM(CAST(y_adj_c AS DECIMAL(38,0)))) DIV n_arm"
+                " AS BIGINT)"
+            ).alias("mean_yadj_milli"),
             F.expr("CAST(MAX(theta_milli) AS BIGINT)").alias("theta_milli"),
             F.expr(
-                "CAST(1000 - (1000 * SUM((y_adj_c - yabar_c)"
-                " * (y_adj_c - yabar_c)))"
-                " DIV NULLIF(SUM((y - ybar_c) * (y - ybar_c)), 0)"
+                "CAST(1000 - (1000 * SUM(CAST(y_adj_c - yabar_c"
+                " AS DECIMAL(38,0)) * (y_adj_c - yabar_c)))"
+                " DIV NULLIF(SUM(CAST(y - ybar_c AS DECIMAL(38,0))"
+                " * (y - ybar_c)), 0)"
                 " AS BIGINT)"
             ).alias("var_reduction_pm"),
         )
