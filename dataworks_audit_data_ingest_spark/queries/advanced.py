@@ -1685,9 +1685,9 @@ _BENFORD_PPM = {  # round(log10(1 + 1/d) * 1e6)
     )
     SELECT e.d AS digit,
            CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
-           CAST(1000000 * COALESCE(c.n, 0) // t.total AS BIGINT) AS obs_ppm,
+           CAST(CAST(1000000 AS HUGEINT) * COALESCE(c.n, 0) // t.total AS BIGINT) AS obs_ppm,
            CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
-           CAST(ABS(1000000 * COALESCE(c.n, 0) // t.total - e.exp_ppm)
+           CAST(ABS(CAST(1000000 AS HUGEINT) * COALESCE(c.n, 0) // t.total - e.exp_ppm)
                 AS BIGINT) AS abs_dev_ppm
     FROM expected e
       LEFT JOIN counts c ON c.d = e.d
@@ -1725,12 +1725,16 @@ def q151_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "digit",
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
-            F.expr("CAST(1000000 * COALESCE(n, 0) DIV total AS BIGINT)").alias(
+            F.expr(
+                "CAST(1000000 * CAST(COALESCE(n, 0) AS DECIMAL(38,0))"
+                " DIV total AS BIGINT)"
+            ).alias(
                 "obs_ppm"
             ),
             F.col("exp_ppm").cast("bigint").alias("exp_ppm"),
             F.expr(
-                "CAST(ABS(1000000 * COALESCE(n, 0) DIV total - exp_ppm) AS BIGINT)"
+                "CAST(ABS(1000000 * CAST(COALESCE(n, 0) AS DECIMAL(38,0))"
+                " DIV total - exp_ppm) AS BIGINT)"
             ).alias("abs_dev_ppm"),
         )
         .orderBy("digit")

@@ -927,7 +927,7 @@ def q131_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT week, gmv_cents, n_orders,
            CAST(CASE WHEN LAG(gmv_cents) OVER (ORDER BY week) IS NULL THEN NULL
-                ELSE (10000 * gmv_cents) // LAG(gmv_cents) OVER (ORDER BY week) - 10000
+                ELSE (CAST(10000 AS HUGEINT) * gmv_cents) // LAG(gmv_cents) OVER (ORDER BY week) - 10000
                 END AS BIGINT) AS wow_growth_bps
     FROM weekly
     ORDER BY week
@@ -972,7 +972,8 @@ def q132_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(prev.isNull(), F.lit(None).cast("bigint"))
         .otherwise(
             F.expr(
-                "(10000 * gmv_cents) DIV LAG(gmv_cents) OVER (ORDER BY week) - 10000"
+                "(10000 * CAST(gmv_cents AS DECIMAL(38,0)))"
+                " DIV LAG(gmv_cents) OVER (ORDER BY week) - 10000"
             )
         )
         .cast("bigint")

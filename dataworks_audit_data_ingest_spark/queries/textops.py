@@ -1727,9 +1727,9 @@ _DRIFT_MIN_COUNT = 50  # ignore rare-token noise
              COALESCE(MAX(CASE WHEN c.snap = 'a' THEN n END), 0) AS n_a,
              COALESCE(MAX(CASE WHEN c.snap = 'b' THEN n END), 0) AS n_b,
              COALESCE(MAX(CASE WHEN c.snap = 'a'
-                      THEN 1000000 * n // t.total END), 0) AS ppm_a,
+                      THEN CAST(1000000 AS HUGEINT) * n // t.total END), 0) AS ppm_a,
              COALESCE(MAX(CASE WHEN c.snap = 'b'
-                      THEN 1000000 * n // t.total END), 0) AS ppm_b
+                      THEN CAST(1000000 AS HUGEINT) * n // t.total END), 0) AS ppm_b
       FROM counts c JOIN totals t USING (snap)
       GROUP BY w
     )
@@ -1784,7 +1784,7 @@ def q159_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(
                     F.when(
                         F.col("snap") == "a",
-                        F.expr("1000000 * n DIV total"),
+                        F.expr("1000000 * CAST(n AS DECIMAL(38,0)) DIV total"),
                     )
                 ),
                 F.lit(0),
@@ -1793,7 +1793,7 @@ def q159_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(
                     F.when(
                         F.col("snap") == "b",
-                        F.expr("1000000 * n DIV total"),
+                        F.expr("1000000 * CAST(n AS DECIMAL(38,0)) DIV total"),
                     )
                 ),
                 F.lit(0),

@@ -490,10 +490,10 @@ def q110_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT nation, region,
            CAST(revenue AS DOUBLE) AS revenue,
-           CAST((10000 * CAST(revenue * 100 AS BIGINT))
+           CAST((CAST(10000 AS HUGEINT) * CAST(revenue * 100 AS BIGINT))
                 // SUM(CAST(revenue * 100 AS BIGINT)) OVER (PARTITION BY region)
                 AS BIGINT) AS region_share_bps,
-           CAST((10000 * CAST(revenue * 100 AS BIGINT))
+           CAST((CAST(10000 AS HUGEINT) * CAST(revenue * 100 AS BIGINT))
                 // SUM(CAST(revenue * 100 AS BIGINT)) OVER ()
                 AS BIGINT) AS global_share_bps
     FROM rev
@@ -544,10 +544,14 @@ def q127_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation",
         "region",
         F.col("revenue").cast("double").alias("revenue"),
-        F.expr("CAST((10000 * cents) DIV regsum AS BIGINT)").alias(
+        F.expr(
+            "CAST((10000 * CAST(cents AS DECIMAL(38,0))) DIV regsum AS BIGINT)"
+        ).alias(
             "region_share_bps"
         ),
-        F.expr("CAST((10000 * cents) DIV allsum AS BIGINT)").alias(
+        F.expr(
+            "CAST((10000 * CAST(cents AS DECIMAL(38,0))) DIV allsum AS BIGINT)"
+        ).alias(
             "global_share_bps"
         ),
     ).orderBy("region", F.desc("revenue"), "nation")
