@@ -239,3 +239,53 @@ def test_null_and_empty_text_short_circuit_to_zero_chunks(spark, tmp_path):
         (r.n_chunks, r.n_novel, r.novel_chars) == (0, 0, 0) for r in zeros
     )
     assert stats2.count() == 3
+
+
+def test_cdc_boundaries_cross_engine_for_full_unicode_range(spark):
+    """The win<=9 guard's premise, proven empirically: at win=9 the
+    rolling-hash boundary set is IDENTICAL in Spark and DuckDB for text
+    spanning the full codepoint range — CJK, combining accents, astral
+    emoji, and the U+10FFFF ceiling. Both engines index substr/length by
+    codepoint and ascii() returns the codepoint, so the BIGINT-bounded
+    hash matches cut-for-cut; win>=10 would overflow exactly here."""
+    import duckdb
+
+    from dataworks_audit_data_ingest_spark.functions.hashing import (
+        cdc_window_hash,
+    )
+
+    texts = [
+        "hello world this is plain ascii text for control purposes ok",
+        "这是一段中文测试文本用来验证跨引擎的哈希一致性边界切割行为是否完全相同",
+        "mixé façade naïve über żółć ñandú こんにちは世界 테스트 текст",
+        "emoji 😀😃😄😁 astral 𝕏𝕐𝕑 plane 🚀🚀🚀 chars 𠀀𠀁𠀂 end",
+        "\U0010FFFF\U0010FFFE boundary codepoints \U000E0000 tail",
+    ]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    sdf.createOrReplaceTempView("cdc_uni_docs")
+    expr = cdc_window_hash("text", "p", 9)
+    spark_cuts = [
+        (r.doc_id, r.p)
+        for r in spark.sql(
+            f"""SELECT doc_id, p FROM (
+              SELECT doc_id, text, explode(sequence(1, length(text) - 8)) AS p
+              FROM cdc_uni_docs
+            ) WHERE ({expr}) % 16 = 0 ORDER BY doc_id, p"""
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id INT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO docs VALUES (?, ?)", [i, t])
+    duck_cuts = [
+        tuple(r)
+        for r in con.execute(
+            f"""SELECT doc_id, p FROM (
+              SELECT doc_id, text, UNNEST(RANGE(1, LENGTH(text) - 7)) AS p
+              FROM docs
+            ) WHERE ({expr}) % 16 = 0 ORDER BY doc_id, p"""
+        ).fetchall()
+    ]
+    assert spark_cuts == duck_cuts and len(spark_cuts) > 0
