@@ -63,3 +63,72 @@ def commit_batch_partition(
         .option("partitionOverwriteMode", "dynamic")
         .parquet(store_path)
     )
+
+
+COMPACTED_ID = "__compacted__"
+
+
+def compact_store(
+    spark: SparkSession, store_path: str, exclude: tuple[str, ...] = ()
+) -> int:
+    """Fold the store's batch partitions into one ``batch_id=__compacted__``
+    partition and remove the originals; returns the number of partition
+    directories removed.
+
+    Why: every incremental batch reads the WHOLE store, and a long-lived
+    job accumulates one ``batch_id=`` directory per batch — after 10⁴
+    batches the file listing dwarfs the actual (tiny) store rows.
+    Compaction restores O(1) partition count without changing any rung's
+    semantics: store membership is consumed through anti-/band-joins, so
+    row ORDER and PARTITION of the store never matter, only the set.
+
+    HARD PRECONDITION — ``exclude``: a batch that may still be REPLAYED
+    (at or after the streaming checkpoint's position, or the most recent
+    batch of a manually driven job) must be listed in ``exclude``. The
+    replay discipline works by excluding the current batch's own
+    partition on read; folding a replayable batch into ``__compacted__``
+    breaks that exclusion and the replay would self-match, silently
+    marking the whole batch as duplicate. Batches strictly before the
+    checkpoint can never re-run and are always safe to fold.
+
+    Crash safety: the fold WRITES first (dynamic overwrite of
+    ``__compacted__``) and DELETES second. A crash between the two
+    leaves duplicate membership rows (compacted + original partitions),
+    which is harmless — set-membership joins are idempotent to
+    duplicates — and a re-run completes the deletion. The distinct() in
+    the fold keeps the compacted partition itself duplicate-free.
+    """
+    store = spark.read.parquet(store_path)
+    keep = set(exclude) | {COMPACTED_ID}
+    # partition values come back type-inferred (batch_id=3 reads as int),
+    # so normalize to the string form the directories use
+    batch_ids = {
+        str(r[0]) for r in store.select(BATCH_COL).distinct().collect()
+    }
+    foldable = sorted(batch_ids - (set(exclude) - {COMPACTED_ID}))
+    if foldable in ([], [COMPACTED_ID]):
+        return 0
+    folded = (
+        store.filter(F.col(BATCH_COL).cast("string").isin(foldable))
+        .drop(BATCH_COL)
+        .distinct()
+    )
+    commit_batch_partition(folded, store_path, COMPACTED_ID)
+    # delete the folded originals (everything except __compacted__ and
+    # the excluded replayable batches) through the Hadoop FS API so the
+    # same code works on local disk, HDFS, and S3A
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(hconf)
+    removed = 0
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not name.startswith(f"{BATCH_COL}="):
+            continue
+        bid = name.split("=", 1)[1]
+        if bid in keep:
+            continue
+        fs.delete(status.getPath(), True)
+        removed += 1
+    return removed

@@ -81,6 +81,7 @@ from ..text.bpe import (  # noqa: F401
     train_bpe,
     word_frequency_table,
 )
+from ..incremental.store import compact_store  # noqa: F401
 from ..text.incremental_dedup import incremental_dedup_batch  # noqa: F401
 from ..text.incremental_semantic import incremental_semantic_batch  # noqa: F401
 from ..text.pipeline import (  # noqa: F401

@@ -1,0 +1,117 @@
+"""Incremental-store compaction (`incremental/store.py::compact_store`):
+partition-count reduction without any semantic change, exclusion of
+replayable batches, idempotent re-run, and crash-window harmlessness."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from dataworks_audit_data_ingest_spark.incremental.store import (
+    COMPACTED_ID,
+    compact_store,
+)
+from dataworks_audit_data_ingest_spark.tables import table
+from dataworks_audit_data_ingest_spark.text.cdc import incremental_cdc_batch
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return (
+        table(spark, SF, "documents")
+        .filter((F.col("doc_id") < 80) & (F.length("text") >= 8))
+        .select("doc_id", "text")
+    )
+
+
+def _drive(spark, store, upto):
+    d = _docs(spark)
+    for i, hi in enumerate(range(20, upto + 1, 20)):
+        b = d.filter((F.col("doc_id") >= hi - 20) & (F.col("doc_id") < hi))
+        incremental_cdc_batch(spark, store, b, str(i))
+
+
+def _dirs(path):
+    return sorted(
+        x for x in os.listdir(path) if x.startswith("batch_id=")
+    )
+
+
+def test_compaction_preserves_novelty_semantics(spark, tmp_path):
+    """After folding the old batches, the next batch's novelty verdicts are
+    IDENTICAL to an uncompacted twin store's, and the partition count
+    drops to compacted + the excluded (still-replayable) batch."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _drive(spark, a, 60)
+    shutil.copytree(a, b)
+
+    removed = compact_store(spark, a, exclude=("2",))
+    assert removed == 2  # batches 0 and 1 folded; 2 kept replayable
+    assert _dirs(a) == ["batch_id=2", f"batch_id={COMPACTED_ID}"]
+
+    nxt = _docs(spark).filter(F.col("doc_id") >= 60)
+    novel_a, stats_a = incremental_cdc_batch(spark, a, nxt, "3")
+    novel_b, stats_b = incremental_cdc_batch(spark, b, nxt, "3")
+    assert sorted(map(tuple, novel_a.collect())) == sorted(
+        map(tuple, novel_b.collect())
+    )
+    assert sorted(map(tuple, stats_a.collect())) == sorted(
+        map(tuple, stats_b.collect())
+    )
+
+    # a replay of the EXCLUDED batch still works on the compacted store
+    # (its own partition is still separate, so the exclusion-on-read
+    # discipline holds and nothing self-matches)
+    b2 = _docs(spark).filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 60))
+    replay_novel, replay_stats = incremental_cdc_batch(spark, a, b2, "2")
+    twin_novel, _ = incremental_cdc_batch(spark, b, b2, "2")
+    assert sorted(map(tuple, replay_novel.collect())) == sorted(
+        map(tuple, twin_novel.collect())
+    )
+
+
+def test_compaction_is_idempotent_and_refolds_previous(spark, tmp_path):
+    store = str(tmp_path / "s")
+    _drive(spark, store, 40)
+    assert compact_store(spark, store) == 2
+    assert _dirs(store) == [f"batch_id={COMPACTED_ID}"]
+    n = spark.read.parquet(store).count()
+    # nothing left to fold -> no-op
+    assert compact_store(spark, store) == 0
+    assert spark.read.parquet(store).count() == n
+    # new batches after a compaction fold INTO the compacted partition
+    nxt = _docs(spark).filter(F.col("doc_id") >= 40)
+    incremental_cdc_batch(spark, store, nxt, "9")
+    assert compact_store(spark, store) == 1
+    assert _dirs(store) == [f"batch_id={COMPACTED_ID}"]
+    st = spark.read.parquet(store)
+    assert st.count() == st.select("chunk_hash").distinct().count()
+
+
+def test_crash_window_duplicates_are_harmless(spark, tmp_path):
+    """Simulate a crash between the fold-write and the deletes: the store
+    holds duplicate membership rows (compacted + originals). Novelty
+    verdicts must be unchanged, and a re-run completes the cleanup."""
+    store = str(tmp_path / "s")
+    _drive(spark, store, 40)
+    # fold WITHOUT deleting: copy the partitions back after compacting
+    backup = str(tmp_path / "bk")
+    shutil.copytree(store, backup)
+    compact_store(spark, store)
+    for d in _dirs(backup):
+        if COMPACTED_ID not in d:
+            shutil.copytree(os.path.join(backup, d), os.path.join(store, d))
+    assert len(_dirs(store)) == 3  # duplicates present
+
+    nxt = _docs(spark).filter(F.col("doc_id") >= 40)
+    novel, stats = incremental_cdc_batch(spark, store, nxt, "9")
+    clean_novel, _ = incremental_cdc_batch(spark, backup, nxt, "9")
+    assert sorted(map(tuple, novel.collect())) == sorted(
+        map(tuple, clean_novel.collect())
+    )
+    # re-run finishes the interrupted cleanup (folds 0, 1 and batch 9)
+    assert compact_store(spark, store) == 3
+    assert _dirs(store) == [f"batch_id={COMPACTED_ID}"]
