@@ -37,18 +37,64 @@ from pyspark.sql import functions as F
 BATCH_COL = "batch_id"
 
 
+def _list_partitions(spark: SparkSession, store_path: str):
+    """(fs, jvm, {unescaped batch id -> directory name}) for the store, or
+    ``None`` when the store path does not exist (first batch). Real IO
+    errors propagate. Hadoop FS API so local disk, HDFS, and S3A all
+    work; directory names are Hadoop %XX-escaped, ids are the unescaped
+    strings callers use."""
+    from urllib.parse import unquote
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return None
+    dirs = {}
+    foreign = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if name.startswith(f"{BATCH_COL}="):
+            dirs[unquote(name.split("=", 1)[1])] = name
+        elif not name.startswith(("_", ".")):  # _SUCCESS etc. are ours
+            foreign.append(name)
+    if not dirs and foreign:
+        # a populated path with no batch partitions is NOT a first batch:
+        # treating a corrupt/foreign store as empty would silently skip
+        # cross-batch dedup (the read_parquet_store_or_none lesson)
+        raise ValueError(
+            f"{store_path}: exists but is not a {BATCH_COL}=-partitioned "
+            f"parquet store (found {foreign[:3]}); refusing to treat a "
+            "corrupt store as a first batch"
+        )
+    return fs, jvm, dirs
+
+
 def read_store_excluding_batch(
     spark: SparkSession, store_path: str, batch_id: str
 ) -> DataFrame | None:
-    """The store minus the current batch's partition (``batch_id``
-    dropped), or ``None`` on the first batch — see the module docstring
-    for why both halves of that contract are load-bearing."""
-    from ..sources.readers import read_parquet_store_or_none
+    """The store minus the current batch's partition, or ``None`` on the
+    first batch — see the module docstring for why both halves of that
+    contract are load-bearing.
 
-    store = read_parquet_store_or_none(spark, store_path)
-    if store is None:
+    The read selects the surviving partition DIRECTORIES by path instead
+    of filtering an inferred ``batch_id`` column: partition-value type
+    inference over mixed id styles (numeric "007" next to a timestamp
+    "2026-08-14T10:00") fails outright in Spark, and an inferred integer
+    7 would not compare equal to the string id "007" — both real
+    failure modes for caller-chosen batch ids. Listing also prunes the
+    excluded partition before any reader state is built."""
+    listed = _list_partitions(spark, store_path)
+    if listed is None:
         return None
-    return store.filter(F.col(BATCH_COL) != F.lit(batch_id)).drop(BATCH_COL)
+    _, _, dirs = listed
+    keep = [name for bid, name in dirs.items() if bid != batch_id]
+    if not keep:
+        return None  # store holds only the current batch's own partition
+    return spark.read.parquet(
+        *[f"{store_path}/{name}" for name in sorted(keep)]
+    )
 
 
 def commit_batch_partition(
@@ -92,43 +138,45 @@ def compact_store(
     checkpoint can never re-run and are always safe to fold.
 
     Crash safety: the fold WRITES first (dynamic overwrite of
-    ``__compacted__``) and DELETES second. A crash between the two
-    leaves duplicate membership rows (compacted + original partitions),
-    which is harmless — set-membership joins are idempotent to
-    duplicates — and a re-run completes the deletion. The distinct() in
-    the fold keeps the compacted partition itself duplicate-free.
+    ``__compacted__``) and DELETES second — and deletes ONLY the exact
+    directory set it folded, snapshotted before the fold, so a batch a
+    live job commits concurrently is neither folded nor deleted. A crash
+    between the two steps leaves duplicate membership rows (compacted +
+    original partitions), which is harmless — set-membership joins are
+    idempotent to duplicates — and a re-run completes the deletion. The
+    distinct() in the fold keeps the compacted partition itself
+    duplicate-free.
+
+    Identity discipline: batch ids are taken from the partition
+    DIRECTORY names (Hadoop %XX-escaping undone), never from the
+    type-inferred partition column — ``batch_id=007`` must compare
+    against ``exclude=("007",)`` as the string "007", not as the
+    inferred integer 7 — and the fold reads exactly the foldable
+    directories by path, so there is no value-vs-directory mismatch
+    anywhere.
     """
-    store = spark.read.parquet(store_path)
-    keep = set(exclude) | {COMPACTED_ID}
-    # partition values come back type-inferred (batch_id=3 reads as int),
-    # so normalize to the string form the directories use
-    batch_ids = {
-        str(r[0]) for r in store.select(BATCH_COL).distinct().collect()
-    }
-    foldable = sorted(batch_ids - (set(exclude) - {COMPACTED_ID}))
+    # snapshot the directory set FIRST; everything (fold + delete)
+    # operates on exactly this set, so a batch committed concurrently is
+    # neither folded nor deleted
+    listed = _list_partitions(spark, store_path)
+    if listed is None:
+        return 0  # not-yet-created store == legitimate empty state
+    fs, jvm, dirs = listed
+    foldable = sorted(set(dirs) - (set(exclude) - {COMPACTED_ID}))
     if foldable in ([], [COMPACTED_ID]):
         return 0
-    folded = (
-        store.filter(F.col(BATCH_COL).cast("string").isin(foldable))
-        .drop(BATCH_COL)
-        .distinct()
-    )
+    # read exactly the foldable partition dirs by path (no partition
+    # column materializes, so no inference can misidentify a batch)
+    folded = spark.read.parquet(
+        *[f"{store_path}/{dirs[bid]}" for bid in foldable]
+    ).distinct()
     commit_batch_partition(folded, store_path, COMPACTED_ID)
-    # delete the folded originals (everything except __compacted__ and
-    # the excluded replayable batches) through the Hadoop FS API so the
-    # same code works on local disk, HDFS, and S3A
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(store_path)
-    fs = root.getFileSystem(hconf)
     removed = 0
-    for status in fs.listStatus(root):
-        name = status.getPath().getName()
-        if not name.startswith(f"{BATCH_COL}="):
-            continue
-        bid = name.split("=", 1)[1]
-        if bid in keep:
-            continue
-        fs.delete(status.getPath(), True)
+    for bid in foldable:
+        if bid == COMPACTED_ID:
+            continue  # just rewritten by the fold — never delete it
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{store_path}/{dirs[bid]}"), True
+        )
         removed += 1
     return removed

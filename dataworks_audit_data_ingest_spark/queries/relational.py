@@ -1081,18 +1081,17 @@ def q140_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lk = li.groupBy(F.col("l_orderkey").alias("k")).agg(
         F.count(F.lit(1)).alias("c_r")
     )
+    # DECIMAL(38,0) from the per-row product up: the whole point of this
+    # audit is catching pathological joins — a single degenerate hot key
+    # with ~3e9 rows per side already overflows the BIGINT product, and a
+    # wrapped per-row contrib would be summed "exactly" into garbage. The
+    # oracle errors loudly on the same product (DuckDB BIGINT×BIGINT);
+    # decimal keeps the Spark side exact to 10³⁸.
     joined = ok.join(lk, "k").select(
-        (F.col("c_l") * F.col("c_r")).alias("contrib")
+        F.expr("CAST(c_l AS DECIMAL(38,0)) * c_r").alias("contrib")
     )
-    # DECIMAL(38,0) total: the whole point of this audit is catching
-    # pathological joins, whose estimated output can exceed BIGINT — a
-    # plain Spark sum would wrap silently there while the oracle's SUM
-    # promotes to HUGEINT (q92/q93 class); per-key contrib stays BIGINT
-    # (a single key past 9.2e18 output rows is beyond any input size)
     contrib = joined.agg(
-        F.sum(F.expr("CAST(contrib AS DECIMAL(38,0))"))
-        .cast("bigint")
-        .alias("join_rows"),
+        F.sum("contrib").cast("bigint").alias("join_rows"),
         F.max("contrib").cast("bigint").alias("max_key_contribution"),
     )
     sides = ok.agg(F.count(F.lit(1)).cast("bigint").alias("n_left_keys")).crossJoin(

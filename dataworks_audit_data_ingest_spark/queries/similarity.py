@@ -616,9 +616,11 @@ def q95_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 #   mean_q = Σq DIV n          var_q = (n·Σq² − (Σq)²) DIV n²
 #
-# Headroom: |q| < 2^21 ⇒ q² < 2^42; Σq² stays under 2^63 to ~2e6 vectors
-# per dim — beyond that, production drops the scale to 2^12 (pure
-# rescaling) or shards the sum. var_q is in q² units (2^40 per unit²).
+# Headroom: |q| < 2^21 ⇒ q² < 2^42 per element; the Σq/Σq² accumulators
+# and the n·Σq² product run in DECIMAL(38,0) on the Spark side (matching
+# the oracle's HUGEINT promotion), exact to 10³⁸ — no scale-dropping or
+# sum-sharding is needed at any corpus size. var_q is in q² units
+# (2^40 per unit²) and always fits BIGINT (bounded by range²/4).
 @register(
     "q114_embedding_health",
     sql=f"""

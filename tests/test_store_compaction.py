@@ -115,3 +115,43 @@ def test_crash_window_duplicates_are_harmless(spark, tmp_path):
     # re-run finishes the interrupted cleanup (folds 0, 1 and batch 9)
     assert compact_store(spark, store) == 3
     assert _dirs(store) == [f"batch_id={COMPACTED_ID}"]
+
+
+def test_excluded_batch_ids_compare_as_directory_strings(spark, tmp_path):
+    """The two reproduced identity bugs: (a) a colon-bearing batch id
+    (Hadoop %XX-escaped directory) listed in exclude must be neither
+    folded nor DELETED; (b) a zero-padded id must not be folded via the
+    type-inferred integer form despite an exact-string exclude."""
+    store = str(tmp_path / "s")
+    d = _docs(spark)
+    b1 = d.filter(F.col("doc_id") < 20)
+    b2 = d.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40))
+    b3 = d.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 60))
+    incremental_cdc_batch(spark, store, b1, "007")
+    incremental_cdc_batch(spark, store, b2, "2026-08-14T10:00")
+    incremental_cdc_batch(spark, store, b3, "1")
+
+    before = spark.read.parquet(store).count()
+    removed = compact_store(
+        spark, store, exclude=("007", "2026-08-14T10:00")
+    )
+    assert removed == 1  # only batch "1" folded
+    names = _dirs(store)
+    assert f"batch_id={COMPACTED_ID}" in names
+    assert any("007" in n for n in names)
+    assert any("2026-08-14T10" in n for n in names)  # escaped dir kept
+    # no rows lost, and the excluded batches' rows still live under
+    # their own partitions (replay discipline intact)
+    st = spark.read.parquet(store)
+    assert st.count() == before
+    assert (
+        st.filter(F.col("batch_id").cast("string") == "007").count() > 0
+    )
+
+    # replay of the zero-padded excluded batch: nothing self-matches
+    novel, stats = incremental_cdc_batch(spark, store, b1, "007")
+    assert stats.filter(F.col("n_novel") > 0).count() > 0
+
+
+def test_compact_missing_store_is_noop(spark, tmp_path):
+    assert compact_store(spark, str(tmp_path / "nope")) == 0
