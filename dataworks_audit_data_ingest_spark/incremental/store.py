@@ -13,7 +13,8 @@ module is that discipline written once:
   replay (failure after the store write but before the downstream sink
   write) the store already holds this batch's rows, and reading them
   back would make every item self-match and silently drop the whole
-  batch. The partition-column filter also prunes the scan.
+  batch. Reads select the surviving partition directories by path, so
+  the excluded partition is pruned before any reader state is built.
 - **Commit** (:func:`commit_batch_partition`): rows land under
   ``batch_id=<id>`` via dynamic partition overwrite, so a replayed batch
   rewrites exactly its own partition — idempotent, the same
@@ -45,17 +46,29 @@ def _list_partitions(spark: SparkSession, store_path: str):
     strings callers use."""
     from urllib.parse import unquote
 
+    from py4j.protocol import Py4JJavaError
+
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(store_path)
     fs = root.getFileSystem(hconf)
-    if not fs.exists(root):
-        return None
+    try:
+        # one metadata round-trip: missing path surfaces as
+        # FileNotFoundException rather than a separate exists() probe
+        # (on S3A that probe is an extra HEAD/LIST per batch)
+        statuses = fs.listStatus(root)
+    except Py4JJavaError as e:
+        if "FileNotFoundException" in str(e.java_exception):
+            return None
+        raise
     dirs = {}
     foreign = []
-    for status in fs.listStatus(root):
+    for status in statuses:
         name = status.getPath().getName()
-        if name.startswith(f"{BATCH_COL}="):
+        # a stray root-level FILE named batch_id=... is foreign content,
+        # not a partition — folding or recursively deleting it would be
+        # wrong, and reading it as parquet would fail confusingly
+        if name.startswith(f"{BATCH_COL}=") and status.isDirectory():
             dirs[unquote(name.split("=", 1)[1])] = name
         elif not name.startswith(("_", ".")):  # _SUCCESS etc. are ours
             foreign.append(name)
@@ -79,12 +92,19 @@ def read_store_excluding_batch(
     contract are load-bearing.
 
     The read selects the surviving partition DIRECTORIES by path instead
-    of filtering an inferred ``batch_id`` column: partition-value type
-    inference over mixed id styles (numeric "007" next to a timestamp
-    "2026-08-14T10:00") fails outright in Spark, and an inferred integer
-    7 would not compare equal to the string id "007" — both real
-    failure modes for caller-chosen batch ids. Listing also prunes the
-    excluded partition before any reader state is built."""
+    of filtering an inferred ``batch_id`` column: partition-value
+    inference coerces per style (a "007" directory reads back as the
+    integer 7, which never compares equal to the string id "007"; mixed
+    styles widen unpredictably), so the directory name — unescaped — is
+    the only reliable identity for caller-chosen batch ids. Listing also
+    prunes the excluded partition before any reader state is built.
+
+    ``batch_id`` is coerced to ``str`` (directory names are strings, so
+    an int 7 passed by a caller must exclude the "7" partition, exactly
+    as the old column-comparison coercion did); empty ids are rejected —
+    Spark writes them as ``__HIVE_DEFAULT_PARTITION__``, which could
+    never match its directory-derived key on replay."""
+    batch_id = _valid_id(batch_id)
     listed = _list_partitions(spark, store_path)
     if listed is None:
         return None
@@ -97,13 +117,27 @@ def read_store_excluding_batch(
     )
 
 
+def _valid_id(batch_id) -> str:
+    """Batch ids are DIRECTORY NAMES: coerce to str (int 7 must address
+    the "7" partition) and reject empties (Spark would write
+    ``__HIVE_DEFAULT_PARTITION__``, unmatchable on replay)."""
+    s = str(batch_id)
+    if not s:
+        raise ValueError(
+            "batch_id must be a non-empty string: an empty id is written "
+            "as __HIVE_DEFAULT_PARTITION__ and can never be matched on "
+            "replay or excluded from compaction"
+        )
+    return s
+
+
 def commit_batch_partition(
     df: DataFrame, store_path: str, batch_id: str
 ) -> None:
     """Write ``df`` as the store's ``batch_id=<id>`` partition via dynamic
     overwrite (replay ⇒ identical rewrite of exactly this partition)."""
     (
-        df.withColumn(BATCH_COL, F.lit(batch_id))
+        df.withColumn(BATCH_COL, F.lit(_valid_id(batch_id)))
         .write.mode("overwrite")
         .partitionBy(BATCH_COL)
         .option("partitionOverwriteMode", "dynamic")
@@ -162,7 +196,8 @@ def compact_store(
     if listed is None:
         return 0  # not-yet-created store == legitimate empty state
     fs, jvm, dirs = listed
-    foldable = sorted(set(dirs) - (set(exclude) - {COMPACTED_ID}))
+    excluded = {_valid_id(x) for x in exclude}
+    foldable = sorted(set(dirs) - (excluded - {COMPACTED_ID}))
     if foldable in ([], [COMPACTED_ID]):
         return 0
     # read exactly the foldable partition dirs by path (no partition

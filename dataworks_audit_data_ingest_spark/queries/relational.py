@@ -1090,9 +1090,18 @@ def q140_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ok.join(lk, "k").select(
         F.expr("CAST(c_l AS DECIMAL(38,0)) * c_r").alias("contrib")
     )
+    # output boundary SATURATES at BIGINT max instead of casting through:
+    # a bare decimal→bigint cast yields null (non-ANSI) exactly in the
+    # pathological regime the audit must flag loudly — a reported
+    # 9223372036854775807 reads unambiguously as "off the scale, veto"
+    _sat = "LEAST({}, CAST(9223372036854775807 AS DECIMAL(38,0)))"
     contrib = joined.agg(
-        F.sum("contrib").cast("bigint").alias("join_rows"),
-        F.max("contrib").cast("bigint").alias("max_key_contribution"),
+        F.expr(
+            f"CAST({_sat.format('SUM(contrib)')} AS BIGINT)"
+        ).alias("join_rows"),
+        F.expr(
+            f"CAST({_sat.format('MAX(contrib)')} AS BIGINT)"
+        ).alias("max_key_contribution"),
     )
     sides = ok.agg(F.count(F.lit(1)).cast("bigint").alias("n_left_keys")).crossJoin(
         lk.agg(F.count(F.lit(1)).cast("bigint").alias("n_right_keys"))

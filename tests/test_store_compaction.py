@@ -155,3 +155,41 @@ def test_excluded_batch_ids_compare_as_directory_strings(spark, tmp_path):
 
 def test_compact_missing_store_is_noop(spark, tmp_path):
     assert compact_store(spark, str(tmp_path / "nope")) == 0
+
+
+def test_int_batch_ids_coerce_and_empty_ids_reject(spark, tmp_path):
+    """An int batch id must address the same partition as its string form
+    (replay with either spelling excludes the own partition); an empty id
+    is rejected up front — Spark would write it as
+    __HIVE_DEFAULT_PARTITION__, unmatchable forever after."""
+    import pytest
+
+    store = str(tmp_path / "s")
+    d = _docs(spark).filter(F.col("doc_id") < 20)
+    incremental_cdc_batch(spark, store, d, 7)  # int id
+    # replay with the string spelling: own partition excluded, nothing
+    # self-matches, every doc still scores novel
+    novel, stats = incremental_cdc_batch(spark, store, d, "7")
+    assert stats.filter(F.col("n_novel") > 0).count() > 0
+    with pytest.raises(ValueError, match="HIVE_DEFAULT"):
+        incremental_cdc_batch(spark, store, d, "")
+
+
+def test_stray_file_named_like_partition_is_foreign(spark, tmp_path):
+    """A root-level FILE called batch_id=x is not a partition: it must not
+    be read as parquet, folded, or recursively deleted — the store read
+    raises the foreign-content error instead."""
+    import pytest
+
+    store = tmp_path / "s"
+    _drive(spark, str(store), 20)
+    stray = store / "batch_id=stray"
+    stray.write_text("not a partition directory")
+    compact_store(spark, str(store))  # must not delete or fold the file
+    assert stray.exists()
+    # a store consisting ONLY of stray files is foreign content
+    lone = tmp_path / "lone"
+    lone.mkdir()
+    (lone / "batch_id=oops").write_text("x")
+    with pytest.raises(ValueError, match="partitioned parquet store"):
+        compact_store(spark, str(lone))
