@@ -399,7 +399,7 @@ _HQ_BINS = 1024
     "q110_histogram_quantiles",
     sql=f"""
     WITH v AS (
-      SELECT CAST(c_acctbal * 100 AS BIGINT) AS cents FROM customer
+      SELECT CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents FROM customer
     ), bounds AS (
       SELECT MIN(cents) AS vmin, MAX(cents) AS vmax, COUNT(*) AS n FROM v
     ), bins AS (
@@ -437,7 +437,12 @@ def q110_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-pass shape handles any per-group variant by adding the group key
     to both aggs."""
     c = table(spark, sf_dir, "customer")
-    v = c.select(F.expr("CAST(c_acctbal * 100 AS BIGINT)").alias("cents"))
+    v = c.select(
+        # FLOOR(x*100 + 0.5), not a bare double->BIGINT cast: DuckDB's
+        # cast ROUNDS while Spark's truncates (954 of 15,000 sf0.1 rows
+        # differ, shifting vmax and bin edges) — the portable cents idiom
+        F.expr("CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)").alias("cents")
+    )
     bounds = v.agg(
         F.min("cents").alias("vmin"),
         F.max("cents").alias("vmax"),
