@@ -207,3 +207,45 @@ def test_cdc_window_hash_overflow_guard():
     assert 0x10FFFF * (31**10 - 1) // 30 > 2**63 - 1
     with pytest.raises(ValueError):
         cdc_window_hash("t", "p", 10)
+
+
+def test_cents_idiom_is_cross_engine_portable(spark):
+    """CAST(FLOOR(x*100 + 0.5) AS BIGINT) must agree between Spark and
+    DuckDB for adversarial doubles — half-cent boundaries, negatives,
+    values whose x*100 is not exactly representable — while the bare
+    CAST(x*100 AS BIGINT) provably does NOT (DuckDB rounds, Spark
+    truncates; the q110 sf0.1 divergence). Seeded differential check."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(20260814)
+    vals = [round(rng.uniform(-10_000, 10_000), 2) for _ in range(400)]
+    vals += [3468.755, -999.845, 0.005, -0.005, 123.455, 9999.995]
+    vals += [v + 0.005 for v in vals[:50]]  # exact half-cent boundaries
+
+    sdf = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, x double")
+    sp = {
+        r.i: r.c
+        for r in sdf.selectExpr(
+            "i", "CAST(FLOOR(x * 100 + 0.5) AS BIGINT) AS c"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(vals)))
+    du = dict(
+        con.execute(
+            "SELECT i, CAST(FLOOR(x * 100 + 0.5) AS BIGINT) FROM t"
+        ).fetchall()
+    )
+    assert sp == du
+    # and the bare cast really is the trap the idiom avoids
+    bare_sp = {
+        r.i: r.c
+        for r in sdf.selectExpr("i", "CAST(x * 100 AS BIGINT) AS c").collect()
+    }
+    bare_du = dict(
+        con.execute("SELECT i, CAST(x * 100 AS BIGINT) FROM t").fetchall()
+    )
+    assert bare_sp != bare_du
