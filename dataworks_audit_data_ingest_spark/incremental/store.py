@@ -58,7 +58,11 @@ def _list_partitions(spark: SparkSession, store_path: str):
         # (on S3A that probe is an extra HEAD/LIST per batch)
         statuses = fs.listStatus(root)
     except Py4JJavaError as e:
-        if "FileNotFoundException" in str(e.java_exception):
+        # match the exception CLASS, not the message: a path or wrapped
+        # error whose text merely contains "FileNotFoundException" must
+        # still PROPAGATE (a swallowed read error admits duplicates)
+        klass = e.java_exception.getClass().getName()
+        if klass.endswith("FileNotFoundException"):
             return None
         raise
     dirs = {}
@@ -118,9 +122,16 @@ def read_store_excluding_batch(
 
 
 def _valid_id(batch_id) -> str:
-    """Batch ids are DIRECTORY NAMES: coerce to str (int 7 must address
-    the "7" partition) and reject empties (Spark would write
-    ``__HIVE_DEFAULT_PARTITION__``, unmatchable on replay)."""
+    """Batch ids are DIRECTORY NAMES: coerce str/int (int 7 must address
+    the "7" partition), reject everything else. ``None`` (an unset
+    optional id) must not become a legitimate-looking "None" partition
+    that independent buggy callers would share and dynamic-overwrite;
+    empty strings would be written as ``__HIVE_DEFAULT_PARTITION__``,
+    unmatchable on replay."""
+    if not isinstance(batch_id, (str, int)) or isinstance(batch_id, bool):
+        raise TypeError(
+            f"batch_id must be a str or int, got {type(batch_id).__name__}"
+        )
     s = str(batch_id)
     if not s:
         raise ValueError(
@@ -196,6 +207,14 @@ def compact_store(
     if listed is None:
         return 0  # not-yet-created store == legitimate empty state
     fs, jvm, dirs = listed
+    if isinstance(exclude, str):
+        # a bare string would iterate character-by-character, silently
+        # NOT excluding the replayable batch — the hard-precondition
+        # violation this parameter exists to prevent
+        raise TypeError(
+            "exclude must be a sequence of batch ids, not a bare string; "
+            f"pass exclude=({exclude!r},)"
+        )
     excluded = {_valid_id(x) for x in exclude}
     foldable = sorted(set(dirs) - (excluded - {COMPACTED_ID}))
     if foldable in ([], [COMPACTED_ID]):

@@ -1093,8 +1093,14 @@ def q140_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output boundary SATURATES at BIGINT max instead of casting through:
     # a bare decimal→bigint cast yields null (non-ANSI) exactly in the
     # pathological regime the audit must flag loudly — a reported
-    # 9223372036854775807 reads unambiguously as "off the scale, veto"
-    _sat = "LEAST({}, CAST(9223372036854775807 AS DECIMAL(38,0)))"
+    # 9223372036854775807 reads unambiguously as "off the scale, veto".
+    # The null guard matters: Spark's LEAST SKIPS nulls, so without it an
+    # EMPTY key intersection (SUM/MAX = NULL, oracle reports NULL) would
+    # saturate to the max — the opposite audit verdict.
+    _sat = (
+        "IF({0} IS NULL, NULL,"
+        " LEAST({0}, CAST(9223372036854775807 AS DECIMAL(38,0))))"
+    )
     contrib = joined.agg(
         F.expr(
             f"CAST({_sat.format('SUM(contrib)')} AS BIGINT)"

@@ -193,3 +193,18 @@ def test_stray_file_named_like_partition_is_foreign(spark, tmp_path):
     (lone / "batch_id=oops").write_text("x")
     with pytest.raises(ValueError, match="partitioned parquet store"):
         compact_store(spark, str(lone))
+
+
+def test_guardrails_on_batch_id_and_exclude_types(spark, tmp_path):
+    """None/other types are rejected (str(None) must not become a real
+    'None' partition); a bare-string exclude would iterate per character
+    and silently fold the replayable batch, so it raises."""
+    import pytest
+
+    store = str(tmp_path / "s")
+    d = _docs(spark).filter(F.col("doc_id") < 20)
+    with pytest.raises(TypeError, match="str or int"):
+        incremental_cdc_batch(spark, store, d, None)
+    incremental_cdc_batch(spark, store, d, "2026-08-13")
+    with pytest.raises(TypeError, match="bare string"):
+        compact_store(spark, store, exclude="2026-08-13")
