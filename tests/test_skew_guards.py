@@ -85,3 +85,16 @@ def test_gram_df_cap_engages_on_boilerplate(spark, tmp_path, monkeypatch):
     # the boilerplate-only overlaps ("zzz") never pair; the organic pair does
     assert (900, 901) in got
     assert all(a >= 900 for a, _ in got), got
+
+
+def test_q173_decision_engages_salting_in_the_registered_plan(spark):
+    """q173's value is the DECIDED salted join: its registered plan must
+    actually contain the salted shape (explode-replicated dim joined on
+    (k, _salt)) because the histogram probe crosses the threshold on the
+    ~90%-hot derived key — if a refactor ever made the probe read
+    uniform, the query would silently degrade to a plain join and stop
+    exercising the decision path its driver row exists to prove."""
+    q = all_queries()["q173_skew_aware_join"]
+    df = q.fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan and "explode" in plan.lower()
