@@ -10,6 +10,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Shared by key_skew_report / key_skew_milli and pinned by the overflow
+# regression test. Products run in DECIMAL(38,0): `1000 * max_c * n_keys`
+# and `c * n_keys` are BIGINT multiplications that silently wrap on
+# (non-ANSI) Spark at extreme scale — e.g. a ~1e9-row hot key over ~1e7
+# keys pushes 1000·max_c·n_keys past 2^63 and a wrapped-NEGATIVE
+# skew_milli would silently disable maybe_salted_join's salting on
+# exactly the most-skewed tables it exists to handle. Same idiom as the
+# round-6 overflow sweep (q114/q140/...); the q124 oracle uses HUGEINT.
+SKEW_MILLI_EXPR = (
+    "CAST((CAST(1000 AS DECIMAL(38,0)) * max_c * n_keys)"
+    " DIV n_rows AS BIGINT)"
+)
+HOT_KEY_PRED = (
+    "CAST(c AS DECIMAL(38,0)) * n_keys > CAST(3 AS DECIMAL(38,0)) * n_rows"
+)
+
 
 def salted_agg(
     df: DataFrame,
@@ -81,16 +97,14 @@ def key_skew_report(df: DataFrame, key: str) -> DataFrame:
     )
     hot = (
         keyed.join(F.broadcast(stats))
-        .filter(F.expr("c * n_keys > 3 * n_rows"))
+        .filter(F.expr(HOT_KEY_PRED))
         .agg(F.count(F.lit(1)).alias("n_hot_keys"))
     )
     return stats.join(F.broadcast(hot)).select(
         F.col("n_keys").cast("bigint"),
         F.col("n_rows").cast("bigint"),
         F.col("max_c").cast("bigint").alias("max_rows_per_key"),
-        F.expr("CAST((1000 * max_c * n_keys) DIV n_rows AS BIGINT)").alias(
-            "skew_milli"
-        ),
+        F.expr(SKEW_MILLI_EXPR).alias("skew_milli"),
         F.col("n_hot_keys").cast("bigint"),
     )
 
@@ -129,11 +143,7 @@ def key_skew_milli(df: DataFrame, key: str) -> int:
             F.sum("c").alias("n_rows"),
             F.max("c").alias("max_c"),
         )
-        .select(
-            F.expr("CAST((1000 * max_c * n_keys) DIV n_rows AS BIGINT)").alias(
-                "skew_milli"
-            )
-        )
+        .select(F.expr(SKEW_MILLI_EXPR).alias("skew_milli"))
         .collect()
     )
     # empty input: n_rows = 0 ⇒ DIV yields NULL ⇒ treat as uniform

@@ -816,9 +816,11 @@ def q115_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(s.n_keys AS BIGINT) AS n_keys,
            CAST(s.n_rows AS BIGINT) AS n_rows,
            CAST(s.max_c AS BIGINT) AS max_rows_per_key,
-           CAST((1000 * s.max_c * s.n_keys) // s.n_rows AS BIGINT) AS skew_milli,
+           CAST((CAST(1000 AS HUGEINT) * s.max_c * s.n_keys) // s.n_rows
+             AS BIGINT) AS skew_milli,
            CAST((SELECT COUNT(*) FROM keyed k, stats s2
-                 WHERE k.c * s2.n_keys > 3 * s2.n_rows) AS BIGINT)
+                 WHERE CAST(k.c AS HUGEINT) * s2.n_keys
+                       > CAST(3 AS HUGEINT) * s2.n_rows) AS BIGINT)
              AS n_hot_keys
     FROM stats s
     """,

@@ -36,8 +36,10 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from ..functions.hashing import spark_hash32
 
@@ -176,6 +178,12 @@ def write_training_shards(
         "seed": seed,
         "id_col": id_col,
         "total_rows": sum(s["n_rows"] for s in shards.values()),
+        # the dataset schema as the reader sees it (data cols + shard_ord;
+        # `shard` is the partition column and never appears in a direct
+        # shard=K read) — lets read_shard return a correctly-typed empty
+        # frame even when EVERY shard is empty and the root parquet read
+        # has no file to infer from
+        "schema": assigned.drop("shard").schema.jsonValue(),
         "shards": {str(k): shards.get(k, {"n_rows": 0, "checksum": 0}) for k in range(n_shards)},
     }
     Path(path, MANIFEST_NAME).write_text(json.dumps(manifest, indent=1))
@@ -207,7 +215,14 @@ def read_shard(
     ``range(n_shards)`` from the manifest never crashes on a gap. The
     schema comes from a root read (partition column dropped — a direct
     ``shard=K`` read never carries it), which matches the non-empty
-    branch's column order exactly. A shard id the manifest does NOT
+    branch's column order exactly; if EVERY shard is empty (no parquet
+    file anywhere for the root read to infer from) the empty frame is
+    rebuilt from the schema the manifest recorded at write time. The
+    manifest-empty branch still applies the epoch sort: if the manifest
+    is stale (crash between the partition swap and the manifest write)
+    and the shard actually holds rows, they come back in the documented
+    deterministic permutation — and ``verify_shards`` flags the
+    staleness loudly. A shard id the manifest does NOT
     list raises KeyError: that is a caller bug (wrong n_shards, stale
     manifest from another dataset version) and an empty frame there
     would silently truncate the corpus."""
@@ -218,13 +233,30 @@ def read_shard(
             f"recorded at {path})"
         )
     if man["shards"][str(shard)].get("n_rows", 0) == 0:
-        return (
-            spark.read.parquet(path)
-            .filter(F.col("shard") == shard)
-            .drop("shard")
-            .coalesce(1)
-        )
-    df = spark.read.parquet(f"{path}/shard={shard}").coalesce(1)
+        try:
+            df = (
+                spark.read.parquet(path)
+                .filter(F.col("shard") == shard)
+                .drop("shard")
+                .coalesce(1)
+            )
+        except AnalysisException:
+            # EVERY shard empty ⇒ the root holds no parquet file to infer
+            # a schema from ("Unable to infer schema"); rebuild the empty
+            # frame from the schema the manifest recorded at write time.
+            # Manifests predating the schema field re-raise the original.
+            if "schema" not in man:
+                raise
+            df = spark.createDataFrame(
+                [], StructType.fromJson(man["schema"])
+            ).coalesce(1)
+        # fall through to the SAME epoch sort as the non-empty branch:
+        # harmless on a truly empty frame, and if the manifest is stale
+        # (crash in write_training_shards' swap→manifest window) the rows
+        # actually present still come back in the deterministic
+        # permutation instead of undefined order
+    else:
+        df = spark.read.parquet(f"{path}/shard={shard}").coalesce(1)
     if epoch == 0:
         return df.sortWithinPartitions("shard_ord", man["id_col"])
     return df.sortWithinPartitions(
@@ -236,13 +268,18 @@ def verify_shards(spark: SparkSession, path: str) -> bool:
     """Recompute counts + checksums from the files and compare to the
     manifest — the loader-side integrity check."""
     man = read_manifest(path)
-    got = {
-        int(r.shard): (int(r.n_rows), int(r.checksum))
-        for r in spark.read.parquet(path)
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("shard_ord").alias("checksum"))
-        .collect()
-    }
+    try:
+        got = {
+            int(r.shard): (int(r.n_rows), int(r.checksum))
+            for r in spark.read.parquet(path)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("shard_ord").alias("checksum"))
+            .collect()
+        }
+    except AnalysisException:
+        # no parquet file at all (every shard empty): the files agree
+        # with the manifest iff the manifest also records zero rows
+        got = {}
     want = {
         int(k): (v["n_rows"], v["checksum"])
         for k, v in man["shards"].items()

@@ -213,3 +213,54 @@ def test_read_shard_of_emptied_shard_returns_empty_frame(spark, tmp_path):
     got = read_shard(spark, path, empties[0])
     assert got.count() == 0
     assert got.columns == read_shard(spark, path, fulls[0]).columns
+
+
+def test_read_shard_when_every_shard_is_empty(spark, tmp_path):
+    """A rewrite with an empty corpus leaves NO parquet file anywhere —
+    the root read has nothing to infer a schema from. read_shard must
+    rebuild the empty frame from the schema the manifest recorded at
+    write time (same columns as a populated shard), and verify_shards
+    must agree with the all-zero manifest instead of crashing."""
+    d = table(spark, SF, "documents")
+    path = str(tmp_path / "empty_all")
+    write_training_shards(d, path, N)
+    cols = read_shard(spark, path, 0).columns
+    man = write_training_shards(d.limit(0), path, N)
+    assert man["total_rows"] == 0
+    for k in range(N):
+        got = read_shard(spark, path, k, epoch=1)  # epoch sort must not crash
+        assert got.count() == 0
+        assert got.columns == cols
+    assert verify_shards(spark, path)
+
+
+def test_read_shard_stale_manifest_returns_epoch_order(spark, tmp_path):
+    """Crash window write_training_shards documents: partitions swapped,
+    manifest not yet rewritten. A shard the STALE manifest calls empty
+    but that actually holds rows must still come back in the documented
+    deterministic permutation (the empty branch applies the same epoch
+    sort), so a loader that missed the verify_shards check never sees an
+    undefined order."""
+    import json as _json
+    from pathlib import Path as _P
+
+    from dataworks_audit_data_ingest_spark.sinks.shards import MANIFEST_NAME
+
+    d = table(spark, SF, "documents")
+    path = str(tmp_path / "stale")
+    write_training_shards(d, path, N)
+    for epoch in (0, 2):
+        want = [r.doc_id for r in read_shard(spark, path, 1, epoch=epoch).collect()]
+        # simulate the stale window: manifest says shard 1 is empty
+        mp = _P(path, MANIFEST_NAME)
+        man = _json.loads(mp.read_text())
+        true_entry = man["shards"]["1"]
+        man["shards"]["1"] = {"n_rows": 0, "checksum": 0}
+        mp.write_text(_json.dumps(man))
+        try:
+            got = [r.doc_id for r in read_shard(spark, path, 1, epoch=epoch).collect()]
+            assert got == want and len(got) == true_entry["n_rows"] > 0
+            assert not verify_shards(spark, path)  # staleness is loud
+        finally:
+            man["shards"]["1"] = true_entry
+            mp.write_text(_json.dumps(man))

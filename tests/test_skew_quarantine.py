@@ -7,6 +7,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from dataworks_audit_data_ingest_spark.functions.skew import (
+    HOT_KEY_PRED,
+    SKEW_MILLI_EXPR,
     key_skew_milli,
     key_skew_report,
     load_skew_milli,
@@ -126,6 +128,48 @@ def test_maybe_salted_join_engages_only_past_threshold(spark):
     # events' event_type histogram is mildly skewed but far below 10x
     auto = maybe_salted_join(ev, dim, "event_type")
     assert "_salt" not in auto._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_skew_metric_exact_at_extreme_scale(spark):
+    """The skew_milli / hot-key expressions must stay exact when the
+    BIGINT products overflow — a ~1e9-row hot key over ~1e7 keys pushes
+    1000·max_c·n_keys past 2^63, and on non-ANSI Spark the old bare
+    product wrapped NEGATIVE, silently disabling maybe_salted_join on
+    exactly the tables it exists for. The test runs the PRODUCTION
+    expression strings (module constants, shared with key_skew_report /
+    key_skew_milli) over a literal stats row at that scale and compares
+    against exact Python integer math."""
+    max_c, n_keys, n_rows = 10**9, 10**7, 10**16
+    stats = spark.createDataFrame(
+        [(max_c, n_keys, n_rows)], "max_c bigint, n_keys bigint, n_rows bigint"
+    )
+    got = stats.selectExpr(f"{SKEW_MILLI_EXPR} AS skew_milli").collect()[0][0]
+    want = (1000 * max_c * n_keys) // n_rows  # exact Python ints
+    assert 1000 * max_c * n_keys > 2**63 - 1  # the old form genuinely wrapped
+    assert got == want > 0
+
+    # hot-key predicate at the same scale: c·n_keys = 1e16·1e7 overflows
+    # BIGINT; the hot key must still be detected
+    hot_row = spark.createDataFrame(
+        [(10**16, n_keys, n_rows)], "c bigint, n_keys bigint, n_rows bigint"
+    )
+    assert hot_row.filter(F.expr(HOT_KEY_PRED)).count() == 1
+    cold_row = spark.createDataFrame(
+        [(1, n_keys, n_rows)], "c bigint, n_keys bigint, n_rows bigint"
+    )
+    assert cold_row.filter(F.expr(HOT_KEY_PRED)).count() == 0
+
+
+def test_skew_report_unchanged_at_ordinary_scale(spark):
+    """Widening the accumulators must not change any small-scale value —
+    the q124 shape on a hand-checkable histogram."""
+    hot = spark.range(1000).select(
+        F.when(F.col("id") < 901, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    r = key_skew_report(hot, "k").collect()[0]
+    assert r.n_keys == 100 and r.n_rows == 1000 and r.max_rows_per_key == 901
+    assert r.skew_milli == (1000 * 901 * 100) // 1000
+    assert r.n_hot_keys == 1  # only the hot key exceeds 3x the mean
 
 
 def test_persisted_skew_report_feeds_the_join_decision(spark, tmp_path):
