@@ -30,67 +30,69 @@ from . import graph_shaped  # noqa: E402,F401
 # registration order indices 0-49). DRIVER_PRIORITY pins an explicit order,
 # rotated per round so every query accumulates a current driver row.
 #
-# Round-6 rotation is COMPUTED, not hand-curated: the list below is the
-# verbatim output of `python tools/rotation.py --emit` over the r01–r05
+# Round-7 rotation is COMPUTED, not hand-curated: the list below is the
+# verbatim output of `python tools/rotation.py --emit` over the r01–r06
 # driver history (DRIVER_PRIORITY_AS_OF_ROUND pins which history it was
 # computed from; tests/test_cli_operators.py asserts the paste matches the
-# computation, so hand-drift is a test failure). The q92/q93 pins are
-# cleared (both re-proved green in r05). Head: ALL 30 never-driver-run
-# queries (the 27 from the r05 backlog plus this round's q173/q174/q175)
-# — after this round every registered query has a driver row — then the
-# 20 stalest refreshes (all r03-latest), dropping the staleness ceiling.
-DRIVER_PRIORITY_AS_OF_ROUND = 5
+# computation, so hand-drift is a test failure). Every registered query
+# now has a driver row (r06 closed the backlog), so this is the first
+# pure stalest-first refresh slate: the 26 oracle-backed r03-latest
+# queries, then the stalest r04 tail. The four rows-only queries
+# (q42/q74/q16s/q59, sql=None) are excluded from emission — they can
+# only ever produce a `no_oracle` driver row (q16s burned an r06 slot);
+# their evidence is pytest plus a green oracle-backed twin each.
+DRIVER_PRIORITY_AS_OF_ROUND = 6
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q173_skew_aware_join",
-    "q175_ks_drift",
-    "q174_ngram_containment",
-    "q170_hard_negatives",
-    "q98_bpe_pair_counts",
-    "q100_vocab_coverage",
-    "q103_bm25",
-    "q104_train_split",
-    "q105_posting_lists",
-    "q109_quality_model_score",
-    "q112_unigram_surprisal",
-    "q119_bigram_surprisal",
-    "q125_udtf_chunks",
-    "q126_hashed_features",
-    "q129_model_calibration",
-    "q142_shard_manifest",
-    "q143_kmv_distinct",
-    "q153_record_linkage",
-    "q159_vocab_drift",
-    "q167_readability",
-    "q121_frame_sample_plan",
-    "q145_media_phash_dedup",
-    "q158_interval_coverage",
-    "q108_split_leakage",
-    "q113_data_expectations",
-    "q130_source_overlap_matrix",
-    "q144_temperature_mixture",
-    "q164_model_ece",
-    "q106_event_pagerank",
-    "q146_dedup_triangle_census",
-    "q01_pricing_summary",
-    "q04_revenue_forecast",
-    "q07_customer_order_stats",
-    "q08_distinct_agg",
-    "q09_rollup",
-    "q10_cube",
-    "q11_grouping_sets",
-    "q14_event_gaps",
-    "q15_moving_average",
-    "q16_acctbal_deciles",
-    "q16s_acctbal_deciles_scale",
-    "q17_nation_rank",
-    "q26_top_parts_global",
-    "q28_percentiles",
-    "q29_scalar_subquery",
-    "q30_tumbling_daily",
-    "q31_sliding_hourly",
-    "q33_dedup_within_watermark",
-    "q34_pivot",
-    "q34b_funnel_conversion",
+    "q35_unpivot",
+    "q35b_session_bounce_rate",
+    "q36_first_last_window",
+    "q37_distribution_ranks",
+    "q37b_zscore_outliers",
+    "q38_full_outer_join",
+    "q39_map_functions",
+    "q43_correlated_min",
+    "q44_latest_per_key",
+    "q45_cross_join",
+    "q51_dedup_minhash_lsh",
+    "q52c_simhash60_hamming",
+    "q55_ann_bruteforce_topk",
+    "q56_ann_ivf_topk",
+    "q58_dedup_clusters",
+    "q66_fuzzy_brand_match",
+    "q70_multimodal_decode",
+    "q75_data_profile",
+    "q76_asof_join_forward",
+    "q77_schema_evolution_union",
+    "q82_decontamination",
+    "q84_gap_fill",
+    "q85_sequence_packing",
+    "q86_chunk_dedup",
+    "q87_heavy_hitters_countmin",
+    "q89_ann_srp_lsh",
+    "q02_top_orders_by_revenue",
+    "q03_regional_revenue",
+    "q05_order_priority_semi",
+    "q06_customers_without_orders",
+    "q12_topk_per_customer",
+    "q13_running_total",
+    "q18_set_operations",
+    "q19_string_functions",
+    "q20_date_functions",
+    "q21_json_functions",
+    "q22_case_and_nulls",
+    "q23_math_functions",
+    "q24_price_band_join",
+    "q25_asof_join",
+    "q27_array_functions",
+    "q32_session_windows",
+    "q36b_retention_cohorts",
+    "q37s_distribution_ranks_scale",
+    "q40_incremental_watermark",
+    "q41_binary_payload_stats",
+    "q46_interval_self_join",
+    "q47_histogram",
+    "q49_filtered_aggregates",
+    "q50_dedup_exact",
 )
 
 

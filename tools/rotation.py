@@ -35,6 +35,16 @@ TOP_N = 50
 PINNED: tuple[str, ...] = ()
 
 
+def _emittable(registry) -> list[str]:
+    """Queries worth a driver slot: oracle-backed only. The four rows-only
+    queries (sql=None — q42 HLL++, q74 t-digest, q16s approx deciles, q59
+    iterative k-means) can only ever produce a `no_oracle` row, so a slot
+    spent on them is a slot NOT spent refreshing a checkable query (r06
+    burned one on q16s). Each has a green oracle-backed twin covering the
+    same operator; their correctness evidence is pytest + the twin."""
+    return [n for n, q in registry.items() if q.sql is not None]
+
+
 def history(as_of: int | None = None) -> tuple[dict[str, int], int]:
     """{query: newest round with a driver row}, latest round seen.
 
@@ -61,10 +71,11 @@ def plan(as_of: int | None = None) -> tuple[list[str], dict]:
     from dataworks_audit_data_ingest_spark.queries import REGISTRY
 
     newest, latest = history(as_of)
+    emittable = _emittable(REGISTRY)
     pinned = [n for n in PINNED if n in REGISTRY]
-    never = [n for n in REGISTRY if n not in newest and n not in pinned]
+    never = [n for n in emittable if n not in newest and n not in pinned]
     staleness = sorted(
-        ((newest[n], n) for n in REGISTRY if n in newest and n not in pinned),
+        ((newest[n], n) for n in emittable if n in newest and n not in pinned),
         key=lambda t: (t[0], t[1]),
     )
     # pinned first (must re-prove), then never-run (registration order
