@@ -1,3 +1,8 @@
 """Incremental batch analytics runner."""
 
+from .enrich import (  # noqa: F401
+    EnrichmentJoinJob,
+    refresh_skew_report,
+    run_enriched_incremental,
+)
 from .runner import IncrementalJob, run_incremental  # noqa: F401
