@@ -2074,3 +2074,223 @@ def q174_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment_milli") >= _CONTAIN_MILLI)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 — curated containment dedup (q174 x q152 composition)
+# ---------------------------------------------------------------------------
+# The ordering bug this guards against: run containment BEFORE curation and
+# a fragment can be deleted because of container B, then B dies in curation
+# — the content vanishes from the corpus entirely. The composed policy
+# drops a fragment ONLY when a containing document itself survives
+# curation; a fragment whose every container died is RESCUED as the sole
+# remaining copy. Curation here = source blocklist + keep-best-copy
+# (q152's longest-wins rank over exact-SimHash clusters); containment =
+# q174's kernel. The planted corpus exercises every verdict class:
+# clones (longer same-cluster copies that beat their originals), spam
+# containers (blocked source), fragments of both.
+_CUR_CLONE_SUFFIX = " extra trailing context words"
+_CUR_BLOCKED = "spam"
+
+
+def _q176_corpus_sql() -> str:
+    return f"""SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 20000000, text || '{_CUR_CLONE_SUFFIX}', 'clones'
+      FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 40000000, SUBSTRING(REVERSE(text), 1, 220), 'spam'
+      FROM documents WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id + 30000000, SUBSTRING(text, 1, 160), 'fragments'
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 50000000, SUBSTRING(REVERSE(text), 1, 140), 'fragments'
+      FROM documents WHERE doc_id % 25 = 0"""
+
+
+@register(
+    "q176_curated_containment",
+    sql=f"""{_simhash_sig_ctes(_q176_corpus_sql())}
+    , meta AS (
+      SELECT c.doc_id, LENGTH(c.text) AS n_chars, s.simhash
+      FROM corpus c JOIN sigs s USING (doc_id)
+      WHERE c.source <> '{_CUR_BLOCKED}'
+    ), ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY simhash
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM meta
+    ), survivors AS (
+      SELECT doc_id FROM ranked WHERE rk = 1
+    ), positions AS (
+      SELECT doc_id, text, UNNEST(RANGE(1, LENGTH(text) - {_CONTAIN_W - 2})) AS i
+      FROM corpus WHERE LENGTH(text) >= {_CONTAIN_W}
+    ), all_grams AS (
+      SELECT DISTINCT doc_id, SUBSTRING(text, i, {_CONTAIN_W}) AS gram
+      FROM positions
+    ), stop_grams AS (
+      SELECT gram FROM all_grams GROUP BY gram HAVING COUNT(*) > {_CONTAIN_DF_CAP}
+    ), grams AS (
+      SELECT all_grams.* FROM all_grams ANTI JOIN stop_grams USING (gram)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE (sa.n < sb.n OR (sa.n = sb.n AND doc_a < doc_b))
+        AND 1000 * n_common // sa.n >= {_CONTAIN_MILLI}
+    ), flags AS (
+      SELECT doc_a,
+             MAX(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS has_surv
+      FROM pairs LEFT JOIN survivors s ON s.doc_id = pairs.doc_b
+      GROUP BY doc_a
+    ), verdicts AS (
+      SELECT c.source, LENGTH(c.text) AS n_chars,
+             CASE WHEN sv.doc_id IS NULL THEN 'curation_dropped'
+                  WHEN f.has_surv = 1 THEN 'contained_dropped'
+                  WHEN f.doc_a IS NOT NULL THEN 'rescued'
+                  ELSE 'kept' END AS verdict
+      FROM corpus c
+        LEFT JOIN survivors sv ON sv.doc_id = c.doc_id
+        LEFT JOIN flags f ON f.doc_a = c.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN verdict = 'curation_dropped' THEN 1 END)
+                AS BIGINT) AS n_curation_dropped,
+           CAST(COUNT(CASE WHEN verdict = 'contained_dropped' THEN 1 END)
+                AS BIGINT) AS n_contained_dropped,
+           CAST(COUNT(CASE WHEN verdict = 'rescued' THEN 1 END)
+                AS BIGINT) AS n_rescued,
+           CAST(COUNT(CASE WHEN verdict IN ('rescued', 'kept') THEN 1 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN verdict IN ('rescued', 'kept')
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM verdicts
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("dedup", "containment", "policy", "curation"),
+)
+def q176_curated_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup composed with curation (q174 x q152): a fragment
+    is dropped only when a containing document SURVIVES curation (source
+    blocklist + longest-wins keep-best-copy over exact-SimHash clusters);
+    a fragment whose every container died in curation is rescued as the
+    sole remaining copy, and the per-source verdict census makes the
+    policy auditable (n_rescued > 0 is the proof the composition differs
+    from naive containment-then-curation ordering).
+
+    Planted corpus: clones (longer cluster-mates that beat their
+    originals under keep-best — their fragments still drop because the
+    clone survives and gram-contains the prefix), spam containers
+    (reversed text under a blocked source), and fragments of both. The
+    spam fragments' only containers are blocked, so they surface as
+    rescued.
+
+    Scale shape: q152's rank (one simhash-keyed window) + q174's
+    containment kernel (DF-capped gram join, direction predicate inside
+    the join condition) + two id-keyed semi/left joins for the verdict —
+    nothing new beyond the two proven shapes. The programmatic twin is
+    `text/pipeline.py::drop_contained_duplicates(survivors=...)`.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    clones = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_CUR_CLONE_SUFFIX)).alias("text"),
+        F.lit("clones").alias("source"),
+    )
+    spam = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 40000000).alias("doc_id"),
+        F.expr("SUBSTRING(REVERSE(text), 1, 220)").alias("text"),
+        F.lit(_CUR_BLOCKED).alias("source"),
+    )
+    frag_base = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 30000000).alias("doc_id"),
+        F.expr("SUBSTRING(text, 1, 160)").alias("text"),
+        F.lit("fragments").alias("source"),
+    )
+    frag_spam = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 50000000).alias("doc_id"),
+        F.expr("SUBSTRING(REVERSE(text), 1, 140)").alias("text"),
+        F.lit("fragments").alias("source"),
+    )
+    corpus = (
+        d.unionByName(clones)
+        .unionByName(spam)
+        .unionByName(frag_base)
+        .unionByName(frag_spam)
+    )
+
+    unblocked = corpus.filter(F.col("source") != _CUR_BLOCKED)
+    sigs = _spark_simhash_sigs(unblocked.select("doc_id", "text"))
+    meta = sigs.join(
+        unblocked.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    )
+    w = Window.partitionBy("simhash").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    survivors = (
+        meta.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id")
+    )
+
+    pairs = containment_pairs(corpus).filter(
+        F.col("containment_milli") >= _CONTAIN_MILLI
+    )
+    flags = (
+        pairs.join(
+            survivors.select(F.col("doc_id").alias("doc_b")).withColumn(
+                "surv", F.lit(1)
+            ),
+            "doc_b",
+            "left",
+        )
+        .groupBy("doc_a")
+        .agg(F.max(F.coalesce(F.col("surv"), F.lit(0))).alias("has_surv"))
+    )
+
+    verdicts = (
+        corpus.join(
+            survivors.withColumn("is_surv", F.lit(1)), "doc_id", "left"
+        )
+        .join(flags.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
+        .select(
+            "source",
+            F.length("text").alias("n_chars"),
+            F.when(F.col("is_surv").isNull(), F.lit("curation_dropped"))
+            .when(F.col("has_surv") == 1, F.lit("contained_dropped"))
+            .when(F.col("has_surv").isNotNull(), F.lit("rescued"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+    )
+    kept = F.col("verdict").isin("rescued", "kept")
+    return (
+        verdicts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("verdict") == "curation_dropped", 1))
+            .cast("bigint")
+            .alias("n_curation_dropped"),
+            F.count(F.when(F.col("verdict") == "contained_dropped", 1))
+            .cast("bigint")
+            .alias("n_contained_dropped"),
+            F.count(F.when(F.col("verdict") == "rescued", 1))
+            .cast("bigint")
+            .alias("n_rescued"),
+            F.count(F.when(kept, 1)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

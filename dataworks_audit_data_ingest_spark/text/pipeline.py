@@ -98,6 +98,7 @@ def drop_contained_duplicates(
     threshold_milli: int = 500,
     gram_width: int = 8,
     df_cap: int = 16,
+    survivors: DataFrame | None = None,
 ) -> DataFrame:
     """Remove documents whose distinct char-gram set is at least
     ``threshold_milli``/1000 contained in a LARGER document's set — the
@@ -120,6 +121,19 @@ def drop_contained_duplicates(
     `functions/graph.py` connected components with a keep-max policy)
     when chain-loss matters.
 
+    ``survivors`` composes this step with an upstream curation pass
+    (keep-best-copy, quality gate, source blocklist — q176 registers the
+    composition under the oracle): when given, a fragment is dropped
+    ONLY when a containing document is itself a survivor, and the
+    result is ``survivors`` minus those fragments. Without it, the
+    naive ordering (containment before curation) can delete a fragment
+    because of container B and then lose B to curation — the content
+    vanishes entirely. With it, a fragment whose every container died
+    in curation is RESCUED: it stays as the sole remaining copy.
+    Candidate pairs are still computed over ``docs`` (the full corpus)
+    so the survivor check is an explicit join, not an implicit
+    recomputation with different stop-gram statistics.
+
     Scale: inherits q174's guards — gram-keyed join under a document
     frequency cap (no quadratic fan-out), direction filter before the
     count aggregation; the drop-id set is distinct ids only.
@@ -128,12 +142,16 @@ def drop_contained_duplicates(
 
     pairs = containment_pairs(
         docs, id_col=id_col, text_col=text_col, width=gram_width, df_cap=df_cap
-    )
-    dropped = (
-        pairs.filter(F.col("containment_milli") >= threshold_milli)
-        .select(F.col("doc_a").alias(id_col))
-        .distinct()
-    )
+    ).filter(F.col("containment_milli") >= threshold_milli)
+    if survivors is not None:
+        surviving_ids = survivors.select(F.col(id_col).alias("doc_b"))
+        dropped = (
+            pairs.join(surviving_ids, "doc_b", "left_semi")
+            .select(F.col("doc_a").alias(id_col))
+            .distinct()
+        )
+        return survivors.join(dropped, id_col, "left_anti")
+    dropped = pairs.select(F.col("doc_a").alias(id_col)).distinct()
     return docs.join(dropped, id_col, "left_anti")
 
 

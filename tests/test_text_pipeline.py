@@ -583,3 +583,49 @@ def test_drop_contained_duplicates_removes_fragments(spark):
     # threshold high enough that nothing qualifies -> no-op
     kept_all = drop_contained_duplicates(docs, threshold_milli=1001)
     assert kept_all.count() == 4
+
+
+def test_drop_contained_duplicates_vs_survivors_rescues_orphans(spark):
+    """The q176 composition as a pipeline recipe: curation first, then
+    containment AGAINST THE SURVIVORS. A fragment whose container
+    survives curation is dropped; a fragment whose only container died
+    in curation is RESCUED (kept as the sole remaining copy) — the exact
+    content-loss case the naive containment-then-curation ordering
+    causes. Docs outside the survivor set never reappear."""
+    from dataworks_audit_data_ingest_spark.text.pipeline import (
+        drop_contained_duplicates,
+    )
+
+    page = (
+        "the quarterly results show steady revenue growth across all regions "
+        "with particular strength in the northern markets where the new "
+        "product line exceeded every internal forecast by a wide margin "
+        "and management expects the momentum to continue through the year"
+    )
+    spam_page = (
+        "buy cheap watches online best deals free shipping today limited "
+        "offer click now for discount prices on luxury brand replicas and "
+        "amazing unbeatable wholesale catalog savings every single day"
+    )
+    frag_of_page = page[40:140]        # container survives -> drop
+    frag_of_spam = spam_page[30:130]   # only container is curated away -> rescue
+    docs = spark.createDataFrame(
+        [
+            (1, page, "news"),
+            (2, spam_page, "spam"),
+            (3, frag_of_page, "quotes"),
+            (4, frag_of_spam, "quotes"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    survivors = docs.filter("source <> 'spam'")  # the curation pass
+    final = drop_contained_duplicates(docs, survivors=survivors)
+    assert sorted(r.doc_id for r in final.collect()) == [1, 4]
+
+    # naive ordering for contrast: containment over everything first,
+    # curation second -> the spam fragment's content is lost entirely
+    naive = drop_contained_duplicates(docs).filter("source <> 'spam'")
+    assert sorted(r.doc_id for r in naive.collect()) == [1]
+
+    # survivors mode never resurrects a curated-away doc
+    assert final.filter("source = 'spam'").count() == 0
