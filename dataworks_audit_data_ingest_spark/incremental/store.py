@@ -159,6 +159,53 @@ def commit_batch_partition(
 COMPACTED_ID = "__compacted__"
 
 
+def checkpoint_replayable_ids(
+    spark: SparkSession, checkpoint_dir: str
+) -> tuple[str, ...]:
+    """The batch ids a restart of this Structured Streaming checkpoint may
+    RE-RUN — exactly the ``exclude`` list :func:`compact_store`'s hard
+    precondition requires, derived instead of hand-guessed.
+
+    Spark's recovery contract: a batch with an ``offsets/<N>`` entry but
+    no ``commits/<N>`` entry was planned but not confirmed complete, and
+    the restart re-runs it with the same data slice; a committed batch
+    never re-runs under the same checkpoint. So replayable =
+    offsets − commits (usually empty after a clean availableNow
+    termination, one id after a crash mid-batch). Listing uses the
+    Hadoop FS API so the checkpoint can live on local disk, HDFS, or
+    S3A like the store itself. A checkpoint directory that does not
+    exist (stream never started) yields () — there is nothing to
+    replay; the companion fresh-checkpoint hazard (old store partitions
+    vs restarted batch ids) is documented in the module docstring and
+    cannot be solved by an exclude list."""
+    from py4j.protocol import Py4JJavaError
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _ids(sub: str) -> set[str]:
+        p = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/{sub}")
+        fs = p.getFileSystem(hconf)
+        try:
+            statuses = fs.listStatus(p)
+        except Py4JJavaError as e:
+            if e.java_exception.getClass().getName().endswith(
+                "FileNotFoundException"
+            ):
+                return set()
+            raise
+        out = set()
+        for s in statuses:
+            name = s.getPath().getName()
+            if not name.startswith("."):  # .tmp / .crc staging entries
+                out.add(name)
+        return out
+
+    planned = _ids("offsets")
+    committed = _ids("commits")
+    return tuple(sorted(planned - committed, key=lambda s: (len(s), s)))
+
+
 def compact_store(
     spark: SparkSession, store_path: str, exclude: tuple[str, ...] = ()
 ) -> int:

@@ -25,6 +25,12 @@ still match the left-anti join, so genuinely re-arriving content looks
 non-novel. On a fresh-checkpoint restart either point at a fresh
 ``store_path``/``out_dir`` or delete store partitions with batch_id at
 or beyond the restart point first.
+
+Long-lived maintenance: fold old store partitions with
+``incremental.store.compact_store``, deriving the exclude list from the
+checkpoint via ``incremental.store.checkpoint_replayable_ids`` (offsets
+minus commits = the batches a restart may re-run) — the end-to-end
+drill lives in ``tests/test_store_compaction.py``.
 """
 
 from __future__ import annotations

@@ -208,3 +208,159 @@ def test_guardrails_on_batch_id_and_exclude_types(spark, tmp_path):
     incremental_cdc_batch(spark, store, d, "2026-08-13")
     with pytest.raises(TypeError, match="bare string"):
         compact_store(spark, store, exclude="2026-08-13")
+
+
+def _write_batch_files(src, docs, n_files, start=0):
+    import json
+
+    per = (len(docs) + n_files - 1) // n_files
+    for i in range(n_files):
+        with open(src / f"{start + i}.json", "w") as f:
+            for doc_id, text in docs[i * per : (i + 1) * per]:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def _run_stream(spark, src, base, ck):
+    from dataworks_audit_data_ingest_spark.streaming.cdc_job import (
+        start_cdc_stream,
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .format("json")
+        .load(str(src))
+    )
+    q = start_cdc_stream(
+        stream, f"{base}/out", f"{base}/store", f"{base}/ck/{ck}"
+    )
+    q.awaitTermination(180)
+
+
+def test_compaction_inside_a_live_streaming_job(spark, tmp_path):
+    """The drill the compact_store docstring prescribes, end to end: run
+    the streaming CDC job for N micro-batches, derive the exclude list
+    FROM THE CHECKPOINT (checkpoint_replayable_ids), compact, then
+    CONTINUE the same stream — novelty results must be identical to an
+    uncompacted control run of the same sequence."""
+    from dataworks_audit_data_ingest_spark.incremental.store import (
+        checkpoint_replayable_ids,
+    )
+
+    docs = [
+        (r.doc_id, r.text) for r in _docs(spark).filter("doc_id < 60").collect()
+    ]
+    fresh = [
+        (r.doc_id, r.text)
+        for r in _docs(spark).filter("doc_id >= 60").collect()
+    ]
+    assert len(docs) >= 9 and fresh
+    # one file per stream invocation: the stream's file->batch assignment
+    # is NOT deterministic under maxFilesPerTrigger when several files
+    # are pending (the topk-job lesson), and cross-run comparison needs
+    # identical slicing — chunk-novelty ATTRIBUTION between docs sharing
+    # a chunk depends on which batch saw the chunk first
+    per = (len(docs) + 2) // 3
+    for name in ("a", "b"):
+        (tmp_path / name).mkdir()
+        (tmp_path / name / "in").mkdir()
+        for i in range(3):
+            _write_batch_files(
+                tmp_path / name / "in", docs[i * per : (i + 1) * per], 1, start=i
+            )
+            _run_stream(
+                spark, tmp_path / name / "in", str(tmp_path / name), "ck"
+            )
+
+    # phase 2: compact the live store in `a` with the derived exclude;
+    # a clean availableNow termination leaves nothing replayable
+    a = str(tmp_path / "a")
+    replayable = checkpoint_replayable_ids(spark, f"{a}/ck/ck")
+    assert replayable == ()
+    removed = compact_store(spark, f"{a}/store", exclude=replayable)
+    assert removed == 3
+    assert _dirs(f"{a}/store") == [f"batch_id={COMPACTED_ID}"]
+
+    # phase 3: the stream continues — re-arrived docs (first file's
+    # content again) plus genuinely fresh ones
+    rearrived_docs = docs[: len(docs) // 3]
+    for name in ("a", "b"):
+        for j, part in enumerate((rearrived_docs, fresh)):
+            _write_batch_files(tmp_path / name / "in", part, 1, start=3 + j)
+            _run_stream(
+                spark, tmp_path / name / "in", str(tmp_path / name), "ck"
+            )
+
+    got, want = (
+        sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{tmp_path / n}/out/doc_stats")
+                .select("doc_id", "n_chunks", "n_novel")
+                .collect(),
+            )
+        )
+        for n in ("a", "b")
+    )
+    assert got == want  # compaction changed NOTHING downstream
+    # re-arrived docs contributed zero novel chunks post-compaction
+    rearrived = {d for d, _ in rearrived_docs}
+    post = spark.read.parquet(f"{a}/out/doc_stats").filter(
+        F.col("batch_id").isin("3", "4") & F.col("doc_id").isin(rearrived)
+    )
+    assert post.count() > 0
+    assert post.filter(F.col("n_novel") > 0).count() == 0
+    # fresh docs were novel; store remains duplicate-free
+    store = spark.read.parquet(f"{a}/store")
+    assert store.count() == store.select("chunk_hash").distinct().count()
+
+
+def test_checkpoint_replayable_ids_reports_uncommitted_batch(spark, tmp_path):
+    """Crash-shaped checkpoint: an offsets/N entry with no commits/N twin
+    is exactly the batch a restart re-runs — the derivation must surface
+    it, compaction must then leave its partition alone, and the restart
+    must complete with the store still consistent."""
+    import os as _os
+
+    from dataworks_audit_data_ingest_spark.incremental.store import (
+        checkpoint_replayable_ids,
+    )
+
+    docs = [
+        (r.doc_id, r.text) for r in _docs(spark).filter("doc_id < 60").collect()
+    ]
+    base = tmp_path / "c"
+    base.mkdir()
+    (base / "in").mkdir()
+    _write_batch_files(base / "in", docs, 3)
+    _run_stream(spark, base / "in", str(base), "ck")
+    assert checkpoint_replayable_ids(spark, f"{base}/ck/ck") == ()
+
+    # simulate the crash window: batch 2 planned-but-unconfirmed (a real
+    # crash writes neither the commit file nor its .crc checksum twin —
+    # leaving the stale .crc behind would collide with the replay's
+    # rename-based commit write)
+    _os.remove(base / "ck" / "ck" / "commits" / "2")
+    crc = base / "ck" / "ck" / "commits" / ".2.crc"
+    if crc.exists():
+        _os.remove(crc)
+    assert checkpoint_replayable_ids(spark, f"{base}/ck/ck") == ("2",)
+
+    removed = compact_store(
+        spark,
+        f"{base}/store",
+        exclude=checkpoint_replayable_ids(spark, f"{base}/ck/ck"),
+    )
+    assert removed == 2  # batches 0,1 folded; replayable 2 untouched
+    assert _dirs(f"{base}/store") == [
+        "batch_id=2",
+        f"batch_id={COMPACTED_ID}",
+    ]
+
+    # restart: Spark re-runs batch 2 against its own (excluded-on-read)
+    # partition — replay is a no-op rewrite, outputs stay stable
+    _run_stream(spark, base / "in", str(base), "ck")
+    out = spark.read.parquet(f"{base}/out/doc_stats")
+    assert out.select("doc_id").distinct().count() == len(docs)
+    store = spark.read.parquet(f"{base}/store")
+    assert store.count() == store.select("chunk_hash").distinct().count()
