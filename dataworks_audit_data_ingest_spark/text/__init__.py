@@ -12,6 +12,7 @@ from .incremental_semantic import (  # noqa: F401
 from .pipeline import (  # noqa: F401
     annotate_quality,
     cap_per_source,
+    drop_contained_duplicates,
     drop_contaminated,
     drop_near_duplicates,
     drop_semantic_duplicates,
