@@ -36,15 +36,18 @@ from . import graph_shaped  # noqa: E402,F401
 # computed from; tests/test_cli_operators.py asserts the paste matches the
 # computation, so hand-drift is a test failure). Every registered query
 # now has a driver row (r06 closed the backlog), so the slate is the
-# round's one never-run query (q176, registered this round) followed by
-# the pure stalest-first refresh: the 26 oracle-backed r03-latest
-# queries, then the stalest r04 tail. The four rows-only queries
+# round's three never-run queries (q176/q177/q178, registered this
+# round) followed by the pure stalest-first refresh: the 26
+# oracle-backed r03-latest queries, then the stalest r04 tail. The
+# four rows-only queries
 # (q42/q74/q16s/q59, sql=None) are excluded from emission — they can
 # only ever produce a `no_oracle` driver row (q16s burned an r06 slot);
 # their evidence is pytest plus a green oracle-backed twin each.
 DRIVER_PRIORITY_AS_OF_ROUND = 6
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q176_curated_containment",
+    "q178_normalized_dedup_gain",
+    "q177_hybrid_rrf",
     "q35_unpivot",
     "q35b_session_bounce_rate",
     "q36_first_last_window",
@@ -92,8 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q40_incremental_watermark",
     "q41_binary_payload_stats",
     "q46_interval_self_join",
-    "q47_histogram",
-    "q49_filtered_aggregates",
 )
 
 

@@ -1184,3 +1184,201 @@ def q170_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q177 — hybrid retrieval with reciprocal-rank fusion (BM25 x cosine)
+# ---------------------------------------------------------------------------
+# The production retrieval stack is hybrid: a lexical leg (BM25, q103)
+# catches exact-term matches embeddings smear out, a vector leg (cosine,
+# q55) catches paraphrases lexical scoring misses, and reciprocal-rank
+# fusion merges the two WITHOUT score calibration — ranks are the only
+# common currency between a fixed-point BM25 and a cosine. RRF keeps the
+# classic k=60 but evaluates each term as FLOOR(1e12 / (k + rank)): exact
+# BIGINT on both engines, order-identical to the 1/(k+r) real for any two
+# distinct rank multisets that differ within the leg depth. vec_id is
+# doc_id's embedding (the fixtures share the 0..N-1 key space).
+_RRF_K = 60
+_RRF_SCALE = 1_000_000_000_000
+_RRF_DEPTH = 50  # per-leg candidate depth fed into the fusion
+_RRF_TOP = 15
+_RRF_QVEC = 0  # the vector-leg query embedding
+
+
+def _rrf_sql() -> str:
+    from .textops import _BM25_SQL_LIST
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ), dls AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks WHERE w <> '' GROUP BY doc_id
+    ), corpus AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS s FROM dls
+    ), tfs AS (
+      SELECT doc_id, w AS term, COUNT(*) AS tf
+      FROM toks WHERE w IN ({_BM25_SQL_LIST})
+      GROUP BY doc_id, w
+    ), dfs AS (
+      SELECT term, COUNT(*) AS df FROM tfs GROUP BY term
+    ), lex_scores AS (
+      SELECT t.doc_id,
+             CAST(SUM(
+               ((1000000 * (2*c.n - 2*f.df + 1)) // (2*f.df + 1))
+               * ((22000 * c.s * t.tf) // (10*c.s*t.tf + 3*c.s + 9*d.dl*c.n))
+             ) AS BIGINT) AS bm25
+      FROM tfs t
+      JOIN dfs f USING (term)
+      JOIN dls d USING (doc_id)
+      CROSS JOIN corpus c
+      GROUP BY t.doc_id
+    ), lex_ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+      FROM lex_scores
+    ), lex AS (
+      SELECT doc_id, r_lex FROM lex_ranked WHERE r_lex <= {_RRF_DEPTH}
+    ), base0 AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), pairs AS (
+      SELECT t.vec_id AS doc_id, q.emb AS eq, t.emb AS et
+      FROM base0 q JOIN base0 t ON t.vec_id != q.vec_id
+      WHERE q.vec_id = {_RRF_QVEC}
+    ), indexed AS (
+      SELECT doc_id, eq, et, UNNEST(RANGE(1, LEN(eq) + 1)) AS i FROM pairs
+    ), vec_scored AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(eq[i] * et[i] AS {_DOT_DEC})) AS DOUBLE)
+               / (SQRT(CAST(SUM(CAST(eq[i] * eq[i] AS {_DOT_DEC})) AS DOUBLE))
+                  * SQRT(CAST(SUM(CAST(et[i] * et[i] AS {_DOT_DEC})) AS DOUBLE)))
+               AS cosine
+      FROM indexed
+      GROUP BY doc_id
+    ), vec_ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r_vec
+      FROM vec_scored
+    ), vec AS (
+      SELECT doc_id, r_vec FROM vec_ranked WHERE r_vec <= {_RRF_DEPTH}
+    ), fused AS (
+      SELECT doc_id,
+             COALESCE({_RRF_SCALE} // ({_RRF_K} + r_lex), 0)
+             + COALESCE({_RRF_SCALE} // ({_RRF_K} + r_vec), 0) AS rrf,
+             r_lex, r_vec
+      FROM lex FULL JOIN vec USING (doc_id)
+    ), final AS (
+      SELECT doc_id,
+             CAST(rrf AS BIGINT) AS rrf_scaled,
+             CAST(COALESCE(r_lex, 0) AS BIGINT) AS lex_rank,
+             CAST(COALESCE(r_vec, 0) AS BIGINT) AS vec_rank,
+             ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS fr
+      FROM fused
+    )
+    SELECT doc_id, rrf_scaled, lex_rank, vec_rank,
+           CAST(fr AS BIGINT) AS fused_rank
+    FROM final WHERE fr <= {_RRF_TOP}
+    ORDER BY fused_rank
+    """
+
+
+@register(
+    "q177_hybrid_rrf",
+    sql=_rrf_sql(),
+    tags=("similarity", "retrieval", "hybrid", "rrf", "top-k"),
+)
+def q177_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: q103's fixed-point BM25 leg and a q55-shaped
+    exact-cosine leg (query = vec 0's embedding), each cut at depth 50,
+    merged by integer reciprocal-rank fusion (k=60, terms scaled to
+    FLOOR(1e12/(k+r)) so the fused score is BIGINT-exact on both
+    engines); top 15 fused with both legs' ranks for auditability (0 =
+    doc absent from that leg's candidates).
+
+    Scale shape: the lexical leg shuffles only query-term matches
+    (q103's pre-exchange filter) and the vector leg broadcasts ONE query
+    embedding across the corpus scan. At production scale the vector leg
+    comes from the ANN index (q56/q141 centroid routing) instead of the
+    brute-force scan — RRF consumes only each leg's top-L ranks, so the
+    fusion stage is L+L rows per query regardless of corpus size; the
+    full-corpus rank window here is the exact-oracle-checkable stand-in.
+    """
+    from pyspark.sql import Window
+
+    from .textops import _BM25_TERMS
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    dls = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dls.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").cast("bigint").alias("s")
+    )
+    tfs = (
+        toks.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tfs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_ppm = F.expr("(1000000 * (2*n - 2*df + 1)) DIV (2*df + 1)")
+    sat_k = F.expr("(22000 * s * tf) DIV (10*s*tf + 3*s + 9*dl*n)")
+    lex_scores = (
+        tfs.join(F.broadcast(dfs), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.sum(idf_ppm * sat_k).cast("bigint").alias("bm25"))
+    )
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        lex_scores.withColumn("r_lex", F.row_number().over(w_lex))
+        .filter(F.col("r_lex") <= _RRF_DEPTH)
+        .select("doc_id", "r_lex")
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    qv = base.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("emb").alias("eq")
+    )
+    scored = (
+        base.filter(F.col("vec_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(spark_cosine("emb", "eq")).alias("cosine"),
+        )
+    )
+    w_vec = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    vec = (
+        scored.withColumn("r_vec", F.row_number().over(w_vec))
+        .filter(F.col("r_vec") <= _RRF_DEPTH)
+        .select("doc_id", "r_vec")
+    )
+
+    fused = lex.join(vec, "doc_id", "full").select(
+        "doc_id",
+        F.expr(
+            f"COALESCE({_RRF_SCALE} DIV ({_RRF_K} + r_lex), 0)"
+            f" + COALESCE({_RRF_SCALE} DIV ({_RRF_K} + r_vec), 0)"
+        )
+        .cast("bigint")
+        .alias("rrf_scaled"),
+        F.coalesce("r_lex", F.lit(0)).cast("bigint").alias("lex_rank"),
+        F.coalesce("r_vec", F.lit(0)).cast("bigint").alias("vec_rank"),
+    )
+    w_f = Window.orderBy(F.desc("rrf_scaled"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= _RRF_TOP)
+        .select(
+            "doc_id",
+            "rrf_scaled",
+            "lex_rank",
+            "vec_rank",
+            F.col("fused_rank").cast("bigint").alias("fused_rank"),
+        )
+        .orderBy("fused_rank")
+    )

@@ -1896,3 +1896,88 @@ def q167_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - (84600 * n_syllables) DIV n_words AS BIGINT)"
         ).alias("flesch_milli"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q178 — normalization-aware exact-dedup gain
+# ---------------------------------------------------------------------------
+# Exact dedup on raw bytes misses trivially reformatted copies (case
+# changes, punctuation decoration, whitespace runs) — the cheapest
+# duplication class in web corpora. The standard fix is canonicalize-
+# then-hash: lowercase, strip non-alphanumerics to spaces, collapse
+# runs, trim. Both engines evaluate the identical regex chain (ASCII
+# classes only, so Java-regex vs RE2 semantics agree); the query
+# reports, per source, how many extra duplicates normalization exposes
+# over raw exact dedup — the signal for whether a corpus needs the
+# canonical pass before the more expensive near-dup rungs (q51/q53).
+SPARK_NORM_TEXT = (
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER({col}),"
+    " '[^a-z0-9 ]', ' '), ' +', ' '))"
+)
+_DUCK_NORM_TEXT = (
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER({col}),"
+    " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+)
+
+
+@register(
+    "q178_normalized_dedup_gain",
+    sql=f"""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 60000000, '** ' || UPPER(text) || ' **', source
+      FROM documents WHERE doc_id % 15 = 0
+    ), canon AS (
+      SELECT source, text,
+             {_DUCK_NORM_TEXT.format(col="text")} AS norm_text
+      FROM corpus
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS raw_unique,
+           CAST(COUNT(DISTINCT norm_text) AS BIGINT) AS norm_unique,
+           CAST(COUNT(DISTINCT text) - COUNT(DISTINCT norm_text) AS BIGINT)
+             AS dup_gain
+    FROM canon
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "dedup", "normalization"),
+)
+def q178_normalized_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source census of duplicates exposed by text canonicalization
+    (lowercase → non-alnum to space → collapse runs → trim) that raw
+    exact dedup misses, against planted reformatted copies (every 15th
+    doc re-added uppercased with punctuation decoration). dup_gain > 0
+    is the decision signal to run the canonical pass before hashing.
+
+    Scale shape: the normalization is one map-side expression chain
+    (whole-stage codegen, no Python); the census is a per-source
+    distinct-count aggregation — the same shuffle as q50's exact-dedup
+    shape. The canonical form feeds any downstream hash-keyed dedup
+    unchanged."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    decorated = d.filter(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 60000000).alias("doc_id"),
+        F.concat(F.lit("** "), F.upper("text"), F.lit(" **")).alias("text"),
+        "source",
+    )
+    corpus = d.unionByName(decorated)
+    canon = corpus.select(
+        "source",
+        "text",
+        F.expr(SPARK_NORM_TEXT.format(col="text")).alias("norm_text"),
+    )
+    return (
+        canon.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("text").cast("bigint").alias("raw_unique"),
+            F.countDistinct("norm_text").cast("bigint").alias("norm_unique"),
+            (F.countDistinct("text") - F.countDistinct("norm_text"))
+            .cast("bigint")
+            .alias("dup_gain"),
+        )
+        .orderBy("source")
+    )
