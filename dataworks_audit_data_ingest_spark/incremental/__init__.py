@@ -2,6 +2,8 @@
 
 from .enrich import (  # noqa: F401
     EnrichmentJoinJob,
+    recover_skew_report,
+    report_exists,
     refresh_skew_report,
     run_enriched_incremental,
 )

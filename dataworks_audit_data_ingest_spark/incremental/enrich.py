@@ -7,22 +7,25 @@ histogram per join.
 but a probe per join would re-scan the fact table every run, which is
 exactly the cost the persisted-report design exists to avoid. This module
 is that design as executed code, on the reference's own cadence
-(`audit_data_ingest.py:49-68`: watermark → process new days → commit):
+(`audit_data_ingest.py:49-68`: watermark → process new days → commit),
+composed over `runner.run_incremental` so the watermark/commit discipline
+lives in exactly one place:
 
-- **Decision**: each run loads one number (`load_skew_milli`) from the
-  standing report the PREVIOUS run wrote and passes it to
-  `maybe_salted_join` — zero histogram scans in the join plan, pinned by
-  test (the probe function is monkeypatched to raise and the job still
-  runs).
-- **Maintenance**: after the day commits, the run refreshes the report
-  from the day it just processed — one `key_skew_report` aggregation
-  over data the run already read, amortized into the cadence. The
-  refresh is crash-safe (write-staged-then-swap): a crash mid-swap
-  leaves either the old report or a LOUD missing-report error on the
-  next run, never a silently stale-but-plausible number.
-- **Bootstrap**: the first run has no report; it probes the first
-  pending day once (documented one-time scan) and persists the result
-  before joining, so run 1 already decides from a persisted number.
+- **Decision**: each day's transform loads one number
+  (`load_skew_milli`) from the standing report the PREVIOUS run (or day)
+  wrote and passes it to `maybe_salted_join` — zero histogram scans in
+  the join plan, pinned by test (the probe function is monkeypatched to
+  raise and the job still runs).
+- **Maintenance**: the post-commit hook refreshes the report from the
+  day just processed — the day's rows are persisted across
+  transform+hook, so the refresh rides the same physical scan.
+- **Bootstrap**: the first ever day has no report; its transform probes
+  that day once (documented one-time scan), persists the result, and
+  joins off the persisted number like every later day.
+
+All report filesystem operations go through the Hadoop FS API, so the
+report can live on local disk, HDFS, or S3A exactly like the store
+(`incremental/store.py`'s discipline).
 
 At 100 TB: the fact side arrives day-partitioned; the report is five
 numbers per (table, key). Skew drifts on the ingest cadence (a hot
@@ -34,18 +37,15 @@ freshest information available without paying a probe before the join.
 from __future__ import annotations
 
 import logging
-import os
-import shutil
 from collections.abc import Callable
 from dataclasses import dataclass
 from datetime import date
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..functions.skew import key_skew_report, load_skew_milli, maybe_salted_join
-from ..ingest.watermark import find_start_date, update_progress_file
 from ..session import tune
+from .runner import IncrementalJob, run_incremental
 
 logger = logging.getLogger(__name__)
 
@@ -65,21 +65,93 @@ class EnrichmentJoinJob:
     transform: Callable[[DataFrame], DataFrame] | None = None
 
 
+def _hadoop(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm, p
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    fs, _, p = _hadoop(spark, path)
+    return fs.exists(p)
+
+
+def _delete(spark: SparkSession, path: str) -> None:
+    fs, _, p = _hadoop(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def _rename(spark: SparkSession, src: str, dst: str) -> None:
+    fs, jvm, p_src = _hadoop(spark, src)
+    if not fs.rename(p_src, jvm.org.apache.hadoop.fs.Path(dst)):
+        # the Hadoop FS rename contract returns False instead of raising
+        raise OSError(f"rename failed: {src} -> {dst}")
+
+
+def _staged(path: str) -> str:
+    return path.rstrip("/") + ".staged"
+
+
+def _aside(path: str) -> str:
+    return path.rstrip("/") + ".old"
+
+
+def report_exists(spark: SparkSession, path: str) -> bool:
+    """True when a report directory stands at ``path`` (Hadoop FS, so
+    local/HDFS/S3A alike) — the bootstrap predicate shared by the batch
+    and streaming rungs."""
+    return _exists(spark, path)
+
+
+def recover_skew_report(spark: SparkSession, path: str) -> bool:
+    """Repair the report after a crash inside :func:`refresh_skew_report`'s
+    swap window; returns True when a report stands at ``path`` afterwards.
+
+    The swap is two FS renames (path→aside, staged→path), so a crash
+    between them leaves ``path`` missing. Recovery is deterministic from
+    what survived: a COMPLETE staged report (Spark's ``_SUCCESS`` marker
+    present) finishes the swap forward; otherwise an intact aside rolls
+    back to the previous report — one cadence staler, still a valid
+    decision input. With neither, there is nothing to recover (fresh
+    deployment) and the caller's bootstrap handles it."""
+    if _exists(spark, path):
+        return True
+    staged, aside = _staged(path), _aside(path)
+    if _exists(spark, f"{staged}/_SUCCESS"):
+        logger.warning("skew report %s: completing interrupted swap", path)
+        _rename(spark, staged, path)
+        _delete(spark, aside)
+        return True
+    if _exists(spark, aside):
+        logger.warning("skew report %s: rolling back to previous report", path)
+        _rename(spark, aside, path)
+        _delete(spark, staged)
+        return True
+    return False
+
+
 def refresh_skew_report(df: DataFrame, key: str, path: str) -> None:
     """Overwrite the standing report with ``df``'s ``key`` histogram —
-    write-staged-then-swap so a reader never sees a half-written report
-    and a crash leaves either the previous report intact or a missing
-    path that ``load_skew_milli`` refuses loudly (never a silently wrong
-    number)."""
-    staged = path.rstrip("/") + ".staged"
-    aside = path.rstrip("/") + ".old"
-    shutil.rmtree(staged, ignore_errors=True)
+    write-staged-then-swap through the Hadoop FS API (local/HDFS/S3A).
+
+    The swap itself is two renames, not one atomic operation: a reader
+    racing the exact swap window can see a missing path, and a crash
+    inside it leaves no report standing — both repaired by
+    :func:`recover_skew_report` (forward from a complete stage, else
+    rollback to the aside copy), which the consuming job runs before
+    every read. What the staging DOES guarantee is that no reader ever
+    sees a half-written report: the report under ``path`` is always a
+    completely written parquet directory."""
+    spark = df.sparkSession
+    staged, aside = _staged(path), _aside(path)
+    _delete(spark, staged)
     key_skew_report(df, key).coalesce(1).write.mode("overwrite").parquet(staged)
-    shutil.rmtree(aside, ignore_errors=True)
-    if os.path.exists(path):
-        os.rename(path, aside)
-    os.rename(staged, path)
-    shutil.rmtree(aside, ignore_errors=True)
+    _delete(spark, aside)
+    if _exists(spark, path):
+        _rename(spark, path, aside)
+    _rename(spark, staged, path)
+    _delete(spark, aside)
 
 
 def run_enriched_incremental(
@@ -90,38 +162,29 @@ def run_enriched_incremental(
     the persisted report, append to the day-partitioned output, commit
     the watermark, then refresh the report from the processed day.
 
-    Returns the committed days. Failure semantics match
-    ``runner.run_incremental``: a crash before commit redoes the day
-    (dynamic partition overwrite keeps the retry idempotent); a crash
-    after commit but before the report refresh leaves the previous
-    report standing — one cadence staler, still a valid decision input.
+    Returns the committed days. Failure semantics are
+    ``runner.run_incremental``'s (this IS a run_incremental job): a crash
+    before commit redoes the day (dynamic partition overwrite keeps the
+    retry idempotent); a crash after commit but before the report refresh
+    leaves the previous report standing — one cadence staler, still a
+    valid decision input; a crash inside the swap window is repaired by
+    :func:`recover_skew_report` on the next run.
     """
     tune(spark)
-    watermark = find_start_date(job.progress_file)
-    src = spark.read.parquet(job.source_path).withColumn(
-        "day", F.date_trunc("day", F.col(job.ts_col)).cast("date")
-    )
-    if watermark is not None:
-        src = src.filter(F.col("day") > F.lit(watermark))
-    days = [r["day"] for r in src.select("day").distinct().orderBy("day").collect()]
-    if not days:
-        logger.info("enrich: nothing newer than %s", watermark)
-        return []
-
+    recover_skew_report(spark, job.skew_report_path)
     dim = spark.read.parquet(job.dim_path)
-    if not os.path.exists(job.skew_report_path):
-        # bootstrap: no standing report yet — probe the FIRST pending day
-        # once and persist, so even run 1 joins off a persisted number
-        # (and run 2 onward never probes at all)
-        logger.info("enrich: bootstrapping skew report at %s", job.skew_report_path)
-        refresh_skew_report(
-            src.filter(F.col("day") == F.lit(days[0])), job.key, job.skew_report_path
-        )
 
-    committed: list[date] = []
-    for day in days:
-        day_df = src.filter(F.col("day") == F.lit(day))
+    def transform(day_df: DataFrame) -> DataFrame:
+        if not _exists(spark, job.skew_report_path):
+            # bootstrap: no standing report yet — probe THIS day once and
+            # persist, so even the first day joins off a persisted number
+            # (day_df is persisted by the runner; the probe rides it)
+            logger.info(
+                "enrich: bootstrapping skew report at %s", job.skew_report_path
+            )
+            refresh_skew_report(day_df, job.key, job.skew_report_path)
         milli = load_skew_milli(spark, job.skew_report_path)
+        logger.info("enrich: joining with skew_milli=%d", milli)
         out = maybe_salted_join(
             day_df,
             dim,
@@ -132,19 +195,22 @@ def run_enriched_incremental(
         )
         if job.transform is not None:
             out = job.transform(out)
-        if "day" not in out.columns:
-            out = out.withColumn("day", F.lit(day))
-        (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("day")
-            .parquet(job.output_path)
-        )
-        update_progress_file(job.progress_file, day)
-        committed.append(day)
-        logger.info("enrich: committed %s (skew_milli=%d)", day, milli)
+        return out
+
+    def on_day_committed(day: date, day_df: DataFrame) -> None:
         # refresh AFTER commit: the report is advisory (a decision input),
         # the watermark is the correctness boundary — a crash here costs
         # one cadence of report freshness, never a reprocessed day
         refresh_skew_report(day_df, job.key, job.skew_report_path)
-    return committed
+
+    return run_incremental(
+        spark,
+        IncrementalJob(
+            source_path=job.source_path,
+            ts_col=job.ts_col,
+            output_path=job.output_path,
+            progress_file=job.progress_file,
+            transform=transform,
+            on_day_committed=on_day_committed,
+        ),
+    )

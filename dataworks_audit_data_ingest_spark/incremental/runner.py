@@ -37,6 +37,12 @@ class IncrementalJob:
     transform: Callable[[DataFrame], DataFrame]  # per-day transformation;
     # receives the day's rows (with a `day` column) and returns rows to
     # append (the `day` column is re-attached if the transform drops it)
+    # Optional post-commit hook (day, day_df) — runs AFTER the watermark
+    # commit, so a hook failure costs only the hook's own work, never a
+    # reprocessed day. When set, the day's rows are persisted across
+    # transform+hook so the hook rides the same physical scan
+    # (enrich.py's report refresh is the standing client).
+    on_day_committed: Callable[[date, DataFrame], None] | None = None
 
 
 def run_incremental(spark: SparkSession, job: IncrementalJob) -> list[date]:
@@ -59,19 +65,28 @@ def run_incremental(spark: SparkSession, job: IncrementalJob) -> list[date]:
     committed: list[date] = []
     for day in days:
         day_df = src.filter(F.col("day") == F.lit(day))
-        out = job.transform(day_df)
-        if "day" not in out.columns:
-            out = out.withColumn("day", F.lit(day))
-        # partition-overwrite keeps the day idempotent on retry: a crashed
-        # run's partial partition is replaced wholesale, like the
-        # reference's re-uploaded day (`audit_data_ingest.py:65-68`)
-        (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("day")
-            .parquet(job.output_path)
-        )
-        update_progress_file(job.progress_file, day)
-        committed.append(day)
-        logger.info("incremental: committed %s", day)
+        if job.on_day_committed is not None:
+            # one physical scan serves both the transform and the hook
+            day_df = day_df.persist()
+        try:
+            out = job.transform(day_df)
+            if "day" not in out.columns:
+                out = out.withColumn("day", F.lit(day))
+            # partition-overwrite keeps the day idempotent on retry: a
+            # crashed run's partial partition is replaced wholesale, like
+            # the reference's re-uploaded day (`audit_data_ingest.py:65-68`)
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("day")
+                .parquet(job.output_path)
+            )
+            update_progress_file(job.progress_file, day)
+            committed.append(day)
+            logger.info("incremental: committed %s", day)
+            if job.on_day_committed is not None:
+                job.on_day_committed(day, day_df)
+        finally:
+            if job.on_day_committed is not None:
+                day_df.unpersist()
     return committed

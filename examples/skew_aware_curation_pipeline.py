@@ -100,15 +100,16 @@ def run(spark, workdir: str) -> dict:
     audit["skew_milli"] = load_skew_milli(spark, job.skew_report_path)
 
     enriched = spark.read.parquet(job.output_path)
-    audit["enriched_rows"] = enriched.count()
+    audit["enriched_rows"] = audit["n_input"] = enriched.count()
 
     # ------------------------------------------------------------------
     # 2. curation: blocklist -> keep-best near-dup -> curated containment
     # ------------------------------------------------------------------
     candidates = enriched.filter(~F.col("source").isin(*BLOCKED_SOURCES))
     survivors = drop_near_duplicates(candidates, keep="longest")
-    curated = drop_contained_duplicates(enriched, survivors=survivors)
-    audit["n_input"] = enriched.count()
+    # persist: the curated plan (simhash window + containment join) feeds
+    # the count below AND the shard write — one evaluation, not two
+    curated = drop_contained_duplicates(enriched, survivors=survivors).persist()
     audit["n_blocked"] = audit["n_input"] - candidates.count()
     audit["n_survivors"] = survivors.count()
     audit["n_curated"] = curated.count()
@@ -129,6 +130,7 @@ def run(spark, workdir: str) -> dict:
     audit["epoch1_first_ids"] = [
         r.doc_id for r in read_shard(spark, shard_path, 0, epoch=1).limit(3).collect()
     ]
+    curated.unpersist()
     return audit
 
 

@@ -162,3 +162,69 @@ def test_refresh_is_staged_and_loud_on_missing(spark, tmp_path):
     assert not os.path.exists(path + ".old")
     with pytest.raises(Exception):
         load_skew_milli(spark, str(tmp_path / "missing"))
+
+
+def test_swap_crash_windows_are_recoverable(spark, tmp_path):
+    """Crash between the two swap renames leaves no report standing;
+    recover_skew_report must finish the swap forward when a COMPLETE
+    staged report survived, else roll back to the aside copy — and the
+    consuming job runs the recovery before every read."""
+    import shutil
+
+    from dataworks_audit_data_ingest_spark.incremental import (
+        recover_skew_report,
+    )
+
+    df = spark.range(100).select((F.col("id") % 10).alias("k"))
+    path = str(tmp_path / "rep")
+    refresh_skew_report(df, "k", path)
+    good = load_skew_milli(spark, path)
+
+    # crash after path->aside, before staged->path, with a COMPLETE stage
+    hot = spark.range(100).select(
+        F.when(F.col("id") < 91, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    from dataworks_audit_data_ingest_spark.functions.skew import (
+        key_skew_report,
+    )
+
+    key_skew_report(hot, "k").coalesce(1).write.parquet(path + ".staged")
+    os.rename(path, path + ".old")
+    assert recover_skew_report(spark, path)  # completes FORWARD
+    assert load_skew_milli(spark, path) > good
+    assert not os.path.exists(path + ".staged")
+    assert not os.path.exists(path + ".old")
+
+    # crash with an INCOMPLETE stage (no _SUCCESS): roll back to aside
+    os.rename(path, path + ".old")
+    os.makedirs(path + ".staged")
+    assert recover_skew_report(spark, path)  # rolls BACK
+    assert load_skew_milli(spark, path) > good  # the previous report
+    assert not os.path.exists(path + ".staged")
+
+    # nothing survived at all: recovery reports False (fresh deployment)
+    shutil.rmtree(path)
+    assert not recover_skew_report(spark, str(tmp_path / "rep"))
+
+
+def test_enrich_recovers_report_before_reading(spark, tmp_path):
+    """A crash-shaped report state at job start (aside only) must not
+    silently re-bootstrap: the run restores the previous report and its
+    decision comes from it."""
+    src, dim = _fixture(spark, tmp_path)
+    job = _job(tmp_path, src, dim)
+    run_enriched_incremental(spark, job)
+    before = load_skew_milli(spark, job.skew_report_path)
+    # simulate the crash window, then a new day arrives
+    os.rename(job.skew_report_path, job.skew_report_path + ".old")
+    spark.range(40).select(
+        (F.col("id") % 20).alias("k"),
+        F.to_timestamp(F.lit("2024-01-03 10:00:00")).alias("ts"),
+        F.col("id").alias("v"),
+    ).write.mode("append").parquet(src)
+    committed = run_enriched_incremental(spark, job)
+    assert len(committed) == 1
+    # recovery restored the old report; after the uniform day 3 the
+    # refresh has replaced it
+    assert load_skew_milli(spark, job.skew_report_path) == 1000
+    assert before > 10_000
