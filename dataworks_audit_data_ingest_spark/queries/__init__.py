@@ -34,11 +34,11 @@ from . import graph_shaped  # noqa: E402,F401
 # verbatim output of `python tools/rotation.py --emit` over the r01–r06
 # driver history (DRIVER_PRIORITY_AS_OF_ROUND pins which history it was
 # computed from; tests/test_cli_operators.py asserts the paste matches the
-# computation, so hand-drift is a test failure). Every registered query
-# now has a driver row (r06 closed the backlog), so the slate is the
-# round's three never-run queries (q176/q177/q178, registered this
-# round) followed by the pure stalest-first refresh: the 26
-# oracle-backed r03-latest queries, then the stalest r04 tail. The
+# computation, so hand-drift is a test failure). Every query registered
+# before round 7 has a driver row (r06 closed the backlog), so the slate
+# is the round's five never-run queries (q176/q177/q178 then q179/q180,
+# all registered this round) followed by the pure stalest-first refresh:
+# the 26 oracle-backed r03-latest queries, then the stalest r04 tail. The
 # four rows-only queries
 # (q42/q74/q16s/q59, sql=None) are excluded from emission — they can
 # only ever produce a `no_oracle` driver row (q16s burned an r06 slot);
@@ -47,7 +47,9 @@ DRIVER_PRIORITY_AS_OF_ROUND = 6
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q176_curated_containment",
     "q178_normalized_dedup_gain",
+    "q180_normalized_minhash_pairs",
     "q177_hybrid_rrf",
+    "q179_hybrid_rrf_ivf",
     "q35_unpivot",
     "q35b_session_bounce_rate",
     "q36_first_last_window",
@@ -93,8 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q36b_retention_cohorts",
     "q37s_distribution_ranks_scale",
     "q40_incremental_watermark",
-    "q41_binary_payload_stats",
-    "q46_interval_self_join",
 )
 
 

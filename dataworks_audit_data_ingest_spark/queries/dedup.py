@@ -2294,3 +2294,136 @@ def q176_curated_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q180 — normalization-aware MinHash LSH (q178's canon text feeding q51)
+# ---------------------------------------------------------------------------
+# q178 showed canonicalization exposes reformatted exact copies; q180 runs
+# the FULL near-dup rung over the canonical form, so one LSH pass catches
+# both classes at once: reformatted copies (case/punctuation decoration —
+# invisible to raw MinHash because every shingle hash changes) collide in
+# all bands as canon-exact pairs, and genuinely edited near-dups (trailing
+# truncation) collide as before. The pair class disambiguates, so a
+# curation policy can auto-drop canon-exact pairs and route near pairs to
+# keep-best scoring.
+_NORM_DECOR_OFFSET = 2_000_000  # decorated-copy ids (variants use 1e6)
+
+
+def _norm_minhash_sql() -> str:
+    from .textops import _DUCK_NORM_TEXT
+
+    mins = ",\n             ".join(
+        f"MIN({universal_hash('h', i)}) AS mh_{i}" for i in range(_N_SEEDS)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band_idx, MD5(CONCAT_WS(',', {cols})) AS band_hash FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh_{b * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_VARIANT_OFFSET} AS doc_id,
+             ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:LEN(STRING_SPLIT(text, ' ')) - 5], ' ') AS text
+      FROM documents
+      WHERE doc_id < {_N_VARIANT_DOCS} AND LEN(STRING_SPLIT(text, ' ')) > 5
+      UNION ALL
+      SELECT doc_id + {_NORM_DECOR_OFFSET} AS doc_id,
+             '** ' || UPPER(text) || ' **' AS text
+      FROM documents WHERE doc_id % 15 = 0
+    ), corpus AS (
+      SELECT doc_id, {_DUCK_NORM_TEXT.format(col="text")} AS text FROM raw
+    ), positions AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS words,
+             UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1)) AS i
+      FROM corpus
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+    ), shingled AS (
+      SELECT doc_id,
+             {duckdb_hash32("ARRAY_TO_STRING(words[i:i+2], ' ')", 'mh')} AS h
+      FROM positions
+    ), sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM shingled
+      GROUP BY doc_id
+    ), bands AS (
+{band_rows}
+    ), hot AS (
+      SELECT band_idx, band_hash FROM bands
+      GROUP BY band_idx, band_hash HAVING COUNT(*) > {_LSH_BUCKET_CAP}
+    ), kept AS (
+      SELECT bands.* FROM bands
+      ANTI JOIN hot ON bands.band_idx = hot.band_idx
+                   AND bands.band_hash = hot.band_hash
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CASE WHEN ca.text = cb.text THEN 'canon_exact' ELSE 'near' END
+             AS pair_class
+    FROM pairs p
+    JOIN corpus ca ON ca.doc_id = p.doc_a
+    JOIN corpus cb ON cb.doc_id = p.doc_b
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "q180_normalized_minhash_pairs",
+    sql=_norm_minhash_sql(),
+    tags=("dedup", "minhash", "lsh", "normalization"),
+)
+def q180_normalized_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs over CANONICAL text (q178's lowercase →
+    strip-punctuation → collapse-runs chain) via q51's MinHash+LSH
+    pipeline, with planted reformatted copies (every 15th doc re-added
+    uppercased + decorated) and q51's trailing-truncation variants. Each
+    pair is classed: ``canon_exact`` (identical after canonicalization —
+    raw MinHash would MISS these, every shingle hash changes under
+    case/punctuation edits) vs ``near`` (surviving genuine edits).
+
+    Scale shape: canonicalization is one map-side codegen expression on
+    the existing corpus scan — the signature/band/bucket-join pipeline
+    and its skew guards are exactly q51's, so the extra coverage costs
+    no new shuffle. The class join touches only candidate pairs (LSH
+    output, tiny vs corpus), keyed by doc_id.
+    """
+    from .textops import SPARK_NORM_TEXT
+
+    d = table(spark, sf_dir, "documents")
+    decorated = d.filter(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + _NORM_DECOR_OFFSET).alias("doc_id"),
+        F.concat(F.lit("** "), F.upper("text"), F.lit(" **")).alias("text"),
+    )
+    raw = (
+        d.select("doc_id", "text").unionByName(_variants(d)).unionByName(decorated)
+    )
+    corpus = raw.select(
+        "doc_id", F.expr(SPARK_NORM_TEXT.format(col="text")).alias("text")
+    )
+    bands = _spark_bands(_spark_sigs(corpus))
+    pairs = lsh_candidate_pairs(bands)
+    ca = corpus.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    cb = corpus.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("_ta") == F.col("_tb"), F.lit("canon_exact"))
+            .otherwise(F.lit("near"))
+            .alias("pair_class"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

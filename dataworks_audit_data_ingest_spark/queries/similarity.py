@@ -1205,11 +1205,12 @@ _RRF_TOP = 15
 _RRF_QVEC = 0  # the vector-leg query embedding
 
 
-def _rrf_sql() -> str:
+def _rrf_lex_ctes() -> str:
+    """The lexical-leg CTE chain (toks → … → lex), shared by q177 and
+    q179 — both fuse the same fixed-point BM25 leg."""
     from .textops import _BM25_SQL_LIST
 
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
     ), dls AS (
       SELECT doc_id, COUNT(*) AS dl FROM toks WHERE w <> '' GROUP BY doc_id
@@ -1237,7 +1238,36 @@ def _rrf_sql() -> str:
       FROM lex_scores
     ), lex AS (
       SELECT doc_id, r_lex FROM lex_ranked WHERE r_lex <= {_RRF_DEPTH}
-    ), base0 AS (
+    )"""
+
+
+def _rrf_fusion_sql() -> str:
+    """The fusion tail (fused → final → SELECT), shared by q177/q179:
+    expects CTEs ``lex(doc_id, r_lex)`` and ``vec(doc_id, r_vec)``."""
+    return f""", fused AS (
+      SELECT doc_id,
+             COALESCE({_RRF_SCALE} // ({_RRF_K} + r_lex), 0)
+             + COALESCE({_RRF_SCALE} // ({_RRF_K} + r_vec), 0) AS rrf,
+             r_lex, r_vec
+      FROM lex FULL JOIN vec USING (doc_id)
+    ), final AS (
+      SELECT doc_id,
+             CAST(rrf AS BIGINT) AS rrf_scaled,
+             CAST(COALESCE(r_lex, 0) AS BIGINT) AS lex_rank,
+             CAST(COALESCE(r_vec, 0) AS BIGINT) AS vec_rank,
+             ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS fr
+      FROM fused
+    )
+    SELECT doc_id, rrf_scaled, lex_rank, vec_rank,
+           CAST(fr AS BIGINT) AS fused_rank
+    FROM final WHERE fr <= {_RRF_TOP}
+    ORDER BY fused_rank
+    """
+
+
+def _rrf_sql() -> str:
+    return f"""
+    WITH {_rrf_lex_ctes()}, base0 AS (
       SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings
     ), pairs AS (
@@ -1259,48 +1289,12 @@ def _rrf_sql() -> str:
       FROM vec_scored
     ), vec AS (
       SELECT doc_id, r_vec FROM vec_ranked WHERE r_vec <= {_RRF_DEPTH}
-    ), fused AS (
-      SELECT doc_id,
-             COALESCE({_RRF_SCALE} // ({_RRF_K} + r_lex), 0)
-             + COALESCE({_RRF_SCALE} // ({_RRF_K} + r_vec), 0) AS rrf,
-             r_lex, r_vec
-      FROM lex FULL JOIN vec USING (doc_id)
-    ), final AS (
-      SELECT doc_id,
-             CAST(rrf AS BIGINT) AS rrf_scaled,
-             CAST(COALESCE(r_lex, 0) AS BIGINT) AS lex_rank,
-             CAST(COALESCE(r_vec, 0) AS BIGINT) AS vec_rank,
-             ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS fr
-      FROM fused
-    )
-    SELECT doc_id, rrf_scaled, lex_rank, vec_rank,
-           CAST(fr AS BIGINT) AS fused_rank
-    FROM final WHERE fr <= {_RRF_TOP}
-    ORDER BY fused_rank
-    """
+    ){_rrf_fusion_sql()}"""
 
 
-@register(
-    "q177_hybrid_rrf",
-    sql=_rrf_sql(),
-    tags=("similarity", "retrieval", "hybrid", "rrf", "top-k"),
-)
-def q177_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: q103's fixed-point BM25 leg and a q55-shaped
-    exact-cosine leg (query = vec 0's embedding), each cut at depth 50,
-    merged by integer reciprocal-rank fusion (k=60, terms scaled to
-    FLOOR(1e12/(k+r)) so the fused score is BIGINT-exact on both
-    engines); top 15 fused with both legs' ranks for auditability (0 =
-    doc absent from that leg's candidates).
-
-    Scale shape: the lexical leg shuffles only query-term matches
-    (q103's pre-exchange filter) and the vector leg broadcasts ONE query
-    embedding across the corpus scan. At production scale the vector leg
-    comes from the ANN index (q56/q141 centroid routing) instead of the
-    brute-force scan — RRF consumes only each leg's top-L ranks, so the
-    fusion stage is L+L rows per query regardless of corpus size; the
-    full-corpus rank window here is the exact-oracle-checkable stand-in.
-    """
+def _rrf_lex_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, r_lex): q103's fixed-point BM25 leg ranked and cut at
+    depth {_RRF_DEPTH} — shared by q177 and q179."""
     from pyspark.sql import Window
 
     from .textops import _BM25_TERMS
@@ -1329,34 +1323,17 @@ def q177_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(idf_ppm * sat_k).cast("bigint").alias("bm25"))
     )
     w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    lex = (
+    return (
         lex_scores.withColumn("r_lex", F.row_number().over(w_lex))
         .filter(F.col("r_lex") <= _RRF_DEPTH)
         .select("doc_id", "r_lex")
     )
 
-    e = table(spark, sf_dir, "embeddings")
-    base = e.select(
-        "vec_id",
-        F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
-    )
-    qv = base.filter(F.col("vec_id") == _RRF_QVEC).select(
-        F.col("emb").alias("eq")
-    )
-    scored = (
-        base.filter(F.col("vec_id") != _RRF_QVEC)
-        .crossJoin(F.broadcast(qv))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.expr(spark_cosine("emb", "eq")).alias("cosine"),
-        )
-    )
-    w_vec = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
-    vec = (
-        scored.withColumn("r_vec", F.row_number().over(w_vec))
-        .filter(F.col("r_vec") <= _RRF_DEPTH)
-        .select("doc_id", "r_vec")
-    )
+
+def _rrf_fuse(lex: DataFrame, vec: DataFrame) -> DataFrame:
+    """Integer RRF over two (doc_id, rank) legs, top {_RRF_TOP} — shared
+    by q177 and q179."""
+    from pyspark.sql import Window
 
     fused = lex.join(vec, "doc_id", "full").select(
         "doc_id",
@@ -1382,3 +1359,187 @@ def q177_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fused_rank")
     )
+
+
+@register(
+    "q177_hybrid_rrf",
+    sql=_rrf_sql(),
+    tags=("similarity", "retrieval", "hybrid", "rrf", "top-k"),
+)
+def q177_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: q103's fixed-point BM25 leg and a q55-shaped
+    exact-cosine leg (query = vec 0's embedding), each cut at depth 50,
+    merged by integer reciprocal-rank fusion (k=60, terms scaled to
+    FLOOR(1e12/(k+r)) so the fused score is BIGINT-exact on both
+    engines); top 15 fused with both legs' ranks for auditability (0 =
+    doc absent from that leg's candidates).
+
+    Scale shape: the lexical leg shuffles only query-term matches
+    (q103's pre-exchange filter) and the vector leg broadcasts ONE query
+    embedding across the corpus scan. At production scale the vector leg
+    comes from the ANN index (q56/q141 centroid routing) instead of the
+    brute-force scan — RRF consumes only each leg's top-L ranks, so the
+    fusion stage is L+L rows per query regardless of corpus size; the
+    full-corpus rank window here is the exact-oracle-checkable stand-in.
+    """
+    from pyspark.sql import Window
+
+    lex = _rrf_lex_leg(spark, sf_dir)
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    qv = base.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("emb").alias("eq")
+    )
+    scored = (
+        base.filter(F.col("vec_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(spark_cosine("emb", "eq")).alias("cosine"),
+        )
+    )
+    w_vec = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    vec = (
+        scored.withColumn("r_vec", F.row_number().over(w_vec))
+        .filter(F.col("r_vec") <= _RRF_DEPTH)
+        .select("doc_id", "r_vec")
+    )
+    return _rrf_fuse(lex, vec)
+
+
+def _rrf_ivf_sql() -> str:
+    return f"""
+    WITH {_rrf_lex_ctes()}, e_indexed AS (
+      SELECT vec_id, label, embedding,
+             UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
+      FROM embeddings
+    ), elems AS (
+      SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM e_indexed
+    ), centroids AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS cv
+      FROM elems GROUP BY label, pos
+    ), qelems AS (
+      SELECT pos, v FROM elems WHERE vec_id = {_RRF_QVEC}
+    ), routing AS (
+      SELECT label,
+             CAST(SUM(CAST(q.v * c.cv AS {_DOT_DEC})) AS DOUBLE)
+               / (SQRT(CAST(SUM(CAST(q.v * q.v AS {_DOT_DEC})) AS DOUBLE))
+                  * SQRT(CAST(SUM(CAST(c.cv * c.cv AS {_DOT_DEC})) AS DOUBLE)))
+               AS cosine
+      FROM qelems q JOIN centroids c USING (pos)
+      GROUP BY label
+    ), best_cell AS (
+      SELECT label FROM (
+        SELECT label,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, label) AS rnk
+        FROM routing) WHERE rnk = 1
+    ), cand AS (
+      SELECT e.vec_id AS doc_id, e.pos, e.v AS tv, q.v AS qv
+      FROM elems e
+      JOIN best_cell b ON e.label = b.label
+      JOIN qelems q ON q.pos = e.pos
+      WHERE e.vec_id != {_RRF_QVEC}
+    ), vec_scored AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(qv * tv AS {_DOT_DEC})) AS DOUBLE)
+               / (SQRT(CAST(SUM(CAST(qv * qv AS {_DOT_DEC})) AS DOUBLE))
+                  * SQRT(CAST(SUM(CAST(tv * tv AS {_DOT_DEC})) AS DOUBLE)))
+               AS cosine
+      FROM cand
+      GROUP BY doc_id
+    ), vec_ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r_vec
+      FROM vec_scored
+    ), vec AS (
+      SELECT doc_id, r_vec FROM vec_ranked WHERE r_vec <= {_RRF_DEPTH}
+    ){_rrf_fusion_sql()}"""
+
+
+@register(
+    "q179_hybrid_rrf_ivf",
+    sql=_rrf_ivf_sql(),
+    tags=("similarity", "retrieval", "hybrid", "rrf", "ivf", "scale-path"),
+)
+def q179_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q177's scale-path twin: the vector leg comes from the IVF index
+    (q56's centroid routing — route the query to its nearest cell, score
+    only that cell's members) instead of a brute-force corpus scan, then
+    the same integer reciprocal-rank fusion with the BM25 leg. vec_rank=0
+    rows show docs the probed cell missed — exactly the recall trade the
+    index makes, auditable against q177's exact ranks over the same
+    fixtures.
+
+    Scale shape: the lexical leg is unchanged (query-term filter before
+    any exchange); the vector leg scans ONE cell — a fixed fraction of
+    the corpus selected by a broadcast-size centroid table — so leg cost
+    is |cell| dot products instead of |corpus|. Fusion still consumes
+    only top-L ranks per leg: L+L rows per query regardless of corpus
+    size. Everything here is deterministic (decimal-exact centroid means
+    and dot products, total tie orders), so the whole index path is
+    oracle-checkable end-to-end.
+    """
+    from pyspark.sql import Window
+
+    lex = _rrf_lex_leg(spark, sf_dir)
+
+    e = table(spark, sf_dir, "embeddings")
+    elems = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))")
+        ).alias("pos", "v"),
+    )
+    centroids = elems.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(28,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cv")
+    )
+    qelems = elems.filter(F.col("vec_id") == _RRF_QVEC).select("pos", "v")
+
+    def _dec_sum(prod: str) -> F.Column:
+        return F.sum(F.expr(f"CAST({prod} AS {_DOT_DEC})")).cast("double")
+
+    routing = (
+        qelems.join(F.broadcast(centroids), "pos")
+        .groupBy("label")
+        .agg(
+            (
+                _dec_sum("v * cv")
+                / (F.sqrt(_dec_sum("v * v")) * F.sqrt(_dec_sum("cv * cv")))
+            ).alias("cosine")
+        )
+    )
+    w_route = Window.orderBy(F.desc("cosine"), F.asc("label"))
+    best_cell = (
+        routing.withColumn("rnk", F.row_number().over(w_route))
+        .filter(F.col("rnk") == 1)
+        .select("label")
+    )
+    cand = (
+        F.broadcast(best_cell)
+        .join(elems, "label")
+        .filter(F.col("vec_id") != _RRF_QVEC)
+        .select(F.col("vec_id").alias("doc_id"), "pos", F.col("v").alias("tv"))
+        .join(F.broadcast(qelems.withColumnRenamed("v", "qv")), "pos")
+    )
+    scored = cand.groupBy("doc_id").agg(
+        (
+            _dec_sum("qv * tv")
+            / (F.sqrt(_dec_sum("qv * qv")) * F.sqrt(_dec_sum("tv * tv")))
+        ).alias("cosine")
+    )
+    w_vec = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    vec = (
+        scored.withColumn("r_vec", F.row_number().over(w_vec))
+        .filter(F.col("r_vec") <= _RRF_DEPTH)
+        .select("doc_id", "r_vec")
+    )
+    return _rrf_fuse(lex, vec)
