@@ -36,9 +36,9 @@ from . import graph_shaped  # noqa: E402,F401
 # computed from; tests/test_cli_operators.py asserts the paste matches the
 # computation, so hand-drift is a test failure). Every query registered
 # before round 7 has a driver row (r06 closed the backlog), so the slate
-# is the round's five never-run queries (q176/q177/q178 then q179/q180,
-# all registered this round) followed by the pure stalest-first refresh:
-# the 26 oracle-backed r03-latest queries, then the stalest r04 tail. The
+# is the round's eight never-run queries (q176–q183, all registered this
+# round) followed by the pure stalest-first refresh: the 26 oracle-backed
+# r03-latest queries, then the stalest r04 tail. The
 # four rows-only queries
 # (q42/q74/q16s/q59, sql=None) are excluded from emission — they can
 # only ever produce a `no_oracle` driver row (q16s burned an r06 slot);
@@ -47,9 +47,12 @@ DRIVER_PRIORITY_AS_OF_ROUND = 6
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q176_curated_containment",
     "q178_normalized_dedup_gain",
+    "q183_weighted_sample",
     "q180_normalized_minhash_pairs",
     "q177_hybrid_rrf",
     "q179_hybrid_rrf_ivf",
+    "q182_ann_recall_audit",
+    "q181_semantic_decontamination",
     "q35_unpivot",
     "q35b_session_bounce_rate",
     "q36_first_last_window",
@@ -92,9 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q25_asof_join",
     "q27_array_functions",
     "q32_session_windows",
-    "q36b_retention_cohorts",
-    "q37s_distribution_ranks_scale",
-    "q40_incremental_watermark",
 )
 
 

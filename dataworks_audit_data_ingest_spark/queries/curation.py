@@ -999,3 +999,120 @@ def q164_model_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(MAX(actual_milli) - MIN(actual_milli) AS BIGINT)"
         ).alias("sharpness_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q181 — semantic decontamination (q82's embedding-space twin)
+# ---------------------------------------------------------------------------
+# Lexical decontamination (q82) only catches verbatim/near-verbatim
+# benchmark leakage; paraphrased eval items survive gram overlap but sit
+# next to the benchmark in embedding space. The semantic rung: broadcast
+# the (small) benchmark embedding set against the corpus scan and flag
+# any training vector whose max cosine against ANY benchmark vector
+# clears the threshold. vec_id < 25 plays the benchmark; contaminated
+# copies are planted in-query (scale*1.02 + 0.01 per dim, cosine ~0.997
+# vs a natural corpus max of ~0.49 on these fixtures) so the flagged set
+# is exact and oracle-checkable.
+_SEM_BENCH_N = 25  # vec_id < 25 = the benchmark/eval embedding set
+_SEM_PLANT_OFFSET = 3_000_000
+_SEM_THRESH = 0.98
+
+
+def _semantic_decontam_sql() -> str:
+    from .dedup import _DOT_DEC
+
+    return f"""
+    WITH base AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), bench AS (
+      SELECT vec_id AS bench_id, emb AS eb FROM base
+      WHERE vec_id < {_SEM_BENCH_N}
+    ), corpus AS (
+      SELECT vec_id AS cand_id, emb AS ec FROM base
+      WHERE vec_id >= {_SEM_BENCH_N}
+      UNION ALL
+      SELECT bench_id + {_SEM_PLANT_OFFSET} AS cand_id,
+             LIST_TRANSFORM(eb, x -> x * CAST(1.02 AS DOUBLE)
+                                      + CAST(0.01 AS DOUBLE)) AS ec
+      FROM bench WHERE bench_id % 5 = 0
+    ), pairs AS (
+      SELECT c.cand_id, b.bench_id, c.ec, b.eb
+      FROM corpus c CROSS JOIN bench b
+    ), idx AS (
+      SELECT cand_id, bench_id, ec, eb,
+             UNNEST(RANGE(1, LEN(ec) + 1)) AS i
+      FROM pairs
+    ), scored AS (
+      SELECT cand_id, bench_id,
+             CAST(SUM(CAST(ec[i] * eb[i] AS {_DOT_DEC})) AS DOUBLE)
+               / (SQRT(CAST(SUM(CAST(ec[i] * ec[i] AS {_DOT_DEC})) AS DOUBLE))
+                  * SQRT(CAST(SUM(CAST(eb[i] * eb[i] AS {_DOT_DEC})) AS DOUBLE)))
+               AS cosine
+      FROM idx GROUP BY cand_id, bench_id
+    ), ranked AS (
+      SELECT cand_id, bench_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY cand_id
+                                ORDER BY cosine DESC, bench_id) AS rnk
+      FROM scored
+    )
+    SELECT cand_id, bench_id, ROUND(cosine, 6) AS score
+    FROM ranked WHERE rnk = 1 AND cosine >= {_SEM_THRESH}
+    ORDER BY cand_id
+    """
+
+
+@register(
+    "q181_semantic_decontamination",
+    sql=_semantic_decontam_sql(),
+    tags=("curation", "decontamination", "semantic", "embeddings"),
+)
+def q181_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training vectors semantically too close to the benchmark set:
+    max-cosine vs all benchmark embeddings >= 0.98, reported as
+    (cand_id, bench_id of the nearest benchmark item, rounded cosine).
+    Planted paraphrase-shaped copies of every 5th benchmark vector must
+    be exactly the flagged set.
+
+    Scale shape: the benchmark side is broadcast (eval sets are
+    thousands of rows; the corpus is the 100 TB side), so the scan
+    streams map-side with zero shuffle until the per-candidate max — a
+    keyed partial aggregation. The decimal-exact dot products make the
+    threshold decision identical on both engines; at production scale
+    swap the exact scan for the IVF route (q56) with the same threshold
+    as a prefilter and exact rerank."""
+    from .dedup import _DOT_DEC, spark_cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    bench = base.filter(F.col("vec_id") < _SEM_BENCH_N).select(
+        F.col("vec_id").alias("bench_id"), F.col("emb").alias("eb")
+    )
+    planted = bench.filter(F.col("bench_id") % 5 == 0).select(
+        (F.col("bench_id") + _SEM_PLANT_OFFSET).alias("cand_id"),
+        F.expr("TRANSFORM(eb, x -> x * CAST(1.02 AS DOUBLE) + CAST(0.01 AS DOUBLE))").alias("ec"),
+    )
+    corpus = (
+        base.filter(F.col("vec_id") >= _SEM_BENCH_N)
+        .select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("ec"))
+        .unionByName(planted)
+    )
+    scored = corpus.join(F.broadcast(bench)).select(
+        "cand_id",
+        "bench_id",
+        F.expr(spark_cosine("ec", "eb")).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cand_id").orderBy(
+        F.desc("cosine"), F.asc("bench_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") == 1) & (F.col("cosine") >= _SEM_THRESH))
+        .select("cand_id", "bench_id", F.round("cosine", 6).alias("score"))
+        .orderBy("cand_id")
+    )

@@ -1543,3 +1543,145 @@ def q179_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "r_vec")
     )
     return _rrf_fuse(lex, vec)
+
+
+# ---------------------------------------------------------------------------
+# q182 — ANN recall audit (IVF vs exact, as a standing query)
+# ---------------------------------------------------------------------------
+# An index you can't measure is an index you can't trust: the recall of
+# the IVF route (q56) against the exact scan (q55) is the number that
+# decides nprobe/cell-count tuning. PERF.md carries a one-off PQ sweep;
+# this makes the audit a registered, oracle-checked operator on the
+# retrieval cadence — the ANN twin of q171's LSH precision audit.
+_RECALL_K = 3  # audit depth: IVF's own top-k
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+    WITH base0 AS (
+      SELECT vec_id, label, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), nt AS (
+      SELECT vec_id, emb, UNNEST(RANGE(1, LEN(emb) + 1)) AS i FROM base0
+    ), base AS (
+      SELECT vec_id, ANY_VALUE(emb) AS emb,
+             SQRT(CAST(SUM(CAST(emb[i] * emb[i] AS {_DOT_DEC})) AS DOUBLE)) AS nrm
+      FROM nt GROUP BY vec_id
+    ), xpairs AS (
+      SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+             q.emb AS eq, t.emb AS et, q.nrm AS nq, t.nrm AS nt
+      FROM base q JOIN base t ON t.vec_id != q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+    ), xidx AS (
+      SELECT query_id, neighbor_id, eq, et, nq, nt,
+             UNNEST(RANGE(1, LEN(eq) + 1)) AS i
+      FROM xpairs
+    ), xscored AS (
+      SELECT query_id, neighbor_id,
+             CAST(SUM(CAST(eq[i] * et[i] AS {_DOT_DEC})) AS DOUBLE)
+               / (ANY_VALUE(nq) * ANY_VALUE(nt)) AS cosine
+      FROM xidx GROUP BY query_id, neighbor_id
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM xscored) WHERE rnk <= {_RECALL_K}
+    ), e_indexed AS (
+      SELECT vec_id, label, embedding,
+             UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
+      FROM embeddings
+    ), elems AS (
+      SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM e_indexed
+    ), centroids AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS cv
+      FROM elems GROUP BY label, pos
+    ), queries AS (
+      SELECT vec_id AS query_id, pos, v FROM elems WHERE vec_id < {_N_QUERIES}
+    ), routing AS (
+      SELECT query_id, label,
+             CAST(SUM(CAST(q.v * c.cv AS {_DOT_DEC})) AS DOUBLE)
+               / (SQRT(CAST(SUM(CAST(q.v * q.v AS {_DOT_DEC})) AS DOUBLE))
+                  * SQRT(CAST(SUM(CAST(c.cv * c.cv AS {_DOT_DEC})) AS DOUBLE))) AS cosine
+      FROM queries q JOIN centroids c USING (pos)
+      GROUP BY query_id, label
+    ), best_cell AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, label) AS rnk
+        FROM routing) WHERE rnk = 1
+    ), candidates AS (
+      SELECT b.query_id, e.vec_id AS neighbor_id, e.pos, e.v AS tv, q.v AS qv
+      FROM best_cell b
+        JOIN elems e ON e.label = b.label AND e.vec_id != b.query_id
+        JOIN queries q ON q.query_id = b.query_id AND q.pos = e.pos
+    ), iscored AS (
+      SELECT query_id, neighbor_id,
+             CAST(SUM(CAST(qv * tv AS {_DOT_DEC})) AS DOUBLE)
+               / (SQRT(CAST(SUM(CAST(qv * qv AS {_DOT_DEC})) AS DOUBLE))
+                  * SQRT(CAST(SUM(CAST(tv * tv AS {_DOT_DEC})) AS DOUBLE))) AS cosine
+      FROM candidates
+      GROUP BY query_id, neighbor_id
+    ), ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM iscored) WHERE rnk <= {_RECALL_K}
+    ), hits AS (
+      SELECT e.query_id, COUNT(*) AS c
+      FROM exact e JOIN ivf i USING (query_id, neighbor_id)
+      GROUP BY e.query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(h.c, 0) AS BIGINT) AS n_hits,
+           CAST((COALESCE(h.c, 0) * 1000) // {_RECALL_K} AS BIGINT)
+             AS recall_milli
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits h USING (query_id)
+    ORDER BY query_id
+    """
+
+
+@register(
+    "q182_ann_recall_audit",
+    sql=_ann_recall_sql(),
+    tags=("similarity", "ann", "recall", "audit"),
+)
+def q182_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF route (q56) against the exact scan (q55), per
+    query — the index-quality number that tunes nprobe/cell count,
+    registered as a standing operator (the ANN analog of q171's LSH
+    precision audit). Composes the two registered queries directly, so
+    the audit always measures exactly what the index query executes.
+
+    Scale shape: both legs are top-k frames (queries × k rows); the
+    audit join and count never touch the corpus again. At 100 TB the
+    exact leg is the expensive side — run the audit on a sampled query
+    set (the standard recall-estimation protocol), which this query's
+    shape already is (5 probe queries).
+    """
+    exact = (
+        q55_ann_bruteforce_topk(spark, sf_dir)
+        .filter(F.col("rnk") <= _RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = q56_ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(ivf, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    spine = exact.select("query_id").distinct()
+    return (
+        spine.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(f"CAST((COALESCE(c, 0) * 1000) DIV {_RECALL_K} AS BIGINT)").alias(
+                "recall_milli"
+            ),
+        )
+        .orderBy("query_id")
+    )

@@ -1981,3 +1981,62 @@ def q178_normalized_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q183 — deterministic weighted sampling (priority sampling by quality)
+# ---------------------------------------------------------------------------
+# Training-data pipelines sample by weight (quality score, source quota,
+# length) far more often than uniformly; q64 covers the uniform hash-mod
+# case, this covers the weighted one. Scheme: per-doc priority
+# u·SCALE DIV w — an MD5-derived 32-bit uniform divided by the weight,
+# take the k smallest. Heavier docs draw proportionally smaller
+# priorities, the weighted analog of bottom-k sketching. The key is pure
+# integer arithmetic (u·10⁶ < 2⁶³), so both engines agree bit-for-bit —
+# the integer-exact stand-in for Efraimidis–Spirakis keys (-ln(u)/w),
+# whose ln() last-ulp behavior is not portable across engines.
+_WS_SCALE = 1_000_000
+_WS_K = 50
+_WS_SEED = "wsamp"
+
+
+@register(
+    "q183_weighted_sample",
+    sql=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars AS weight,
+             ({duckdb_hash32("CAST(doc_id AS VARCHAR)", _WS_SEED)}
+              * {_WS_SCALE}) // n_chars AS priority
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, source, weight, priority
+    FROM keyed
+    ORDER BY priority, doc_id
+    LIMIT {_WS_K}
+    """,
+    tags=("text", "sampling", "weighted"),
+)
+def q183_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample of k=50 docs, selection probability increasing with
+    ``n_chars``: per-doc integer priority = hash-uniform·10⁶ DIV weight,
+    keep the k smallest (deterministic tie-break on doc_id).
+
+    Scale shape: the priority is one map-side codegen expression on the
+    scan; the top-k compiles to TakeOrderedAndProject (per-partition
+    heaps, k rows to the driver, no global sort/shuffle of the corpus) —
+    the same plan shape as q26. Changing the weight column (a quality
+    model score, a source quota multiplier) changes nothing structural.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    spark_u = spark_hash32("CAST(doc_id AS STRING)", _WS_SEED)
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").alias("weight"),
+            F.expr(f"({spark_u} * {_WS_SCALE}) DIV n_chars").alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(_WS_K)
+    )
