@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions.skew import key_skew_report, load_skew_milli, maybe_salted_join
 from ..session import tune
 from .runner import IncrementalJob, run_incremental
+from .swap import recover_swapped, staged_overwrite, swapped_exists
 
 logger = logging.getLogger(__name__)
 
@@ -65,93 +66,28 @@ class EnrichmentJoinJob:
     transform: Callable[[DataFrame], DataFrame] | None = None
 
 
-def _hadoop(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm, p
-
-
-def _exists(spark: SparkSession, path: str) -> bool:
-    fs, _, p = _hadoop(spark, path)
-    return fs.exists(p)
-
-
-def _delete(spark: SparkSession, path: str) -> None:
-    fs, _, p = _hadoop(spark, path)
-    if fs.exists(p):
-        fs.delete(p, True)
-
-
-def _rename(spark: SparkSession, src: str, dst: str) -> None:
-    fs, jvm, p_src = _hadoop(spark, src)
-    if not fs.rename(p_src, jvm.org.apache.hadoop.fs.Path(dst)):
-        # the Hadoop FS rename contract returns False instead of raising
-        raise OSError(f"rename failed: {src} -> {dst}")
-
-
-def _staged(path: str) -> str:
-    return path.rstrip("/") + ".staged"
-
-
-def _aside(path: str) -> str:
-    return path.rstrip("/") + ".old"
-
-
 def report_exists(spark: SparkSession, path: str) -> bool:
     """True when a report directory stands at ``path`` (Hadoop FS, so
     local/HDFS/S3A alike) — the bootstrap predicate shared by the batch
     and streaming rungs."""
-    return _exists(spark, path)
+    return swapped_exists(spark, path)
 
 
 def recover_skew_report(spark: SparkSession, path: str) -> bool:
     """Repair the report after a crash inside :func:`refresh_skew_report`'s
-    swap window; returns True when a report stands at ``path`` afterwards.
-
-    The swap is two FS renames (path→aside, staged→path), so a crash
-    between them leaves ``path`` missing. Recovery is deterministic from
-    what survived: a COMPLETE staged report (Spark's ``_SUCCESS`` marker
-    present) finishes the swap forward; otherwise an intact aside rolls
-    back to the previous report — one cadence staler, still a valid
-    decision input. With neither, there is nothing to recover (fresh
-    deployment) and the caller's bootstrap handles it."""
-    if _exists(spark, path):
-        return True
-    staged, aside = _staged(path), _aside(path)
-    if _exists(spark, f"{staged}/_SUCCESS"):
-        logger.warning("skew report %s: completing interrupted swap", path)
-        _rename(spark, staged, path)
-        _delete(spark, aside)
-        return True
-    if _exists(spark, aside):
-        logger.warning("skew report %s: rolling back to previous report", path)
-        _rename(spark, aside, path)
-        _delete(spark, staged)
-        return True
-    return False
+    swap window (see `incremental/swap.py` for the protocol); returns
+    True when a report stands at ``path`` afterwards. Consuming jobs run
+    this before every read."""
+    return recover_swapped(spark, path)
 
 
 def refresh_skew_report(df: DataFrame, key: str, path: str) -> None:
-    """Overwrite the standing report with ``df``'s ``key`` histogram —
-    write-staged-then-swap through the Hadoop FS API (local/HDFS/S3A).
-
-    The swap itself is two renames, not one atomic operation: a reader
-    racing the exact swap window can see a missing path, and a crash
-    inside it leaves no report standing — both repaired by
-    :func:`recover_skew_report` (forward from a complete stage, else
-    rollback to the aside copy), which the consuming job runs before
-    every read. What the staging DOES guarantee is that no reader ever
-    sees a half-written report: the report under ``path`` is always a
-    completely written parquet directory."""
-    spark = df.sparkSession
-    staged, aside = _staged(path), _aside(path)
-    _delete(spark, staged)
-    key_skew_report(df, key).coalesce(1).write.mode("overwrite").parquet(staged)
-    _delete(spark, aside)
-    if _exists(spark, path):
-        _rename(spark, path, aside)
-    _rename(spark, staged, path)
-    _delete(spark, aside)
+    """Overwrite the standing report with ``df``'s ``key`` histogram via
+    the shared write-staged-then-swap protocol (`incremental/swap.py`):
+    a reader never sees a half-written report, and a crash inside the
+    swap window is repaired by :func:`recover_skew_report` on the next
+    run — never a silently wrong number."""
+    staged_overwrite(key_skew_report(df, key), path)
 
 
 def run_enriched_incremental(
@@ -175,7 +111,7 @@ def run_enriched_incremental(
     dim = spark.read.parquet(job.dim_path)
 
     def transform(day_df: DataFrame) -> DataFrame:
-        if not _exists(spark, job.skew_report_path):
+        if not report_exists(spark, job.skew_report_path):
             # bootstrap: no standing report yet — probe THIS day once and
             # persist, so even the first day joins off a persisted number
             # (day_df is persisted by the runner; the probe rides it)

@@ -36,7 +36,7 @@ from . import graph_shaped  # noqa: E402,F401
 # computed from; tests/test_cli_operators.py asserts the paste matches the
 # computation, so hand-drift is a test failure). Every query registered
 # before round 7 has a driver row (r06 closed the backlog), so the slate
-# is the round's eight never-run queries (q176–q183, all registered this
+# is the round's nine never-run queries (q176–q184, all registered this
 # round) followed by the pure stalest-first refresh: the 26 oracle-backed
 # r03-latest queries, then the stalest r04 tail. The
 # four rows-only queries
@@ -48,6 +48,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q176_curated_containment",
     "q178_normalized_dedup_gain",
     "q183_weighted_sample",
+    "q184_token_mass_quantiles",
     "q180_normalized_minhash_pairs",
     "q177_hybrid_rrf",
     "q179_hybrid_rrf_ivf",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q24_price_band_join",
     "q25_asof_join",
     "q27_array_functions",
-    "q32_session_windows",
 )
 
 

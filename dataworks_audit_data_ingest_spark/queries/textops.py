@@ -2028,15 +2028,109 @@ def q183_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same plan shape as q26. Changing the weight column (a quality
     model score, a source quota multiplier) changes nothing structural.
     """
-    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    spark_u = spark_hash32("CAST(doc_id AS STRING)", _WS_SEED)
+    from ..functions.sampling import weighted_bottom_k
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("weight")
+    )
+    return weighted_bottom_k(d, _WS_K, "doc_id", "weight", _WS_SEED).select(
+        "doc_id", "source", "weight", "priority"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q184 — token-mass quantiles (length thresholds by cumulative corpus mass)
+# ---------------------------------------------------------------------------
+# Doc-count percentiles of length (q75-style profiles) answer "how long is
+# the median document"; curation budgeting needs the mass-weighted twin:
+# "below what length do 25/50/75 % of the corpus's CHARACTERS sit?" — the
+# number that decides truncation caps and packing bucket edges, because
+# training cost follows token mass, not document count. Exact integer
+# arithmetic: per-(source, length) mass, one cumsum over the distinct
+# length support per source, threshold tests as DECIMAL(38,0)/HUGEINT
+# products (the round-6 overflow idiom — 100·total_chars at 100 TB sits
+# near 2^63 for a big source).
+
+
+@register(
+    "q184_token_mass_quantiles",
+    sql="""
+    WITH per_len AS (
+      SELECT source, n_chars,
+             SUM(n_chars) AS mass
+      FROM documents
+      GROUP BY source, n_chars
+    ), cum AS (
+      SELECT source, n_chars, mass,
+             SUM(mass) OVER (PARTITION BY source ORDER BY n_chars) AS cum_mass
+      FROM per_len
+    ), totals AS (
+      SELECT source,
+             SUM(n_chars) AS total_chars,
+             COUNT(*) AS n_docs
+      FROM documents
+      GROUP BY source
+    )
+    SELECT c.source,
+           CAST(MIN(CASE WHEN CAST(c.cum_mass AS HUGEINT) * 100
+                              >= 25 * CAST(t.total_chars AS HUGEINT)
+                     THEN c.n_chars END) AS BIGINT) AS l25_chars,
+           CAST(MIN(CASE WHEN CAST(c.cum_mass AS HUGEINT) * 100
+                              >= 50 * CAST(t.total_chars AS HUGEINT)
+                     THEN c.n_chars END) AS BIGINT) AS l50_chars,
+           CAST(MIN(CASE WHEN CAST(c.cum_mass AS HUGEINT) * 100
+                              >= 75 * CAST(t.total_chars AS HUGEINT)
+                     THEN c.n_chars END) AS BIGINT) AS l75_chars,
+           CAST(ANY_VALUE(t.total_chars) AS BIGINT) AS total_chars,
+           CAST(ANY_VALUE(t.n_docs) AS BIGINT) AS n_docs
+    FROM cum c JOIN totals t USING (source)
+    GROUP BY c.source
+    ORDER BY c.source
+    """,
+    tags=("text", "profile", "quantiles", "mass-weighted"),
+)
+def q184_token_mass_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source, the smallest document length at which cumulative
+    character mass reaches 25/50/75 % of the source total — the
+    mass-weighted length distribution that sets truncation caps and
+    packing buckets (cost follows token mass, not doc count).
+
+    Scale shape: one (source, n_chars) partial aggregation, then the
+    ordered cumsum runs over the DISTINCT length support per source
+    (thousands of rows, not the corpus — the q175/q37s histogram-window
+    discipline), and the threshold scan is a grouped MIN over that same
+    support. Products are DECIMAL(38,0) (Spark) / HUGEINT (oracle) so a
+    100 TB source cannot wrap the 100x mass test.
+    """
+    d = table(spark, sf_dir, "documents")
+    per_len = d.groupBy("source", "n_chars").agg(
+        F.sum("n_chars").alias("mass")
+    )
+    w = Window.partitionBy("source").orderBy("n_chars")
+    cum = per_len.withColumn("cum_mass", F.sum("mass").over(w))
+    totals = d.groupBy("source").agg(
+        F.sum("n_chars").alias("total_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+    def thresh(p: int) -> F.Column:
+        return F.min(
+            F.expr(
+                f"CASE WHEN CAST(cum_mass AS DECIMAL(38,0)) * 100"
+                f" >= {p} * CAST(total_chars AS DECIMAL(38,0))"
+                f" THEN n_chars END"
+            )
+        ).cast("bigint")
+
     return (
-        d.select(
-            "doc_id",
-            "source",
-            F.col("n_chars").alias("weight"),
-            F.expr(f"({spark_u} * {_WS_SCALE}) DIV n_chars").alias("priority"),
+        cum.join(F.broadcast(totals), "source")
+        .groupBy("source")
+        .agg(
+            thresh(25).alias("l25_chars"),
+            thresh(50).alias("l50_chars"),
+            thresh(75).alias("l75_chars"),
+            F.first("total_chars").cast("bigint").alias("total_chars"),
+            F.first("n_docs").cast("bigint").alias("n_docs"),
         )
-        .orderBy("priority", "doc_id")
-        .limit(_WS_K)
+        .orderBy("source")
     )

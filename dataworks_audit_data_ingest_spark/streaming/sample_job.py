@@ -1,0 +1,107 @@
+"""Streaming weighted reservoir: maintain a k-row weighted sample of
+everything ever ingested, updated per micro-batch.
+
+The kernel is q183's integer bottom-k priority
+(`functions/sampling.py`): priorities are a pure function of
+(id, weight, seed), so the reservoir update is a MERGE — union the
+batch's own bottom-k with the standing reservoir and re-take bottom-k —
+and a replayed micro-batch re-derives identical priorities and merges to
+an identical reservoir (no dedup bookkeeping, no batch_id fencing
+needed; `dropDuplicates` on the id collapses re-offered rows).
+
+State is one k-row parquet maintained with the shared
+write-staged-then-swap protocol (`incremental/swap.py`): recover before
+read, staged overwrite after merge. A crash anywhere re-runs the batch
+against either the pre-batch or post-batch reservoir — both merge to the
+same result, so the reservoir is exactly-once WITHOUT relying on the
+checkpoint (the checkpoint only prevents re-reading source files).
+
+At 100 TB: each micro-batch contributes at most k rows past its own
+TakeOrderedAndProject; the merge sorts 2k rows. Reservoir cost is
+independent of corpus size — the property that makes "keep a standing
+weighted sample of the whole corpus" viable at all.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.sampling import merge_reservoirs, weighted_bottom_k
+from ..incremental.swap import recover_swapped, staged_overwrite, swapped_exists
+
+logger = logging.getLogger(__name__)
+
+
+def load_reservoir(spark: SparkSession, path: str) -> DataFrame | None:
+    """The standing reservoir, repairing an interrupted swap first;
+    None when no reservoir exists yet (fresh stream)."""
+    recover_swapped(spark, path)
+    if not swapped_exists(spark, path):
+        return None
+    return spark.read.parquet(path)
+
+
+def update_reservoir(
+    spark: SparkSession,
+    reservoir_path: str,
+    batch_df: DataFrame,
+    k: int,
+    id_col: str,
+    weight_col: str,
+    seed: str = "wsamp",
+) -> None:
+    """One merge step: bottom-k of (standing reservoir ∪ batch bottom-k),
+    swapped into place. Safe to re-run with the same batch (idempotent
+    merge — deterministic priorities)."""
+    batch_k = weighted_bottom_k(batch_df, k, id_col, weight_col, seed).select(
+        id_col, weight_col, "priority"
+    )
+    standing = load_reservoir(spark, reservoir_path)
+    parts = [batch_k] if standing is None else [standing, batch_k]
+    merged = merge_reservoirs(parts, k, id_col)
+    # materialize BEFORE the swap: merged reads the standing reservoir,
+    # and staged_overwrite would otherwise rewrite the directory while
+    # the plan still scans it
+    rows = merged.collect()  # <= k rows by construction — driver-small
+    staged_overwrite(
+        spark.createDataFrame(rows, merged.schema), reservoir_path
+    )
+
+
+def start_weighted_sample_stream(
+    docs_stream: DataFrame,
+    reservoir_path: str,
+    checkpoint_dir: str,
+    k: int = 100,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    seed: str = "wsamp",
+    available_now: bool = True,
+):
+    """foreachBatch weighted reservoir over a document stream: after every
+    micro-batch, ``reservoir_path`` holds the exact k-row weighted
+    bottom-k sample of ALL rows ingested so far — identical to sampling
+    the full corpus in one batch (pinned by test)."""
+
+    def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        update_reservoir(
+            batch_df.sparkSession,
+            reservoir_path,
+            batch_df,
+            k,
+            id_col,
+            weight_col,
+            seed,
+        )
+        logger.info("weighted reservoir: merged batch %d", batch_id)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
