@@ -26,13 +26,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import spark_hash32
+from .hashing import duckdb_hash32, spark_hash32
 
 PRIORITY_SCALE = 1_000_000
+DEFAULT_SEED = "wsamp"
 
 
 def weighted_priority_expr(
-    id_col: str, weight_col: str, seed: str = "wsamp"
+    id_col: str, weight_col: str, seed: str = DEFAULT_SEED
 ) -> str:
     """Spark SQL expression for the integer sampling priority of a row —
     smaller = more likely sampled; selection probability increases with
@@ -40,6 +41,17 @@ def weighted_priority_expr(
     zero weight would divide by zero)."""
     u = spark_hash32(f"CAST({id_col} AS STRING)", seed)
     return f"(({u} * {PRIORITY_SCALE}) DIV {weight_col})"
+
+
+def duckdb_weighted_priority_expr(
+    id_col: str, weight_col: str, seed: str = DEFAULT_SEED
+) -> str:
+    """The same priority in DuckDB SQL — equal by construction (both
+    dialects derive the uniform from the identical MD5 prefix and run
+    the identical integer product/floor-division), so an oracle built
+    from this can never drift from :func:`weighted_priority_expr`."""
+    u = duckdb_hash32(f"CAST({id_col} AS VARCHAR)", seed)
+    return f"(({u} * {PRIORITY_SCALE}) // {weight_col})"
 
 
 def weighted_bottom_k(
@@ -71,16 +83,31 @@ def merge_reservoirs(
 ) -> DataFrame:
     """Bottom-k of a union of bottom-k samples — the mergeability that
     makes the kernel streaming-safe. Inputs must carry the ``priority``
-    column; duplicate ids (a replayed batch re-offering rows already in
-    the reservoir) collapse to one row because their deterministic
-    priorities are identical."""
+    column.
+
+    Duplicate ids collapse to ONE row, chosen deterministically as the
+    per-id minimum priority (row-level ties broken by the remaining
+    columns): a replayed batch re-offers identical rows (same priority —
+    the collapse is a no-op), and a RE-INGESTED id whose weight changed
+    across batches resolves to its most-sampleable version on every
+    engine and partitioning, keeping the merge replay-idempotent. (A
+    `dropDuplicates` here would pick a partition-order-dependent copy —
+    the nondeterminism this window explicitly avoids.)"""
     if not parts:
         raise ValueError("merge_reservoirs: need at least one part")
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
+    from pyspark.sql import Window
+
+    other = [c for c in u.columns if c != id_col]
+    w = Window.partitionBy(id_col).orderBy(
+        *[F.asc(c) for c in ["priority"] + [c for c in other if c != "priority"]]
+    )
     return (
-        u.dropDuplicates([id_col])
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
         .orderBy("priority", id_col)
         .limit(k)
     )

@@ -108,9 +108,17 @@ def run_enriched_incremental(
     """
     tune(spark)
     recover_skew_report(spark, job.skew_report_path)
-    dim = spark.read.parquet(job.dim_path)
+    # dim is read lazily on the first pending day: a no-op run (nothing
+    # newer than the watermark) must not touch — or require — dim_path
+    dim_cache: list[DataFrame] = []
+    # transform/hook run strictly paired per day, so one cell suffices to
+    # tell the hook "this day's report IS this day's histogram already"
+    state = {"bootstrapped": False}
 
     def transform(day_df: DataFrame) -> DataFrame:
+        if not dim_cache:
+            dim_cache.append(spark.read.parquet(job.dim_path))
+        dim = dim_cache[0]
         if not report_exists(spark, job.skew_report_path):
             # bootstrap: no standing report yet — probe THIS day once and
             # persist, so even the first day joins off a persisted number
@@ -119,6 +127,7 @@ def run_enriched_incremental(
                 "enrich: bootstrapping skew report at %s", job.skew_report_path
             )
             refresh_skew_report(day_df, job.key, job.skew_report_path)
+            state["bootstrapped"] = True
         milli = load_skew_milli(spark, job.skew_report_path)
         logger.info("enrich: joining with skew_milli=%d", milli)
         out = maybe_salted_join(
@@ -136,7 +145,12 @@ def run_enriched_incremental(
     def on_day_committed(day: date, day_df: DataFrame) -> None:
         # refresh AFTER commit: the report is advisory (a decision input),
         # the watermark is the correctness boundary — a crash here costs
-        # one cadence of report freshness, never a reprocessed day
+        # one cadence of report freshness, never a reprocessed day. The
+        # bootstrap day skips it: its report already IS this day's
+        # histogram (refreshing again would rewrite it byte-identically)
+        if state["bootstrapped"]:
+            state["bootstrapped"] = False
+            return
         refresh_skew_report(day_df, job.key, job.skew_report_path)
 
     return run_incremental(

@@ -39,9 +39,11 @@ class IncrementalJob:
     # append (the `day` column is re-attached if the transform drops it)
     # Optional post-commit hook (day, day_df) — runs AFTER the watermark
     # commit, so a hook failure costs only the hook's own work, never a
-    # reprocessed day. When set, the day's rows are persisted across
-    # transform+hook so the hook rides the same physical scan
-    # (enrich.py's report refresh is the standing client).
+    # reprocessed day: a raising hook is logged and the remaining days
+    # still process (the hook is advisory by contract). When set, the
+    # day's rows are persisted across transform+hook so the hook rides
+    # the same physical scan (enrich.py's report refresh is the
+    # standing client).
     on_day_committed: Callable[[date, DataFrame], None] | None = None
 
 
@@ -85,7 +87,19 @@ def run_incremental(spark: SparkSession, job: IncrementalJob) -> list[date]:
             committed.append(day)
             logger.info("incremental: committed %s", day)
             if job.on_day_committed is not None:
-                job.on_day_committed(day, day_df)
+                try:
+                    job.on_day_committed(day, day_df)
+                except Exception:
+                    # the day IS committed and the hook is advisory by
+                    # contract — a hook failure must not abort the
+                    # remaining backlog or hide the committed days from
+                    # the caller; hooks needing stronger guarantees do
+                    # their own handling
+                    logger.exception(
+                        "incremental: post-commit hook failed for %s "
+                        "(day remains committed; continuing)",
+                        day,
+                    )
         finally:
             if job.on_day_committed is not None:
                 day_df.unpersist()

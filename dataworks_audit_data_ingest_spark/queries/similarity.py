@@ -17,10 +17,12 @@ _N_QUERIES = 5  # vec_id < 5 act as query vectors
 _TOP_K = 5
 
 
-@register(
-    "q55_ann_bruteforce_topk",
-    sql=f"""
-    WITH base0 AS (
+def _brute_ranked_ctes() -> str:
+    """CTE chain ``base0 -> ... -> ranked``: exact cosine of every
+    (query, other-vector) pair, ranked per query (queries = vec_id <
+    _N_QUERIES). ONE text shared by q55 and q182's exact leg, so the
+    recall audit can never drift from the query it audits."""
+    return f"""base0 AS (
       SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings
     ), norm_terms AS (
@@ -49,7 +51,67 @@ _TOP_K = 5
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY cosine DESC, neighbor_id) AS rnk
       FROM scored
-    )
+    )"""
+
+
+def _ivf_ranked_ctes(queries_pred: str) -> str:
+    """CTE chain ``e_indexed -> ... -> ivf_ranked``: q56's IVF route
+    (exact decimal-mean centroids over the ``label`` cells, one probed
+    cell per query, exact cosine within the cell), ranked per query.
+    ``queries_pred`` selects the query vectors. ONE text shared by q56,
+    q179's vector leg, and q182's IVF leg — a routing/tie-break/precision
+    change edits every consumer at once instead of silently diverging
+    the audits from the index they audit."""
+    return f"""e_indexed AS (
+      SELECT vec_id, label, embedding,
+             UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
+      FROM embeddings
+    ), elems AS (
+      SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM e_indexed
+    ), centroids AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS cv
+      FROM elems GROUP BY label, pos
+    ), ivf_queries AS (
+      SELECT vec_id AS query_id, pos, v FROM elems WHERE {queries_pred}
+    ), routing AS (
+      SELECT query_id, label,
+             CAST(SUM(CAST(q.v * c.cv AS {_DOT_DEC})) AS DOUBLE)
+               / (SQRT(CAST(SUM(CAST(q.v * q.v AS {_DOT_DEC})) AS DOUBLE))
+                  * SQRT(CAST(SUM(CAST(c.cv * c.cv AS {_DOT_DEC})) AS DOUBLE))) AS cosine
+      FROM ivf_queries q JOIN centroids c USING (pos)
+      GROUP BY query_id, label
+    ), best_cell AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, label) AS rnk
+        FROM routing) WHERE rnk = 1
+    ), candidates AS (
+      SELECT b.query_id, e.vec_id AS neighbor_id, e.pos, e.v AS tv, q.v AS qv
+      FROM best_cell b
+        JOIN elems e ON e.label = b.label AND e.vec_id != b.query_id
+        JOIN ivf_queries q ON q.query_id = b.query_id AND q.pos = e.pos
+    ), ivf_scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(SUM(CAST(qv * tv AS {_DOT_DEC})) AS DOUBLE)
+               / (SQRT(CAST(SUM(CAST(qv * qv AS {_DOT_DEC})) AS DOUBLE))
+                  * SQRT(CAST(SUM(CAST(tv * tv AS {_DOT_DEC})) AS DOUBLE))) AS cosine
+      FROM candidates
+      GROUP BY query_id, neighbor_id
+    ), ivf_ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM ivf_scored
+    )"""
+
+
+@register(
+    "q55_ann_bruteforce_topk",
+    sql=f"""
+    WITH {_brute_ranked_ctes()}
     SELECT query_id, neighbor_id, rnk, ROUND(cosine, 6) AS score
     FROM ranked WHERE rnk <= {_TOP_K}
     ORDER BY query_id, rnk
@@ -115,51 +177,9 @@ def q55_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q56_ann_ivf_topk",
     sql=f"""
-    WITH indexed AS (
-      SELECT vec_id, label, embedding,
-             UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
-      FROM embeddings
-    ), elems AS (
-      SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
-      FROM indexed
-    ), centroids AS (
-      SELECT label, pos,
-             CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS cv
-      FROM elems GROUP BY label, pos
-    ), queries AS (
-      SELECT vec_id AS query_id, pos, v FROM elems WHERE vec_id < {_N_QUERIES}
-    ), routing AS (
-      SELECT query_id, label,
-             CAST(SUM(CAST(q.v * c.cv AS {_DOT_DEC})) AS DOUBLE)
-               / (SQRT(CAST(SUM(CAST(q.v * q.v AS {_DOT_DEC})) AS DOUBLE))
-                  * SQRT(CAST(SUM(CAST(c.cv * c.cv AS {_DOT_DEC})) AS DOUBLE))) AS cosine
-      FROM queries q JOIN centroids c USING (pos)
-      GROUP BY query_id, label
-    ), best_cell AS (
-      SELECT query_id, label FROM (
-        SELECT query_id, label,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY cosine DESC, label) AS rnk
-        FROM routing) WHERE rnk = 1
-    ), candidates AS (
-      SELECT b.query_id, e.vec_id AS neighbor_id, e.pos, e.v AS tv, q.v AS qv
-      FROM best_cell b
-        JOIN elems e ON e.label = b.label AND e.vec_id != b.query_id
-        JOIN queries q ON q.query_id = b.query_id AND q.pos = e.pos
-    ), scored AS (
-      SELECT query_id, neighbor_id,
-             CAST(SUM(CAST(qv * tv AS {_DOT_DEC})) AS DOUBLE)
-               / (SQRT(CAST(SUM(CAST(qv * qv AS {_DOT_DEC})) AS DOUBLE))
-                  * SQRT(CAST(SUM(CAST(tv * tv AS {_DOT_DEC})) AS DOUBLE))) AS cosine
-      FROM candidates
-      GROUP BY query_id, neighbor_id
-    )
+    WITH {_ivf_ranked_ctes(f"vec_id < {_N_QUERIES}")}
     SELECT query_id, neighbor_id, rnk, ROUND(cosine, 6) AS score
-    FROM (
-      SELECT query_id, neighbor_id, cosine,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, neighbor_id) AS rnk
-      FROM scored)
+    FROM ivf_ranked
     WHERE rnk <= 3
     ORDER BY query_id, rnk
     """,
@@ -1294,7 +1314,7 @@ def _rrf_sql() -> str:
 
 def _rrf_lex_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, r_lex): q103's fixed-point BM25 leg ranked and cut at
-    depth {_RRF_DEPTH} — shared by q177 and q179."""
+    the fusion depth (_RRF_DEPTH) — shared by q177 and q179."""
     from pyspark.sql import Window
 
     from .textops import _BM25_TERMS
@@ -1331,7 +1351,7 @@ def _rrf_lex_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rrf_fuse(lex: DataFrame, vec: DataFrame) -> DataFrame:
-    """Integer RRF over two (doc_id, rank) legs, top {_RRF_TOP} — shared
+    """Integer RRF over two (doc_id, rank) legs, top _RRF_TOP — shared
     by q177 and q179."""
     from pyspark.sql import Window
 
@@ -1413,51 +1433,9 @@ def q177_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _rrf_ivf_sql() -> str:
     return f"""
-    WITH {_rrf_lex_ctes()}, e_indexed AS (
-      SELECT vec_id, label, embedding,
-             UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
-      FROM embeddings
-    ), elems AS (
-      SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
-      FROM e_indexed
-    ), centroids AS (
-      SELECT label, pos,
-             CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS cv
-      FROM elems GROUP BY label, pos
-    ), qelems AS (
-      SELECT pos, v FROM elems WHERE vec_id = {_RRF_QVEC}
-    ), routing AS (
-      SELECT label,
-             CAST(SUM(CAST(q.v * c.cv AS {_DOT_DEC})) AS DOUBLE)
-               / (SQRT(CAST(SUM(CAST(q.v * q.v AS {_DOT_DEC})) AS DOUBLE))
-                  * SQRT(CAST(SUM(CAST(c.cv * c.cv AS {_DOT_DEC})) AS DOUBLE)))
-               AS cosine
-      FROM qelems q JOIN centroids c USING (pos)
-      GROUP BY label
-    ), best_cell AS (
-      SELECT label FROM (
-        SELECT label,
-               ROW_NUMBER() OVER (ORDER BY cosine DESC, label) AS rnk
-        FROM routing) WHERE rnk = 1
-    ), cand AS (
-      SELECT e.vec_id AS doc_id, e.pos, e.v AS tv, q.v AS qv
-      FROM elems e
-      JOIN best_cell b ON e.label = b.label
-      JOIN qelems q ON q.pos = e.pos
-      WHERE e.vec_id != {_RRF_QVEC}
-    ), vec_scored AS (
-      SELECT doc_id,
-             CAST(SUM(CAST(qv * tv AS {_DOT_DEC})) AS DOUBLE)
-               / (SQRT(CAST(SUM(CAST(qv * qv AS {_DOT_DEC})) AS DOUBLE))
-                  * SQRT(CAST(SUM(CAST(tv * tv AS {_DOT_DEC})) AS DOUBLE)))
-               AS cosine
-      FROM cand
-      GROUP BY doc_id
-    ), vec_ranked AS (
-      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r_vec
-      FROM vec_scored
-    ), vec AS (
-      SELECT doc_id, r_vec FROM vec_ranked WHERE r_vec <= {_RRF_DEPTH}
+    WITH {_rrf_lex_ctes()}, {_ivf_ranked_ctes(f"vec_id = {_RRF_QVEC}")}, vec AS (
+      SELECT neighbor_id AS doc_id, rnk AS r_vec
+      FROM ivf_ranked WHERE rnk <= {_RRF_DEPTH}
     ){_rrf_fusion_sql()}"""
 
 
@@ -1558,79 +1536,10 @@ _RECALL_K = 3  # audit depth: IVF's own top-k
 
 def _ann_recall_sql() -> str:
     return f"""
-    WITH base0 AS (
-      SELECT vec_id, label, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
-      FROM embeddings
-    ), nt AS (
-      SELECT vec_id, emb, UNNEST(RANGE(1, LEN(emb) + 1)) AS i FROM base0
-    ), base AS (
-      SELECT vec_id, ANY_VALUE(emb) AS emb,
-             SQRT(CAST(SUM(CAST(emb[i] * emb[i] AS {_DOT_DEC})) AS DOUBLE)) AS nrm
-      FROM nt GROUP BY vec_id
-    ), xpairs AS (
-      SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
-             q.emb AS eq, t.emb AS et, q.nrm AS nq, t.nrm AS nt
-      FROM base q JOIN base t ON t.vec_id != q.vec_id
-      WHERE q.vec_id < {_N_QUERIES}
-    ), xidx AS (
-      SELECT query_id, neighbor_id, eq, et, nq, nt,
-             UNNEST(RANGE(1, LEN(eq) + 1)) AS i
-      FROM xpairs
-    ), xscored AS (
-      SELECT query_id, neighbor_id,
-             CAST(SUM(CAST(eq[i] * et[i] AS {_DOT_DEC})) AS DOUBLE)
-               / (ANY_VALUE(nq) * ANY_VALUE(nt)) AS cosine
-      FROM xidx GROUP BY query_id, neighbor_id
-    ), exact AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY cosine DESC, neighbor_id) AS rnk
-        FROM xscored) WHERE rnk <= {_RECALL_K}
-    ), e_indexed AS (
-      SELECT vec_id, label, embedding,
-             UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
-      FROM embeddings
-    ), elems AS (
-      SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
-      FROM e_indexed
-    ), centroids AS (
-      SELECT label, pos,
-             CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS cv
-      FROM elems GROUP BY label, pos
-    ), queries AS (
-      SELECT vec_id AS query_id, pos, v FROM elems WHERE vec_id < {_N_QUERIES}
-    ), routing AS (
-      SELECT query_id, label,
-             CAST(SUM(CAST(q.v * c.cv AS {_DOT_DEC})) AS DOUBLE)
-               / (SQRT(CAST(SUM(CAST(q.v * q.v AS {_DOT_DEC})) AS DOUBLE))
-                  * SQRT(CAST(SUM(CAST(c.cv * c.cv AS {_DOT_DEC})) AS DOUBLE))) AS cosine
-      FROM queries q JOIN centroids c USING (pos)
-      GROUP BY query_id, label
-    ), best_cell AS (
-      SELECT query_id, label FROM (
-        SELECT query_id, label,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY cosine DESC, label) AS rnk
-        FROM routing) WHERE rnk = 1
-    ), candidates AS (
-      SELECT b.query_id, e.vec_id AS neighbor_id, e.pos, e.v AS tv, q.v AS qv
-      FROM best_cell b
-        JOIN elems e ON e.label = b.label AND e.vec_id != b.query_id
-        JOIN queries q ON q.query_id = b.query_id AND q.pos = e.pos
-    ), iscored AS (
-      SELECT query_id, neighbor_id,
-             CAST(SUM(CAST(qv * tv AS {_DOT_DEC})) AS DOUBLE)
-               / (SQRT(CAST(SUM(CAST(qv * qv AS {_DOT_DEC})) AS DOUBLE))
-                  * SQRT(CAST(SUM(CAST(tv * tv AS {_DOT_DEC})) AS DOUBLE))) AS cosine
-      FROM candidates
-      GROUP BY query_id, neighbor_id
+    WITH {_brute_ranked_ctes()}, {_ivf_ranked_ctes(f"vec_id < {_N_QUERIES}")}, exact AS (
+      SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {_RECALL_K}
     ), ivf AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY cosine DESC, neighbor_id) AS rnk
-        FROM iscored) WHERE rnk <= {_RECALL_K}
+      SELECT query_id, neighbor_id FROM ivf_ranked WHERE rnk <= {_RECALL_K}
     ), hits AS (
       SELECT e.query_id, COUNT(*) AS c
       FROM exact e JOIN ivf i USING (query_id, neighbor_id)

@@ -1995,9 +1995,12 @@ def q178_normalized_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer arithmetic (u·10⁶ < 2⁶³), so both engines agree bit-for-bit —
 # the integer-exact stand-in for Efraimidis–Spirakis keys (-ln(u)/w),
 # whose ln() last-ulp behavior is not portable across engines.
-_WS_SCALE = 1_000_000
+from ..functions.sampling import (  # noqa: E402
+    DEFAULT_SEED as _WS_SEED,
+    duckdb_weighted_priority_expr,
+)
+
 _WS_K = 50
-_WS_SEED = "wsamp"
 
 
 @register(
@@ -2005,8 +2008,7 @@ _WS_SEED = "wsamp"
     sql=f"""
     WITH keyed AS (
       SELECT doc_id, source, n_chars AS weight,
-             ({duckdb_hash32("CAST(doc_id AS VARCHAR)", _WS_SEED)}
-              * {_WS_SCALE}) // n_chars AS priority
+             {duckdb_weighted_priority_expr("doc_id", "n_chars")} AS priority
       FROM documents
       WHERE n_chars > 0
     )

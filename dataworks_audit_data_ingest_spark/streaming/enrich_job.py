@@ -75,6 +75,7 @@ def start_enriched_stream(
         spark = batch_df.sparkSession
         recover_skew_report(spark, skew_report_path)
         batch_df = batch_df.persist()  # join + report refresh ride one scan
+        bootstrapped = False
         try:
             if not report_exists(spark, skew_report_path):
                 # bootstrap: probe batch 0 once and persist, so even the
@@ -84,6 +85,7 @@ def start_enriched_stream(
                     skew_report_path,
                 )
                 refresh_skew_report(batch_df, key, skew_report_path)
+                bootstrapped = True
             milli = load_skew_milli(spark, skew_report_path)
             logger.info(
                 "enrich stream: batch %d joining with skew_milli=%d",
@@ -104,8 +106,11 @@ def start_enriched_stream(
             commit_batch_partition(out, out_dir, str(batch_id))
             # refresh AFTER the output commits: advisory state only — a
             # crash here replays the batch (dynamic overwrite makes the
-            # rewrite idempotent) and re-runs the refresh
-            refresh_skew_report(batch_df, key, skew_report_path)
+            # rewrite idempotent) and re-runs the refresh. The bootstrap
+            # batch skips it: its report already IS this batch's
+            # histogram (a second refresh would rewrite it identically)
+            if not bootstrapped:
+                refresh_skew_report(batch_df, key, skew_report_path)
         finally:
             batch_df.unpersist()
 

@@ -35,12 +35,38 @@ logger = logging.getLogger(__name__)
 
 
 def load_reservoir(spark: SparkSession, path: str) -> DataFrame | None:
-    """The standing reservoir, repairing an interrupted swap first;
-    None when no reservoir exists yet (fresh stream)."""
+    """OWNER-side read: the standing reservoir, repairing an interrupted
+    swap first; None when no reservoir exists yet (fresh stream).
+
+    Only the job that maintains the reservoir may call this — the repair
+    MUTATES the swap state, and a second mutator racing the owner's own
+    swap window could steal its staged directory mid-rename
+    (`incremental/swap.py`'s one-owner contract). External consumers use
+    :func:`read_reservoir`."""
     recover_swapped(spark, path)
     if not swapped_exists(spark, path):
         return None
     return spark.read.parquet(path)
+
+
+def read_reservoir(spark: SparkSession, path: str) -> DataFrame | None:
+    """CONSUMER-side read: never mutates swap state, so it is safe to call
+    while the owning stream runs. A read racing the exact swap window
+    (path momentarily absent) falls back to the aside copy — the
+    previous reservoir, one merge staler, still a valid sample; None
+    only when no reservoir has ever been committed."""
+    from pyspark.errors import AnalysisException
+
+    aside = path.rstrip("/") + ".old"
+    for p in (path, aside):
+        if swapped_exists(spark, p):
+            try:
+                return spark.read.parquet(p)
+            except AnalysisException:
+                # the owner renamed the directory between our existence
+                # check and the read — fall through to the next candidate
+                continue
+    return None
 
 
 def update_reservoir(

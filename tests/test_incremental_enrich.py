@@ -228,3 +228,48 @@ def test_enrich_recovers_report_before_reading(spark, tmp_path):
     # refresh has replaced it
     assert load_skew_milli(spark, job.skew_report_path) == 1000
     assert before > 10_000
+
+
+def test_hook_failure_does_not_abort_remaining_days(spark, tmp_path):
+    """run_incremental's post-commit hook is advisory: a raising hook is
+    logged and the remaining backlog still processes, with every
+    committed day reported to the caller."""
+    from dataworks_audit_data_ingest_spark.incremental import (
+        IncrementalJob,
+        run_incremental,
+    )
+
+    src, _ = _fixture(spark, tmp_path)
+    out = str(tmp_path / "out_hook")
+    calls = []
+
+    def bad_hook(day, day_df):
+        calls.append(day)
+        raise RuntimeError("transient FS error")
+
+    committed = run_incremental(
+        spark,
+        IncrementalJob(
+            source_path=src,
+            ts_col="ts",
+            output_path=out,
+            progress_file=str(tmp_path / "wm_hook"),
+            transform=lambda df: df,
+            on_day_committed=bad_hook,
+        ),
+    )
+    assert len(committed) == 2  # both fixture days, despite hook failures
+    assert len(calls) == 2
+    assert spark.read.parquet(out).count() == 400
+
+
+def test_noop_run_does_not_touch_dim(spark, tmp_path):
+    """A run with nothing past the watermark must neither read nor
+    require the dimension path."""
+    import shutil
+
+    src, dim = _fixture(spark, tmp_path)
+    job = _job(tmp_path, src, dim)
+    run_enriched_incremental(spark, job)
+    shutil.rmtree(dim)  # dim gone; the no-op run must not care
+    assert run_enriched_incremental(spark, job) == []

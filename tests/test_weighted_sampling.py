@@ -116,3 +116,41 @@ def test_streaming_reservoir_equals_one_shot_sample(spark, tmp_path):
     # no new files: replayed stream leaves the reservoir unchanged
     run_once()
     assert _ids(load_reservoir(spark, res)) == _ids(expected)
+
+
+def test_merge_resolves_reingested_weight_deterministically(spark):
+    """The same id re-offered with a CHANGED weight must resolve to its
+    most-sampleable version (min priority) on every partitioning — the
+    dropDuplicates partition-order dependence this contract forbids."""
+    light = spark.createDataFrame([(7, 10)], "doc_id long, weight long")
+    heavy = spark.createDataFrame([(7, 500)], "doc_id long, weight long")
+    a = weighted_bottom_k(light, 5, "doc_id", "weight")
+    b = weighted_bottom_k(heavy, 5, "doc_id", "weight")
+    for parts in ([a, b], [b, a]):
+        m = merge_reservoirs(parts, 5, "doc_id").collect()
+        assert len(m) == 1
+        assert m[0].weight == 500  # heavier copy has the smaller priority
+        assert m[0].priority == b.collect()[0].priority
+
+
+def test_read_reservoir_is_consumer_safe(spark, tmp_path):
+    """read_reservoir never mutates swap state: in the crash window
+    (aside only) it serves the previous reservoir AND leaves the state
+    untouched for the owner's own recovery."""
+    from dataworks_audit_data_ingest_spark.streaming.sample_job import (
+        read_reservoir,
+    )
+
+    d = _docs(spark, 50)
+    path = str(tmp_path / "res")
+    update_reservoir(spark, path, d, 10, "doc_id", "weight")
+    expected = _ids(load_reservoir(spark, path))
+
+    os.rename(path, path + ".old")  # simulate mid-swap crash window
+    got = read_reservoir(spark, path)
+    assert _ids(got) == expected  # served from the aside copy
+    assert not os.path.exists(path)  # NOT repaired — that's owner work
+    assert os.path.exists(path + ".old")
+
+    # nothing committed yet anywhere: None, still no mutation
+    assert read_reservoir(spark, str(tmp_path / "never")) is None
