@@ -87,12 +87,15 @@ def merge_reservoirs(
 
     Duplicate ids collapse to ONE row, chosen deterministically as the
     per-id minimum priority (row-level ties broken by the remaining
-    columns): a replayed batch re-offers identical rows (same priority —
-    the collapse is a no-op), and a RE-INGESTED id whose weight changed
-    across batches resolves to its most-sampleable version on every
-    engine and partitioning, keeping the merge replay-idempotent. (A
-    `dropDuplicates` here would pick a partition-order-dependent copy —
-    the nondeterminism this window explicitly avoids.)"""
+    ORDERABLE columns; map-typed payload columns are skipped — Spark
+    cannot order them, and rows identical on every orderable column are
+    interchangeable for the sample): a replayed batch re-offers
+    identical rows (same priority — the collapse is a no-op), and a
+    RE-INGESTED id whose weight changed across batches resolves to its
+    most-sampleable version on every engine and partitioning, keeping
+    the merge replay-idempotent. (A `dropDuplicates` here would pick a
+    partition-order-dependent copy — the nondeterminism this window
+    explicitly avoids.)"""
     if not parts:
         raise ValueError("merge_reservoirs: need at least one part")
     u = parts[0]
@@ -100,9 +103,16 @@ def merge_reservoirs(
         u = u.unionByName(p)
     from pyspark.sql import Window
 
-    other = [c for c in u.columns if c != id_col]
+    orderable = [
+        f.name
+        for f in u.schema.fields
+        if f.name != id_col and not f.dataType.typeName().startswith("map")
+    ]
     w = Window.partitionBy(id_col).orderBy(
-        *[F.asc(c) for c in ["priority"] + [c for c in other if c != "priority"]]
+        *[
+            F.asc(c)
+            for c in ["priority"] + [c for c in orderable if c != "priority"]
+        ]
     )
     return (
         u.withColumn("_rn", F.row_number().over(w))

@@ -119,6 +119,12 @@ def run_enriched_incremental(
         if not dim_cache:
             dim_cache.append(spark.read.parquet(job.dim_path))
         dim = dim_cache[0]
+        # per-day recovery, not just at run start: the PREVIOUS day's
+        # post-commit refresh may have crashed inside its swap window
+        # (the runner logs and continues by contract) — without this,
+        # the next day would misread that state as a fresh deployment
+        # and pay a redundant bootstrap probe
+        recover_skew_report(spark, job.skew_report_path)
         if not report_exists(spark, job.skew_report_path):
             # bootstrap: no standing report yet — probe THIS day once and
             # persist, so even the first day joins off a persisted number

@@ -54,19 +54,47 @@ def read_reservoir(spark: SparkSession, path: str) -> DataFrame | None:
     while the owning stream runs. A read racing the exact swap window
     (path momentarily absent) falls back to the aside copy — the
     previous reservoir, one merge staler, still a valid sample; None
-    only when no reservoir has ever been committed."""
-    from pyspark.errors import AnalysisException
+    only when no reservoir has ever been committed.
 
-    aside = path.rstrip("/") + ".old"
-    for p in (path, aside):
-        if swapped_exists(spark, p):
-            try:
-                return spark.read.parquet(p)
-            except AnalysisException:
-                # the owner renamed the directory between our existence
-                # check and the read — fall through to the next candidate
-                continue
-    return None
+    The result is MATERIALIZED (k rows by contract — driver-small)
+    before returning: a lazy frame over the swap directory would resolve
+    its file listing now but execute later, after the owner may have
+    renamed/deleted those exact files, failing the consumer's action
+    with a confusing FileNotFoundException."""
+    from ..incremental.swap import _aside
+
+    aside = _aside(path)
+    # Bounded retry: the owner can rename path->aside->delete under us
+    # between the existence check and the materializing read; once its
+    # swap completes the NEW reservoir stands at `path`, so a later
+    # attempt lands unless nothing was ever committed.
+    def _try_read(p: str) -> DataFrame | None:
+        if not swapped_exists(spark, p):
+            return None
+        try:
+            df = spark.read.parquet(p)
+            return spark.createDataFrame(df.collect(), df.schema)
+        except Exception as e:  # noqa: BLE001 — re-raise non-race errors
+            java = getattr(e, "java_exception", None)
+            klass = java.getClass().getName() if java is not None else ""
+            if "AnalysisException" in type(e).__name__ or klass.endswith(
+                "FileNotFoundException"
+            ):
+                return None  # the owner moved it mid-read — race, retry
+            raise
+
+    for _ in range(3):
+        for p in (path, aside):
+            got = _try_read(p)
+            if got is not None:
+                return got
+        if not swapped_exists(spark, path) and not swapped_exists(spark, aside):
+            return None  # genuinely nothing committed yet
+    # retries exhausted while directories kept appearing: read `path`
+    # directly and let any real error surface instead of masking it as
+    # "no reservoir"
+    df = spark.read.parquet(path)
+    return spark.createDataFrame(df.collect(), df.schema)
 
 
 def update_reservoir(

@@ -154,3 +154,31 @@ def test_read_reservoir_is_consumer_safe(spark, tmp_path):
 
     # nothing committed yet anywhere: None, still no mutation
     assert read_reservoir(spark, str(tmp_path / "never")) is None
+
+
+def test_merge_skips_map_typed_payload_columns(spark):
+    """Reservoir rows may carry map-typed payload; the deterministic
+    merge must skip unorderable columns instead of crashing."""
+    rows = [(1, 5, 100, {"a": "b"}), (1, 5, 100, {"c": "d"})]
+    df = spark.createDataFrame(
+        rows, "doc_id long, weight long, priority long, meta map<string,string>"
+    )
+    m = merge_reservoirs([df], 5, "doc_id").collect()
+    assert len(m) == 1 and m[0].doc_id == 1
+
+
+def test_read_reservoir_result_is_materialized(spark, tmp_path):
+    """The consumer read must survive the owner deleting the files after
+    the read returns (lazy frames over swap dirs fail at action time)."""
+    import shutil
+
+    from dataworks_audit_data_ingest_spark.streaming.sample_job import (
+        read_reservoir,
+    )
+
+    d = _docs(spark, 40)
+    path = str(tmp_path / "res")
+    update_reservoir(spark, path, d, 10, "doc_id", "weight")
+    got = read_reservoir(spark, path)
+    shutil.rmtree(path)  # owner swaps/deletes after our read returned
+    assert got.count() == 10  # still collectable — materialized

@@ -64,8 +64,10 @@ def main() -> int:
         for r in encoded.groupBy("cell").agg(F.count(F.lit(1)).alias("c")).collect()
     }
     vec_cell = {r.vec_id: r.cell for r in encoded.select("vec_id", "cell").collect()}
-    # query -> cells ranked by centroid cosine (numpy re-derivation of
-    # ivfpq_knn's routing — a measurement, exactness not required here)
+    # query -> cells ranked by centroid cosine (float64 numpy
+    # re-derivation of ivfpq_knn's decimal routing — a measurement; on
+    # near-tied centroid cosines the two can rank cells differently, so
+    # treat ceiling ~= recall as equality, not a strict bound)
     import numpy as np
 
     cent = {r.cell: np.array(r.cvec) for r in centroids.collect()}
@@ -104,8 +106,8 @@ def main() -> int:
         ceiling = sum(
             vec_cell[nid] in probe_order[qid][:n_probe] for qid, nid in truth
         ) / len(truth)
-        # scanned fraction: probed cells' sizes over the corpus, averaged
-        # across queries — an upper bound on candidates ADC-scored
+        # scanned fraction: the n_probe globally largest cells over the
+        # corpus — a worst-case bound on candidates ADC-scored per query
         sorted_cells = sorted(cell_sizes.values(), reverse=True)
         worst = sum(sorted_cells[:n_probe]) / n
         print(f"| {n_probe} | {ceiling:.3f} | {recall:.3f} | <= {worst:.3f} | {wall:.1f} |")
