@@ -36,7 +36,7 @@ from . import graph_shaped  # noqa: E402,F401
 # computed from; tests/test_cli_operators.py asserts the paste matches the
 # computation, so hand-drift is a test failure). Every query registered
 # before round 7 has a driver row (r06 closed the backlog), so the slate
-# is the round's nine never-run queries (q176–q184, all registered this
+# is the round's ten never-run queries (q176–q185, all registered this
 # round) followed by the pure stalest-first refresh: the 26 oracle-backed
 # r03-latest queries, then the stalest r04 tail. The
 # four rows-only queries
@@ -54,6 +54,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q179_hybrid_rrf_ivf",
     "q182_ann_recall_audit",
     "q181_semantic_decontamination",
+    "q185_packing_waste",
     "q35_unpivot",
     "q35b_session_bounce_rate",
     "q36_first_last_window",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q23_math_functions",
     "q24_price_band_join",
     "q25_asof_join",
-    "q27_array_functions",
 )
 
 

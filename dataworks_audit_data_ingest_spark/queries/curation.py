@@ -1116,3 +1116,102 @@ def q181_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("cand_id", "bench_id", F.round("cosine", 6).alias("score"))
         .orderBy("cand_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q185 — packing-waste audit by length bucket
+# ---------------------------------------------------------------------------
+# q85 packs sequences greedily; this is the PLANNING query that runs
+# before it: bucket documents by power-of-two length class, compute how
+# many fixed-size contexts each (source, bucket) needs under
+# same-bucket packing, and the padding waste that choice locks in —
+# the number that decides bucket edges and whether a source needs
+# chunking (oversize) or concatenation (tiny docs) first. Everything is
+# integer arithmetic (CEIL division via (n + cap - 1) DIV cap; waste in
+# ppm), so both engines agree exactly; the bucket ladder is an explicit
+# CASE, not float LOG2, whose boundary behavior is not portable.
+_PACK_CTX = 2048  # context size in chars (the packing budget)
+_PACK_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+
+
+def _bucket_case(col: str) -> str:
+    branches = " ".join(
+        f"WHEN {col} <= {b} THEN {b}" for b in _PACK_BUCKETS
+    )
+    return f"CASE {branches} END"
+
+
+@register(
+    "q185_packing_waste",
+    sql=f"""
+    WITH sized AS (
+      SELECT source, n_chars, {_bucket_case("n_chars")} AS bucket
+      FROM documents
+      WHERE n_chars > 0
+    ), packable AS (
+      SELECT source, bucket,
+             COUNT(*) AS n_docs,
+             SUM(n_chars) AS sum_chars
+      FROM sized
+      WHERE bucket IS NOT NULL
+      GROUP BY source, bucket
+    ), planned AS (
+      SELECT source, bucket, n_docs, sum_chars,
+             {_PACK_CTX} // bucket AS docs_per_ctx,
+             (n_docs + ({_PACK_CTX} // bucket) - 1) // ({_PACK_CTX} // bucket)
+               AS n_contexts
+      FROM packable
+    )
+    SELECT source,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_contexts AS BIGINT) AS n_contexts,
+           CAST((CAST(n_contexts AS HUGEINT) * {_PACK_CTX} - sum_chars)
+                * 1000000
+                // (CAST(n_contexts AS HUGEINT) * {_PACK_CTX}) AS BIGINT)
+             AS waste_ppm
+    FROM planned
+    ORDER BY source, bucket
+    """,
+    tags=("curation", "packing", "audit"),
+)
+def q185_packing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, power-of-two length bucket): documents, fixed-size
+    contexts needed under same-bucket packing (capacity = ctx DIV
+    bucket, contexts = ceil-div), and locked-in padding waste in ppm —
+    the planning audit that sets bucket edges before q85 packs.
+    Docs longer than the context (bucket NULL) are excluded here; they
+    need chunking upstream, and the fixtures contain none.
+
+    Scale shape: one map-side CASE ladder on the existing scan, one
+    (source, bucket) partial aggregation — the same shuffle as q50; the
+    waste arithmetic runs on the aggregated rows (sources × buckets,
+    driver-tiny). DECIMAL/HUGEINT products per the overflow idiom: a
+    100 TB source's n_contexts·ctx·10⁶ exceeds BIGINT.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    sized = d.select(
+        "source",
+        "n_chars",
+        F.expr(_bucket_case("n_chars")).alias("bucket"),
+    ).filter(F.col("bucket").isNotNull())
+    packable = sized.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    planned = packable.withColumn(
+        "docs_per_ctx", F.expr(f"{_PACK_CTX} DIV bucket")
+    ).withColumn(
+        "n_contexts", F.expr("(n_docs + docs_per_ctx - 1) DIV docs_per_ctx")
+    )
+    return planned.select(
+        "source",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_contexts").cast("bigint").alias("n_contexts"),
+        F.expr(
+            f"CAST((CAST(n_contexts AS DECIMAL(38,0)) * {_PACK_CTX} - sum_chars)"
+            f" * 1000000"
+            f" DIV (CAST(n_contexts AS DECIMAL(38,0)) * {_PACK_CTX}) AS BIGINT)"
+        ).alias("waste_ppm"),
+    ).orderBy("source", "bucket")
