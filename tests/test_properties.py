@@ -464,3 +464,75 @@ def test_interval_union_matches_sweep(iv, spark):
             cur_e = max(cur_e, e0)
     want += cur_e - cur_s
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Weighted-sampling kernel (functions/sampling.py)
+# ---------------------------------------------------------------------------
+
+_WS_BATCH = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=40),  # id (collisions likely)
+              st.integers(min_value=1, max_value=1000)),  # weight
+    min_size=1,
+    max_size=25,
+)
+
+
+def _model_priority(doc_id: int, weight: int) -> int:
+    """Pure-python model of the integer priority — the same MD5-prefix
+    uniform and integer floor-division both engine dialects compute."""
+    import hashlib
+
+    from dataworks_audit_data_ingest_spark.functions.sampling import (
+        DEFAULT_SEED,
+        PRIORITY_SCALE,
+    )
+
+    digest = hashlib.md5(f"{DEFAULT_SEED}|{doc_id}".encode()).hexdigest()
+    u = int(digest[:8], 16)
+    return (u * PRIORITY_SCALE) // weight
+
+
+@given(batches=st.lists(_WS_BATCH, min_size=1, max_size=3),
+       k=st.integers(min_value=1, max_value=12))
+@settings(max_examples=10, deadline=None)
+def test_reservoir_merge_law_property(batches, k, spark):
+    """merge(bottom-k per batch) == bottom-k over the per-id
+    min-priority view of ALL rows — for arbitrary batches, duplicate ids
+    across batches, and re-ingested weights. Also pins the Spark
+    priority against the pure-python MD5 model (the cross-engine
+    contract)."""
+    from dataworks_audit_data_ingest_spark.functions.sampling import (
+        merge_reservoirs,
+        weighted_bottom_k,
+    )
+
+    parts = [
+        weighted_bottom_k(
+            spark.createDataFrame(rows, "doc_id long, weight long"),
+            k,
+            "doc_id",
+            "weight",
+        )
+        for rows in batches
+    ]
+    got = [
+        (r.doc_id, r.weight, r.priority)
+        for r in merge_reservoirs(parts, k, "doc_id")
+        .orderBy("priority", "doc_id")
+        .collect()
+    ]
+
+    # model the real contract exactly: each batch cuts to its own
+    # bottom-k over RAW rows first (duplicates intact), then the merge
+    # collapses ids to their min-(priority, weight) copy and re-cuts
+    expected_parts = []
+    for rows in batches:
+        raw = sorted((_model_priority(i, w), i, w) for i, w in rows)[:k]
+        expected_parts.extend(raw)
+    best = {}
+    for p, i, w in sorted(expected_parts):
+        if i not in best or (p, w) < best[i]:
+            best[i] = (p, w)
+    expected = sorted(((p, i, w) for i, (p, w) in best.items()))[:k]
+    assert got == [(i, w, p) for p, i, w in expected]
