@@ -36,23 +36,26 @@ from . import graph_shaped  # noqa: E402,F401
 # computed from; tests/test_cli_operators.py asserts the paste matches the
 # computation, so hand-drift is a test failure). Every query registered
 # before round 7 has a driver row (r06 closed the backlog), so the slate
-# is the round's ten never-run queries (q176–q185, all registered this
-# round) followed by the pure stalest-first refresh: the 26 oracle-backed
-# r03-latest queries, then the stalest r04 tail. The
+# is the round's thirteen never-run queries (q176–q188, all registered
+# this round) followed by the pure stalest-first refresh: the 26
+# oracle-backed r03-latest queries, then the stalest r04 tail. The
 # four rows-only queries
 # (q42/q74/q16s/q59, sql=None) are excluded from emission — they can
 # only ever produce a `no_oracle` driver row (q16s burned an r06 slot);
 # their evidence is pytest plus a green oracle-backed twin each.
 DRIVER_PRIORITY_AS_OF_ROUND = 6
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "q188_user_event_entropy",
     "q176_curated_containment",
     "q178_normalized_dedup_gain",
     "q183_weighted_sample",
     "q184_token_mass_quantiles",
+    "q186_cooccurrence_lift",
     "q180_normalized_minhash_pairs",
     "q177_hybrid_rrf",
     "q179_hybrid_rrf_ivf",
     "q182_ann_recall_audit",
+    "q187_srp_bucket_purity",
     "q181_semantic_decontamination",
     "q185_packing_waste",
     "q35_unpivot",
@@ -92,9 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q20_date_functions",
     "q21_json_functions",
     "q22_case_and_nulls",
-    "q23_math_functions",
-    "q24_price_band_join",
-    "q25_asof_join",
 )
 
 

@@ -319,10 +319,12 @@ def _srp_h(j_expr: str, pos_expr: str, dialect: str) -> str:
     return f"({duckdb_hash32(concat, 'srp')} % 1001) - 500"
 
 
-@register(
-    "q89_ann_srp_lsh",
-    sql=f"""
-    WITH elems AS (
+def _srp_bands_ctes() -> str:
+    """The elems→hyper→proj→bands CTE chain producing each vector's banded
+    SRP signature (vec_id, band, bval) — shared by q89 (retrieval) and
+    q187 (bucket-purity audit) so the audit can never drift from the
+    signature construction it audits."""
+    return f"""elems AS (
       SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
       FROM (SELECT vec_id, embedding,
                    UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
@@ -341,7 +343,67 @@ def _srp_h(j_expr: str, pos_expr: str, dialect: str) -> str:
              SUM((CASE WHEN proj >= 0 THEN 1 ELSE 0 END)
                  << CAST(j % {_SRP_BAND_BITS} AS INT)) AS bval
       FROM proj GROUP BY vec_id, band
-    ), cands AS (
+    )"""
+
+
+def _srp_bands(e: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_srp_bands_ctes`: embeddings → one banded SRP
+    signature row (vec_id, band, bval) per vector per band.  Signatures
+    are fully map-side — 16 projections per vector from one broadcast
+    join against the per-position hyperplane table, then a single
+    groupBy(vec_id) carrying 16 BIGINT partials."""
+    elems = e.select(
+        "vec_id",
+        F.posexplode(F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "pos", "v"
+        ),
+    )
+    # dimension axis from ONE row — never a corpus-wide distinct just to
+    # learn the embedding width; harr[pos] = the 16 hyperplane components
+    # at this position, so the broadcast side is dim rows, not dim×bits
+    dims = e.limit(1).select(
+        F.posexplode(F.col("embedding")).alias("pos", "_v")
+    ).select("pos")
+    hyper = dims.select(
+        "pos",
+        F.expr(
+            f"TRANSFORM(SEQUENCE(0, {_SRP_BITS - 1}), "
+            f"j -> {_srp_h('j', 'pos', 'spark')})"
+        ).alias("harr"),
+    )
+    proj = (
+        elems.join(F.broadcast(hyper), "pos")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum(
+                    F.expr(
+                        f"CAST(FLOOR(v * harr[{j}] * {_SRP_SCALE}) AS BIGINT)"
+                    )
+                ).alias(f"p{j}")
+                for j in range(_SRP_BITS)
+            ]
+        )
+    )
+    bval_exprs = []
+    for band in range(_SRP_BITS // _SRP_BAND_BITS):
+        bits = " + ".join(
+            f"SHIFTLEFT(CASE WHEN p{band * _SRP_BAND_BITS + r} >= 0 "
+            f"THEN 1 ELSE 0 END, {r})"
+            for r in range(_SRP_BAND_BITS)
+        )
+        bval_exprs += [str(band), f"({bits})"]
+    stack = (
+        f"STACK({_SRP_BITS // _SRP_BAND_BITS}, {', '.join(bval_exprs)}) "
+        "AS (band, bval)"
+    )
+    return proj.select("vec_id", F.expr(stack))
+
+
+@register(
+    "q89_ann_srp_lsh",
+    sql=f"""
+    WITH {_srp_bands_ctes()}, cands AS (
       SELECT DISTINCT q.vec_id AS query_id, t.vec_id AS neighbor_id
       FROM bands q JOIN bands t USING (band, bval)
       WHERE q.vec_id < {_N_QUERIES} AND t.vec_id != q.vec_id
@@ -405,52 +467,7 @@ def q89_ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (near-duplicate pile-ups) take the q51 bucket-cap guard
     unchanged since the join key has the same shape."""
     e = table(spark, sf_dir, "embeddings")
-    elems = e.select(
-        "vec_id",
-        F.posexplode(F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))")).alias(
-            "pos", "v"
-        ),
-    )
-    # dimension axis from ONE row — never a corpus-wide distinct just to
-    # learn the embedding width; harr[pos] = the 16 hyperplane components
-    # at this position, so the broadcast side is dim rows, not dim×bits
-    dims = e.limit(1).select(
-        F.posexplode(F.col("embedding")).alias("pos", "_v")
-    ).select("pos")
-    hyper = dims.select(
-        "pos",
-        F.expr(
-            f"TRANSFORM(SEQUENCE(0, {_SRP_BITS - 1}), "
-            f"j -> {_srp_h('j', 'pos', 'spark')})"
-        ).alias("harr"),
-    )
-    proj = (
-        elems.join(F.broadcast(hyper), "pos")
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.sum(
-                    F.expr(
-                        f"CAST(FLOOR(v * harr[{j}] * {_SRP_SCALE}) AS BIGINT)"
-                    )
-                ).alias(f"p{j}")
-                for j in range(_SRP_BITS)
-            ]
-        )
-    )
-    bval_exprs = []
-    for band in range(_SRP_BITS // _SRP_BAND_BITS):
-        bits = " + ".join(
-            f"SHIFTLEFT(CASE WHEN p{band * _SRP_BAND_BITS + r} >= 0 "
-            f"THEN 1 ELSE 0 END, {r})"
-            for r in range(_SRP_BAND_BITS)
-        )
-        bval_exprs += [str(band), f"({bits})"]
-    stack = (
-        f"STACK({_SRP_BITS // _SRP_BAND_BITS}, {', '.join(bval_exprs)}) "
-        "AS (band, bval)"
-    )
-    bands = proj.select("vec_id", F.expr(stack))
+    bands = _srp_bands(e)
     cands = (
         bands.filter(F.col("vec_id") < _N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), "band", "bval")
@@ -1593,4 +1610,98 @@ def q182_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q187 — SRP bucket label-purity audit (LSH clustering quality)
+# ---------------------------------------------------------------------------
+# q182 audits the IVF index's RECALL against brute force; this is the
+# LSH-side quality audit: if the SRP buckets q89 retrieves from are any
+# good, vectors sharing a bucket should mostly share a label.  Per
+# populated (band, bval) bucket: member count, the majority label (ties
+# broken toward the smaller label id — deterministic), and purity in ppm.
+# The curation use is direct — low-purity buckets mark embedding-space
+# regions where near-duplicate retrieval will cross semantic boundaries,
+# i.e. where a dedup threshold tuned on global averages over-merges.
+
+
+@register(
+    "q187_srp_bucket_purity",
+    sql=f"""
+    WITH {_srp_bands_ctes()}, labeled AS (
+      SELECT b.band, CAST(b.bval AS BIGINT) AS bval,
+             CAST(e.label AS BIGINT) AS label
+      FROM bands b JOIN embeddings e USING (vec_id)
+    ), bucket_label AS (
+      SELECT band, bval, label, COUNT(*) AS c
+      FROM labeled GROUP BY band, bval, label
+    ), bucket AS (
+      SELECT band, bval, SUM(c) AS n_vecs
+      FROM bucket_label GROUP BY band, bval
+    ), top AS (
+      SELECT band, bval, label, c,
+             ROW_NUMBER() OVER (PARTITION BY band, bval
+                                ORDER BY c DESC, label) AS rn
+      FROM bucket_label
+    )
+    SELECT b.band, b.bval,
+           CAST(b.n_vecs AS BIGINT) AS n_vecs,
+           t.label AS top_label,
+           CAST(t.c AS BIGINT) AS top_label_n,
+           CAST(CAST(t.c AS HUGEINT) * 1000000 // b.n_vecs AS BIGINT)
+             AS purity_ppm
+    FROM bucket b
+      JOIN top t ON t.band = b.band AND t.bval = b.bval AND t.rn = 1
+    WHERE b.n_vecs >= 2
+    ORDER BY b.band, b.bval
+    """,
+    tags=("similarity", "lsh", "srp", "audit", "clustering"),
+)
+def q187_srp_bucket_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of every populated SRP band-bucket (>= 2 members):
+    member count, majority label (smaller id on ties), purity in ppm —
+    the LSH clustering-quality audit complementing q182's IVF recall
+    audit.  Shares the exact signature construction with q89 via
+    :func:`_srp_bands` / :func:`_srp_bands_ctes`, so the audit cannot
+    drift from the retrieval path it audits.
+
+    Scale shape: signatures are map-side (see _srp_bands); the audit
+    itself is two keyed partial aggregations over (band, bval, label)
+    then (band, bval) — both on the signature table (4 rows per vector),
+    with map-side combine — and a row_number over per-bucket label
+    counts (bounded by the label-space size per bucket).  The 1e6
+    product is DECIMAL(38,0)/HUGEINT per the overflow idiom: a 100 TB
+    corpus piles ~1e12 vectors into the hot bucket and c·1e6 sits at the
+    BIGINT edge.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    labeled = _srp_bands(e).join(
+        e.select("vec_id", F.col("label").cast("bigint").alias("label")),
+        "vec_id",
+    ).select("band", F.col("bval").cast("bigint").alias("bval"), "label")
+    bucket_label = labeled.groupBy("band", "bval", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bucket = bucket_label.groupBy("band", "bval").agg(
+        F.sum("c").alias("n_vecs")
+    )
+    w = Window.partitionBy("band", "bval").orderBy(F.desc("c"), F.asc("label"))
+    top = bucket_label.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        bucket.filter(F.col("n_vecs") >= 2)
+        .join(top, ["band", "bval"])
+        .select(
+            "band",
+            "bval",
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.col("label").alias("top_label"),
+            F.col("c").cast("bigint").alias("top_label_n"),
+            F.expr(
+                "CAST(CAST(c AS DECIMAL(38,0)) * 1000000 DIV n_vecs AS BIGINT)"
+            ).alias("purity_ppm"),
+        )
+        .orderBy("band", "bval")
     )

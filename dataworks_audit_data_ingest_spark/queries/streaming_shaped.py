@@ -2146,3 +2146,95 @@ def q172_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# ---------------------------------------------------------------------------
+# q188 — behavioral entropy distribution (per-user event-type entropy)
+# ---------------------------------------------------------------------------
+# The user-behavior twin of q112's document surprisal: per user, the
+# entropy of their event-type distribution — the standard bot/monoculture
+# signal (entropy ~0: a user that only ever fires one event type; high
+# entropy: diverse organic usage).  Training-data pipelines use exactly
+# this to down-weight single-behavior accounts before sessionized corpora
+# are exported.  Entropy uses the repo's integer floor-log2 idiom
+# (LENGTH(BIN(n DIV c)) — q112's portable bits stand-in), so every engine
+# agrees exactly; users are then rolled up into half-"bit" bands.
+_Q188_BAND_MILLI = 500  # band width: 0.5 floor-log2 "bits" in milli units
+
+
+@register(
+    "q188_user_event_entropy",
+    sql=f"""
+    WITH ut AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ), wu AS (
+      SELECT user_id, c, SUM(c) OVER (PARTITION BY user_id) AS n
+      FROM ut
+    ), per_user AS (
+      SELECT user_id, ANY_VALUE(n) AS n, COUNT(*) AS k,
+             CAST(CAST(1000 AS HUGEINT)
+                  * SUM(c * LENGTH(BIN(n // c)))
+                  // ANY_VALUE(n) AS BIGINT) AS ent_milli
+      FROM wu GROUP BY user_id
+    )
+    SELECT CAST(ent_milli // {_Q188_BAND_MILLI} AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(k) AS HUGEINT) * 1000 // COUNT(*) AS BIGINT)
+             AS mean_types_milli
+    FROM per_user
+    GROUP BY band
+    ORDER BY band
+    """,
+    tags=("events", "entropy", "quality", "exact-integer"),
+)
+def q188_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-user event-type entropy: each user scored by
+    the integer floor-log2 entropy of their event-type counts (q112's
+    LENGTH(BIN(n DIV c)) idiom, in milli-units), then banded into
+    {_Q188_BAND_MILLI}-milli buckets with user count, event mass, and
+    mean distinct-type count per band — the bot/monoculture screen run
+    before behavioral corpora are exported.
+
+    Scale shape: one (user_id, event_type) partial aggregation collapses
+    the event stream to at most |users|x|types| rows before any other
+    exchange; the per-user total rides a window over that collapsed
+    table partitioned on the SAME key (no extra shuffle after the
+    user-keyed exchange), and the band rollup aggregates the per-user
+    table (|users| rows).  Products are DECIMAL(38,0)/HUGEINT per the
+    overflow idiom — 1000·sum(c·bits) wraps BIGINT near 1e14 events per
+    user.
+    """
+    ev = table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    wu = ut.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("user_id"))
+    )
+    per_user = wu.groupBy("user_id").agg(
+        F.first("n").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.expr(
+            "CAST(CAST(1000 AS DECIMAL(38,0))"
+            " * SUM(c * LENGTH(BIN(n DIV c)))"
+            " DIV FIRST(n) AS BIGINT)"
+        ).alias("ent_milli"),
+    )
+    return (
+        per_user.groupBy(
+            F.expr(f"CAST(ent_milli DIV {_Q188_BAND_MILLI} AS BIGINT)").alias(
+                "band"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.expr(
+                "CAST(CAST(SUM(k) AS DECIMAL(38,0)) * 1000"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("mean_types_milli"),
+        )
+        .orderBy("band")
+    )

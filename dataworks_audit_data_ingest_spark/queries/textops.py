@@ -2136,3 +2136,127 @@ def q184_token_mass_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — co-occurrence lift (PMI-style collocation mining)
+# ---------------------------------------------------------------------------
+# The pair-mining op behind phrase induction and tokenizer-vocab curation:
+# which word PAIRS co-occur in the same document far more often than their
+# independent document frequencies predict?  q119 scores ADJACENT bigrams;
+# this is the document-level twin (unordered pairs, any distance), the
+# signal used to pick multi-word vocabulary entries and to audit topical
+# contamination between nominally-independent sources.  Lift is reported as
+# an exact integer ppm — lift_ppm = 1e6 * P(a,b) / (P(a) P(b)) =
+# 1e6 * n_ab * n_docs / (n_a * n_b) — instead of log-PMI, so both engines
+# agree bit-for-bit (the log is monotone; ordering and thresholds are
+# identical).
+_Q186_MIN_DF = 2  # a word must appear in >= this many docs to qualify
+_Q186_MIN_COOC = 5  # a pair must co-occur in >= this many docs
+_Q186_TOP = 30
+
+
+@register(
+    "q186_cooccurrence_lift",
+    sql=f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, t AS w
+      FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ), dfc AS (
+      SELECT w, COUNT(*) AS n_w FROM words GROUP BY w
+      HAVING COUNT(*) >= {_Q186_MIN_DF}
+    ), wq AS (
+      SELECT doc_id, w FROM words JOIN dfc USING (w)
+    ), total AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), pc AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_ab
+      FROM wq a JOIN wq b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w
+      HAVING COUNT(*) >= {_Q186_MIN_COOC}
+    )
+    SELECT w1, w2,
+           CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(d1.n_w AS BIGINT) AS n_w1,
+           CAST(d2.n_w AS BIGINT) AS n_w2,
+           CAST(CAST(n_ab AS HUGEINT) * n_docs * 1000000
+                // (CAST(d1.n_w AS HUGEINT) * d2.n_w) AS BIGINT) AS lift_ppm
+    FROM pc
+      JOIN dfc d1 ON d1.w = pc.w1
+      JOIN dfc d2 ON d2.w = pc.w2
+      CROSS JOIN total
+    ORDER BY lift_ppm DESC, w1, w2
+    LIMIT {_Q186_TOP}
+    """,
+    tags=("text", "collocation", "pmi", "mining", "exact-integer"),
+)
+def q186_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top document-level word-pair collocations by exact-integer lift:
+    lift_ppm = 1e6·n_ab·n_docs / (n_a·n_b), over pairs of words that each
+    appear in >= {_Q186_MIN_DF} docs and co-occur in >= {_Q186_MIN_COOC} —
+    the PMI-style collocation miner (log dropped: monotone, so ordering
+    and thresholds are unchanged and the integers are portable).
+
+    Scale shape: per-doc DISTINCT runs map-side (array_distinct on the
+    split array — no corpus-wide distinct exchange); document frequencies
+    are one word-keyed partial agg whose result is Zipf-bounded
+    (vocabulary-sized) and broadcast back as the qualification filter, so
+    the pair self-join is doc_id-keyed over only QUALIFYING word
+    occurrences — per-doc fan-out is O(k²) in the per-doc qualifying
+    vocabulary, the standard within-doc pair budget (cap k upstream via a
+    df ceiling for stopword-heavy corpora).  Pair counts take map-side
+    partial aggregation on (w1, w2); the final lift arithmetic runs on the
+    aggregated pair table (vocab², driver-small) with DECIMAL(38,0)/
+    HUGEINT products per the overflow idiom — n_ab·n_docs·1e6 wraps BIGINT
+    near 1e12 docs.  Top-{_Q186_TOP} is TakeOrderedAndProject.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    ).filter(F.col("w") != "")
+    dfc = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .filter(F.col("n_w") >= _Q186_MIN_DF)
+    )
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    wq = words.join(F.broadcast(dfc.select("w")), "w")
+    pc = (
+        wq.select("doc_id", F.col("w").alias("w1"))
+        .join(wq.select("doc_id", F.col("w").alias("w2")), "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _Q186_MIN_COOC)
+    )
+    return (
+        pc.join(
+            F.broadcast(
+                dfc.select(F.col("w").alias("w1"), F.col("n_w").alias("_n1"))
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                dfc.select(F.col("w").alias("w2"), F.col("n_w").alias("_n2"))
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("_n1").cast("bigint").alias("n_w1"),
+            F.col("_n2").cast("bigint").alias("n_w2"),
+            F.expr(
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_docs * 1000000"
+                " DIV (CAST(_n1 AS DECIMAL(38,0)) * _n2) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "w1", "w2")
+        .limit(_Q186_TOP)
+    )
