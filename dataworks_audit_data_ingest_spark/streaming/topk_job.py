@@ -16,6 +16,23 @@ At scale per batch: one map-side partial aggregation to ≤ d·w rows per
 task, one sketch-sized write, one top-m candidate selection (map-side
 WindowGroupLimit bounds it). The store grows with batches × (d·w + m),
 not with traffic; reads are sketch-sized.
+
+Long-lived maintenance: both sub-stores live under the shared
+incremental contract (`incremental/store.py`), so `compact_store` folds
+old ``batch_id=`` partitions — with one twist.  The shared compaction is
+SET-semantics (it folds with ``distinct()``; crash-window duplicates are
+tolerated because the hash stores consume membership through joins), but
+count-min cells and candidate counts are ADDITIVE: two batches whose
+grids happen to contain an identical (row_idx, cell, c) row would
+collapse into one and silently UNDER-count.  Every stored row therefore
+carries its originating batch id as a DATA column (``src_batch``) —
+rows are unique per (src_batch, cell)/(src_batch, key), which makes the
+``distinct()`` fold exact, and the readers re-apply ``distinct()`` on
+that identity so a crash between compaction's write and delete steps
+(rows present in ``__compacted__`` AND the originals) cannot
+double-count either.  The usual HARD PRECONDITION stands: batches the
+checkpoint may still replay must be in ``exclude``
+(`checkpoint_replayable_ids` derives the list — the CDC drill recipe).
 """
 
 from __future__ import annotations
@@ -24,6 +41,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import spark_hash32, universal_hash
+from ..incremental.store import (
+    commit_batch_partition,
+    read_store_excluding_batch,
+)
+
+# A batch id no foreachBatch invocation can produce (Spark batch ids are
+# integers): reading "excluding" it reads the WHOLE store.
+_READ_ALL_ID = "__reader__"
 
 CMS_D = 4  # depth (independent hash rows) — same family as q87
 CMS_W = 1024  # width (cells per row)
@@ -66,22 +91,23 @@ def topk_microbatch(
     m_candidates: int = 32,
 ) -> None:
     """Land this batch's grid + candidates under batch_id= partitions
-    (dynamic overwrite — replay rewrites exactly its own partitions)."""
-    (
-        batch_sketch(batch_df, key_sql)
-        .withColumn("batch_id", F.lit(str(batch_id)))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(f"{out_dir}/sketch")
+    (dynamic overwrite — replay rewrites exactly its own partitions).
+    ``src_batch`` rides along as a data column: the row identity that
+    makes set-semantics compaction exact for additive counts (module
+    docstring)."""
+    commit_batch_partition(
+        batch_sketch(batch_df, key_sql).select(
+            F.lit(str(batch_id)).alias("src_batch"), "*"
+        ),
+        f"{out_dir}/sketch",
+        batch_id,
     )
-    (
-        batch_candidates(batch_df, key_sql, m_candidates)
-        .withColumn("batch_id", F.lit(str(batch_id)))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(f"{out_dir}/candidates")
+    commit_batch_partition(
+        batch_candidates(batch_df, key_sql, m_candidates).select(
+            F.lit(str(batch_id)).alias("src_batch"), "*"
+        ),
+        f"{out_dir}/candidates",
+        batch_id,
     )
 
 
@@ -108,36 +134,56 @@ def start_topk_stream(
     return writer.start()
 
 
-def merged_sketch(spark: SparkSession, out_dir: str) -> DataFrame:
+def merged_sketch(spark: SparkSession, out_dir: str) -> DataFrame | None:
     """Cell-wise SUM over all stored batch grids — the whole-stream
-    count-min, exactly as if built in one pass."""
+    count-min, exactly as if built in one pass; ``None`` before any
+    batch.  ``distinct()`` first: compaction-crash duplicates collapse
+    on (src_batch, cell) row identity before the additive sum (module
+    docstring)."""
+    rows = read_store_excluding_batch(spark, f"{out_dir}/sketch", _READ_ALL_ID)
+    if rows is None:
+        return None
     return (
-        spark.read.parquet(f"{out_dir}/sketch")
+        rows.select("src_batch", "row_idx", "cell", "c")
+        .distinct()
         .groupBy("row_idx", "cell")
         .agg(F.sum("c").alias("c"))
     )
 
 
-def read_topk(spark: SparkSession, out_dir: str, k: int) -> DataFrame:
-    """(key, est_count, rnk) — period top-k: candidate keys (union of
-    batch-local heavies) point-queried against the merged grid (MIN over
-    the key's d cells — the one-sided count-min estimate)."""
+def read_topk(spark: SparkSession, out_dir: str, k: int) -> DataFrame | None:
+    """(key, est_count, seen_count, rnk) — period top-k: candidate keys
+    (union of batch-local heavies) point-queried against the merged grid
+    (MIN over the key's d cells — the one-sided count-min estimate).
+    ``seen_count`` — the sum of the key's own stored batch counts — is an
+    exact lower bound: est_count >= true >= seen_count.  ``None`` before
+    any batch."""
+    cand_rows = read_store_excluding_batch(
+        spark, f"{out_dir}/candidates", _READ_ALL_ID
+    )
+    sketch = merged_sketch(spark, out_dir)
+    if cand_rows is None or sketch is None:
+        return None
     cand = (
-        spark.read.parquet(f"{out_dir}/candidates")
-        .select("key")
+        cand_rows.select("src_batch", "key", "batch_count")
         .distinct()
+        .groupBy("key")
+        .agg(F.sum("batch_count").alias("seen"))
     )
     probes = cand.withColumn(
         "h", F.expr(spark_hash32("key", "cms"))
-    ).select("key", F.expr(_stack_cells()))
+    ).select("key", "seen", F.expr(_stack_cells()))
     est = (
-        probes.join(F.broadcast(merged_sketch(spark, out_dir)), ["row_idx", "cell"])
+        probes.join(F.broadcast(sketch), ["row_idx", "cell"])
         .groupBy("key")
-        .agg(F.min("c").cast("bigint").alias("est_count"))
+        .agg(
+            F.min("c").cast("bigint").alias("est_count"),
+            F.max("seen").cast("bigint").alias("seen_count"),
+        )
     )
     w = Window.orderBy(F.desc("est_count"), F.asc("key"))
     return (
         est.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("key", "est_count", "rnk")
+        .select("key", "est_count", "seen_count", "rnk")
     )

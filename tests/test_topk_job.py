@@ -94,10 +94,12 @@ def test_streamed_topk_matches_exact_batch_topk(spark, tmp_path):
     got_keys = [r.key for r in got.orderBy("rnk").collect()]
     want_keys = [r.key for r in exact]
     assert got_keys == want_keys
-    # count-min estimates are one-sided: est >= true
+    # count-min laws: the estimate never undercounts; the key's own
+    # stored batch counts never overcount
     true = {r.key: r.n for r in exact}
     for r in got.collect():
         assert r.est_count >= true[r.key]
+        assert r.seen_count <= true[r.key]
 
 
 def test_replay_is_idempotent(spark, tmp_path):
@@ -124,3 +126,59 @@ def test_replay_is_idempotent(spark, tmp_path):
     topk_microbatch(df0, 0, store, KEY, m_candidates=16)
     after = sorted(map(tuple, read_topk(spark, store, k=5).collect()))
     assert after == before
+
+
+def test_sketch_additivity(spark):
+    """sketch(A) + sketch(B) == sketch(A u B) cell-wise — the merge law
+    the whole store design rests on."""
+    ev = table(spark, SF, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+
+    def cells(df):
+        return {(r.row_idx, r.cell): r.c for r in batch_sketch(df, KEY).collect()}
+
+    ca, cb, cu = cells(a), cells(b), cells(ev)
+    merged = {k: ca.get(k, 0) + cb.get(k, 0) for k in set(ca) | set(cb)}
+    assert merged == cu
+
+
+def test_compaction_preserves_topk_even_mid_crash(spark, tmp_path):
+    """compact_store's set-semantics fold is exact for the additive grids
+    because rows carry (src_batch, ...) identity — including the crash
+    window where folded rows coexist with the originals."""
+    import shutil
+
+    from dataworks_audit_data_ingest_spark.incremental.store import (
+        compact_store,
+    )
+
+    store = _run_stream(spark, tmp_path)
+    before = sorted(map(tuple, read_topk(spark, store, k=5).collect()))
+
+    # crash window first: fold written but originals NOT yet deleted —
+    # simulate by copying every original partition's rows into a fake
+    # __compacted__ partition alongside them
+    for sub in ("sketch", "candidates"):
+        root = tmp_path / "store" / sub
+        parts = [p for p in root.iterdir() if p.name.startswith("batch_id=")]
+        dst = root / "batch_id=__compacted__"
+        dst.mkdir()
+        n = 0
+        for p in parts:
+            for f in p.glob("*.parquet"):
+                shutil.copy(f, dst / f"crash{n}.parquet")
+                n += 1
+    mid = sorted(map(tuple, read_topk(spark, store, k=5).collect()))
+    assert mid == before  # duplicates collapse on (src_batch, ...) identity
+
+    # then the real compaction completes: fold + delete, report unchanged
+    for sub in ("sketch", "candidates"):
+        assert compact_store(spark, f"{store}/{sub}") >= 3
+    after = sorted(map(tuple, read_topk(spark, store, k=5).collect()))
+    assert after == before
+
+
+def test_empty_store_reads_none(spark, tmp_path):
+    assert read_topk(spark, str(tmp_path / "missing"), k=5) is None
+    assert merged_sketch(spark, str(tmp_path / "missing")) is None
