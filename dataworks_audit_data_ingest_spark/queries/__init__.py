@@ -36,7 +36,7 @@ from . import graph_shaped  # noqa: E402,F401
 # computed from; tests/test_cli_operators.py asserts the paste matches the
 # computation, so hand-drift is a test failure). Every query registered
 # before round 7 has a driver row (r06 closed the backlog), so the slate
-# is the round's thirteen never-run queries (q176–q188, all registered
+# is the round's fifteen never-run queries (q176–q190, all registered
 # this round) followed by the pure stalest-first refresh: the 26
 # oracle-backed r03-latest queries, then the stalest r04 tail. The
 # four rows-only queries
@@ -45,6 +45,7 @@ from . import graph_shaped  # noqa: E402,F401
 # their evidence is pytest plus a green oracle-backed twin each.
 DRIVER_PRIORITY_AS_OF_ROUND = 6
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "q189_salted_agg",
     "q188_user_event_entropy",
     "q176_curated_containment",
     "q178_normalized_dedup_gain",
@@ -52,6 +53,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q184_token_mass_quantiles",
     "q186_cooccurrence_lift",
     "q180_normalized_minhash_pairs",
+    "q190_cluster_keep_best",
     "q177_hybrid_rrf",
     "q179_hybrid_rrf_ivf",
     "q182_ann_recall_audit",
@@ -93,8 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q18_set_operations",
     "q19_string_functions",
     "q20_date_functions",
-    "q21_json_functions",
-    "q22_case_and_nulls",
 )
 
 

@@ -2427,3 +2427,140 @@ def q180_normalized_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q190 — cluster-canonical keep-best dedup (CC × keep-best composed)
+# ---------------------------------------------------------------------------
+# The standard fuzzy-dedup keep rule production corpora actually ship
+# (SlimPajama/RefinedWeb style): LSH candidate pairs → connected
+# components → ONE survivor per cluster, chosen by quality (longest copy,
+# ties to the smaller id) rather than by the arbitrary min-id label. q58
+# builds the clusters and q152 scores exact-signature groups; this is the
+# composition — the survivor choice runs over the TRANSITIVE near-dup
+# cluster, so a chain a~b~c keeps one doc even when a and c never pair.
+
+
+def _cluster_keep_best_sql() -> str:
+    """CC min-label fixpoint (see ``_cc_sql``) joined back to document
+    lengths, then keep-best ranking per cluster. ``corpus2`` re-declares
+    the q51 corpus (base docs + variants) because the pairs body's own
+    ``corpus`` CTE is scoped inside the nested WITH."""
+    pairs_body = _minhash_sql().replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {pairs_body}
+    ), edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+    ), reach(doc_id, label) AS (
+      SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges
+      UNION
+      SELECT e.doc_a AS doc_id, r.label
+      FROM reach r JOIN edges e ON e.doc_b = r.doc_id
+      WHERE r.label < e.doc_a
+    ), cc AS (
+      SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+    ), corpus2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_VARIANT_OFFSET} AS doc_id,
+             ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:LEN(STRING_SPLIT(text, ' ')) - 5], ' ') AS text
+      FROM documents
+      WHERE doc_id < {_N_VARIANT_DOCS} AND LEN(STRING_SPLIT(text, ' ')) > 5
+    ), members AS (
+      SELECT cc.doc_id, cc.cluster_id, LEN(c.text) AS n_chars
+      FROM cc JOIN corpus2 c ON c.doc_id = cc.doc_id
+    ), ranked AS (
+      SELECT doc_id, cluster_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id ASC
+             ) AS rk
+      FROM members
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS kept_id,
+           CAST(MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS kept_chars,
+           CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS dropped_chars,
+           CAST(MAX(CASE WHEN rk = 1 AND doc_id <> cluster_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS policy_divergent
+    FROM ranked
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """
+
+
+@register(
+    "q190_cluster_keep_best",
+    sql=_cluster_keep_best_sql(),
+    tags=("dedup", "clustering", "keep-best", "iterative"),
+)
+def q190_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One survivor per transitive near-dup cluster: q51's LSH pairs →
+    q58's connected components → q152's keep-best policy (longest copy,
+    ties to the smaller id) ranked over the WHOLE cluster. Per cluster:
+    member count, the surviving doc and its length, the characters
+    dropped, and whether quality ranking diverged from the min-id label
+    the CC algorithm would naively keep (here the variants are truncated
+    copies, so the longer ORIGINAL survives even when the variant's
+    synthetic id is not the label).
+
+    Scale shape: clusters come from the iterative min-label propagation
+    (O(diameter) shuffles, lineage cut per round); the length join keys
+    on doc_id (no pairwise work — member rows, not pairs); the keep-best
+    pass is ONE window over cluster_id. At 100 TB the cluster_id shuffle
+    is bounded by the near-dup member count, a small fraction of the
+    corpus, and the bucket cap bounds any single cluster's fan-in.
+    """
+    from ..functions.graph import connected_components
+    from pyspark.sql import Window
+
+    pairs = q51_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs).select(
+        F.col("node_id").alias("doc_id"), "cluster_id"
+    )
+    d = table(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(_variants(d))
+    members = cc.join(
+        corpus.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = members.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("kept_id"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars")))
+            .cast("bigint")
+            .alias("kept_chars"),
+            # DECIMAL(38,0) sum: per-member lengths are driver-bounded
+            # here, but at 100 TB a boilerplate mega-cluster's BIGINT sum
+            # could wrap silently vs the oracle's HUGEINT promotion
+            F.sum(
+                F.expr(
+                    "CAST(CASE WHEN rk > 1 THEN n_chars ELSE 0 END"
+                    " AS DECIMAL(38,0))"
+                )
+            )
+            .cast("bigint")
+            .alias("dropped_chars"),
+            F.max(
+                F.when(
+                    (F.col("rk") == 1) & (F.col("doc_id") != F.col("cluster_id")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("policy_divergent"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1189,3 +1189,83 @@ def q173_skew_aware_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w")
     )
+
+
+# ---------------------------------------------------------------------------
+# q189 — salted two-stage aggregation, end to end
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q189_salted_agg",
+    sql="""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 9 THEN 'HOT'
+                  ELSE 'k' || CAST(l_orderkey % 97 AS VARCHAR) END AS k,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM fact
+    GROUP BY k
+    ORDER BY k
+    """,
+    tags=("aggregation", "skew", "salted", "diagnostics"),
+)
+def q189_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation driven end to end under the oracle —
+    the aggregation twin of q173's join proof: ~90 % of lineitem rows
+    collapse onto one derived key, stage 1 aggregates on (k, salt) so
+    the hot key's reduction spreads over 16 reducers, and the stage-2
+    merge per key must equal the oracle's plain GROUP BY exactly
+    (count/sum are re-summed, min/max re-extremed — the decomposable
+    merge rule ``functions.skew.salted_agg`` documents).
+
+    Scale note: for algebraic aggregates Spark's map-side partial
+    aggregation already shrinks a hot key to one row per task, so
+    salting buys little; the salted rewrite earns its keep when the
+    per-key aggregation state is too big to combine map-side (exact
+    collect-set/sketch states, ObjectHashAggregate sort fallback) or
+    when stage 2 feeds a differently-keyed consumer. This query pins
+    the merge-law correctness that makes that rewrite safe to reach for.
+    """
+    from ..functions.skew import salted_agg
+
+    li = table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.expr(
+            "CASE WHEN l_orderkey % 10 < 9 THEN 'HOT'"
+            " ELSE CONCAT('k', CAST(l_orderkey % 97 AS STRING)) END"
+        ).alias("k"),
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    partials = salted_agg(
+        fact,
+        "k",
+        [
+            F.count(F.lit(1)).alias("pc"),
+            # DECIMAL(38,0) partial sums: BIGINT cents (~1e7/row) wraps a
+            # plain BIGINT sum past ~9e11 rows; the oracle promotes to
+            # HUGEINT — the q92/q93 divergence class
+            F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("ps"),
+            F.min("cents").alias("pmin"),
+            F.max("cents").alias("pmax"),
+        ],
+        salt_buckets=16,
+    )
+    return (
+        partials.groupBy("k")
+        .agg(
+            F.sum("pc").cast("bigint").alias("n_rows"),
+            F.sum("ps").cast("bigint").alias("sum_cents"),
+            F.min("pmin").cast("bigint").alias("min_cents"),
+            F.max("pmax").cast("bigint").alias("max_cents"),
+        )
+        .orderBy("k")
+    )
