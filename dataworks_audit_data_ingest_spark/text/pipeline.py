@@ -46,6 +46,7 @@ def drop_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     keep: str = "min_id",
+    transitive: bool = False,
 ) -> DataFrame:
     """Keep one representative per near-dup cluster: MinHash-LSH candidate
     pairs (q51's signature pipeline) reduced to a keep/drop decision — a row
@@ -57,18 +58,50 @@ def drop_near_duplicates(
     complete one; ties break on the lower id). q152 runs the longest
     policy under the oracle over exact-signature clusters.
 
-    One-round approximation of full connected components (q58): ideal for
-    curation where clusters are shallow; chains longer than one hop keep one
-    extra representative rather than over-deleting.
+    ``transitive=False`` (default) is a one-round approximation of full
+    connected components (q58): ideal for curation where clusters are
+    shallow; chains longer than one hop keep one extra representative
+    rather than over-deleting. ``transitive=True`` runs the pairs
+    through connected components and ranks the keep policy over each
+    TRANSITIVE cluster, so a chain a~b~c keeps exactly one survivor even
+    though a and c never share a bucket — q190 registers exactly this
+    composition (CC × keep-best) under the DuckDB oracle. The transitive
+    path pays O(cluster-graph diameter) extra shuffles over the pair
+    list (bounded by the near-dup population, not the corpus) and
+    applies q51's bucket cap to pair generation.
     """
     from ..queries.dedup import _spark_bands, _spark_sigs
 
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
+    if keep not in ("min_id", "longest"):
+        raise ValueError(f"unknown keep policy {keep!r}: min_id | longest")
     bands = _spark_bands(_spark_sigs(base))
+    lens = base.select("doc_id", F.length("text").alias("_len"))
+    if transitive:
+        from pyspark.sql import Window
+
+        from ..functions.graph import connected_components
+        from ..queries.dedup import lsh_candidate_pairs
+
+        pairs = lsh_candidate_pairs(bands)
+        members = connected_components(pairs).select(
+            F.col("node_id").alias("doc_id"), "cluster_id"
+        )
+        if keep == "longest":
+            members = members.join(lens, "doc_id")
+            order = [F.desc("_len"), F.asc("doc_id")]
+        else:
+            order = [F.asc("doc_id")]
+        w = Window.partitionBy("cluster_id").orderBy(*order)
+        dropped = (
+            members.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") > 1)
+            .select(F.col("doc_id").alias(id_col))
+        )
+        return docs.join(dropped, id_col, "left_anti")
     if keep == "longest":
-        lens = base.select("doc_id", F.length("text").alias("_len"))
         bands = bands.join(lens, "doc_id")
     a, b = bands.alias("a"), bands.alias("b")
     same_bucket = (F.col("a.band_idx") == F.col("b.band_idx")) & (
@@ -76,13 +109,11 @@ def drop_near_duplicates(
     )
     if keep == "min_id":
         b_better = F.col("a.doc_id") > F.col("b.doc_id")
-    elif keep == "longest":
+    else:
         b_better = (F.col("b._len") > F.col("a._len")) | (
             (F.col("b._len") == F.col("a._len"))
             & (F.col("b.doc_id") < F.col("a.doc_id"))
         )
-    else:
-        raise ValueError(f"unknown keep policy {keep!r}: min_id | longest")
     dropped = (
         a.join(b, same_bucket & b_better)
         .select(F.col("a.doc_id").alias(id_col))

@@ -629,3 +629,79 @@ def test_drop_contained_duplicates_vs_survivors_rescues_orphans(spark):
 
     # survivors mode never resurrects a curated-away doc
     assert final.filter("source = 'spam'").count() == 0
+
+
+def test_drop_near_duplicates_transitive_collapses_chains(spark):
+    """A near-dup chain a~b~c (ends never pair with each other) keeps TWO
+    docs under the one-round default but exactly ONE under
+    ``transitive=True`` — the over-keep the docstring documents, and the
+    q190 composition (CC × keep policy) that fixes it. The middle doc
+    carries the LARGEST id so neither end sees a better neighbor in one
+    round."""
+    from pyspark.sql import functions as F
+
+    from dataworks_audit_data_ingest_spark.queries.dedup import (
+        _spark_bands,
+        _spark_sigs,
+        lsh_candidate_pairs,
+    )
+    from dataworks_audit_data_ingest_spark.tables import table
+    from dataworks_audit_data_ingest_spark.text.pipeline import (
+        drop_near_duplicates,
+    )
+
+    words = (
+        table(spark, "/root/testdata/sf0.001", "documents")
+        .filter(F.col("doc_id") == 1)
+        .first()
+        .text.split(" ")
+    )
+    assert len(words) == 78  # fixture premise for the cut below
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(words[:59])),  # head slice ~ full doc
+            (2, " ".join(words[19:])),  # tail slice ~ full doc
+            (3, " ".join(words)),  # the full doc: chain middle, max id
+        ],
+        "doc_id bigint, text string",
+    )
+    # precondition pinned: the LSH surfaces exactly the chain 1~3~2 —
+    # a hashing/banding change that breaks it fails here, not silently
+    pairs = sorted(
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(
+            _spark_bands(_spark_sigs(corpus))
+        ).collect()
+    )
+    assert pairs == [(1, 3), (2, 3)]
+
+    one_round = {
+        r.doc_id for r in drop_near_duplicates(corpus).collect()
+    }
+    assert one_round == {1, 2}  # middle dropped, both ends survive
+
+    cc_min = {
+        r.doc_id
+        for r in drop_near_duplicates(corpus, transitive=True).collect()
+    }
+    assert cc_min == {1}  # one survivor per TRANSITIVE cluster
+
+    cc_long = {
+        r.doc_id
+        for r in drop_near_duplicates(
+            corpus, keep="longest", transitive=True
+        ).collect()
+    }
+    assert cc_long == {3}  # the full doc is the longest copy
+
+    # singleton docs (no pairs) are untouched by the transitive path
+    lone = spark.createDataFrame(
+        [(9, "entirely unrelated words about nothing shared at all here")],
+        "doc_id bigint, text string",
+    )
+    both = corpus.unionByName(lone)
+    kept = {
+        r.doc_id
+        for r in drop_near_duplicates(both, transitive=True).collect()
+    }
+    assert 9 in kept and kept == {1, 9}
