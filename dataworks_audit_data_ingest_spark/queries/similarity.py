@@ -1705,3 +1705,84 @@ def q187_srp_bucket_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band", "bval")
     )
+
+
+_MKNN_K = 4
+
+
+@register(
+    "q191_mutual_knn_pairs",
+    sql=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb, a.label,
+             a.emb AS ea, b.emb AS eb
+      FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+    ), indexed AS (
+      SELECT ida, idb, label, ea, eb, UNNEST(RANGE(1, LEN(ea) + 1)) AS i
+      FROM pairs
+    ), scored AS (
+      SELECT ida, idb, ANY_VALUE(label) AS label,
+             CAST(SUM(CAST(ea[i] * eb[i] AS {_DOT_DEC})) AS DOUBLE)
+               / (SQRT(CAST(SUM(CAST(ea[i] * ea[i] AS {_DOT_DEC})) AS DOUBLE))
+                  * SQRT(CAST(SUM(CAST(eb[i] * eb[i] AS {_DOT_DEC})) AS DOUBLE)))
+               AS cosine
+      FROM indexed GROUP BY ida, idb
+    ), directed AS (
+      SELECT ida AS src, idb AS dst, label, cosine FROM scored
+      UNION ALL
+      SELECT idb AS src, ida AS dst, label, cosine FROM scored
+    ), ranked AS (
+      SELECT src, dst, label, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst) AS rnk
+      FROM directed
+    ), edges AS (
+      SELECT * FROM ranked WHERE rnk <= {_MKNN_K}
+    )
+    SELECT LEAST(src, dst) AS vec_a, GREATEST(src, dst) AS vec_b,
+           ANY_VALUE(label) AS label,
+           CAST(MAX(CASE WHEN src < dst THEN rnk END) AS BIGINT) AS rank_ab,
+           CAST(MAX(CASE WHEN src > dst THEN rnk END) AS BIGINT) AS rank_ba,
+           ROUND(ANY_VALUE(cosine), 6) AS score
+    FROM edges
+    GROUP BY LEAST(src, dst), GREATEST(src, dst)
+    HAVING COUNT(*) = 2
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("similarity", "knn", "graph", "curation"),
+)
+def q191_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual (reciprocal) kNN pairs within label cells: unordered pairs
+    where each vector is in the other's cosine top-{_MKNN_K} — the
+    high-precision kNN-graph edge set used for curation/clustering
+    (one-directional edges are hub noise; mutual edges survive).
+
+    Runs through :func:`similarity.knn.mutual_knn` with ``cell_col`` so
+    the candidate space is a per-cell equijoin, never corpus²: each
+    unordered pair is cosine-scored ONCE (decimal-exact ZIP_WITH fold,
+    no Python), mirrored for per-vector ranking, and the reciprocity
+    reduction is one keyed aggregation (HAVING count = 2) with map-side
+    combine — no self-join on the edge list. At 100 TB the cell key is
+    an IVF assignment (q56) and the scoring join co-locates by cell.
+    """
+    from ..similarity import mutual_knn
+
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "label", F.col("label").cast("bigint")
+    )
+    return (
+        mutual_knn(e, k=_MKNN_K, cell_col="label")
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            "rank_ab",
+            "rank_ba",
+            F.round("cosine", 6).alias("score"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

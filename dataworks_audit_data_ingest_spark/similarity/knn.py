@@ -180,3 +180,93 @@ def knn_join(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", "cosine")
     )
+
+
+def mutual_knn(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Reciprocal-kNN pairs: unordered (vec_a < vec_b) pairs where EACH
+    vector ranks inside the other's cosine top-k — the standard
+    kNN-graph-construction / curation primitive (mutual edges are the
+    high-precision subset of a kNN graph; one-directional edges are
+    hub-induced noise).
+
+    ``cell_col`` bounds the candidate space IVF-style: pairs are scored
+    only within a cell (equijoin on the cell key), so the cost is
+    sum-of-cell-sizes squared, never corpus squared — at 100 TB the cell
+    key is an IVF assignment (q56) and the scoring join co-locates by
+    cell partition. ``cell_col=None`` is the exact quadratic path for
+    small corpora (broadcast-nested-loop). Each unordered pair is scored
+    ONCE (id < id) then mirrored for ranking, halving the dot products;
+    the mutual reduction is a single keyed aggregation with map-side
+    combine (no self-join on the edge list).
+
+    Output: ``vec_a, vec_b, [cell_col,] rank_ab, rank_ba, cosine`` with
+    ranks BIGINT. Registered as q191 with a DuckDB oracle.
+    """
+    cell = [F.col(cell_col).alias("_cell")] if cell_col else []
+    base = _with_norm(
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col), *cell),
+        vec_col,
+    )
+    a = base.select(
+        F.col("_id").alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
+        *(["_cell"] if cell_col else []),
+    )
+    b = base.select(
+        F.col("_id").alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+        *([F.col("_cell").alias("_cellb")] if cell_col else []),
+    )
+    cond = F.col("_ida") < F.col("_idb")
+    if cell_col:
+        cond = (F.col("_cell") == F.col("_cellb")) & cond
+    scored = a.join(b, cond).select(
+        "_ida",
+        "_idb",
+        *(["_cell"] if cell_col else []),
+        F.expr(cosine_expr("_va", "_vb", "_na", "_nb")).alias("cosine"),
+    )
+    keep = ["_cell"] if cell_col else []
+    directed = scored.select(
+        F.col("_ida").alias("src"), F.col("_idb").alias("dst"), *keep, "cosine"
+    ).unionByName(
+        scored.select(
+            F.col("_idb").alias("src"), F.col("_ida").alias("dst"), *keep, "cosine"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    edges = directed.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+    out = (
+        edges.groupBy(
+            F.least("src", "dst").alias("vec_a"),
+            F.greatest("src", "dst").alias("vec_b"),
+        )
+        .agg(
+            *(
+                [F.any_value("_cell").alias(cell_col)]
+                if cell_col
+                else []
+            ),
+            F.max(F.when(F.col("src") < F.col("dst"), F.col("rnk")))
+            .cast("bigint")
+            .alias("rank_ab"),
+            F.max(F.when(F.col("src") > F.col("dst"), F.col("rnk")))
+            .cast("bigint")
+            .alias("rank_ba"),
+            F.any_value("cosine").alias("cosine"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") == 2)
+        .drop("_n")
+    )
+    return out

@@ -101,3 +101,51 @@ def test_knn_srp_candidates_are_cosine_exact(spark):
     assert srp  # non-empty retrieval on the fixture
     for pair, cos in srp.items():
         assert brute[pair] == cos
+
+
+def test_mutual_knn_is_reciprocal_subset_of_knn_join(spark):
+    """Every mutual pair must appear in BOTH directions of the per-cell
+    directed kNN ranking, with the ranks mutual_knn reports; and any
+    directed edge whose reverse also exists must be in the output —
+    exact set equality against an independently-built reciprocal set."""
+    from dataworks_audit_data_ingest_spark.similarity import mutual_knn
+
+    e = table(spark, SF, "embeddings")
+    got = {
+        (r.vec_a, r.vec_b): (r.rank_ab, r.rank_ba)
+        for r in mutual_knn(e, k=4, cell_col="label").collect()
+    }
+    # independent directed ranking: per-cell brute kNN via knn_join
+    directed = {}
+    for cell in [r.label for r in e.select("label").distinct().collect()]:
+        sub = e.filter(F.col("label") == cell)
+        for r in knn_join(sub, sub, k=4).collect():
+            directed[(r.query_id, r.neighbor_id)] = r.rnk
+    want = {
+        (a, b): (rk, directed[(b, a)])
+        for (a, b), rk in directed.items()
+        if a < b and (b, a) in directed
+    }
+    assert got == want
+
+
+def test_mutual_knn_global_no_cell(spark):
+    """cell_col=None is the exact quadratic path: same reciprocity
+    property against a global knn_join ranking."""
+    from dataworks_audit_data_ingest_spark.similarity import mutual_knn
+
+    e = table(spark, SF, "embeddings").filter(F.col("vec_id") < 60)
+    directed = {
+        (r.query_id, r.neighbor_id): r.rnk
+        for r in knn_join(e, e, k=3).collect()
+    }
+    want = {
+        (a, b): (rk, directed[(b, a)])
+        for (a, b), rk in directed.items()
+        if a < b and (b, a) in directed
+    }
+    got = {
+        (r.vec_a, r.vec_b): (r.rank_ab, r.rank_ba)
+        for r in mutual_knn(e, k=3).collect()
+    }
+    assert got == want
