@@ -36,7 +36,7 @@ from . import graph_shaped  # noqa: E402,F401
 # computed from; tests/test_cli_operators.py asserts the paste matches the
 # computation, so hand-drift is a test failure). Every query registered
 # before round 7 has a driver row (r06 closed the backlog), so the slate
-# is the round's fifteen never-run queries (q176–q190, all registered
+# is the round's sixteen never-run queries (q176–q191, all registered
 # this round) followed by the pure stalest-first refresh: the 26
 # oracle-backed r03-latest queries, then the stalest r04 tail. The
 # four rows-only queries
@@ -58,6 +58,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q179_hybrid_rrf_ivf",
     "q182_ann_recall_audit",
     "q187_srp_bucket_purity",
+    "q191_mutual_knn_pairs",
     "q181_semantic_decontamination",
     "q185_packing_waste",
     "q35_unpivot",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q13_running_total",
     "q18_set_operations",
     "q19_string_functions",
-    "q20_date_functions",
 )
 
 
