@@ -2564,3 +2564,176 @@ def q190_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+_SPLIT_MOD = 10
+_SPLIT_TRAIN = 8  # hash % 10 < 8 -> train (80/20)
+
+
+def _split_sql() -> str:
+    """DuckDB oracle for q192: the q51 corpus, near-dup clusters from the
+    _cc_sql recursive closure, and BOTH split policies (naive per-doc hash
+    vs cluster-inherited hash) summarized with their cross-split leak
+    counts."""
+    pairs_body = _minhash_sql().replace("ORDER BY doc_a, doc_b", "")
+    doc_h = duckdb_hash32("CAST(doc_id AS STRING)", "split")
+    clu_h = duckdb_hash32("CAST(cluster_id AS STRING)", "split")
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {pairs_body}
+    ), edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+    ), reach(doc_id, label) AS (
+      SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges
+      UNION
+      SELECT e.doc_a AS doc_id, r.label
+      FROM reach r JOIN edges e ON e.doc_b = r.doc_id
+      WHERE r.label < e.doc_a
+    ), cc AS (
+      SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+    ), universe AS (
+      SELECT doc_id FROM documents
+      UNION ALL
+      SELECT doc_id + {_VARIANT_OFFSET} AS doc_id
+      FROM documents
+      WHERE doc_id < {_N_VARIANT_DOCS} AND LEN(STRING_SPLIT(text, ' ')) > 5
+    ), clustered AS (
+      -- cluster_id must materialize in its OWN CTE: referencing the
+      -- alias inside the same SELECT binds to cc.cluster_id (NULL for
+      -- unpaired docs), and DuckDB's CONCAT skips NULL args, collapsing
+      -- every unpaired doc onto one constant hash
+      SELECT u.doc_id, COALESCE(cc.cluster_id, u.doc_id) AS cluster_id
+      FROM universe u LEFT JOIN cc USING (doc_id)
+    ), assign AS (
+      SELECT doc_id,
+             CASE WHEN {doc_h} % {_SPLIT_MOD} < {_SPLIT_TRAIN}
+                  THEN 'train' ELSE 'eval' END AS split_doc,
+             CASE WHEN {clu_h} % {_SPLIT_MOD} < {_SPLIT_TRAIN}
+                  THEN 'train' ELSE 'eval' END AS split_cluster
+      FROM clustered
+    ), counts AS (
+      SELECT
+        SUM(CASE WHEN split_doc = 'train' THEN 1 ELSE 0 END) AS doc_train,
+        SUM(CASE WHEN split_doc = 'eval' THEN 1 ELSE 0 END) AS doc_eval,
+        SUM(CASE WHEN split_cluster = 'train' THEN 1 ELSE 0 END) AS clu_train,
+        SUM(CASE WHEN split_cluster = 'eval' THEN 1 ELSE 0 END) AS clu_eval
+      FROM assign
+    ), leaks AS (
+      SELECT
+        SUM(CASE WHEN a.split_doc != b.split_doc THEN 1 ELSE 0 END) AS doc_leak,
+        SUM(CASE WHEN a.split_cluster != b.split_cluster THEN 1 ELSE 0 END)
+          AS clu_leak
+      FROM pairs p
+        JOIN assign a ON a.doc_id = p.doc_a
+        JOIN assign b ON b.doc_id = p.doc_b
+    )
+    SELECT 'doc_hash' AS policy,
+           CAST(doc_train AS BIGINT) AS n_train,
+           CAST(doc_eval AS BIGINT) AS n_eval,
+           CAST(doc_leak AS BIGINT) AS leaked_pairs
+    FROM counts, leaks
+    UNION ALL
+    SELECT 'cluster_hash' AS policy,
+           CAST(clu_train AS BIGINT) AS n_train,
+           CAST(clu_eval AS BIGINT) AS n_eval,
+           CAST(clu_leak AS BIGINT) AS leaked_pairs
+    FROM counts, leaks
+    ORDER BY policy
+    """
+
+
+@register(
+    "q192_leakage_safe_split",
+    sql=_split_sql(),
+    tags=("curation", "split", "dedup", "leakage"),
+)
+def q192_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split audit: the naive per-doc hash split
+    (80/20) strands near-duplicate pairs across the boundary — eval docs
+    whose near-twin sits in train are contaminated — while the
+    cluster-inherited split (hash the CC cluster id, every member
+    inherits) leaks ZERO pairs by construction. One row per policy:
+    split sizes + cross-split near-dup pair count; the doc_hash row's
+    nonzero ``leaked_pairs`` is the measured case for cluster-aware
+    splitting.
+
+    Scale shape: clusters ride q58's O(diameter) min-label CC over q51's
+    banded candidate pairs (never all-pairs); split assignment is one
+    map-side portable-hash expression over the doc universe (a
+    left join against the CC table, which holds only paired docs); the
+    leak audit joins the pair list to assignments keyed on doc_id — the
+    pair list is the small side (near-dup population, not the corpus).
+    All counts are single partial-aggregated scalars.
+    """
+    from ..functions.graph import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(_variants(d))
+    pairs = lsh_candidate_pairs(_spark_bands(_spark_sigs(corpus)))
+    cc = connected_components(pairs).select(
+        F.col("node_id").alias("doc_id"), "cluster_id"
+    )
+    doc_h = spark_hash32("CAST(doc_id AS STRING)", "split")
+    clu_h = spark_hash32("CAST(cluster_id AS STRING)", "split")
+    split = (
+        lambda h: f"CASE WHEN {h} % {_SPLIT_MOD} < {_SPLIT_TRAIN} "
+        f"THEN 'train' ELSE 'eval' END"
+    )
+    assign = (
+        corpus.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .select(
+            "doc_id",
+            F.expr(split(doc_h)).alias("split_doc"),
+            F.expr(split(clu_h)).alias("split_cluster"),
+        )
+    )
+    counts = assign.agg(
+        F.sum(F.when(F.col("split_doc") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("doc_train"),
+        F.sum(F.when(F.col("split_doc") == "eval", 1).otherwise(0))
+        .cast("bigint")
+        .alias("doc_eval"),
+        F.sum(F.when(F.col("split_cluster") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("clu_train"),
+        F.sum(F.when(F.col("split_cluster") == "eval", 1).otherwise(0))
+        .cast("bigint")
+        .alias("clu_eval"),
+    )
+    a = assign.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("split_doc").alias("sd_a"),
+        F.col("split_cluster").alias("sc_a"),
+    )
+    b = assign.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("split_doc").alias("sd_b"),
+        F.col("split_cluster").alias("sc_b"),
+    )
+    leaks = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.sum(F.when(F.col("sd_a") != F.col("sd_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("doc_leak"),
+            F.sum(F.when(F.col("sc_a") != F.col("sc_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("clu_leak"),
+        )
+    )
+    both = counts.crossJoin(leaks)  # two 1-row aggregates
+    return both.selectExpr(
+        "STACK(2, "
+        "'doc_hash', doc_train, doc_eval, doc_leak, "
+        "'cluster_hash', clu_train, clu_eval, clu_leak) "
+        "AS (policy, n_train, n_eval, leaked_pairs)"
+    ).orderBy("policy")

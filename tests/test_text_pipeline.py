@@ -705,3 +705,28 @@ def test_drop_near_duplicates_transitive_collapses_chains(spark):
         for r in drop_near_duplicates(both, transitive=True).collect()
     }
     assert 9 in kept and kept == {1, 9}
+
+
+def test_leakage_safe_split_semantics(spark):
+    """q192's point, pinned as semantics rather than oracle equality: the
+    cluster-inherited split leaks ZERO near-dup pairs by construction,
+    the naive per-doc hash split leaks some on this fixture (variants
+    guarantee near-dup pairs exist), and both policies assign the whole
+    universe."""
+    from dataworks_audit_data_ingest_spark.queries import all_queries
+
+    rows = {
+        r.policy: r
+        for r in all_queries()["q192_leakage_safe_split"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert rows["cluster_hash"].leaked_pairs == 0
+    assert rows["doc_hash"].leaked_pairs > 0
+    assert (
+        rows["cluster_hash"].n_train + rows["cluster_hash"].n_eval
+        == rows["doc_hash"].n_train + rows["doc_hash"].n_eval
+    )
+    # both splits are non-degenerate (nobody gets an empty eval set)
+    for r in rows.values():
+        assert r.n_train > 0 and r.n_eval > 0
