@@ -1215,3 +1215,123 @@ def q185_packing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV (CAST(n_contexts AS DECIMAL(38,0)) * {_PACK_CTX}) AS BIGINT)"
         ).alias("waste_ppm"),
     ).orderBy("source", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# q193 — cross-document boilerplate line removal (CCNet-style)
+# ---------------------------------------------------------------------------
+# Web-crawl corpora carry template lines (nav bars, cookie banners,
+# copyright footers) repeated across thousands of pages; CCNet-style
+# curation drops any LINE whose document frequency crosses a threshold and
+# reassembles each document from its surviving lines in order. The fixture
+# has no natural newlines, so the corpus plants deterministic header/footer
+# boilerplate on arithmetic subsets — the operator itself is generic.
+_BP_HEADER = "subscribe to our newsletter for weekly updates"
+_BP_FOOTER = "all rights reserved contact the site administrator"
+_BP_MIN_DOCS = 20  # line df >= 20 distinct docs -> boilerplate
+
+
+def _bp_corpus_case() -> tuple[str, str]:
+    """(header, footer) CASE expressions — identical SQL text on both
+    engines; CONCAT_WS skips NULL args in Spark and DuckDB alike."""
+    return (
+        f"CASE WHEN doc_id % 3 = 0 THEN '{_BP_HEADER}' END",
+        f"CASE WHEN doc_id % 2 = 0 THEN '{_BP_FOOTER}' END",
+    )
+
+
+@register(
+    "q193_boilerplate_lines",
+    sql=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CONCAT_WS(CHR(10), {_bp_corpus_case()[0]}, text,
+                       {_bp_corpus_case()[1]}) AS raw
+      FROM documents
+    ), split AS (
+      SELECT doc_id, STRING_SPLIT(raw, CHR(10)) AS lines FROM corpus
+    ), positioned AS (
+      SELECT doc_id, lines, UNNEST(RANGE(1, LEN(lines) + 1)) AS i FROM split
+    ), lined AS (
+      SELECT doc_id, i, lines[i] AS line FROM positioned
+    ), bp AS (
+      SELECT line FROM lined
+      GROUP BY line HAVING COUNT(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+    ), kept AS (
+      SELECT l.doc_id, l.i, l.line FROM lined l
+      ANTI JOIN bp ON l.line = bp.line
+    ), rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             STRING_AGG(line, CHR(10) ORDER BY i) AS clean
+      FROM kept GROUP BY doc_id
+    ), stats AS (
+      SELECT doc_id, COUNT(*) AS n_lines FROM lined GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.n_lines AS BIGINT) AS n_lines,
+           CAST(s.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped,
+           {duckdb_hash32("COALESCE(r.clean, '')", "bp")} AS clean_hash
+    FROM stats s LEFT JOIN rebuilt r USING (doc_id)
+    WHERE s.n_lines - COALESCE(r.n_kept, 0) > 0
+    ORDER BY s.doc_id
+    """,
+    tags=("curation", "boilerplate", "dedup", "lines"),
+)
+def q193_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate line removal: any line appearing in >=
+    {_BP_MIN_DOCS} distinct documents is template noise; each affected
+    document is reassembled from its surviving lines IN ORDER and reported
+    with a portable hash of the cleaned text (the hash pins that
+    reconstruction preserves line order exactly — a shuffled rebuild
+    hash-mismatches).
+
+    Scale shape: line document-frequency is one (line)-keyed partial
+    aggregation (map-side combine collapses each doc's repeats first);
+    the boilerplate set is tiny by construction (df >= threshold) so the
+    removal anti-join broadcasts it; reassembly is one doc-keyed
+    aggregation whose per-group payload is the document's own line count
+    (array_sort over collected (pos, line) structs — no global sort). At
+    100 TB, hash lines (hash64) before the df count so the exchange
+    carries 8-byte keys, not full line text; the q86 chunk-store pattern
+    makes the df table incremental across crawls.
+    """
+    header, footer = _bp_corpus_case()
+    d = table(spark, sf_dir, "documents")
+    corpus = d.selectExpr(
+        "doc_id",
+        f"CONCAT_WS(CHR(10), {header}, text, {footer}) AS raw",
+    )
+    lined = corpus.select(
+        "doc_id",
+        F.posexplode(F.split("raw", "\n")).alias("i0", "line"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "line")
+    bp = (
+        lined.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BP_MIN_DOCS)
+        .select("line")
+    )
+    kept = lined.join(F.broadcast(bp), "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.expr("TRANSFORM(ARRAY_SORT(COLLECT_LIST(STRUCT(i, line))), x -> x.line)"),
+            "\n",
+        ).alias("clean"),
+    )
+    stats = lined.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        stats.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.expr(spark_hash32("COALESCE(clean, '')", "bp")).alias(
+                "clean_hash"
+            ),
+        )
+        .filter(F.col("n_dropped") > 0)
+        .orderBy("doc_id")
+    )

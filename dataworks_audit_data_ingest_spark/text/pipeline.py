@@ -633,3 +633,55 @@ def resample_to_allocation(
         .filter(F.col("_rk") <= F.col("alloc"))
         .drop("_qh", "_rk", "alloc")
     )
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 20,
+) -> DataFrame:
+    """CCNet-style boilerplate removal (q193's API twin): drop every LINE
+    that appears in >= ``min_docs`` distinct documents (nav bars, cookie
+    banners, footers), reassemble each document from its surviving lines
+    in original order, and drop documents left empty. All other columns
+    pass through unchanged; ``text_col`` is replaced by the cleaned text.
+
+    Scale shape: line document-frequency is one line-keyed partial
+    aggregation; the boilerplate set (df >= threshold) is tiny and
+    broadcast into the removal anti-join; reassembly is one doc-keyed
+    aggregation with per-group payload bounded by the document's own
+    line count. At 100 TB, pre-hash lines so the df exchange carries
+    8-byte keys, and keep the df table incremental across crawls via the
+    chunk-store pattern (incremental/store.py).
+    """
+    lined = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_i", "_line"),
+    )
+    bp = (
+        lined.groupBy("_line")
+        .agg(F.countDistinct("_id").alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_line")
+    )
+    rebuilt = (
+        lined.join(F.broadcast(bp), "_line", "left_anti")
+        .groupBy("_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "TRANSFORM(ARRAY_SORT(COLLECT_LIST(STRUCT(_i, _line))),"
+                    " x -> x._line)"
+                ),
+                "\n",
+            ).alias("_clean")
+        )
+    )
+    return (
+        docs.join(rebuilt, F.col(id_col) == F.col("_id"), "inner")
+        .drop("_id")
+        .withColumn(text_col, F.col("_clean"))
+        .drop("_clean")
+        .filter(F.length(text_col) > 0)
+    )

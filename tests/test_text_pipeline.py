@@ -730,3 +730,46 @@ def test_leakage_safe_split_semantics(spark):
     # both splits are non-degenerate (nobody gets an empty eval set)
     for r in rows.values():
         assert r.n_train > 0 and r.n_eval > 0
+
+
+def test_strip_boilerplate_lines_matches_q193(spark):
+    """The API twin reproduces q193's per-doc cleaned text exactly (pinned
+    via the same portable hash) on the same planted corpus, passes
+    untouched docs through byte-identical, and preserves non-text
+    columns."""
+    from dataworks_audit_data_ingest_spark.functions.hashing import (
+        spark_hash32,
+    )
+    from dataworks_audit_data_ingest_spark.queries import all_queries
+    from dataworks_audit_data_ingest_spark.queries.curation import (
+        _bp_corpus_case,
+    )
+    from dataworks_audit_data_ingest_spark.tables import table
+    from dataworks_audit_data_ingest_spark.text.pipeline import (
+        strip_boilerplate_lines,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    header, footer = _bp_corpus_case()
+    corpus = table(spark, sf, "documents").selectExpr(
+        "doc_id",
+        f"CONCAT_WS(CHR(10), {header}, text, {footer}) AS text",
+        "source",
+    )
+    cleaned = strip_boilerplate_lines(corpus)
+    got = {
+        r.doc_id: r.h
+        for r in cleaned.selectExpr(
+            "doc_id", f"{spark_hash32('text', 'bp')} AS h"
+        ).collect()
+    }
+    q = all_queries()["q193_boilerplate_lines"].fn(spark, sf)
+    want = {r.doc_id: r.clean_hash for r in q.collect()}
+    # every doc q193 reports as affected has the identical cleaned text
+    assert {k: got[k] for k in want} == want
+    # untouched docs (no header/footer) pass through byte-identical
+    untouched = corpus.filter(
+        "doc_id % 3 != 0 AND doc_id % 2 != 0"
+    ).exceptAll(cleaned.filter("doc_id % 3 != 0 AND doc_id % 2 != 0"))
+    assert untouched.count() == 0
+    assert "source" in cleaned.columns
