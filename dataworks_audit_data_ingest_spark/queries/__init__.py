@@ -36,7 +36,7 @@ from . import graph_shaped  # noqa: E402,F401
 # computed from; tests/test_cli_operators.py asserts the paste matches the
 # computation, so hand-drift is a test failure). Every query registered
 # before round 7 has a driver row (r06 closed the backlog), so the slate
-# is the round's sixteen never-run queries (q176–q191, all registered
+# is the round's nineteen never-run queries (q176–q194, all registered
 # this round) followed by the pure stalest-first refresh: the 26
 # oracle-backed r03-latest queries, then the stalest r04 tail. The
 # four rows-only queries
@@ -54,6 +54,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q186_cooccurrence_lift",
     "q180_normalized_minhash_pairs",
     "q190_cluster_keep_best",
+    "q192_leakage_safe_split",
+    "q194_dedup_method_agreement",
     "q177_hybrid_rrf",
     "q179_hybrid_rrf_ivf",
     "q182_ann_recall_audit",
@@ -61,6 +63,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q191_mutual_knn_pairs",
     "q181_semantic_decontamination",
     "q185_packing_waste",
+    "q193_boilerplate_lines",
     "q35_unpivot",
     "q35b_session_bounce_rate",
     "q36_first_last_window",
@@ -92,9 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q05_order_priority_semi",
     "q06_customers_without_orders",
     "q12_topk_per_customer",
-    "q13_running_total",
-    "q18_set_operations",
-    "q19_string_functions",
 )
 
 

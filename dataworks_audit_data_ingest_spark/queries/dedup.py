@@ -2737,3 +2737,128 @@ def q192_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'cluster_hash', clu_train, clu_eval, clu_leak) "
         "AS (policy, n_train, n_eval, leaked_pairs)"
     ).orderBy("policy")
+
+
+def _agreement_sql() -> str:
+    """DuckDB oracle for q194: the three pair sets as nested CTEs (each
+    builder's own WITH is scoped inside its CTE), flattened to per-pair
+    method flags, reduced to one totals row, unpivoted to method pairs."""
+    mh = _minhash_sql().replace("ORDER BY doc_a, doc_b", "")
+    sh = _simhash_hamming_sql().replace("ORDER BY doc_a, doc_b", "")
+    s6 = _simhash60_sql().replace("ORDER BY doc_a, doc_b", "")
+    ppm = (
+        "CAST(CAST({both} AS HUGEINT) * 1000000 "
+        "// NULLIF({a} + {b} - {both}, 0) AS BIGINT)"
+    )
+    return f"""
+    WITH mh AS (
+      {mh}
+    ), sh AS (
+      {sh}
+    ), s6 AS (
+      {s6}
+    ), tagged AS (
+      SELECT doc_a, doc_b, 'minhash_lsh' AS method FROM mh
+      UNION ALL
+      SELECT doc_a, doc_b, 'simhash32' AS method FROM sh
+      UNION ALL
+      SELECT doc_a, doc_b, 'simhash60' AS method FROM s6
+    ), flags AS (
+      SELECT doc_a, doc_b,
+             MAX(CASE WHEN method = 'minhash_lsh' THEN 1 ELSE 0 END) AS f_m,
+             MAX(CASE WHEN method = 'simhash32' THEN 1 ELSE 0 END) AS f_h,
+             MAX(CASE WHEN method = 'simhash60' THEN 1 ELSE 0 END) AS f_c
+      FROM tagged GROUP BY doc_a, doc_b
+    ), tot AS (
+      SELECT SUM(f_m) AS n_m, SUM(f_h) AS n_h, SUM(f_c) AS n_c,
+             SUM(f_m * f_h) AS n_mh, SUM(f_m * f_c) AS n_mc,
+             SUM(f_h * f_c) AS n_hc
+      FROM flags
+    )
+    SELECT 'minhash_lsh' AS method_a, 'simhash32' AS method_b,
+           CAST(n_m AS BIGINT) AS n_a, CAST(n_h AS BIGINT) AS n_b,
+           CAST(n_mh AS BIGINT) AS n_both,
+           {ppm.format(both="n_mh", a="n_m", b="n_h")} AS agreement_ppm
+    FROM tot
+    UNION ALL
+    SELECT 'minhash_lsh', 'simhash60',
+           CAST(n_m AS BIGINT), CAST(n_c AS BIGINT), CAST(n_mc AS BIGINT),
+           {ppm.format(both="n_mc", a="n_m", b="n_c")}
+    FROM tot
+    UNION ALL
+    SELECT 'simhash32', 'simhash60',
+           CAST(n_h AS BIGINT), CAST(n_c AS BIGINT), CAST(n_hc AS BIGINT),
+           {ppm.format(both="n_hc", a="n_h", b="n_c")}
+    FROM tot
+    ORDER BY method_a, method_b
+    """
+
+
+@register(
+    "q194_dedup_method_agreement",
+    sql=_agreement_sql(),
+    tags=("dedup", "audit", "minhash", "simhash"),
+)
+def q194_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method dedup agreement audit: the Jaccard overlap (ppm) of
+    the near-dup pair sets flagged by MinHash-LSH (q51), 32-bit SimHash
+    Hamming (q52b), and 60-bit SimHash Hamming (q52c) over the SAME
+    variant corpus — the calibration table that tells a pipeline owner
+    whether a cheaper method can substitute for an expensive one, and
+    catches a silent recall collapse in any single method (its agreement
+    rows crater together).
+
+    Composes the REGISTERED queries (the q182 discipline: audits consume
+    the exact code paths they audit). Scale shape: each pair set is
+    banded/bucket-capped by its own query; the flag table is one
+    (doc_a, doc_b)-keyed aggregation over their union — linear in
+    flagged pairs, never corpus-shaped — and the totals collapse to a
+    single row before the 3-row unpivot. The ppm division is
+    DECIMAL(38,0)/HUGEINT per the overflow idiom (pair counts at 100 TB
+    exceed the BIGINT*1e6 edge).
+    """
+    sets = {
+        "minhash_lsh": q51_dedup_minhash_lsh(spark, sf_dir),
+        "simhash32": q52b_simhash_hamming(spark, sf_dir),
+        "simhash60": q52c_simhash60_hamming(spark, sf_dir),
+    }
+    tagged = None
+    for name, df in sets.items():
+        t = df.select("doc_a", "doc_b", F.lit(name).alias("method"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    flags = tagged.groupBy("doc_a", "doc_b").agg(
+        F.max(F.when(F.col("method") == "minhash_lsh", 1).otherwise(0)).alias(
+            "f_m"
+        ),
+        F.max(F.when(F.col("method") == "simhash32", 1).otherwise(0)).alias(
+            "f_h"
+        ),
+        F.max(F.when(F.col("method") == "simhash60", 1).otherwise(0)).alias(
+            "f_c"
+        ),
+    )
+    tot = flags.agg(
+        F.sum("f_m").alias("n_m"),
+        F.sum("f_h").alias("n_h"),
+        F.sum("f_c").alias("n_c"),
+        F.sum(F.col("f_m") * F.col("f_h")).alias("n_mh"),
+        F.sum(F.col("f_m") * F.col("f_c")).alias("n_mc"),
+        F.sum(F.col("f_h") * F.col("f_c")).alias("n_hc"),
+    )
+    ppm = (
+        "CAST(CAST({both} AS DECIMAL(38,0)) * 1000000 "
+        "DIV NULLIF({a} + {b} - {both}, 0) AS BIGINT)"
+    )
+    return tot.selectExpr(
+        "STACK(3, "
+        "'minhash_lsh', 'simhash32', CAST(n_m AS BIGINT), "
+        f"CAST(n_h AS BIGINT), CAST(n_mh AS BIGINT), "
+        f"{ppm.format(both='n_mh', a='n_m', b='n_h')}, "
+        "'minhash_lsh', 'simhash60', CAST(n_m AS BIGINT), "
+        f"CAST(n_c AS BIGINT), CAST(n_mc AS BIGINT), "
+        f"{ppm.format(both='n_mc', a='n_m', b='n_c')}, "
+        "'simhash32', 'simhash60', CAST(n_h AS BIGINT), "
+        f"CAST(n_c AS BIGINT), CAST(n_hc AS BIGINT), "
+        f"{ppm.format(both='n_hc', a='n_h', b='n_c')}) "
+        "AS (method_a, method_b, n_a, n_b, n_both, agreement_ppm)"
+    ).orderBy("method_a", "method_b")
