@@ -2260,3 +2260,143 @@ def q186_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_ppm"), "w1", "w2")
         .limit(_Q186_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — naive-Bayes source classifier (integer-exact domain scoring)
+# ---------------------------------------------------------------------------
+# Domain/quality classifiers (CCNet's LM filter, DSIR importance weights,
+# fastText domain tagging) are core curation machinery: score every
+# document under per-domain token models, route by the best score. The
+# multinomial naive-Bayes version needs only corpus counts, and the
+# floor-log2 bit-length idiom (q112's policy) keeps the whole score in
+# exact BIGINT arithmetic:
+#
+#   bits(w | s) = bit_length((T_s + V) DIV (c_ws + 1))   # add-one smoothing
+#   prior(s)    = bit_length(N_docs DIV n_docs_s)
+#   score(d, s) = prior(s) + Σ_occurrences bits(w | s)   # total surprisal
+#   pred(d)     = argmin_s score  (ties -> lexicographically first source)
+#
+# The output is the source confusion matrix — the separability audit that
+# tells a pipeline owner whether source labels carry signal worth routing
+# on (diagonal mass) or the domains are interchangeable (uniform rows).
+
+
+@register(
+    "q195_nb_source_classifier",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS w
+      FROM documents
+    ), toks_f AS (
+      SELECT * FROM toks WHERE w <> ''
+    ), vocab AS (
+      SELECT DISTINCT w FROM toks_f
+    ), vsize AS (
+      SELECT COUNT(*) AS v FROM vocab
+    ), srcs AS (
+      SELECT source, COUNT(*) AS t_s, COUNT(DISTINCT doc_id) AS nd_s
+      FROM toks_f GROUP BY source
+    ), ndocs AS (
+      SELECT SUM(nd_s) AS n FROM srcs
+    ), cws AS (
+      SELECT w, source, COUNT(*) AS c FROM toks_f GROUP BY w, source
+    ), grid AS (
+      SELECT v.w, s.source,
+             LENGTH(BIN((s.t_s + z.v) // (COALESCE(c.c, 0) + 1))) AS bits
+      FROM vocab v CROSS JOIN srcs s CROSS JOIN vsize z
+        LEFT JOIN cws c ON c.w = v.w AND c.source = s.source
+    ), priors AS (
+      SELECT s.source, LENGTH(BIN(n.n // s.nd_s)) AS pbits
+      FROM srcs s CROSS JOIN ndocs n
+    ), scored AS (
+      SELECT k.doc_id, ANY_VALUE(k.source) AS true_source, g.source AS cand,
+             ANY_VALUE(p.pbits) + SUM(g.bits) AS score
+      FROM toks_f k
+        JOIN grid g USING (w)
+        JOIN priors p ON p.source = g.source
+      GROUP BY k.doc_id, g.source
+    ), best AS (
+      SELECT doc_id, true_source, cand AS pred_source,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score, cand) AS rk
+      FROM scored
+    )
+    SELECT true_source, pred_source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM best WHERE rk = 1
+    GROUP BY true_source, pred_source
+    ORDER BY true_source, pred_source
+    """,
+    tags=("text", "curation", "classifier", "exact-integer"),
+)
+def q195_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes source classification, exact-integer (spec
+    in the module comment): every document scored under each source's
+    add-one-smoothed unigram model in whole bits, routed to the argmin
+    total surprisal, reported as the source confusion matrix — the
+    domain-separability audit behind classifier-based curation routing.
+
+    Scale shape: q112's three-exchange plumbing widened by the class
+    axis. Token counts per (w, source) are one partial-aggregated
+    exchange; the (w, source) surprisal grid is vocab × |sources| —
+    Zipf-bounded vocab keeps it broadcastable (apply a document-frequency
+    floor at open-web scale); scoring joins each occurrence to its
+    |sources| grid rows and partially aggregates on (doc, source) before
+    the exchange, so the wire carries |docs|·|sources| partial rows, not
+    occurrence fan-out. The argmin is a per-doc window over |sources|
+    rows; the confusion rollup is trivially small.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = toks.select("w").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    srcs = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("t_s"),
+        F.countDistinct("doc_id").alias("nd_s"),
+    )
+    ndocs = srcs.agg(F.sum("nd_s").alias("n"))
+    cws = toks.groupBy("w", "source").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        vocab.crossJoin(F.broadcast(srcs))
+        .crossJoin(F.broadcast(vsize))
+        .join(cws, ["w", "source"], "left")
+        .select(
+            "w",
+            "source",
+            F.expr(
+                "LENGTH(BIN((t_s + v) DIV (COALESCE(c, 0) + 1)))"
+            ).alias("bits"),
+        )
+    )
+    priors = srcs.crossJoin(F.broadcast(ndocs)).select(
+        "source", F.expr("LENGTH(BIN(n DIV nd_s))").alias("pbits")
+    )
+    # collapse to per-doc word counts BEFORE the |sources| fan-out: on a
+    # Zipf corpus the (doc, w) table is far smaller than the occurrence
+    # stream, so the grid join multiplies distinct words, not tokens
+    doc_w = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.any_value("source").alias("true_source"),
+    )
+    scored = (
+        doc_w.join(grid.withColumnRenamed("source", "cand"), "w")
+        .groupBy("doc_id", "cand")
+        .agg(
+            F.any_value("true_source").alias("true_source"),
+            F.sum(F.col("cnt") * F.col("bits")).alias("wbits"),
+        )
+        .join(F.broadcast(priors.withColumnRenamed("source", "cand")), "cand")
+        .withColumn("score", F.col("pbits") + F.col("wbits"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy("score", "cand")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .groupBy(
+            "true_source", F.col("cand").alias("pred_source")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("true_source", "pred_source")
+    )
