@@ -36,7 +36,7 @@ from . import graph_shaped  # noqa: E402,F401
 # computed from; tests/test_cli_operators.py asserts the paste matches the
 # computation, so hand-drift is a test failure). Every query registered
 # before round 7 has a driver row (r06 closed the backlog), so the slate
-# is the round's twenty never-run queries (q176–q195, all registered
+# is the round's twenty-one never-run queries (q176–q196, all registered
 # this round) followed by the pure stalest-first refresh: the 26
 # oracle-backed r03-latest queries, then the stalest r04 tail. The
 # four rows-only queries
@@ -53,6 +53,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q184_token_mass_quantiles",
     "q186_cooccurrence_lift",
     "q195_nb_source_classifier",
+    "q196_dsir_weights",
     "q180_normalized_minhash_pairs",
     "q190_cluster_keep_best",
     "q192_leakage_safe_split",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q02_top_orders_by_revenue",
     "q03_regional_revenue",
     "q05_order_priority_semi",
-    "q06_customers_without_orders",
 )
 
 

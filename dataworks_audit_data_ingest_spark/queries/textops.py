@@ -2400,3 +2400,126 @@ def q195_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("true_source", "pred_source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q196 — DSIR importance weights (likelihood-ratio data selection)
+# ---------------------------------------------------------------------------
+# Data Selection via Importance Resampling (DSIR; Xie et al. 2023) ranks
+# raw-corpus documents by how much more likely a TARGET-domain n-gram
+# model finds them than the raw-corpus model — the standard recipe for
+# carving a domain-focused training subset out of a web crawl. The
+# unigram, whole-bit version stays in exact BIGINT (q112/q195's policy):
+#
+#   bits_m(w)     = bit_length((T_m + V) DIV (c_m(w) + 1))    m in {target, raw}
+#   ratio_bits(d) = Σ_w cnt_dw · (bits_raw(w) - bits_target(w))
+#
+# positive = the target model explains the document more cheaply than the
+# raw model ⇒ target-like. Output: the top-K most target-like documents.
+_Q196_TARGET = "src0"
+_Q196_TOP = 50
+
+
+@register(
+    "q196_dsir_weights",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS w
+      FROM documents
+    ), toks_f AS (
+      SELECT * FROM toks WHERE w <> ''
+    ), vsize AS (
+      SELECT COUNT(DISTINCT w) AS v FROM toks_f
+    ), raw_c AS (
+      SELECT w, COUNT(*) AS c FROM toks_f GROUP BY w
+    ), tgt_c AS (
+      SELECT w, COUNT(*) AS c FROM toks_f
+      WHERE source = '{_Q196_TARGET}' GROUP BY w
+    ), totals AS (
+      SELECT (SELECT SUM(c) FROM raw_c) AS t_raw,
+             (SELECT COALESCE(SUM(c), 0) FROM tgt_c) AS t_tgt
+    ), grid AS (
+      SELECT r.w,
+             LENGTH(BIN((t.t_raw + z.v) // (r.c + 1)))
+               - LENGTH(BIN((t.t_tgt + z.v) // (COALESCE(g.c, 0) + 1)))
+               AS dbits
+      FROM raw_c r
+        LEFT JOIN tgt_c g USING (w)
+        CROSS JOIN totals t CROSS JOIN vsize z
+    ), doc_w AS (
+      SELECT doc_id, w, COUNT(*) AS cnt,
+             ANY_VALUE(source) AS source
+      FROM toks_f GROUP BY doc_id, w
+    ), scored AS (
+      SELECT d.doc_id, ANY_VALUE(d.source) AS source,
+             CAST(SUM(d.cnt) AS BIGINT) AS n_tokens,
+             CAST(SUM(d.cnt * g.dbits) AS BIGINT) AS ratio_bits
+      FROM doc_w d JOIN grid g USING (w)
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, source, n_tokens, ratio_bits
+    FROM scored
+    ORDER BY ratio_bits DESC, doc_id
+    LIMIT {_Q196_TOP}
+    """,
+    tags=("text", "curation", "dsir", "sampling", "exact-integer"),
+)
+def q196_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance ranking (spec in the module comment): every
+    document scored by the integer-bit likelihood ratio between the
+    target-domain unigram model and the raw-corpus model; the top-K most
+    target-like documents are the selected subset. The real DSIR
+    resamples proportionally to the ratio — the ranking here is its
+    deterministic top-K form; swap in q183's bottom-k priority kernel
+    with ``ratio_bits`` as the weight for the sampled variant.
+
+    Scale shape: two token-count aggregations (raw and target — the
+    target side scans only the target partition), a vocab-sized
+    difference grid that broadcasts under any Zipf-bounded vocabulary,
+    per-doc word counts collapsed BEFORE the grid join (q195's measured
+    win), one doc-keyed partial aggregation, and a top-K that plans as
+    TakeOrderedAndProject — no global sort materializes.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vsize = toks.agg(F.countDistinct("w").alias("v"))
+    raw_c = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tgt_c = (
+        toks.filter(F.col("source") == _Q196_TARGET)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    totals = raw_c.agg(F.sum("c").alias("t_raw")).crossJoin(
+        tgt_c.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("t_tgt"))
+    )
+    grid = (
+        raw_c.join(tgt_c, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "w",
+            F.expr(
+                "LENGTH(BIN((t_raw + v) DIV (c + 1)))"
+                " - LENGTH(BIN((t_tgt + v) DIV (COALESCE(tc, 0) + 1)))"
+            ).alias("dbits"),
+        )
+    )
+    doc_w = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.any_value("source").alias("source"),
+    )
+    return (
+        doc_w.join(grid, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("dbits"))
+            .cast("bigint")
+            .alias("ratio_bits"),
+        )
+        .orderBy(F.desc("ratio_bits"), F.asc("doc_id"))
+        .limit(_Q196_TOP)
+    )
