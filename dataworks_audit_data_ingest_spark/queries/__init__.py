@@ -36,7 +36,7 @@ from . import graph_shaped  # noqa: E402,F401
 # computed from; tests/test_cli_operators.py asserts the paste matches the
 # computation, so hand-drift is a test failure). Every query registered
 # before round 7 has a driver row (r06 closed the backlog), so the slate
-# is the round's twenty-one never-run queries (q176–q196, all registered
+# is the round's twenty-two never-run queries (q176–q197, all registered
 # this round) followed by the pure stalest-first refresh: the 26
 # oracle-backed r03-latest queries, then the stalest r04 tail. The
 # four rows-only queries
@@ -66,6 +66,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q181_semantic_decontamination",
     "q185_packing_waste",
     "q193_boilerplate_lines",
+    "q197_k_anonymity",
     "q35_unpivot",
     "q35b_session_bounce_rate",
     "q36_first_last_window",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q89_ann_srp_lsh",
     "q02_top_orders_by_revenue",
     "q03_regional_revenue",
-    "q05_order_priority_semi",
 )
 
 

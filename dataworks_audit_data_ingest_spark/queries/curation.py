@@ -1335,3 +1335,105 @@ def q193_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_dropped") > 0)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q197 — k-anonymity / generalization audit (privacy release gate)
+# ---------------------------------------------------------------------------
+# Before a dataset leaves the pipeline (vendor handoff, eval release, the
+# GDPR-forget sink's cousin), the privacy question is structural: how many
+# rows sit in quasi-identifier equivalence classes smaller than k, and
+# does one generalization step fix them? Quasi-identifiers here are
+# (nation, market segment); the sensitive attribute is the account-balance
+# band (a CASE ladder over integer cents — portable, no float division,
+# no negative-DIV divergence); generalization suppresses the segment.
+# l-diversity counts distinct sensitive bands per class — a class can be
+# large yet leak if every member shares one band.
+_Q197_K = 10
+_Q197_BAND = (
+    "CASE WHEN cents < 0 THEN 'neg'"
+    " WHEN cents < 500000 THEN 'low' ELSE 'high' END"
+)
+_Q197_CENTS = "CAST(ROUND(c_acctbal * 100) AS BIGINT)"
+
+
+@register(
+    "q197_k_anonymity",
+    sql=f"""
+    WITH base AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+             c_mktsegment AS segment,
+             {_Q197_CENTS} AS cents
+      FROM customer
+    ), banded AS (
+      SELECT nation_key, segment, {_Q197_BAND} AS band FROM base
+    ), classes AS (
+      SELECT nation_key, segment,
+             COUNT(*) AS k0,
+             COUNT(DISTINCT band) AS l0
+      FROM banded GROUP BY nation_key, segment
+    ), generalized AS (
+      SELECT nation_key, COUNT(*) AS k1
+      FROM banded GROUP BY nation_key
+    )
+    SELECT c.nation_key, c.segment,
+           CAST(c.k0 AS BIGINT) AS k0,
+           CAST(c.l0 AS BIGINT) AS l0,
+           CAST(g.k1 AS BIGINT) AS k1,
+           CAST(CASE WHEN c.k0 < {_Q197_K} THEN 1 ELSE 0 END AS BIGINT)
+             AS at_risk,
+           CAST(CASE WHEN c.k0 < {_Q197_K} AND g.k1 >= {_Q197_K}
+                     THEN 1 ELSE 0 END AS BIGINT) AS fixed_by_generalizing
+    FROM classes c JOIN generalized g USING (nation_key)
+    ORDER BY nation_key, segment
+    """,
+    tags=("privacy", "k-anonymity", "audit", "curation"),
+)
+def q197_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census with a one-step generalization ladder (spec in
+    the module comment): per quasi-identifier class, its size k0 and
+    sensitive-band diversity l0; k1 is the class size after suppressing
+    the segment, and ``fixed_by_generalizing`` marks at-risk classes one
+    generalization step rescues — the release-gate report a privacy
+    review actually reads.
+
+    Scale shape: two partial-aggregated rollups over the same scan (the
+    generalized level re-aggregates the class table in a second tiny
+    exchange keyed on the shorter prefix), one broadcast-sized join
+    between them. Row counts are class counts, never data rows. The
+    sensitive band is a pure-integer CASE ladder over cents — no float
+    division and no negative-operand DIV (Spark truncates toward zero
+    where DuckDB floors, so banded arithmetic on signed values must
+    stay in comparisons).
+    """
+    c = table(spark, sf_dir, "customer")
+    banded = c.selectExpr(
+        "CAST(c_nationkey AS BIGINT) AS nation_key",
+        "c_mktsegment AS segment",
+        f"{_Q197_CENTS} AS cents",
+    ).selectExpr("nation_key", "segment", f"{_Q197_BAND} AS band")
+    classes = banded.groupBy("nation_key", "segment").agg(
+        F.count(F.lit(1)).alias("k0"),
+        F.countDistinct("band").alias("l0"),
+    )
+    generalized = classes.groupBy("nation_key").agg(
+        F.sum("k0").alias("k1")
+    )
+    return (
+        classes.join(F.broadcast(generalized), "nation_key")
+        .select(
+            "nation_key",
+            "segment",
+            F.col("k0").cast("bigint").alias("k0"),
+            F.col("l0").cast("bigint").alias("l0"),
+            F.col("k1").cast("bigint").alias("k1"),
+            F.expr(
+                f"CAST(CASE WHEN k0 < {_Q197_K} THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("at_risk"),
+            F.expr(
+                f"CAST(CASE WHEN k0 < {_Q197_K} AND k1 >= {_Q197_K}"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("fixed_by_generalizing"),
+        )
+        .orderBy("nation_key", "segment")
+    )
