@@ -2238,3 +2238,81 @@ def q188_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — per-user contribution cap audit (sensitivity / quota planning)
+# ---------------------------------------------------------------------------
+# Two pipelines need the same report: user-level differential privacy
+# caps each user's contribution to an aggregate (the cap IS the
+# sensitivity bound, and utility lost to clipping must be measured
+# before choosing it), and training-data quotas cap examples-per-user to
+# stop one prolific account dominating a source. This is the cap-ladder
+# census: per event type, the user-contribution distribution and the
+# fraction of events retained under each candidate cap.
+_Q198_CAPS = (2, 8, 32, 128)
+
+
+def _q198_kept(engine_div: str) -> str:
+    """kept_ppm columns for each cap rung — Σ min(c, C) · 1e6 / Σ c with
+    the DECIMAL/HUGEINT widening idiom (100 TB event counts put the 1e6
+    product past BIGINT)."""
+    wide = "DECIMAL(38,0)" if engine_div == "DIV" else "HUGEINT"
+    return ", ".join(
+        f"CAST(CAST(SUM(LEAST(c, {cap})) AS {wide}) * 1000000 "
+        f"{engine_div} SUM(c) AS BIGINT) AS kept_ppm_c{cap}"
+        for cap in _Q198_CAPS
+    )
+
+
+@register(
+    "q198_contribution_cap",
+    sql=f"""
+    WITH contrib AS (
+      SELECT event_type, user_id, COUNT(*) AS c
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(MAX(c) AS BIGINT) AS max_contrib,
+           {_q198_kept("//")}
+    FROM contrib
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("privacy", "quota", "events", "audit"),
+)
+def q198_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user contribution cap ladder (spec in the module comment): for
+    each event type, the user count, event count, the heaviest single
+    user, and the ppm of events retained under caps of
+    {2, 8, 32, 128} per user — the report that picks a DP sensitivity
+    bound or a per-user training quota with its utility cost known.
+
+    Scale shape: one (event_type, user)-keyed partial aggregation — the
+    event stream collapses map-side to at most |types|·|users| rows —
+    then one |types|-keyed rollup where every cap rung is a LEAST() over
+    the same counter (no per-cap scans). The 1e6 products ride the
+    DECIMAL(38,0)/HUGEINT widening idiom.
+    """
+    e = table(spark, sf_dir, "events")
+    contrib = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        contrib.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.max("c").cast("bigint").alias("max_contrib"),
+            *[
+                F.expr(
+                    f"CAST(CAST(SUM(LEAST(c, {cap})) AS DECIMAL(38,0))"
+                    f" * 1000000 DIV SUM(c) AS BIGINT)"
+                ).alias(f"kept_ppm_c{cap}")
+                for cap in _Q198_CAPS
+            ],
+        )
+        .orderBy("event_type")
+    )
