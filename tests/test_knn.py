@@ -149,3 +149,37 @@ def test_mutual_knn_global_no_cell(spark):
         for r in mutual_knn(e, k=3).collect()
     }
     assert got == want
+
+
+def test_mutual_knn_over_trained_ivf_cells(spark):
+    """The at-scale claim executed: the cell key feeding mutual_knn is a
+    TRAINED IVF assignment (similarity/kmeans.py), not a fixture label —
+    and the reciprocity property holds within those cells exactly as it
+    does for label cells."""
+    from dataworks_audit_data_ingest_spark.similarity import mutual_knn
+    from dataworks_audit_data_ingest_spark.similarity.kmeans import (
+        train_cells,
+    )
+
+    e = table(spark, SF, "embeddings")
+    assignments, _ = train_cells(e, k=8, n_iter=3)
+    celled = e.join(
+        assignments.select(F.col("id").alias("vec_id"), "cell"), "vec_id"
+    )
+    got = {
+        (r.vec_a, r.vec_b): (r.rank_ab, r.rank_ba)
+        for r in mutual_knn(celled, k=3, cell_col="cell").collect()
+    }
+    assert got  # cells are populated enough to produce mutual pairs
+    # independent check per cell: brute kNN within the same assignment
+    directed = {}
+    for cell in [r.cell for r in celled.select("cell").distinct().collect()]:
+        sub = celled.filter(F.col("cell") == cell)
+        for r in knn_join(sub, sub, k=3).collect():
+            directed[(r.query_id, r.neighbor_id)] = r.rnk
+    want = {
+        (a, b): (rk, directed[(b, a)])
+        for (a, b), rk in directed.items()
+        if a < b and (b, a) in directed
+    }
+    assert got == want
