@@ -536,3 +536,100 @@ def test_reservoir_merge_law_property(batches, k, spark):
             best[i] = (p, w)
     expected = sorted(((p, i, w) for i, (p, w) in best.items()))[:k]
     assert got == [(i, w, p) for p, i, w in expected]
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["header", "body one", "body two", "footer", "x"]),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    min_docs=st.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=8, deadline=None)
+def test_strip_boilerplate_matches_dict_model(docs, min_docs, spark):
+    """strip_boilerplate_lines == a 10-line python model, for ANY corpus
+    of line-lists and ANY threshold: drop lines whose doc-frequency >=
+    min_docs, keep order, drop docs left empty."""
+    from dataworks_audit_data_ingest_spark.text.pipeline import (
+        strip_boilerplate_lines,
+    )
+
+    corpus = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df_count: dict = {}
+    for _, text in corpus:
+        for line in set(text.split("\n")):
+            df_count[line] = df_count.get(line, 0) + 1
+    bp = {l for l, c in df_count.items() if c >= min_docs}
+    want = {
+        i: "\n".join(l for l in text.split("\n") if l not in bp)
+        for i, text in corpus
+    }
+    want = {i: t for i, t in want.items() if t}
+
+    got = {
+        r.doc_id: r.text
+        for r in strip_boilerplate_lines(
+            spark.createDataFrame(corpus, "doc_id long, text string"),
+            min_docs=min_docs,
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-5, max_value=5), min_size=3, max_size=3
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=8, deadline=None)
+def test_mutual_knn_matches_numpy_model(vecs, k, spark):
+    """mutual_knn (global path) == a numpy reciprocal-top-k model, for
+    ANY small integer corpus: identical pair set AND identical ranks."""
+    import math
+
+    from dataworks_audit_data_ingest_spark.similarity import mutual_knn
+
+    # zero vectors make cosine undefined — exclude, as the operator's
+    # contract assumes nonzero embeddings
+    pts = [v for v in vecs if any(v)]
+    if len(pts) < 2:
+        return
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb)
+
+    ranks = {}
+    for i, a in enumerate(pts):
+        order = sorted(
+            (j for j in range(len(pts)) if j != i),
+            key=lambda j: (-cos(a, pts[j]), j),
+        )
+        for r, j in enumerate(order[:k], start=1):
+            ranks[(i, j)] = r
+    want = {
+        (a, b): (rk, ranks[(b, a)])
+        for (a, b), rk in ranks.items()
+        if a < b and (b, a) in ranks
+    }
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.vec_a, r.vec_b): (r.rank_ab, r.rank_ba)
+        for r in mutual_knn(df, k=k).collect()
+    }
+    assert got == want
