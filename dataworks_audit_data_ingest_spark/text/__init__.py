@@ -11,6 +11,7 @@ from .incremental_semantic import (  # noqa: F401
 
 from .pipeline import (  # noqa: F401
     annotate_quality,
+    assign_leakage_safe_splits,
     cap_per_source,
     drop_contained_duplicates,
     drop_contaminated,
@@ -20,6 +21,7 @@ from .pipeline import (  # noqa: F401
     pack_sequences,
     redact_pii,
     resample_to_allocation,
+    strip_boilerplate_lines,
     temperature_allocation,
     token_budget_sample,
 )

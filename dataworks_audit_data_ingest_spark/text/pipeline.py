@@ -685,3 +685,53 @@ def strip_boilerplate_lines(
         .drop("_clean")
         .filter(F.length(text_col) > 0)
     )
+
+
+def assign_leakage_safe_splits(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, int], ...] = (("train", 8), ("eval", 2)),
+    seed: str = "split",
+) -> DataFrame:
+    """Assign every document a split such that NO near-dup pair straddles
+    a boundary (q192's remedy as the reusable API): connected components
+    over ``pairs`` give each near-dup cluster one id, the split is a
+    portable hash of THAT id (members inherit), and unpaired documents
+    hash their own id. ``splits`` are (name, weight) bucket shares —
+    weights are integer bucket counts out of their sum, so the default
+    is the 80/20 split. Returns ``docs`` plus a ``split`` column.
+
+    Scale shape: clusters ride the O(diameter) min-label CC over the
+    banded pair list (never corpus-shaped); assignment is one left join
+    against the CC table (which holds only paired docs) plus map-side
+    hash arithmetic. Composes with `incremental_dedup_batch` — feed it
+    the accumulated ``dup_pairs`` — exactly as
+    ``examples/crawl_refresh_pipeline.py`` does.
+    """
+    from ..functions.graph import connected_components
+    from ..functions.hashing import spark_hash32
+
+    total = sum(w for _, w in splits)
+    if total <= 0 or any(w < 0 for _, w in splits):
+        raise ValueError(f"split weights must be non-negative, sum > 0: {splits!r}")
+    h = spark_hash32("CAST(_cluster AS STRING)", seed)
+    expr, lo = "CASE", 0
+    for name, w in splits:
+        expr += (
+            f" WHEN ({h}) % {total} >= {lo}"
+            f" AND ({h}) % {total} < {lo + w} THEN '{name}'"
+        )
+        lo += w
+    expr += " END"
+
+    cc = connected_components(
+        pairs.select("doc_a", "doc_b").distinct()
+    ).select(F.col("node_id").alias(id_col), "cluster_id")
+    return (
+        docs.join(cc, id_col, "left")
+        .withColumn("_cluster", F.coalesce("cluster_id", F.col(id_col)))
+        .drop("cluster_id")
+        .withColumn("split", F.expr(expr))
+        .drop("_cluster")
+    )

@@ -38,10 +38,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F
 
-from dataworks_audit_data_ingest_spark.functions.graph import (
-    connected_components,
-)
-from dataworks_audit_data_ingest_spark.functions.hashing import spark_hash32
 from dataworks_audit_data_ingest_spark.incremental.store import compact_store
 from dataworks_audit_data_ingest_spark.sinks import (
     verify_shards,
@@ -50,6 +46,9 @@ from dataworks_audit_data_ingest_spark.sinks import (
 from dataworks_audit_data_ingest_spark.tables import table
 from dataworks_audit_data_ingest_spark.text.incremental_boilerplate import (
     strip_boilerplate_batch,
+)
+from dataworks_audit_data_ingest_spark.text.pipeline import (
+    assign_leakage_safe_splits,
 )
 from dataworks_audit_data_ingest_spark.text.incremental_dedup import (
     incremental_dedup_batch,
@@ -149,22 +148,9 @@ def run(spark, workdir: str) -> dict:
     # ------------------------------------------------------------------
     # 4. cluster-inherited split (no near-dup straddles) + train shards
     # ------------------------------------------------------------------
-    cc = connected_components(
-        all_pairs.select("doc_a", "doc_b").distinct()
-    ).select(F.col("node_id").alias("doc_id"), "cluster_id")
-    assign = (
-        uniques.select("doc_id", "text", "source", "n_chars")
-        .join(cc, "doc_id", "left")
-        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
-        .withColumn(
-            "split",
-            F.expr(
-                f"CASE WHEN {spark_hash32('CAST(cluster_id AS STRING)', 'split')}"
-                " % 10 < 8 THEN 'train' ELSE 'eval' END"
-            ),
-        )
-        .localCheckpoint()
-    )
+    assign = assign_leakage_safe_splits(
+        uniques.select("doc_id", "text", "source", "n_chars"), all_pairs
+    ).localCheckpoint()
     sd = {r.split: r.n for r in assign.groupBy("split").agg(F.count("*").alias("n")).collect()}
     audit["n_train"], audit["n_eval"] = sd.get("train", 0), sd.get("eval", 0)
     a = assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))

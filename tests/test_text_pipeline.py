@@ -773,3 +773,39 @@ def test_strip_boilerplate_lines_matches_q193(spark):
     ).exceptAll(cleaned.filter("doc_id % 3 != 0 AND doc_id % 2 != 0"))
     assert untouched.count() == 0
     assert "source" in cleaned.columns
+
+
+def test_assign_leakage_safe_splits_three_way(spark):
+    """The split API: members of a pair-connected cluster always share a
+    split (3-way weights too), unpaired docs spread over all splits, and
+    invalid weights raise."""
+    import pytest
+
+    from dataworks_audit_data_ingest_spark.text import (
+        assign_leakage_safe_splits,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id bigint, text string"
+    )
+    # a chain cluster {0,1,2} and a pair {10, 11}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    out = assign_leakage_safe_splits(
+        docs, pairs, splits=(("train", 8), ("val", 1), ("test", 1))
+    )
+    got = {r.doc_id: r.split for r in out.collect()}
+    assert len(got) == 200 and all(v is not None for v in got.values())
+    assert got[0] == got[1] == got[2]
+    assert got[10] == got[11]
+    # all three splits are populated (200 unpaired hash ids spread)
+    assert {"train", "val", "test"} <= set(got.values())
+    # weights roughly honored: train is the bulk
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+    with pytest.raises(ValueError, match="non-negative"):
+        assign_leakage_safe_splits(docs, pairs, splits=(("a", -1), ("b", 2)))
