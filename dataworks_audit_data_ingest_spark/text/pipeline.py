@@ -735,3 +735,62 @@ def assign_leakage_safe_splits(
         .withColumn("split", F.expr(expr))
         .drop("_cluster")
     )
+
+
+def annotate_compressibility(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio in ppm — the classic
+    cheap-model quality signal (highly repetitive/templated text
+    compresses far below natural prose; binary-ish noise barely
+    compresses at all). Complements q81's duplicate-n-gram fraction with
+    a signal that sees ALL redundancy structure, not just 3-gram repeats.
+
+    ``ratio_ppm = 1e6 · compressed_len / raw_len`` over UTF-8 bytes
+    (empty text ⇒ 1e6, i.e. "incompressible": there is nothing to win).
+    Runs as Arrow-batched ``mapInPandas`` (the sanctioned Python-kernel
+    regime: zlib has no SQL expression) joined back by id, so the UDF
+    moves only (id, two lengths) — the text column never round-trips
+    through Python back into the plan. Deterministic for a fixed zlib
+    ``level`` (same library version either side of a shuffle, one
+    compressor instance per Arrow batch).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("_id", LongType()),
+            StructField("raw_len", LongType()),
+            StructField("comp_len", LongType()),
+        ]
+    )
+
+    def measure(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            yield pd.DataFrame(
+                {
+                    "_id": pdf[id_col],
+                    "raw_len": raw.str.len(),
+                    "comp_len": raw.map(
+                        lambda b: len(zlib.compress(b, level))
+                    ),
+                }
+            )
+
+    lens = docs.select(id_col, text_col).mapInPandas(measure, schema=schema)
+    ratio = (
+        "CAST(CASE WHEN raw_len = 0 THEN 1000000 ELSE "
+        "CAST(comp_len AS DECIMAL(38,0)) * 1000000 DIV raw_len END AS BIGINT)"
+    )
+    return docs.join(
+        lens.select("_id", F.expr(ratio).alias("compress_ratio_ppm")),
+        F.col(id_col) == F.col("_id"),
+    ).drop("_id")

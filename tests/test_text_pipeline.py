@@ -809,3 +809,34 @@ def test_assign_leakage_safe_splits_three_way(spark):
 
     with pytest.raises(ValueError, match="non-negative"):
         assign_leakage_safe_splits(docs, pairs, splits=(("a", -1), ("b", 2)))
+
+
+def test_annotate_compressibility_orders_by_redundancy(spark):
+    """Templated text scores far below natural-ish prose; incompressible
+    short noise scores near or above 1e6; empty text pins to 1e6; other
+    columns pass through."""
+    from dataworks_audit_data_ingest_spark.text.pipeline import (
+        annotate_compressibility,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 400, "a"),
+            (2, " ".join(f"w{i * 7919 % 1000} t{i * 104729 % 997}" for i in range(400)), "b"),
+            (3, "", "c"),
+            (4, "zq", "d"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    got = {r.doc_id: r for r in annotate_compressibility(docs).collect()}
+    assert got[1].compress_ratio_ppm < got[2].compress_ratio_ppm
+    assert got[1].compress_ratio_ppm < 100_000  # 'spam '*400 collapses
+    assert got[3].compress_ratio_ppm == 1_000_000
+    assert got[4].compress_ratio_ppm >= 1_000_000  # zlib header > 2 bytes
+    assert got[2].source == "b"
+    # deterministic across runs
+    again = {
+        r.doc_id: r.compress_ratio_ppm
+        for r in annotate_compressibility(docs).collect()
+    }
+    assert again == {k: v.compress_ratio_ppm for k, v in got.items()}
