@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import spark_hash32
 from ..incremental.store import (
+    BATCH_COL,
     commit_batch_partition,
     read_store_excluding_batch,
 )
@@ -128,9 +129,24 @@ def strip_boilerplate_batch(
     bp = merged.filter(F.col("df") >= min_docs).select(
         F.col("line_hash").alias("_lh")
     )
+    # materialize before the commit moves the store under the lazy plan
+    cleaned = _strip_lines(batch, bp, id_col, text_col).localCheckpoint()
 
-    # line text alongside the hash — the rebuild needs the text back
-    lined_txt = batch.select(
+    commit_batch_partition(
+        contrib.withColumn("src_batch", F.lit(str(batch_id))),
+        store_path,
+        batch_id,
+    )
+    return cleaned
+
+
+def _strip_lines(
+    docs: DataFrame, bp: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Strip every line whose hash is in ``bp`` (column ``_lh``),
+    reassemble documents in order, drop documents left empty; all other
+    columns pass through."""
+    lined_txt = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_i", "_line"),
     ).withColumn("_lh", F.expr(_line_hash("_line")))
@@ -144,19 +160,68 @@ def strip_boilerplate_batch(
             "\n",
         ).alias("_clean")
     )
-    cleaned = (
-        batch.join(rebuilt, F.col(id_col) == F.col("_id"), "inner")
+    return (
+        docs.join(rebuilt, F.col(id_col) == F.col("_id"), "inner")
         .drop("_id")
         .withColumn(text_col, F.col("_clean"))
         .drop("_clean")
         .filter(F.length(text_col) > 0)
     )
-    # materialize before the commit moves the store under the lazy plan
-    cleaned = cleaned.localCheckpoint()
 
-    commit_batch_partition(
-        contrib.withColumn("src_batch", F.lit(str(batch_id))),
-        store_path,
-        batch_id,
+
+def recurate_history(
+    spark: SparkSession,
+    out_dir: str,
+    store_path: str,
+    min_docs: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Re-clean the committed output history against the CURRENT df store
+    — the retroactive half of the boilerplate loop. Prospective
+    classification (``strip_boilerplate_batch``) strips a line only from
+    its crossing batch FORWARD; this pass re-strips every committed
+    ``batch_id=`` partition with today's boilerplate set, so a template
+    convicted at batch N also leaves batches 0..N-1. Returns the number
+    of documents whose text changed (or were dropped as empty).
+
+    The df STORE is untouched: it records raw-arrival frequencies (the
+    evidence), not the cleaned state — recuration is idempotent and can
+    run on any maintenance cadence (pair it with ``compact_store`` on
+    the same schedule). Classification-only read: the full merged df,
+    no exclusion, threshold as at ingest. Output partitions rewrite via
+    the same dynamic-overwrite discipline as the original commits; a
+    crash mid-pass leaves some partitions recurated and some not, and a
+    re-run converges (each partition's rewrite is deterministic).
+    """
+    merged = read_line_df(spark, store_path)
+    if merged is None:
+        return 0
+    bp = merged.filter(F.col("df") >= min_docs).select(
+        F.col("line_hash").alias("_lh")
     )
-    return cleaned
+    history = spark.read.parquet(out_dir)
+    cleaned = _strip_lines(history, bp, id_col, text_col)
+    # count rewrites before overwriting the directory the plan reads
+    changed = (
+        history.select(F.col(id_col).alias("_hid"), F.col(text_col).alias("_htx"))
+        .join(
+            cleaned.select(
+                F.col(id_col).alias("_hid"), F.col(text_col).alias("_ctx")
+            ),
+            "_hid",
+            "left",
+        )
+        .filter(
+            F.col("_ctx").isNull() | (F.col("_ctx") != F.col("_htx"))
+        )
+        .count()
+    )
+    cleaned = cleaned.localCheckpoint()
+    (
+        cleaned.write.mode("overwrite")
+        .partitionBy(BATCH_COL)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(out_dir)
+    )
+    return changed

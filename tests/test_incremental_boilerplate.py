@@ -164,3 +164,82 @@ def test_columns_pass_through_and_empty_docs_drop(spark, tmp_path):
     got = cleaned.collect()
     assert [r.doc_id for r in got] == [100]
     assert got[0].source == "src0"
+
+
+def test_recurate_history_cleans_earlier_batches(spark, tmp_path):
+    """The retroactive half: after the template crosses the threshold at
+    batch 2, recuration strips it from batches 0 and 1 too; the df store
+    (the evidence) is untouched; a second pass changes nothing."""
+    from dataworks_audit_data_ingest_spark.incremental.store import (
+        commit_batch_partition,
+    )
+    from dataworks_audit_data_ingest_spark.text.incremental_boilerplate import (
+        recurate_history,
+    )
+
+    store = str(tmp_path / "bp_store")
+    out = str(tmp_path / "cleaned")
+    for b in range(3):
+        cleaned = strip_boilerplate_batch(
+            spark, store, _batch(spark, b), str(b), min_docs=MIN_DOCS
+        )
+        commit_batch_partition(cleaned, out, str(b))
+
+    history = spark.read.parquet(out)
+    n_history = history.count()
+    assert history.filter(F.col("text").contains(BP)).count() == 16  # b0+b1
+
+    df_before = {
+        r.line_hash: r.df for r in read_line_df(spark, store).collect()
+    }
+    changed = recurate_history(spark, out, store, min_docs=MIN_DOCS)
+    assert changed == 16
+
+    after = spark.read.parquet(out)
+    assert after.filter(F.col("text").contains(BP)).count() == 0
+    # bodies survive — nothing was dropped, only the template line left
+    assert after.count() == n_history
+    df_after = {
+        r.line_hash: r.df for r in read_line_df(spark, store).collect()
+    }
+    assert df_after == df_before
+
+    # idempotent: the second pass rewrites nothing
+    assert recurate_history(spark, out, store, min_docs=MIN_DOCS) == 0
+
+
+def test_recurate_history_drops_docs_left_empty(spark, tmp_path):
+    """A committed doc that was ONLY boilerplate disappears from history
+    on recuration (counted as changed), and an empty store is a no-op."""
+    from dataworks_audit_data_ingest_spark.incremental.store import (
+        commit_batch_partition,
+    )
+    from dataworks_audit_data_ingest_spark.text.incremental_boilerplate import (
+        recurate_history,
+    )
+
+    store = str(tmp_path / "bp_store")
+    out = str(tmp_path / "cleaned")
+    assert recurate_history(spark, str(tmp_path / "absent_out"), store) == 0
+
+    # batch 0: 10 docs that are ONLY the template + 2 plain — below the
+    # threshold, everything is kept verbatim
+    rows = [(i, BP) for i in range(10)] + [(100, "real content")]
+    b0 = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cleaned = strip_boilerplate_batch(spark, store, b0, "0", min_docs=MIN_DOCS)
+    commit_batch_partition(cleaned, out, "0")
+    assert spark.read.parquet(out).count() == 11
+
+    # batch 1 saturates the template past the threshold
+    b1 = spark.createDataFrame(
+        [(200 + i, f"body {i}\n{BP}") for i in range(MIN_DOCS)],
+        "doc_id bigint, text string",
+    )
+    cleaned = strip_boilerplate_batch(spark, store, b1, "1", min_docs=MIN_DOCS)
+    commit_batch_partition(cleaned, out, "1")
+
+    changed = recurate_history(spark, out, store, min_docs=MIN_DOCS)
+    assert changed == 10  # the template-only docs vanish from history
+    after = spark.read.parquet(out)
+    assert after.filter("doc_id < 100").count() == 0
+    assert after.filter("doc_id = 100").count() == 1
