@@ -11,9 +11,12 @@
      everything already ingested via the MinHash-LSH signature store
      (`text.incremental_dedup`), never re-reading historical text; a
      re-crawled page (same content, new doc id) is caught cross-batch.
-  3. **Store maintenance** — both stores are compacted
-     (`incremental.store.compact_store`) once the days are committed:
-     O(1) partition count for the long-lived job, semantics unchanged.
+  3. **Retroactive recuration + store maintenance** — the committed
+     archive is re-cleaned against the final df store
+     (`recurate_history`: day 1 shipped with the template because the
+     evidence was still thin — the archive converges), then both stores
+     are compacted (`incremental.store.compact_store`): O(1) partition
+     count for the long-lived job, semantics unchanged.
   4. **Leakage-safe split + shards** — the accumulated unique corpus is
      split train/eval by CLUSTER-inherited hash (near-dup pairs from the
      dedup rounds → connected components → hash the cluster id), so no
@@ -38,13 +41,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F
 
-from dataworks_audit_data_ingest_spark.incremental.store import compact_store
+from dataworks_audit_data_ingest_spark.incremental.store import (
+    commit_batch_partition,
+    compact_store,
+)
 from dataworks_audit_data_ingest_spark.sinks import (
     verify_shards,
     write_training_shards,
 )
 from dataworks_audit_data_ingest_spark.tables import table
 from dataworks_audit_data_ingest_spark.text.incremental_boilerplate import (
+    recurate_history,
     strip_boilerplate_batch,
 )
 from dataworks_audit_data_ingest_spark.text.pipeline import (
@@ -132,6 +139,19 @@ def run(spark, workdir: str) -> dict:
         F.col("doc_b") >= RECRAWL_OFFSET
     ).count()
     audit["n_unique"] = uniques.count()
+
+    # retroactive recuration: day 1 shipped with the template (evidence
+    # was still below threshold); re-clean the committed history against
+    # today's df store so the archive converges with the live batches
+    commit_batch_partition(uniques, f"{workdir}/archive", "all")
+    audit["recurated_docs"] = recurate_history(
+        spark, f"{workdir}/archive", bp_store, min_docs=BP_MIN_DOCS
+    )
+    archive = spark.read.parquet(f"{workdir}/archive")
+    audit["template_in_archive"] = archive.filter(
+        F.col("text").contains(TEMPLATE)
+    ).count()
+    uniques = archive.drop("batch_id")
 
     # ------------------------------------------------------------------
     # 3. store maintenance: O(1) partition count for the standing job

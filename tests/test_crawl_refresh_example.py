@@ -23,6 +23,10 @@ def test_crawl_refresh_pipeline(spark, tmp_path):
     # the signature store without re-reading day-1 text
     assert out["recrawl_dups_caught"] == 30
     assert out["n_unique"] > 0
+    # the retroactive pass scrubs day 1's shipped template copies: the
+    # archive converges even though the live batches couldn't convict yet
+    assert out["recurated_docs"] > 0
+    assert out["template_in_archive"] == 0
     # compaction folds the two closed days; the replayable day stays
     assert out["bp_partitions_folded"] == 2
     assert out["sig_partitions_folded"] == 2
