@@ -2316,3 +2316,116 @@ def q198_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q199 — watermark sizing audit (event-time disorder census)
+# ---------------------------------------------------------------------------
+# Every streaming config hides one number: the watermark delay. Too small
+# and late events are dropped (q33's contract); too large and state grows
+# for nothing. The number comes from THIS census: replay the stream in
+# arrival order (event_id is the arrival proxy), track the running
+# maximum event time, and measure each event's lateness against it —
+# exactly the disorder a watermark must absorb. Banded per event type:
+# on-time, ≤ 1 min, ≤ 10 min, beyond.
+_Q199_1M_US = 60_000_000
+_Q199_10M_US = 600_000_000
+
+
+@register(
+    "q199_watermark_sizing",
+    sql=f"""
+    WITH arr AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS runmax_us
+      FROM events
+    ), late AS (
+      SELECT event_type, runmax_us - t_us AS late_us FROM arr
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN late_us > 0 THEN 1 END) AS BIGINT) AS n_late,
+           CAST(CAST(COUNT(CASE WHEN late_us > 0 THEN 1 END) AS HUGEINT)
+                * 1000000 // COUNT(*) AS BIGINT) AS late_ppm,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+           CAST(COUNT(CASE WHEN late_us > 0 AND late_us <= {_Q199_1M_US}
+                      THEN 1 END) AS BIGINT) AS n_within_1m,
+           CAST(COUNT(CASE WHEN late_us > {_Q199_1M_US}
+                       AND late_us <= {_Q199_10M_US}
+                      THEN 1 END) AS BIGINT) AS n_within_10m,
+           CAST(COUNT(CASE WHEN late_us > {_Q199_10M_US} THEN 1 END)
+                AS BIGINT) AS n_beyond_10m
+    FROM late
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "watermark", "audit", "events"),
+)
+def q199_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder census for watermark sizing (spec in the module
+    comment): per event type, how many events arrive behind the running
+    event-time maximum, by how much (max + 1 min / 10 min bands), and the
+    late fraction in ppm — read the band that covers your loss budget and
+    that is the watermark delay.
+
+    Scale shape: one ordered running-max window per event type (shuffle
+    on type + in-partition sort by arrival id), then a type-keyed
+    rollup. Like q16/q37, the exact form pins semantics with a
+    single-partition-per-type sort; the production twin two-passes it —
+    running max of per-bucket maxima over coarse arrival buckets, then
+    within-bucket — when one type's stream outgrows a partition. The
+    ppm product rides the DECIMAL(38,0)/HUGEINT widening idiom.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t_us = F.unix_micros("ts")
+    late = e.select(
+        "event_type",
+        (F.max(t_us).over(w) - t_us).alias("late_us"),
+    )
+    return (
+        late.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count(F.when(F.col("late_us") > 0, 1))
+            .cast("bigint")
+            .alias("n_late"),
+            F.expr(
+                "CAST(CAST(COUNT(CASE WHEN late_us > 0 THEN 1 END)"
+                " AS DECIMAL(38,0)) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("late_ppm"),
+            F.max("late_us").cast("bigint").alias("max_late_us"),
+            F.count(
+                F.when(
+                    (F.col("late_us") > 0)
+                    & (F.col("late_us") <= _Q199_1M_US),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("n_within_1m"),
+            F.count(
+                F.when(
+                    (F.col("late_us") > _Q199_1M_US)
+                    & (F.col("late_us") <= _Q199_10M_US),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("n_within_10m"),
+            F.count(F.when(F.col("late_us") > _Q199_10M_US, 1))
+            .cast("bigint")
+            .alias("n_beyond_10m"),
+        )
+        .orderBy("event_type")
+    )
