@@ -36,7 +36,7 @@ from . import graph_shaped  # noqa: E402,F401
 # computed from; tests/test_cli_operators.py asserts the paste matches the
 # computation, so hand-drift is a test failure). Every query registered
 # before round 7 has a driver row (r06 closed the backlog), so the slate
-# is the round's twenty-four never-run queries (q176–q199, all registered
+# is the round's twenty-five never-run queries (q176–q200, all registered
 # this round) followed by the pure stalest-first refresh: the 26
 # oracle-backed r03-latest queries, then the stalest r04 tail. The
 # four rows-only queries
@@ -49,6 +49,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q188_user_event_entropy",
     "q198_contribution_cap",
     "q199_watermark_sizing",
+    "q200_session_gap_sizing",
     "q176_curated_containment",
     "q178_normalized_dedup_gain",
     "q183_weighted_sample",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q85_sequence_packing",
     "q86_chunk_dedup",
     "q87_heavy_hitters_countmin",
-    "q89_ann_srp_lsh",
 )
 
 

@@ -2429,3 +2429,86 @@ def q199_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q200 — session gap sizing (inter-event gap census)
+# ---------------------------------------------------------------------------
+# The second streaming knob (q199 sizes the first): session windows (q32)
+# need a gap timeout. Size it from the inter-event gap distribution —
+# every per-user gap, banded at the candidate timeouts, with the ppm of
+# gaps each timeout would MERGE (gap <= timeout keeps the session alive).
+# q136 measures sessions under one fixed gap; this census is how that
+# gap gets chosen.
+_Q200_BANDS_US = (
+    ("le_5m", 300_000_000),
+    ("le_30m", 1_800_000_000),
+    ("le_2h", 7_200_000_000),
+)
+
+
+@register(
+    "q200_session_gap_sizing",
+    sql=f"""
+    WITH gaps AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ), g AS (
+      SELECT gap_us FROM gaps WHERE gap_us IS NOT NULL
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+      {", ".join(
+        f'''CAST(COUNT(CASE WHEN gap_us <= {us} THEN 1 END) AS BIGINT)
+              AS n_{name},
+            CAST(CAST(COUNT(CASE WHEN gap_us <= {us} THEN 1 END) AS HUGEINT)
+              * 1000000 // COUNT(*) AS BIGINT) AS merged_ppm_{name}'''
+        for name, us in _Q200_BANDS_US
+      )}
+    FROM g
+    """,
+    tags=("streaming", "sessionization", "audit", "events"),
+)
+def q200_session_gap_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap census for session-timeout sizing (spec in the
+    module comment): per-user consecutive-event gaps, counted and
+    expressed as merged-ppm under candidate timeouts of 5 min / 30 min /
+    2 h — pick the band where the merged fraction plateaus and that is
+    the session gap; q32/q136 then run with a measured number instead of
+    folklore.
+
+    Scale shape: one per-user LAG window (shuffle on user_id — the
+    natural sessionization key, uniformly distributed) collapsing
+    immediately to a gap column, then a single global partial-aggregated
+    rollup (every band is a CASE over the same value — one pass, no
+    per-band scans). The ppm products ride the DECIMAL(38,0)/HUGEINT
+    widening idiom.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros("ts")
+    gaps = e.select((t_us - F.lag(t_us).over(w)).alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    ]
+    for name, us in _Q200_BANDS_US:
+        aggs.append(
+            F.count(F.when(F.col("gap_us") <= us, 1))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        aggs.append(
+            F.expr(
+                f"CAST(CAST(COUNT(CASE WHEN gap_us <= {us} THEN 1 END)"
+                f" AS DECIMAL(38,0)) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias(f"merged_ppm_{name}")
+        )
+    return gaps.agg(*aggs)
