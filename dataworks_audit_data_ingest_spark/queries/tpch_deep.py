@@ -171,3 +171,92 @@ def q73_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue_lost"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q201_waiting_supplier",
+    sql="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supplier_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                    AND o.o_orderstatus = 'F'
+      JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey != l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey != l1.l_suppkey
+      )
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY numwait DESC, suppkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "exists", "anti"),
+)
+def q201_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape on the available columns: suppliers who were the
+    SOLE late supplier ('R'-flagged line) on a finished multi-supplier
+    order — a correlated EXISTS (another supplier participated) plus a
+    correlated NOT EXISTS (no OTHER supplier was late) against the same
+    fact table, the classic optimizer stress for semi/anti join
+    planning. (The reference fixture carries no l_receiptdate/
+    l_commitdate, so 'late' is the return flag.)
+
+    Spark-side the correlations are explicit LEFT SEMI and LEFT ANTI
+    joins keyed on l_orderkey with the suppkey inequality INSIDE the
+    join condition — each is one shuffle on the natural key, no
+    row-explosion (the semi/anti probe stops at first match), and the
+    supplier dim broadcasts. Top-20 plans as TakeOrderedAndProject.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    sup = table(spark, sf_dir, "supplier")
+    l1 = late.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    qualified = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        qualified.join(
+            F.broadcast(sup.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("suppkey"))
+        .limit(20)
+    )
