@@ -36,7 +36,7 @@ from . import graph_shaped  # noqa: E402,F401
 # computed from; tests/test_cli_operators.py asserts the paste matches the
 # computation, so hand-drift is a test failure). Every query registered
 # before round 7 has a driver row (r06 closed the backlog), so the slate
-# is the round's twenty-six never-run queries (q176–q201, all registered
+# is the round's twenty-seven never-run queries (q176–q202, all registered
 # this round) followed by the pure stalest-first refresh: the 26
 # oracle-backed r03-latest queries, then the stalest r04 tail. The
 # four rows-only queries
@@ -67,6 +67,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q187_srp_bucket_purity",
     "q191_mutual_knn_pairs",
     "q201_waiting_supplier",
+    "q202_idle_rich_customers",
     "q181_semantic_decontamination",
     "q185_packing_waste",
     "q193_boilerplate_lines",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q82_decontamination",
     "q84_gap_fill",
     "q85_sequence_packing",
-    "q86_chunk_dedup",
 )
 
 

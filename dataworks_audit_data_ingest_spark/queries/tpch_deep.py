@@ -260,3 +260,67 @@ def q201_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("suppkey"))
         .limit(20)
     )
+
+
+@register(
+    "q202_idle_rich_customers",
+    sql="""
+    WITH thresh AS (
+      SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT CAST(c.c_nationkey AS BIGINT) AS nation_key,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS totacctbal_cents
+    FROM customer c CROSS JOIN thresh t
+    WHERE c.c_acctbal > t.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority LIKE '1%'
+      )
+    GROUP BY c.c_nationkey
+    ORDER BY nation_key
+    """,
+    tags=("tpch", "subquery", "anti", "rollup"),
+)
+def q202_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's shape on the available columns: customers holding an
+    above-average positive balance who never placed an URGENT-priority
+    order, rolled up per nation — a GLOBAL scalar aggregate subquery
+    feeding the filter, a NOT EXISTS anti join against the FILTERED fact
+    table, and a dimension rollup (the fixture has no phone column, so
+    the country code is the nation key, and balances total in exact
+    integer cents; plain never-ordered is degenerate on this fixture —
+    every customer has orders — so the anti side filters on priority).
+
+    Spark-side the scalar threshold is a broadcast 1-row cross join (no
+    collect — the threshold stays in the plan), the NOT EXISTS is one
+    LEFT ANTI shuffle keyed on custkey, and the rollup partial-aggregates
+    per nation. The float comparison against AVG is identical IEEE
+    arithmetic on both engines (same sum order irrelevance does NOT hold
+    for doubles — so the average rides the oracle comparison only
+    through the FILTER it feeds, never as an output column).
+    """
+    c = table(spark, sf_dir, "customer")
+    thresh = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").like("1%"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, "c_custkey", "left_anti")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("totacctbal_cents"),
+        )
+        .orderBy("nation_key")
+    )
