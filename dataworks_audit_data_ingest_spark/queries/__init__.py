@@ -30,71 +30,71 @@ from . import graph_shaped  # noqa: E402,F401
 # registration order indices 0-49). DRIVER_PRIORITY pins an explicit order,
 # rotated per round so every query accumulates a current driver row.
 #
-# Round-7 rotation is COMPUTED, not hand-curated: the list below is the
-# verbatim output of `python tools/rotation.py --emit` over the r01–r06
+# Round-8 rotation is COMPUTED, not hand-curated: the list below is the
+# verbatim output of `python tools/rotation.py --emit` over the r01–r07
 # driver history (DRIVER_PRIORITY_AS_OF_ROUND pins which history it was
 # computed from; tests/test_cli_operators.py asserts the paste matches the
-# computation, so hand-drift is a test failure). Every query registered
-# before round 7 has a driver row (r06 closed the backlog), so the slate
-# is the round's twenty-seven never-run queries (q176–q202, all registered
-# this round) followed by the pure stalest-first refresh: the 26
-# oracle-backed r03-latest queries, then the stalest r04 tail. The
+# computation, so hand-drift is a test failure). With zero never-run
+# oracle-backed queries left, the slate is pure stalest-first refresh:
+# q86/q87/q89 (last three r03-latest rows) lead, followed by the r04
+# tail. Queries registered during round 8 are appended by the emitter as
+# never-run and take slots ahead of the refresh tail on re-emission. The
 # four rows-only queries
 # (q42/q74/q16s/q59, sql=None) are excluded from emission — they can
 # only ever produce a `no_oracle` driver row (q16s burned an r06 slot);
 # their evidence is pytest plus a green oracle-backed twin each.
-DRIVER_PRIORITY_AS_OF_ROUND = 6
+DRIVER_PRIORITY_AS_OF_ROUND = 7
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q189_salted_agg",
-    "q188_user_event_entropy",
-    "q198_contribution_cap",
-    "q199_watermark_sizing",
-    "q200_session_gap_sizing",
-    "q176_curated_containment",
-    "q178_normalized_dedup_gain",
-    "q183_weighted_sample",
-    "q184_token_mass_quantiles",
-    "q186_cooccurrence_lift",
-    "q195_nb_source_classifier",
-    "q196_dsir_weights",
-    "q180_normalized_minhash_pairs",
-    "q190_cluster_keep_best",
-    "q192_leakage_safe_split",
-    "q194_dedup_method_agreement",
-    "q177_hybrid_rrf",
-    "q179_hybrid_rrf_ivf",
-    "q182_ann_recall_audit",
-    "q187_srp_bucket_purity",
-    "q191_mutual_knn_pairs",
-    "q201_waiting_supplier",
-    "q202_idle_rich_customers",
-    "q181_semantic_decontamination",
-    "q185_packing_waste",
-    "q193_boilerplate_lines",
-    "q197_k_anonymity",
-    "q35_unpivot",
-    "q35b_session_bounce_rate",
-    "q36_first_last_window",
-    "q37_distribution_ranks",
-    "q37b_zscore_outliers",
-    "q38_full_outer_join",
-    "q39_map_functions",
-    "q43_correlated_min",
-    "q44_latest_per_key",
-    "q45_cross_join",
-    "q51_dedup_minhash_lsh",
-    "q52c_simhash60_hamming",
-    "q55_ann_bruteforce_topk",
-    "q56_ann_ivf_topk",
-    "q58_dedup_clusters",
-    "q66_fuzzy_brand_match",
-    "q70_multimodal_decode",
-    "q75_data_profile",
-    "q76_asof_join_forward",
-    "q77_schema_evolution_union",
-    "q82_decontamination",
-    "q84_gap_fill",
-    "q85_sequence_packing",
+    "q86_chunk_dedup",
+    "q87_heavy_hitters_countmin",
+    "q89_ann_srp_lsh",
+    "q02_top_orders_by_revenue",
+    "q03_regional_revenue",
+    "q05_order_priority_semi",
+    "q06_customers_without_orders",
+    "q12_topk_per_customer",
+    "q13_running_total",
+    "q18_set_operations",
+    "q19_string_functions",
+    "q20_date_functions",
+    "q21_json_functions",
+    "q22_case_and_nulls",
+    "q23_math_functions",
+    "q24_price_band_join",
+    "q25_asof_join",
+    "q27_array_functions",
+    "q32_session_windows",
+    "q36b_retention_cohorts",
+    "q37s_distribution_ranks_scale",
+    "q40_incremental_watermark",
+    "q41_binary_payload_stats",
+    "q46_interval_self_join",
+    "q47_histogram",
+    "q49_filtered_aggregates",
+    "q50_dedup_exact",
+    "q52_dedup_simhash",
+    "q52b_simhash_hamming",
+    "q53_dedup_ngram_jaccard",
+    "q54_dedup_embedding_cosine",
+    "q57_minhash_jaccard_estimate",
+    "q60_lang_id_heuristic",
+    "q61_quality_score",
+    "q62_token_count",
+    "q63_fingerprint",
+    "q64_deterministic_sample",
+    "q65_tfidf_top_terms",
+    "q71_nation_trade_volume",
+    "q72_region_market_share",
+    "q73_returned_item_customers",
+    "q80_pii_redaction",
+    "q81_repetition_quality",
+    "q83_source_mixing",
+    "q88_source_quota",
+    "q90_semantic_dedup",
+    "q91_sessionize_batch",
+    "q94_salted_join",
+    "q95_diverse_sample",
+    "q96_bloom_blocklist",
 )
 
 
