@@ -1354,7 +1354,7 @@ _Q197_BAND = (
     "CASE WHEN cents < 0 THEN 'neg'"
     " WHEN cents < 500000 THEN 'low' ELSE 'high' END"
 )
-_Q197_CENTS = "CAST(ROUND(c_acctbal * 100) AS BIGINT)"
+_Q197_CENTS = "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)"
 
 
 @register(

@@ -270,7 +270,7 @@ def q201_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(c.c_nationkey AS BIGINT) AS nation_key,
            CAST(COUNT(*) AS BIGINT) AS numcust,
-           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS totacctbal_cents
     FROM customer c CROSS JOIN thresh t
     WHERE c.c_acctbal > t.avg_bal
@@ -318,7 +318,7 @@ def q202_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").cast("bigint").alias("nation_key"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("numcust"),
-            F.sum(F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)"))
+            F.sum(F.expr("CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)"))
             .cast("bigint")
             .alias("totacctbal_cents"),
         )
