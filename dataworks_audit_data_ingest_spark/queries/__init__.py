@@ -45,6 +45,7 @@ from . import graph_shaped  # noqa: E402,F401
 # their evidence is pytest plus a green oracle-backed twin each.
 DRIVER_PRIORITY_AS_OF_ROUND = 7
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "q203_dsir_selection",
     "q86_chunk_dedup",
     "q87_heavy_hitters_countmin",
     "q89_ann_srp_lsh",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q91_sessionize_batch",
     "q94_salted_join",
     "q95_diverse_sample",
-    "q96_bloom_blocklist",
 )
 
 

@@ -2479,47 +2479,57 @@ def q196_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc word counts collapsed BEFORE the grid join (q195's measured
     win), one doc-keyed partial aggregation, and a top-K that plans as
     TakeOrderedAndProject — no global sort materializes.
+
+    The scoring is the shared `text/dsir.py::ratio_bits` builder, also
+    consumed by `select_dsir` (q203) — the API and this audit query
+    cannot drift.
     """
+    from ..text.dsir import ratio_bits
+
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
-    ).filter(F.col("w") != "")
-    vsize = toks.agg(F.countDistinct("w").alias("v"))
-    raw_c = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    tgt_c = (
-        toks.filter(F.col("source") == _Q196_TARGET)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("tc"))
-    )
-    totals = raw_c.agg(F.sum("c").alias("t_raw")).crossJoin(
-        tgt_c.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("t_tgt"))
-    )
-    grid = (
-        raw_c.join(tgt_c, "w", "left")
-        .crossJoin(F.broadcast(totals))
-        .crossJoin(F.broadcast(vsize))
-        .select(
-            "w",
-            F.expr(
-                "LENGTH(BIN((t_raw + v) DIV (c + 1)))"
-                " - LENGTH(BIN((t_tgt + v) DIV (COALESCE(tc, 0) + 1)))"
-            ).alias("dbits"),
-        )
-    )
-    doc_w = toks.groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.any_value("source").alias("source"),
-    )
     return (
-        doc_w.join(grid, "w")
-        .groupBy("doc_id")
-        .agg(
-            F.any_value("source").alias("source"),
-            F.sum("cnt").cast("bigint").alias("n_tokens"),
-            F.sum(F.col("cnt") * F.col("dbits"))
-            .cast("bigint")
-            .alias("ratio_bits"),
-        )
+        ratio_bits(d, F.col("source") == _Q196_TARGET)
         .orderBy(F.desc("ratio_bits"), F.asc("doc_id"))
         .limit(_Q196_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q203 — DSIR-sampled selection (importance resampling, replay-stable)
+# ---------------------------------------------------------------------------
+# q196 ranks; real DSIR RESAMPLES — selection probability increasing in
+# the likelihood ratio rather than a deterministic top-K (top-K overfits
+# the target's head vocabulary; resampling keeps tail diversity). This is
+# the `text/dsir.py::select_dsir` API as a query: q196's integer-bit
+# scoring composed with q183's bottom-k priority kernel through a
+# rank-preserving global shift (weight = ratio_bits − min + 1, every doc
+# sampleable). Both engine sides are generated from the SAME module
+# (`select_dsir` / `duckdb_select_dsir_sql`), so the oracle cannot drift
+# from the API. Selection is replay-stable: weight is a pure function of
+# the corpus, priority of (doc_id, weight, seed).
+from ..text.dsir import duckdb_select_dsir_sql as _dsir_sql  # noqa: E402
+
+_Q203_K = 40
+
+
+@register(
+    "q203_dsir_selection",
+    sql=_dsir_sql(f"source = '{_Q196_TARGET}'", _Q203_K),
+    tags=("text", "curation", "dsir", "sampling", "exact-integer"),
+)
+def q203_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-sampled selection of k=40 documents, drawn with probability
+    increasing in their target-vs-raw likelihood ratio (module comment);
+    output carries the full audit trail (n_tokens, ratio_bits, weight,
+    priority).
+
+    Scale shape: q196's scoring plan (vocab grid broadcasts, per-doc
+    counts collapse before the grid join) plus ONE extra broadcast 1-row
+    global-min cross join for the weight shift, then the bottom-k plans
+    as TakeOrderedAndProject — per-partition heaps, k rows to the merge,
+    no global sort of the corpus at any point.
+    """
+    from ..text.dsir import select_dsir
+
+    d = table(spark, sf_dir, "documents")
+    return select_dsir(d, F.col("source") == _Q196_TARGET, _Q203_K)

@@ -840,3 +840,40 @@ def test_annotate_compressibility_orders_by_redundancy(spark):
         for r in annotate_compressibility(docs).collect()
     }
     assert again == {k: v.compress_ratio_ppm for k, v in got.items()}
+
+
+def test_select_dsir_replay_stable_and_target_enriched(spark):
+    from dataworks_audit_data_ingest_spark.text import select_dsir
+
+    d = table(spark, SF, "documents")
+    target = F.col("source") == "src0"
+    k = 60
+    s1 = select_dsir(d, target, k)
+    rows1 = sorted(tuple(r) for r in s1.collect())
+    assert len(rows1) == k
+    assert set(s1.columns) == {
+        "doc_id", "source", "n_tokens", "ratio_bits", "weight", "priority",
+    }
+    # replay-stable: a second build over a different partitioning of the
+    # SAME corpus selects the identical subset with identical priorities
+    s2 = select_dsir(d.repartition(13), target, k)
+    assert rows1 == sorted(tuple(r) for r in s2.collect())
+    # weights are the rank-preserving positive shift of ratio_bits
+    w = {r.doc_id: (r.ratio_bits, r.weight) for r in s1.collect()}
+    deltas = {bits - weight for bits, weight in w.values()}
+    assert len(deltas) == 1 and all(weight >= 1 for _, weight in w.values())
+    # sampling ∝ weight: the selected set is target-enriched vs the corpus
+    base = d.filter(target).count() / d.count()
+    got = sum(1 for r in s1.collect() if r.source == "src0") / k
+    assert got > base
+
+
+def test_select_dsir_matches_registered_query_oracle_kernel(spark):
+    # The q203 registration consumes the same builders; pin API == query.
+    from dataworks_audit_data_ingest_spark.queries import REGISTRY
+    from dataworks_audit_data_ingest_spark.text import select_dsir
+
+    d = table(spark, SF, "documents")
+    api = select_dsir(d, F.col("source") == "src0", 40)
+    q = REGISTRY["q203_dsir_selection"].fn(spark, SF)
+    assert sorted(map(tuple, api.collect())) == sorted(map(tuple, q.collect()))
