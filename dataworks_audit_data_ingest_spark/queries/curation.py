@@ -1437,3 +1437,95 @@ def q197_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_key", "segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q204 — multi-step anonymization ladder (k/l release gate, suppression last)
+# ---------------------------------------------------------------------------
+# q197 audits whether ONE generalization step would rescue at-risk
+# classes; this publishes the actual release: walk a generalization
+# HIERARCHY — (nation, segment) → (nation, *) → (region, *) — releasing
+# each class at the most specific level satisfying k-anonymity AND
+# l-diversity over the rows still unreleased (iterative residual
+# recoding — the sound variant; a coarse class must be k-large among the
+# rows it actually publishes, not counting rows that already released at
+# a finer level), suppressing whatever survives the whole ladder. Both
+# engine sides are generated from `functions/privacy.py` (`anonymize` /
+# `duckdb_ladder_census_sql`), so the oracle pins the API itself.
+_Q204_LEVELS = (
+    {"nation": "CAST(nation_key AS STRING)", "segment": "segment"},
+    {"nation": "CAST(nation_key AS STRING)", "segment": None},
+    {"nation": "CONCAT('region=', CAST(region_key AS STRING))", "segment": None},
+)
+_Q204_K = 10
+_Q204_L = 2
+_Q204_FROM = f"""
+    SELECT nation_key, segment, region_key, {_Q197_BAND} AS band
+    FROM (
+      SELECT CAST(c.c_nationkey AS BIGINT) AS nation_key,
+             c.c_mktsegment AS segment,
+             CAST(n.n_regionkey AS BIGINT) AS region_key,
+             {_Q197_CENTS} AS cents
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+"""
+
+from ..functions.privacy import duckdb_ladder_census_sql as _ladder_sql  # noqa: E402
+
+
+@register(
+    "q204_anonymity_ladder",
+    sql=_ladder_sql(
+        _Q204_LEVELS, "band", _Q204_K, _Q204_L, from_sql=_Q204_FROM
+    ),
+    tags=("privacy", "k-anonymity", "l-diversity", "release-gate", "curation"),
+)
+def q204_anonymity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published-class census of the three-level anonymization ladder
+    (module comment): one row per released (or suppressed) class —
+    released QI display, the level it published at (-1 = suppressed),
+    row count and sensitive-band diversity. Every gen_level >= 0 row has
+    n_rows >= k and n_sens >= l by construction of the residual walk.
+
+    Scale shape: the ladder walks the (class x band) table — class-count
+    rows at any corpus size — with one broadcast semi/anti split per
+    level; the row-level release is ONE broadcast join back to the
+    corpus (`functions/privacy.py` module docstring); the census here
+    re-aggregates the released rows on their display key. The nation dim
+    join is broadcast.
+    """
+    from ..functions.privacy import anonymize
+
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    base = (
+        c.join(
+            F.broadcast(n.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .selectExpr(
+            "CAST(c_nationkey AS BIGINT) AS nation_key",
+            "c_mktsegment AS segment",
+            "CAST(n_regionkey AS BIGINT) AS region_key",
+            f"{_Q197_CENTS} AS cents",
+        )
+        .selectExpr("nation_key", "segment", "region_key", f"{_Q197_BAND} AS band")
+    )
+    released = anonymize(
+        base, _Q204_LEVELS, "band", _Q204_K, _Q204_L, drop_suppressed=False
+    )
+    return (
+        released.groupBy("nation_released", "segment_released", "gen_level")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("band").cast("bigint").alias("n_sens"),
+        )
+        .select(
+            "nation_released",
+            "segment_released",
+            F.col("gen_level").cast("bigint").alias("gen_level"),
+            "n_rows",
+            "n_sens",
+        )
+        .orderBy("gen_level", "nation_released", "segment_released")
+    )
