@@ -67,3 +67,52 @@ def start_boilerplate_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def maintain_boilerplate_store(
+    spark,
+    out_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    min_docs: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """The scheduled maintenance command for a standing boilerplate
+    stream — the two maintenance halves COMPOSED in their safe order:
+
+    1. ``compact_store`` with the exclude list derived from the stream's
+       own checkpoint (``checkpoint_replayable_ids`` — offsets minus
+       commits; empty after a clean availableNow termination, the
+       in-flight batch after a crash), restoring O(1) store partitions.
+    2. ``recurate_history`` against the now-compacted store, re-cleaning
+       every committed output partition with today's full evidence.
+
+    Compact-then-recurate is safe BECAUSE compaction preserves the
+    merged df exactly (the ``src_batch`` row identity makes the
+    distinct-fold lossless — `text/incremental_boilerplate.py` module
+    docstring), so recuration reads the same boilerplate set either
+    side of the fold; the drill test pins the composition against an
+    uncompacted control run byte-for-byte. Running recurate first would
+    also work, but would re-list the unfolded partition sprawl the
+    compaction exists to remove — maintenance cost, not correctness.
+
+    Returns ``{"folded": <partitions removed>, "recurated": <docs
+    rewritten>}``. Idempotent: a crash between the halves re-runs
+    cleanly (compaction converges from its crash window, recuration is
+    deterministic per partition).
+    """
+    from ..incremental.store import checkpoint_replayable_ids, compact_store
+    from ..text.incremental_boilerplate import recurate_history
+
+    exclude = checkpoint_replayable_ids(spark, checkpoint_dir)
+    folded = compact_store(spark, store_path, exclude=exclude)
+    recurated = recurate_history(
+        spark,
+        out_dir,
+        store_path,
+        min_docs=min_docs,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    return {"folded": folded, "recurated": recurated}

@@ -11,12 +11,17 @@
      everything already ingested via the MinHash-LSH signature store
      (`text.incremental_dedup`), never re-reading historical text; a
      re-crawled page (same content, new doc id) is caught cross-batch.
-  3. **Retroactive recuration + store maintenance** — the committed
-     archive is re-cleaned against the final df store
-     (`recurate_history`: day 1 shipped with the template because the
-     evidence was still thin — the archive converges), then both stores
-     are compacted (`incremental.store.compact_store`): O(1) partition
-     count for the long-lived job, semantics unchanged.
+  3. **Scheduled store maintenance, composed in its safe order** — both
+     stores compact first (`incremental.store.compact_store`: O(1)
+     partition count for the long-lived job, latest replayable batch
+     excluded), THEN the committed archive is re-cleaned against the
+     now-compacted df store (`recurate_history`: day 1 shipped with the
+     template because the evidence was still thin — the archive
+     converges). Recurating after the fold is sound because compaction
+     preserves the merged df exactly; the streaming twin of this
+     composition (`streaming.boilerplate_job.maintain_boilerplate_store`,
+     exclude derived from the checkpoint) is drill-tested against an
+     uncompacted control byte-for-byte.
   4. **Leakage-safe split + shards** — the accumulated unique corpus is
      split train/eval by CLUSTER-inherited hash (near-dup pairs from the
      dedup rounds → connected components → hash the cluster id), so no
@@ -140,10 +145,23 @@ def run(spark, workdir: str) -> dict:
     ).count()
     audit["n_unique"] = uniques.count()
 
-    # retroactive recuration: day 1 shipped with the template (evidence
-    # was still below threshold); re-clean the committed history against
-    # today's df store so the archive converges with the live batches
+    # ------------------------------------------------------------------
+    # 3. scheduled maintenance, composed in its safe order: compact the
+    #    stores FIRST (O(1) partition count; the latest committed day
+    #    stays excluded — a manually driven job's most recent batch is
+    #    the one a crash-restart could replay), THEN recurate history
+    #    against the compacted store. Compaction preserves the merged df
+    #    exactly, so the recuration outcome is identical either side of
+    #    the fold (the streaming drill pins this against an uncompacted
+    #    control).
+    # ------------------------------------------------------------------
     commit_batch_partition(uniques, f"{workdir}/archive", "all")
+    audit["bp_partitions_folded"] = compact_store(
+        spark, bp_store, exclude=("2",)
+    )
+    audit["sig_partitions_folded"] = compact_store(
+        spark, sig_store, exclude=("2",)
+    )
     audit["recurated_docs"] = recurate_history(
         spark, f"{workdir}/archive", bp_store, min_docs=BP_MIN_DOCS
     )
@@ -152,18 +170,6 @@ def run(spark, workdir: str) -> dict:
         F.col("text").contains(TEMPLATE)
     ).count()
     uniques = archive.drop("batch_id")
-
-    # ------------------------------------------------------------------
-    # 3. store maintenance: O(1) partition count for the standing job
-    # ------------------------------------------------------------------
-    # the latest committed day stays excluded — a manually driven job's
-    # most recent batch is the one a crash-restart could replay
-    audit["bp_partitions_folded"] = compact_store(
-        spark, bp_store, exclude=("2",)
-    )
-    audit["sig_partitions_folded"] = compact_store(
-        spark, sig_store, exclude=("2",)
-    )
 
     # ------------------------------------------------------------------
     # 4. cluster-inherited split (no near-dup straddles) + train shards

@@ -148,3 +148,70 @@ def test_compaction_with_checkpoint_derived_exclude(spark, tmp_path):
     assert [r.asDict() for r in got.collect()] == [
         r.asDict() for r in want.collect()
     ]
+
+
+def test_maintenance_composes_compact_then_recurate(spark, tmp_path):
+    """The scheduled maintenance command (compact with checkpoint-derived
+    exclude, THEN recurate history against the compacted store) yields an
+    archive byte-identical to a control run that recurated WITHOUT
+    compacting — and the stream keeps running after maintenance."""
+    from dataworks_audit_data_ingest_spark.streaming.boilerplate_job import (
+        maintain_boilerplate_store,
+    )
+    from dataworks_audit_data_ingest_spark.text.incremental_boilerplate import (
+        recurate_history,
+    )
+
+    def run(workdir):
+        src = workdir / "src"
+        src.mkdir()
+        out = str(workdir / "cleaned")
+        store = str(workdir / "line_df")
+        ckpt = str(workdir / "ckpt")
+        for n in range(3):
+            _file(src, n)
+            _drive(spark, src, out, store, ckpt)
+        return src, out, store, ckpt
+
+    a = tmp_path / "maintained"
+    b = tmp_path / "control"
+    a.mkdir()
+    b.mkdir()
+    src_a, out_a, store_a, ckpt_a = run(a)
+    src_b, out_b, store_b, ckpt_b = run(b)
+
+    # batches 0 and 1 shipped with the template (df below threshold then)
+    assert (
+        spark.read.parquet(out_a)
+        .filter(F.col("text").contains(TEMPLATE))
+        .count()
+        == 16
+    )
+
+    audit = maintain_boilerplate_store(
+        spark, out_a, store_a, ckpt_a, min_docs=MIN_DOCS
+    )
+    assert audit["folded"] >= 1
+    assert audit["recurated"] == 16  # both pre-conviction batches re-clean
+
+    # control: recurate only, store left unfolded
+    assert (
+        recurate_history(spark, out_b, store_b, min_docs=MIN_DOCS) == 16
+    )
+
+    def snap(out):
+        return sorted(
+            (r.doc_id, r.text, str(r.batch_id))
+            for r in spark.read.parquet(out).collect()
+        )
+
+    assert snap(out_a) == snap(out_b)
+    assert not any(TEMPLATE in t for _, t, _b in snap(out_a))
+
+    # the stream continues against the compacted store: next batch is
+    # convicted immediately and history stays clean
+    _file(src_a, 3)
+    _drive(spark, src_a, out_a, store_a, ckpt_a)
+    post = spark.read.parquet(out_a)
+    assert post.filter(F.col("text").contains(TEMPLATE)).count() == 0
+    assert post.filter("CAST(batch_id AS STRING) = '3'").count() == 10
