@@ -46,6 +46,7 @@ from . import graph_shaped  # noqa: E402,F401
 DRIVER_PRIORITY_AS_OF_ROUND = 7
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q203_dsir_selection",
+    "q205_small_quantity_revenue",
     "q204_anonymity_ladder",
     "q86_chunk_dedup",
     "q87_heavy_hitters_countmin",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q88_source_quota",
     "q90_semantic_dedup",
     "q91_sessionize_batch",
-    "q94_salted_join",
 )
 
 

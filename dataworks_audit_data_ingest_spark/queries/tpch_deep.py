@@ -324,3 +324,69 @@ def q202_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_key")
     )
+
+
+@register(
+    "q205_small_quantity_revenue",
+    sql="""
+    WITH li AS (
+      SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM lineitem
+    ), thresh AS (
+      SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS cnt
+      FROM li GROUP BY l_partkey
+    )
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(SUM(li.price_cents) AS BIGINT) AS revenue_cents
+    FROM li
+      JOIN thresh t ON li.l_partkey = t.l_partkey
+      JOIN part p ON p.p_partkey = li.l_partkey
+    WHERE 5 * li.qty * t.cnt < t.sum_qty
+    GROUP BY p.p_brand
+    ORDER BY brand
+    """,
+    tags=("tpch", "subquery", "correlated-scalar", "join"),
+)
+def q205_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's shape on the available columns: revenue sitting in
+    "small" line items — those whose quantity is below 20 % of the
+    per-part average — rolled up per brand. The correlated scalar
+    subquery (AVG over the same fact table keyed by the outer row's
+    part) is the avg-threshold form; q43 covers the per-key MIN form.
+    The 0.2·AVG comparison is exact integers: qty < 0.2·(sum/cnt) ⇔
+    5·qty·cnt < sum (quantities are integral; 5·50·cnt stays far inside
+    BIGINT at any scale), and revenue totals in cents via the
+    repo-standard FLOOR(x·100 + 0.5).
+
+    Scale shape: the per-part threshold is ONE partial-aggregated
+    shuffle of the fact table on its natural key; the threshold join is
+    fact-to-aggregate on that same key (co-located — AQE reuses the
+    partitioning, no second full exchange of the fact side); the part
+    dim broadcasts; the final brand rollup is a 25-row aggregate. No
+    row-at-a-time correlation — the subquery decorrelates into the
+    keyed join, which is exactly how Catalyst plans TPC-H Q17.
+    """
+    li = table(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey",
+        "CAST(l_quantity AS BIGINT) AS qty",
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents",
+    )
+    thresh = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    return (
+        li.join(thresh, "l_partkey")
+        .filter(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+        .join(F.broadcast(p), "l_partkey")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_small"),
+            F.sum("price_cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("brand")
+    )
