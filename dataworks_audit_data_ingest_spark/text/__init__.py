@@ -4,7 +4,12 @@ from .bpe import tokenize_documents, train_bpe, word_frequency_table  # noqa: F4
 
 from .config import STAGES, build_pipeline, run_pipeline  # noqa: F401
 
-from .dsir import ratio_bits as dsir_ratio_bits, select_dsir  # noqa: F401
+from .dsir import (  # noqa: F401
+    fit_dsir_model,
+    ratio_bits as dsir_ratio_bits,
+    score_with_model,
+    select_dsir,
+)
 
 from .incremental_semantic import (  # noqa: F401
     incremental_semantic_batch,

@@ -229,3 +229,144 @@ def duckdb_select_dsir_sql(
     ORDER BY priority, {id_col}
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Frozen-model half: fit once, score any stream against the frozen grid
+# ---------------------------------------------------------------------------
+# `ratio_bits` scores a corpus against ITSELF (the grid is built from the
+# same scan). A standing selection job can't do that — per-batch grids
+# would re-weight every document differently batch to batch and the
+# reservoir merge would stop being well-defined. The streaming recipe
+# (real DSIR's, too: the paper fits hashed n-gram models ONCE on
+# target+raw samples, then scores the full crawl) is fit-then-freeze:
+#
+#   fit_dsir_model   : training corpus -> (grid, meta) persisted to disk
+#   score_with_model : any docs        -> ratio_bits + weight, using the
+#                      frozen grid (broadcast join), out-of-vocabulary
+#                      words at the grid's count-zero bits, and the
+#                      weight shift FROZEN at fit time (min ratio_bits
+#                      over the training corpus; later docs below the
+#                      floor clamp to weight 1)
+#
+# Scoring is a pure function of (document text, frozen model), and the
+# bottom-k priority of (id, weight, seed) — so a stream scored this way
+# feeds the mergeable weighted reservoir (`streaming/sample_job.py`)
+# with full replay idempotency, and a reservoir over N micro-batches
+# equals the batch selection over their union (drill-pinned).
+
+
+def fit_dsir_model(
+    spark,
+    docs: DataFrame,
+    target: Column,
+    model_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fit the unigram likelihood-ratio model on a training corpus and
+    persist it: ``<model_path>/grid`` (word -> dbits) and
+    ``<model_path>/meta`` (one row: t_raw, t_tgt, v, oov_dbits,
+    floor_bits). Overwrites any previous model at the path (retrain =
+    rewrite; consumers read the model per batch, never cache across
+    batches)."""
+    toks = docs.select(
+        target.alias("_is_target"),
+        F.explode(F.split(text_col, " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    vsize = toks.agg(F.countDistinct("w").alias("v"))
+    raw_c = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tgt_c = (
+        toks.filter(F.col("_is_target"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    totals = raw_c.agg(F.sum("c").alias("t_raw")).crossJoin(
+        tgt_c.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("t_tgt"))
+    )
+    grid = (
+        raw_c.join(tgt_c, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "w",
+            F.expr(
+                "LENGTH(BIN((t_raw + v) DIV (c + 1)))"
+                " - LENGTH(BIN((t_tgt + v) DIV (COALESCE(tc, 0) + 1)))"
+            ).cast("int").alias("dbits"),
+        )
+    )
+    grid.write.mode("overwrite").parquet(f"{model_path}/grid")
+    floor = (
+        ratio_bits(docs, target, text_col=text_col, id_col=id_col, extra_cols=())
+        .agg(F.min("ratio_bits").alias("floor_bits"))
+    )
+    meta = (
+        totals.crossJoin(vsize)
+        .crossJoin(floor)
+        .selectExpr(
+            "CAST(t_raw AS BIGINT) AS t_raw",
+            "CAST(t_tgt AS BIGINT) AS t_tgt",
+            "CAST(v AS BIGINT) AS v",
+            "CAST(LENGTH(BIN(t_raw + v)) - LENGTH(BIN(t_tgt + v)) AS INT)"
+            " AS oov_dbits",
+            "CAST(floor_bits AS BIGINT) AS floor_bits",
+        )
+    )
+    meta.write.mode("overwrite").parquet(f"{model_path}/meta")
+
+
+def score_with_model(
+    spark,
+    docs: DataFrame,
+    model_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: Sequence[str] = ("source",),
+) -> DataFrame:
+    """Score documents against a frozen model: (id_col, *extra_cols,
+    n_tokens, ratio_bits, weight). The grid joins BROADCAST (vocab-sized
+    under any Zipf-bounded vocabulary); out-of-vocabulary words take the
+    model's count-zero bits; weight = max(ratio_bits - floor_bits + 1, 1)
+    with the floor frozen at fit time. Deterministic given (docs, model):
+    safe for replayed micro-batches."""
+    grid = spark.read.parquet(f"{model_path}/grid")
+    meta = spark.read.parquet(f"{model_path}/meta").select(
+        "oov_dbits", "floor_bits"
+    )
+    doc_w = (
+        docs.select(
+            id_col,
+            *extra_cols,
+            F.explode(F.split(text_col, " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy(id_col, "w")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[F.any_value(c).alias(c) for c in extra_cols],
+        )
+    )
+    return (
+        doc_w.join(F.broadcast(grid), "w", "left")
+        .crossJoin(F.broadcast(meta))
+        .withColumn("_dbits", F.coalesce("dbits", "oov_dbits"))
+        .groupBy(id_col)
+        .agg(
+            *[F.any_value(c).alias(c) for c in extra_cols],
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("_dbits"))
+            .cast("bigint")
+            .alias("ratio_bits"),
+            F.any_value("floor_bits").alias("_floor"),
+        )
+        .withColumn(
+            "weight",
+            F.greatest(
+                F.col("ratio_bits") - F.col("_floor") + F.lit(1), F.lit(1)
+            ).cast("bigint"),
+        )
+        .drop("_floor")
+    )
