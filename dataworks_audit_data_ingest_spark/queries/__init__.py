@@ -47,6 +47,9 @@ DRIVER_PRIORITY_AS_OF_ROUND = 7
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q203_dsir_selection",
     "q205_small_quantity_revenue",
+    "q206_large_volume_customers",
+    "q207_brand_promo_revenue",
+    "q208_order_count_distribution",
     "q204_anonymity_ladder",
     "q86_chunk_dedup",
     "q87_heavy_hitters_countmin",
@@ -92,9 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q80_pii_redaction",
     "q81_repetition_quality",
     "q83_source_mixing",
-    "q88_source_quota",
-    "q90_semantic_dedup",
-    "q91_sessionize_batch",
 )
 
 

@@ -390,3 +390,187 @@ def q205_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@register(
+    "q206_large_volume_customers",
+    sql="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+    )
+    SELECT c.c_custkey AS custkey, c.c_name AS cust_name,
+           o.o_orderkey AS orderkey,
+           CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+           CAST(b.total_qty AS BIGINT) AS total_qty
+    FROM big b
+      JOIN orders o ON o.o_orderkey = b.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_qty DESC, orderkey
+    LIMIT 100
+    """,
+    tags=("tpch", "having", "join", "topk"),
+)
+def q206_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers behind orders totalling more than 300 units —
+    a HAVING threshold on the grouped fact table feeding a join back to
+    the order and customer dimensions, top-100 by quantity.
+
+    Scale shape: ONE partial-aggregated shuffle of lineitem on its
+    natural key; the HAVING filter leaves a rare-event row set that
+    BROADCASTS to the orders join (no second fact-sized exchange — the
+    big-order set is small by the threshold's construction at any
+    scale), customer joins broadcast off that, and the top-100 plans as
+    TakeOrderedAndProject. Quantities sum as BIGINT (integral by
+    fixture), money in repo-standard cents.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+                "totalprice_cents"
+            ),
+            F.col("total_qty").cast("bigint").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("orderkey"))
+        .limit(100)
+    )
+
+
+_Q207_BRANCHES = (
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#5", 1, 15, 20, 30),
+)
+_Q207_CASE_SQL = "CASE " + " ".join(
+    f"WHEN p_brand = '{b}' AND p_size BETWEEN {s0} AND {s1}"
+    f" AND qty BETWEEN {q0} AND {q1} THEN '{b}'"
+    for b, s0, s1, q0, q1 in _Q207_BRANCHES
+) + " END"
+
+
+@register(
+    "q207_brand_promo_revenue",
+    sql=f"""
+    WITH joined AS (
+      SELECT p.p_brand, p.p_size,
+             CAST(l.l_quantity AS BIGINT) AS qty,
+             CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                  AS BIGINT) AS rev_cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), labeled AS (
+      SELECT {_Q207_CASE_SQL} AS branch, rev_cents FROM joined
+    )
+    SELECT branch,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents
+    FROM labeled
+    WHERE branch IS NOT NULL
+    GROUP BY branch
+    ORDER BY branch
+    """,
+    tags=("tpch", "disjunction", "join", "agg"),
+)
+def q207_brand_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19's shape on the available columns: revenue from three
+    brand-specific promotion windows, each an AND-conjunction of brand,
+    part-size range, and quantity range, OR-ed together — the classic
+    disjunctive multi-table predicate, reported per branch instead of
+    one opaque total so each conjunct is independently checkable.
+
+    Scale shape: part dim broadcasts; the disjunction evaluates
+    map-side (whole-stage codegen CASE) with the quantity bounds
+    pushable to the lineitem scan (qty 1..30 covers all branches) and
+    the brand/size bounds prunable on the part side; the final
+    aggregate is three rows. Revenue uses the discounted price in
+    cents: the double product l_extendedprice·(1−l_discount) is
+    IDENTICAL IEEE arithmetic on both engines, floored to cents with
+    the repo-standard idiom AFTER the product — no decimal divergence
+    (same pattern as q110's fix).
+    """
+    li = table(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey",
+        "CAST(l_quantity AS BIGINT) AS qty",
+        "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+        " AS BIGINT) AS rev_cents",
+    )
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand", "p_size"
+    )
+    return (
+        li.join(F.broadcast(p), "l_partkey")
+        .withColumn("branch", F.expr(_Q207_CASE_SQL))
+        .filter(F.col("branch").isNotNull())
+        .groupBy("branch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("branch")
+    )
+
+
+@register(
+    "q208_order_count_distribution",
+    sql="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority NOT LIKE '4%'
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("tpch", "outer-join", "distribution", "agg"),
+)
+def q208_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: the customer order-count distribution — how many
+    customers placed 0, 1, 2, … qualifying orders (the join predicate
+    excludes one priority class, so the LEFT JOIN's preserved zeros are
+    meaningful: customers whose every order was excluded count at 0,
+    exactly the rows an inner join would silently drop).
+
+    Scale shape: the filter sits INSIDE the join condition (evaluated on
+    the orders side before preservation semantics apply); one shuffle of
+    the filtered fact on custkey meets the customer side; COUNT(col)
+    counts only matched rows (null-skipping — the outer-join zero
+    behavior the shape exists to test); the count-of-counts re-aggregate
+    is distribution-sized (tens of rows), a second tiny exchange.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (~F.col("o_orderpriority").like("4%")),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
