@@ -17,24 +17,29 @@ _N_QUERIES = 5  # vec_id < 5 act as query vectors
 _TOP_K = 5
 
 
-def _brute_ranked_ctes() -> str:
+def _brute_ranked_ctes(extra_pair_pred: str = "") -> str:
     """CTE chain ``base0 -> ... -> ranked``: exact cosine of every
     (query, other-vector) pair, ranked per query (queries = vec_id <
-    _N_QUERIES). ONE text shared by q55 and q182's exact leg, so the
-    recall audit can never drift from the query it audits."""
+    _N_QUERIES). ONE text shared by q55, q182's exact leg, and q209's
+    hard-negative pool (which adds a label-disagreement pair predicate
+    via ``extra_pair_pred`` — SQL over aliases q/t), so the recall audit
+    and the mining query can never drift from the query they audit."""
+    extra = f" AND ({extra_pair_pred})" if extra_pair_pred else ""
     return f"""base0 AS (
-      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      SELECT vec_id, label,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings
     ), norm_terms AS (
-      SELECT vec_id, emb, UNNEST(RANGE(1, LEN(emb) + 1)) AS i FROM base0
+      SELECT vec_id, label, emb, UNNEST(RANGE(1, LEN(emb) + 1)) AS i
+      FROM base0
     ), base AS (
-      SELECT vec_id, ANY_VALUE(emb) AS emb,
+      SELECT vec_id, ANY_VALUE(label) AS label, ANY_VALUE(emb) AS emb,
              SQRT(CAST(SUM(CAST(emb[i] * emb[i] AS {_DOT_DEC})) AS DOUBLE)) AS nrm
       FROM norm_terms GROUP BY vec_id
     ), pairs AS (
       SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
              q.emb AS eq, t.emb AS et, q.nrm AS nq, t.nrm AS nt
-      FROM base q JOIN base t ON t.vec_id != q.vec_id
+      FROM base q JOIN base t ON t.vec_id != q.vec_id{extra}
       WHERE q.vec_id < {_N_QUERIES}
     ), indexed AS (
       SELECT query_id, neighbor_id, eq, et, nq, nt,
@@ -1785,4 +1790,57 @@ def q191_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine", 6).alias("score"),
         )
         .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q209 — hard-negative mining (contrastive training pairs)
+# ---------------------------------------------------------------------------
+# Retrieval/embedding training needs near-miss NEGATIVES: for each anchor,
+# the highest-cosine vectors that are NOT from the anchor's own class —
+# random negatives are too easy and same-class neighbors are positives,
+# so the valuable band is "close but wrong". This is q55's exact-cosine
+# kernel with a group-disagreement predicate INSIDE the pair join (pruned
+# before any dot product), exposed as `similarity/knn.py::
+# mine_hard_negatives` (the registered query runs through the API — the
+# oracle pins both). The SQL reuses q55/q182's shared CTE chain with the
+# label-disagreement predicate injected, so the three stay in lockstep.
+_HN_M = 5
+
+
+@register(
+    "q209_hard_negatives",
+    sql=f"""
+    WITH {_brute_ranked_ctes("t.label != q.label")}
+    SELECT query_id, neighbor_id, rnk, ROUND(cosine, 6) AS score
+    FROM ranked WHERE rnk <= {_HN_M}
+    ORDER BY query_id, rnk
+    """,
+    tags=("similarity", "ann", "mining", "contrastive"),
+)
+def q209_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hard negatives per anchor: nearest cosine neighbors whose
+    ``label`` differs from the anchor's (module comment).
+
+    Scale shape: identical to q55's brute kernel — anchors broadcast,
+    one corpus scan, JVM-side decimal-exact cosine — with the group
+    filter evaluated in the join condition (same-class candidates never
+    reach the dot product). The at-scale variant is one flag away:
+    ``mine_hard_negatives(..., method="ivf", cell_col=...)`` routes
+    through trained cells, and hard negatives are by construction near
+    the anchor, exactly where the probed cells are.
+    """
+    from ..similarity.knn import mine_hard_negatives
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return (
+        mine_hard_negatives(q, e, _HN_M, group_col="label")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rnk",
+            F.round("cosine", 6).alias("score"),
+        )
+        .orderBy("query_id", "rnk")
     )

@@ -100,16 +100,35 @@ def knn_join(
     n_probe: int = 1,
     srp_bands: int = 4,
     srp_bits: int = 4,
+    neg_group_col: str | None = None,
 ) -> DataFrame:
-    """Top-k neighbors per query: (query_id, neighbor_id, rnk, cosine)."""
+    """Top-k neighbors per query: (query_id, neighbor_id, rnk, cosine).
+
+    ``neg_group_col``: when set (a column present on BOTH inputs), only
+    pairs whose groups DISAGREE are candidates — the hard-negative
+    mining mode (q209): nearest vectors that are NOT from the query's
+    own class/source/cluster. The filter sits inside the pair join, so
+    same-group candidates are pruned before any cosine is computed."""
+    g = neg_group_col
     q = _with_norm(
-        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col)), vec_col
-    ).select("query_id", F.col(vec_col).alias("_qv"), F.col("_nrm").alias("_qn"))
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col),
+            *([F.col(g).alias("_qg")] if g else []),
+        ),
+        vec_col,
+    ).select(
+        "query_id",
+        F.col(vec_col).alias("_qv"),
+        F.col("_nrm").alias("_qn"),
+        *(["_qg"] if g else []),
+    )
     c = _with_norm(
         corpus.select(
             F.col(corpus_id).alias("neighbor_id"),
             F.col(vec_col),
             *([F.col(cell_col).alias("_cell")] if cell_col else []),
+            *([F.col(g).alias("_cg")] if g else []),
         ),
         vec_col,
     ).select(
@@ -117,11 +136,17 @@ def knn_join(
         F.col(vec_col).alias("_cv"),
         F.col("_nrm").alias("_cn"),
         *(["_cell"] if cell_col else []),
+        *(["_cg"] if g else []),
     )
 
     cos = cosine_expr("_qv", "_cv", "_qn", "_cn")
+    disagree = (
+        (F.col("_qg") != F.col("_cg")) if g else F.lit(True)
+    )
     if method == "brute":
-        pairs = F.broadcast(q).join(c, F.col("neighbor_id") != F.col("query_id"))
+        pairs = F.broadcast(q).join(
+            c, (F.col("neighbor_id") != F.col("query_id")) & disagree
+        )
     elif method == "ivf":
         if not cell_col:
             raise ValueError("ivf requires cell_col (the corpus partition/cell key)")
@@ -151,7 +176,7 @@ def knn_join(
         pairs = (
             F.broadcast(q.join(probes, "query_id"))
             .join(c, ["_cell"])
-            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .filter((F.col("neighbor_id") != F.col("query_id")) & disagree)
         )
     elif method == "srp":
         proj, stack = _srp_bands_expr("_qv", srp_bands, srp_bits, "srp")
@@ -169,7 +194,11 @@ def knn_join(
             .select("query_id", "neighbor_id")
             .distinct()
         )
-        pairs = cand.join(F.broadcast(q), "query_id").join(c, "neighbor_id")
+        pairs = (
+            cand.join(F.broadcast(q), "query_id")
+            .join(c, "neighbor_id")
+            .filter(disagree)
+        )
     else:
         raise ValueError(f"unknown method {method!r}")
 
@@ -270,3 +299,38 @@ def mutual_knn(
         .drop("_n")
     )
     return out
+
+
+def mine_hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    m: int,
+    *,
+    group_col: str,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "brute",
+    cell_col: str | None = None,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: per
+    query, the ``m`` highest-cosine corpus vectors whose ``group_col``
+    (class label, source, dedup cluster) DIFFERS from the query's — the
+    near-miss examples a ranker learns the most from. Thin wrapper over
+    :func:`knn_join`'s ``neg_group_col`` mode; ``method="ivf"`` routes
+    through trained cells for the at-scale path (hard negatives are by
+    definition near the query, so cell-local candidates are exactly the
+    right pool)."""
+    return knn_join(
+        queries,
+        corpus,
+        m,
+        query_id=query_id,
+        corpus_id=corpus_id,
+        vec_col=vec_col,
+        method=method,
+        cell_col=cell_col,
+        n_probe=n_probe,
+        neg_group_col=group_col,
+    )

@@ -183,3 +183,32 @@ def test_mutual_knn_over_trained_ivf_cells(spark):
         if a < b and (b, a) in directed
     }
     assert got == want
+
+
+def test_mine_hard_negatives_excludes_anchor_group(spark):
+    from dataworks_audit_data_ingest_spark.similarity.knn import (
+        mine_hard_negatives,
+    )
+    from dataworks_audit_data_ingest_spark.tables import table
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter("vec_id < 5")
+    out = mine_hard_negatives(q, e, 4, group_col="label")
+    rows = out.collect()
+    assert len(rows) == 5 * 4
+    labels = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
+    for r in rows:
+        assert labels[r.query_id] != labels[r.neighbor_id]
+    # every mined negative scores below-or-equal the unfiltered top-1
+    # (the filter can only remove candidates), and ranks are 1..m dense
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    assert all(sorted(v) == [1, 2, 3, 4] for v in per_q.values())
+
+    # ivf mode returns the same schema and respects the group filter too
+    ivf = mine_hard_negatives(
+        q, e, 4, group_col="label", method="ivf", cell_col="label", n_probe=2
+    ).collect()
+    for r in ivf:
+        assert labels[r.query_id] != labels[r.neighbor_id]
