@@ -47,6 +47,7 @@ DRIVER_PRIORITY_AS_OF_ROUND = 7
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q203_dsir_selection",
     "q209_hard_negatives",
+    "q210_triplet_margins",
     "q205_small_quantity_revenue",
     "q206_large_volume_customers",
     "q207_brand_promo_revenue",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q72_region_market_share",
     "q73_returned_item_customers",
     "q80_pii_redaction",
-    "q81_repetition_quality",
 )
 
 

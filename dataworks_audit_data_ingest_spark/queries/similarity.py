@@ -38,15 +38,17 @@ def _brute_ranked_ctes(extra_pair_pred: str = "") -> str:
       FROM norm_terms GROUP BY vec_id
     ), pairs AS (
       SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+             q.label AS ql, t.label AS tl,
              q.emb AS eq, t.emb AS et, q.nrm AS nq, t.nrm AS nt
       FROM base q JOIN base t ON t.vec_id != q.vec_id{extra}
       WHERE q.vec_id < {_N_QUERIES}
     ), indexed AS (
-      SELECT query_id, neighbor_id, eq, et, nq, nt,
+      SELECT query_id, neighbor_id, ql, tl, eq, et, nq, nt,
              UNNEST(RANGE(1, LEN(eq) + 1)) AS i
       FROM pairs
     ), scored AS (
       SELECT query_id, neighbor_id,
+             ANY_VALUE(ql) AS ql, ANY_VALUE(tl) AS tl,
              CAST(SUM(CAST(eq[i] * et[i] AS {_DOT_DEC})) AS DOUBLE)
                / (ANY_VALUE(nq) * ANY_VALUE(nt)) AS cosine
       FROM indexed
@@ -1843,4 +1845,70 @@ def q209_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine", 6).alias("score"),
         )
         .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q210 — triplet mining with margin audit (anchor, positive, hard negative)
+# ---------------------------------------------------------------------------
+# The two mining halves composed: per anchor, the best SAME-label
+# neighbor (positive) and the best DIFFERENT-label neighbor (q209's hard
+# negative), with the margin between their cosines — the quantity a
+# triplet/InfoNCE loss trains on, and the census that says whether the
+# mined pairs are learnable (margin near 0) or trivial. Runs through
+# `similarity/knn.py::mine_triplets`; the oracle re-ranks the SAME
+# shared `scored` CTE under each label predicate, so API, q55, q182 and
+# q209 all stay in lockstep.
+@register(
+    "q210_triplet_margins",
+    sql=f"""
+    WITH {_brute_ranked_ctes()}, pos AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored WHERE ql = tl
+    ), neg AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored WHERE ql != tl
+    )
+    SELECT p.query_id AS query_id,
+           p.neighbor_id AS pos_id, n.neighbor_id AS neg_id,
+           ROUND(p.cosine, 6) AS pos_score,
+           ROUND(n.cosine, 6) AS neg_score,
+           ROUND(p.cosine - n.cosine, 6) AS margin
+    FROM pos p JOIN neg n USING (query_id)
+    WHERE p.rnk = 1 AND n.rnk = 1
+    ORDER BY query_id
+    """,
+    tags=("similarity", "mining", "contrastive", "audit"),
+)
+def q210_triplet_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor contrastive triplet: best same-label positive, best
+    different-label hard negative, and the cosine margin between them
+    (module comment). Anchors with no same-label peer yield no row.
+
+    Scale shape: two instances of q55's brute kernel (anchors broadcast,
+    one corpus scan each, group predicate inside the pair join) met by a
+    single anchor-keyed join of two ≤|anchors|-row sides. The margin is
+    a plain double subtraction of two identically-computed cosines —
+    deterministic across engines and partitionings. At scale both legs
+    take ``method="ivf"`` and route through trained cells.
+    """
+    from ..similarity.knn import mine_triplets
+
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < _N_QUERIES)
+    return (
+        mine_triplets(anchors, e, group_col="label")
+        .select(
+            "query_id",
+            "pos_id",
+            "neg_id",
+            F.round("pos_cos", 6).alias("pos_score"),
+            F.round("neg_cos", 6).alias("neg_score"),
+            F.round("margin", 6).alias("margin"),
+        )
+        .orderBy("query_id")
     )

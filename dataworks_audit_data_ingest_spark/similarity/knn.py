@@ -101,15 +101,20 @@ def knn_join(
     srp_bands: int = 4,
     srp_bits: int = 4,
     neg_group_col: str | None = None,
+    pos_group_col: str | None = None,
 ) -> DataFrame:
     """Top-k neighbors per query: (query_id, neighbor_id, rnk, cosine).
 
     ``neg_group_col``: when set (a column present on BOTH inputs), only
     pairs whose groups DISAGREE are candidates — the hard-negative
     mining mode (q209): nearest vectors that are NOT from the query's
-    own class/source/cluster. The filter sits inside the pair join, so
-    same-group candidates are pruned before any cosine is computed."""
-    g = neg_group_col
+    own class/source/cluster. ``pos_group_col`` is the mirror (groups
+    must AGREE — positive mining for contrastive pairs); setting both is
+    an error. Either filter sits inside the pair join, so pruned
+    candidates never reach a cosine."""
+    if neg_group_col and pos_group_col:
+        raise ValueError("set at most one of neg_group_col / pos_group_col")
+    g = neg_group_col or pos_group_col
     q = _with_norm(
         queries.select(
             F.col(query_id).alias("query_id"),
@@ -140,9 +145,12 @@ def knn_join(
     )
 
     cos = cosine_expr("_qv", "_cv", "_qn", "_cn")
-    disagree = (
-        (F.col("_qg") != F.col("_cg")) if g else F.lit(True)
-    )
+    if not g:
+        disagree = F.lit(True)
+    elif neg_group_col:
+        disagree = F.col("_qg") != F.col("_cg")
+    else:
+        disagree = F.col("_qg") == F.col("_cg")
     if method == "brute":
         pairs = F.broadcast(q).join(
             c, (F.col("neighbor_id") != F.col("query_id")) & disagree
@@ -333,4 +341,49 @@ def mine_hard_negatives(
         cell_col=cell_col,
         n_probe=n_probe,
         neg_group_col=group_col,
+    )
+
+
+def mine_triplets(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    *,
+    group_col: str,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "brute",
+    cell_col: str | None = None,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Contrastive training triplets: per anchor, its best same-group
+    neighbor (positive) and best different-group neighbor (hard
+    negative), with both cosines and the margin between them — the
+    quantity a triplet/InfoNCE loss trains on, and the census that
+    tells you whether mining is producing learnable pairs (margin ≈ 0)
+    or trivial ones (margin large). Anchors whose group has no second
+    member yield no row (no positive exists).
+
+    Returns (query_id, pos_id, neg_id, pos_cos, neg_cos, margin).
+    """
+    kw = dict(
+        query_id=query_id,
+        corpus_id=corpus_id,
+        vec_col=vec_col,
+        method=method,
+        cell_col=cell_col,
+        n_probe=n_probe,
+    )
+    pos = knn_join(anchors, corpus, 1, pos_group_col=group_col, **kw).select(
+        "query_id",
+        F.col("neighbor_id").alias("pos_id"),
+        F.col("cosine").alias("pos_cos"),
+    )
+    neg = knn_join(anchors, corpus, 1, neg_group_col=group_col, **kw).select(
+        "query_id",
+        F.col("neighbor_id").alias("neg_id"),
+        F.col("cosine").alias("neg_cos"),
+    )
+    return pos.join(neg, "query_id").withColumn(
+        "margin", F.col("pos_cos") - F.col("neg_cos")
     )

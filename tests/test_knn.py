@@ -212,3 +212,31 @@ def test_mine_hard_negatives_excludes_anchor_group(spark):
     ).collect()
     for r in ivf:
         assert labels[r.query_id] != labels[r.neighbor_id]
+
+
+def test_mine_triplets_margin_and_group_semantics(spark):
+    from dataworks_audit_data_ingest_spark.similarity.knn import (
+        knn_join,
+        mine_triplets,
+    )
+    from dataworks_audit_data_ingest_spark.tables import table
+    import pytest as _pytest
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings")
+    anchors = e.filter("vec_id < 5")
+    out = {r.query_id: r for r in mine_triplets(anchors, e, group_col="label").collect()}
+    labels = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
+    assert out
+    for qid, r in out.items():
+        assert labels[qid] == labels[r.pos_id]
+        assert labels[qid] != labels[r.neg_id]
+        assert abs(r.margin - (r.pos_cos - r.neg_cos)) < 1e-12
+    # the unconstrained top-1 is one of the two mined candidates
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in knn_join(anchors, e, 1).collect()
+    }
+    for qid, nid in top1.items():
+        assert nid in (out[qid].pos_id, out[qid].neg_id)
+    with _pytest.raises(ValueError):
+        knn_join(anchors, e, 1, neg_group_col="label", pos_group_col="label")
