@@ -46,6 +46,7 @@ from . import graph_shaped  # noqa: E402,F401
 DRIVER_PRIORITY_AS_OF_ROUND = 7
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q203_dsir_selection",
+    "q211_training_interleave",
     "q209_hard_negatives",
     "q210_triplet_margins",
     "q205_small_quantity_revenue",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q71_nation_trade_volume",
     "q72_region_market_share",
     "q73_returned_item_customers",
-    "q80_pii_redaction",
 )
 
 

@@ -2533,3 +2533,77 @@ def q203_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return select_dsir(d, F.col("source") == _Q196_TARGET, _Q203_K)
+
+
+# ---------------------------------------------------------------------------
+# q211 — training-order interleave census (stride evenness audit)
+# ---------------------------------------------------------------------------
+# After curation+mixing, the ORDER documents are fed to the trainer in
+# matters: a block of one source is ordering bias, and a resumed run
+# must see the identical sequence. `text/pipeline.py::
+# interleave_for_training` assigns the stride key rank·N DIV n_s (per-
+# source seeded-hash rank), which spreads every source evenly across the
+# whole order deterministically. This census cuts the order into ten
+# equal bands and counts each source per band — the evenness proof: the
+# count can deviate from n_s/10 by at most 1 by the stride construction.
+_Q211_BANDS = 10
+
+
+@register(
+    "q211_training_interleave",
+    sql=f"""
+    WITH ranked AS (
+      SELECT source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {duckdb_hash32("CAST(doc_id AS VARCHAR)", "interleave")},
+                        doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM documents
+    ), total AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), keyed AS (
+      SELECT source,
+             CAST(CAST(rn AS HUGEINT) * t.n // ns AS BIGINT) AS order_key,
+             t.n AS n
+      FROM ranked CROSS JOIN total t
+    )
+    SELECT CAST((order_key - 1) * {_Q211_BANDS} // n AS BIGINT) AS band,
+           source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM keyed
+    GROUP BY band, source
+    ORDER BY band, source
+    """,
+    tags=("text", "curation", "ordering", "audit", "exact-integer"),
+)
+def q211_training_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evenness census of the deterministic training interleave (module
+    comment): ten equal bands of the global order × source, with each
+    source's count per band pinned to n_s/10 ± 1 by the stride key.
+
+    Scale shape: the per-source rank is a per-source sort — the one
+    intentional total-order materialization (run once per corpus
+    freeze, same class as the shard writer); the corpus total is a
+    broadcast 1-row cross join; the band census is a tiny two-key
+    aggregate. The map-side alternative (``mode="hash"``) trades exact
+    evenness for zero sorting — documented on the API.
+    """
+    from ..text.pipeline import interleave_for_training
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    keyed = interleave_for_training(d)
+    total = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        keyed.crossJoin(F.broadcast(total))
+        .select(
+            F.expr(
+                f"CAST((order_key - 1) * {_Q211_BANDS} DIV n AS BIGINT)"
+            ).alias("band"),
+            "source",
+        )
+        .groupBy("band", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("band", "source")
+    )

@@ -25,6 +25,7 @@ from .pipeline import (  # noqa: F401
     drop_contaminated,
     drop_near_duplicates,
     drop_semantic_duplicates,
+    interleave_for_training,
     mix_sources,
     pack_sequences,
     redact_pii,

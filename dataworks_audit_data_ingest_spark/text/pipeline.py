@@ -794,3 +794,58 @@ def annotate_compressibility(
         lens.select("_id", F.expr(ratio).alias("compress_ratio_ppm")),
         F.col(id_col) == F.col("_id"),
     ).drop("_id")
+
+
+def interleave_for_training(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: str = "interleave",
+    mode: str = "stride",
+) -> DataFrame:
+    """Deterministic global training order with sources spread evenly —
+    the last-mile op between curation and shard writing: a model should
+    not see a million rows of one source in a block (ordering bias), and
+    the order must be REPLAY-STABLE so a resumed/re-run job trains on
+    the identical sequence.
+
+    ``mode="stride"`` (exact): within each source, rows get a seeded
+    hash order (rank 1..n_s); the global key is rank·N DIV n_s — source
+    s occupies every (N/n_s)-th slot, so EVERY window of W consecutive
+    rows contains ≈ W·n_s/N rows of each source, deterministically. The
+    product runs in DECIMAL(38,0) (rank·N can pass 2^63 at corpus
+    scale). Cost: the per-source rank is a per-source sort — this is a
+    real total-order materialization, the same single intentional
+    global shuffle class as `sinks.write_training_shards`; run it once
+    per corpus freeze, not per experiment.
+
+    ``mode="hash"`` (statistical): the key is the seeded row hash alone
+    — map-side, no sort, each window's composition is proportional only
+    in expectation. The right choice when the corpus is re-frozen often.
+
+    Returns ``docs`` + ``order_key`` (BIGINT; train in ascending
+    (order_key, source, id) order — both tie-breaks deterministic).
+    """
+    h = F.expr(
+        spark_hash32(f"CAST({id_col} AS STRING)", seed)
+    )
+    if mode == "hash":
+        return docs.withColumn("order_key", h)
+    if mode != "stride":
+        raise ValueError(f"unknown mode {mode!r}")
+    w_rank = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col))
+    w_src = Window.partitionBy(source_col)
+    total = docs.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        docs.crossJoin(F.broadcast(total))
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_ns", F.count(F.lit(1)).over(w_src))
+        .withColumn(
+            "order_key",
+            F.expr(
+                "CAST(CAST(_rn AS DECIMAL(38,0)) * _n DIV _ns AS BIGINT)"
+            ),
+        )
+        .drop("_rn", "_ns", "_n")
+    )

@@ -877,3 +877,35 @@ def test_select_dsir_matches_registered_query_oracle_kernel(spark):
     api = select_dsir(d, F.col("source") == "src0", 40)
     q = REGISTRY["q203_dsir_selection"].fn(spark, SF)
     assert sorted(map(tuple, api.collect())) == sorted(map(tuple, q.collect()))
+
+
+def test_interleave_for_training_evenness_and_stability(spark):
+    from dataworks_audit_data_ingest_spark.text.pipeline import (
+        interleave_for_training,
+    )
+
+    d = table(spark, SF, "documents").select("doc_id", "source")
+    out = interleave_for_training(d)
+    rows = out.collect()
+    n = len(rows)
+    ns = {}
+    for r in rows:
+        ns[r.source] = ns.get(r.source, 0) + 1
+    # replay-stable under repartitioning
+    again = interleave_for_training(d.repartition(7))
+    assert sorted((r.doc_id, r.order_key) for r in rows) == sorted(
+        (r.doc_id, r.order_key) for r in again.collect()
+    )
+    # stride evenness: every tenth of the order carries each source's
+    # proportional share, off by at most 1
+    bands = {}
+    for r in rows:
+        b = (r.order_key - 1) * 10 // n
+        bands.setdefault((b, r.source), 0)
+        bands[(b, r.source)] += 1
+    for (b, s), cnt in bands.items():
+        assert abs(cnt - ns[s] / 10) <= 1, (b, s, cnt, ns[s])
+    # hash mode: map-side key, still deterministic
+    h1 = sorted((r.doc_id, r.order_key) for r in interleave_for_training(d, mode="hash").collect())
+    h2 = sorted((r.doc_id, r.order_key) for r in interleave_for_training(d.repartition(5), mode="hash").collect())
+    assert h1 == h2
