@@ -49,6 +49,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q211_training_interleave",
     "q209_hard_negatives",
     "q210_triplet_margins",
+    "q212_activity_profile_similarity",
     "q205_small_quantity_revenue",
     "q206_large_volume_customers",
     "q207_brand_promo_revenue",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q65_tfidf_top_terms",
     "q71_nation_trade_volume",
     "q72_region_market_share",
-    "q73_returned_item_customers",
 )
 
 

@@ -1912,3 +1912,103 @@ def q210_triplet_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q212 — behavioral similarity: hour-of-day activity profiles over events
+# ---------------------------------------------------------------------------
+# Time-series similarity on the event stream: each user's 24-bin
+# hour-of-day event-count profile is a vector; nearest profiles by
+# cosine are the users with the most similar daily rhythm (cohorting,
+# anomaly peers, bot-ring candidates). The Spark side builds the dense
+# 24-dim profile and runs the SAME knn kernel as q55/q209/q210
+# (`similarity/knn.py::knn_join`); the oracle computes the identical
+# decimal-exact cosine in its sparse hour-join form — zero products
+# drop out of an exact decimal sum, so dense and sparse agree term for
+# term. Counts here are fixture-scale (c² far inside DECIMAL(28,18)'s
+# 10 integer digits); at real scale normalize profiles to rate-per-hour
+# before the kernel (the knn module's documented envelope).
+_Q212_TOP = 3
+
+
+@register(
+    "q212_activity_profile_similarity",
+    sql=f"""
+    WITH prof AS (
+      SELECT user_id, HOUR(ts) AS hr, COUNT(*) AS c
+      FROM events GROUP BY user_id, HOUR(ts)
+    ), norms AS (
+      SELECT user_id,
+             SQRT(CAST(SUM(CAST(c * c AS DECIMAL(28,18))) AS DOUBLE)) AS nrm
+      FROM prof GROUP BY user_id
+    ), dots AS (
+      SELECT a.user_id AS user_id, b.user_id AS peer_id,
+             CAST(SUM(CAST(a.c * b.c AS DECIMAL(28,18))) AS DOUBLE) AS dot
+      FROM prof a JOIN prof b ON a.hr = b.hr AND a.user_id != b.user_id
+      GROUP BY a.user_id, b.user_id
+    ), scored AS (
+      SELECT d.user_id, d.peer_id,
+             d.dot / (na.nrm * nb.nrm) AS cosine
+      FROM dots d
+        JOIN norms na ON na.user_id = d.user_id
+        JOIN norms nb ON nb.user_id = d.peer_id
+    ), ranked AS (
+      SELECT user_id, peer_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY cosine DESC, peer_id) AS rnk
+      FROM scored
+    )
+    SELECT user_id, peer_id, rnk, ROUND(cosine, 6) AS score
+    FROM ranked WHERE rnk <= {_Q212_TOP}
+    ORDER BY user_id, rnk
+    """,
+    tags=("similarity", "timeseries", "events", "behavioral"),
+)
+def q212_activity_profile_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-3 most similar users by hour-of-day activity profile (module
+    comment) — time-series similarity with the repo's one cosine kernel.
+
+    Scale shape: one (user, hour) partial aggregation, a 24-expression
+    map-side densification, then `knn_join` — profiles broadcast against
+    one pass of themselves here; at large user counts the same call
+    takes ``method="srp"`` (map-side signatures, banded candidates) or
+    ``method="ivf"`` unchanged, which is the point of routing this
+    through the shared kernel instead of a bespoke pair join.
+    """
+    from ..similarity.knn import knn_join
+
+    e = table(spark, sf_dir, "events")
+    prof = (
+        e.groupBy("user_id", F.hour("ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.array(
+                *[
+                    F.coalesce(
+                        F.max(F.when(F.col("hr") == h, F.col("c"))), F.lit(0)
+                    ).cast("double")
+                    for h in range(24)
+                ]
+            ).alias("profile")
+        )
+    )
+    return (
+        knn_join(
+            prof,
+            prof,
+            _Q212_TOP,
+            query_id="user_id",
+            corpus_id="user_id",
+            vec_col="profile",
+        )
+        .select(
+            F.col("query_id").alias("user_id"),
+            F.col("neighbor_id").alias("peer_id"),
+            "rnk",
+            F.round("cosine", 6).alias("score"),
+        )
+        .orderBy("user_id", "rnk")
+    )
