@@ -1920,8 +1920,12 @@ def q210_triplet_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Time-series similarity on the event stream: each user's 24-bin
 # hour-of-day event-count profile is a vector; nearest profiles by
 # cosine are the users with the most similar daily rhythm (cohorting,
-# anomaly peers, bot-ring candidates). The Spark side builds the dense
-# 24-dim profile and runs the SAME knn kernel as q55/q209/q210
+# anomaly peers, bot-ring candidates). Anchors are the 50 MOST ACTIVE
+# users (the population you actually investigate) scored against the
+# whole population — anchors broadcast, ONE corpus pass, linear in
+# users; the measured all-pairs form was quadratic (19 s at sf0.1,
+# tools/scale_study.py) and is exactly the shape the anchor cap
+# removes. The Spark side runs the SAME knn kernel as q55/q209/q210
 # (`similarity/knn.py::knn_join`); the oracle computes the identical
 # decimal-exact cosine in its sparse hour-join form — zero products
 # drop out of an exact decimal sum, so dense and sparse agree term for
@@ -1929,6 +1933,7 @@ def q210_triplet_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 10 integer digits); at real scale normalize profiles to rate-per-hour
 # before the kernel (the knn module's documented envelope).
 _Q212_TOP = 3
+_Q212_ANCHORS = 50
 
 
 @register(
@@ -1937,6 +1942,11 @@ _Q212_TOP = 3
     WITH prof AS (
       SELECT user_id, HOUR(ts) AS hr, COUNT(*) AS c
       FROM events GROUP BY user_id, HOUR(ts)
+    ), activity AS (
+      SELECT user_id, SUM(c) AS n_events FROM prof GROUP BY user_id
+    ), anchors AS (
+      SELECT user_id FROM activity
+      ORDER BY n_events DESC, user_id LIMIT {_Q212_ANCHORS}
     ), norms AS (
       SELECT user_id,
              SQRT(CAST(SUM(CAST(c * c AS DECIMAL(28,18))) AS DOUBLE)) AS nrm
@@ -1945,6 +1955,7 @@ _Q212_TOP = 3
       SELECT a.user_id AS user_id, b.user_id AS peer_id,
              CAST(SUM(CAST(a.c * b.c AS DECIMAL(28,18))) AS DOUBLE) AS dot
       FROM prof a JOIN prof b ON a.hr = b.hr AND a.user_id != b.user_id
+      WHERE a.user_id IN (SELECT user_id FROM anchors)
       GROUP BY a.user_id, b.user_id
     ), scored AS (
       SELECT d.user_id, d.peer_id,
@@ -1967,15 +1978,17 @@ _Q212_TOP = 3
 def q212_activity_profile_similarity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Top-3 most similar users by hour-of-day activity profile (module
-    comment) — time-series similarity with the repo's one cosine kernel.
+    """Top-3 most similar users by hour-of-day activity profile for the
+    50 most active anchors (module comment) — time-series similarity
+    with the repo's one cosine kernel.
 
     Scale shape: one (user, hour) partial aggregation, a 24-expression
-    map-side densification, then `knn_join` — profiles broadcast against
-    one pass of themselves here; at large user counts the same call
-    takes ``method="srp"`` (map-side signatures, banded candidates) or
-    ``method="ivf"`` unchanged, which is the point of routing this
-    through the shared kernel instead of a bespoke pair join.
+    map-side densification, anchor selection as TakeOrderedAndProject,
+    then `knn_join` — 50 anchors broadcast against ONE pass of the
+    population (linear in users; the uncapped all-pairs form measured
+    quadratic and is documented off). At larger anchor sets the same
+    call takes ``method="srp"`` or ``method="ivf"`` unchanged, which is
+    the point of routing through the shared kernel.
     """
     from ..similarity.knn import knn_join
 
@@ -1992,13 +2005,19 @@ def q212_activity_profile_similarity(
                     ).cast("double")
                     for h in range(24)
                 ]
-            ).alias("profile")
+            ).alias("profile"),
+            F.sum("c").alias("n_events"),
         )
+    )
+    anchors = (
+        prof.orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(_Q212_ANCHORS)
+        .select("user_id", "profile")
     )
     return (
         knn_join(
-            prof,
-            prof,
+            anchors,
+            prof.select("user_id", "profile"),
             _Q212_TOP,
             query_id="user_id",
             corpus_id="user_id",
