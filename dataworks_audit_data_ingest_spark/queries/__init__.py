@@ -55,6 +55,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q207_brand_promo_revenue",
     "q208_order_count_distribution",
     "q204_anonymity_ladder",
+    "q213_gopher_rules",
     "q86_chunk_dedup",
     "q87_heavy_hitters_countmin",
     "q89_ann_srp_lsh",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q64_deterministic_sample",
     "q65_tfidf_top_terms",
     "q71_nation_trade_volume",
-    "q72_region_market_share",
 )
 
 

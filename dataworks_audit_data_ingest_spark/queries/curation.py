@@ -1529,3 +1529,133 @@ def q204_anonymity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gen_level", "nation_released", "segment_released")
     )
+
+
+# ---------------------------------------------------------------------------
+# q213 — Gopher surface-form quality rules (census with planted violators)
+# ---------------------------------------------------------------------------
+# q81 carries the repetition half of the Gopher filter set (Rae et al.
+# 2021); this is the SURFACE-FORM half — word-count bounds, mean word
+# length, symbol-to-word ratio, bullet/ellipsis line fractions,
+# alphabetic-word fraction — as `text/pipeline.py::annotate_gopher_rules`
+# under the oracle. The fixture's synthetic prose passes these rules
+# almost uniformly, so six violator documents are PLANTED (one per
+# rule, built from REPEAT/CHR literals evaluated identically by both
+# engines) and the census proves each rule fires on its target and the
+# verdict composes.
+_Q213_PLANTED = (
+    ("90000001", "'tiny document with nine words only here now'"),
+    ("90000002", "REPEAT('#tag ', 60)"),
+    ("90000003", "REPEAT(CONCAT('- item', CHR(10)), 20)"),
+    ("90000004", "REPEAT(CONCAT('to be continued...', CHR(10)), 10)"),
+    ("90000005", "REPEAT('12345 6789 ', 30)"),
+    ("90000006", "REPEAT('abcdefghijklmnop ', 60)"),
+)
+_Q213_FAILS = (
+    "fail_word_count",
+    "fail_mean_word_len",
+    "fail_symbol_ratio",
+    "fail_bullet_lines",
+    "fail_ellipsis_lines",
+    "fail_alpha_words",
+)
+
+
+def _q213_duck_rules() -> str:
+    words = "LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '')"
+    lines = "STRING_SPLIT(text, CHR(10))"
+    return f"""
+      SELECT source,
+             LEN({words}) AS nw,
+             COALESCE(LIST_SUM(LIST_TRANSFORM({words}, w -> LENGTH(w))), 0)
+               AS wchars,
+             LEN({lines}) AS nl,
+             LEN(LIST_FILTER({lines},
+                 l -> l LIKE '- %' OR l LIKE '* %')) AS bullets,
+             LEN(LIST_FILTER({lines}, l -> l LIKE '%...')) AS ellipses,
+             LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
+               + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3
+               AS symbols,
+             LEN(LIST_FILTER({words},
+                 w -> REGEXP_MATCHES(w, '[A-Za-z]'))) AS alphas
+      FROM corpus
+    """
+
+
+@register(
+    "q213_gopher_rules",
+    sql=f"""
+    WITH corpus AS (
+      SELECT source, text FROM documents
+      UNION ALL
+      SELECT 'planted' AS source, t AS text FROM (
+        VALUES {", ".join(f"({expr})" for _, expr in _Q213_PLANTED)}
+      ) v(t)
+    ), feats AS ({_q213_duck_rules()}
+    ), flags AS (
+      SELECT source,
+             (nw < 50 OR nw > 100000) AS fail_word_count,
+             (nw > 0 AND (wchars < 3 * nw OR wchars > 10 * nw))
+               AS fail_mean_word_len,
+             (nw > 0 AND symbols * 10 > nw) AS fail_symbol_ratio,
+             (bullets * 10 > nl * 9) AS fail_bullet_lines,
+             (ellipses * 10 > nl * 3) AS fail_ellipsis_lines,
+             (alphas * 10 < nw * 8) AS fail_alpha_words
+      FROM feats
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN {" OR ".join(_Q213_FAILS)}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_drop,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS n_{c}"
+               for c in _Q213_FAILS
+           )}
+    FROM flags
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("curation", "quality", "gopher", "text"),
+)
+def q213_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source census of the Gopher surface-form rules with six
+    planted single-rule violators (module comment): how many documents
+    each rule would drop, and the composed drop count.
+
+    Scale shape: every rule is a map-side expression over the split
+    arrays (`annotate_gopher_rules` — whole-stage codegen, no Python,
+    no shuffle); the census is one per-source partial aggregation. The
+    planted rows are a 6-row in-plan union.
+    """
+    from ..text.pipeline import annotate_gopher_rules
+
+    d = table(spark, sf_dir, "documents").select("source", "text")
+    planted = spark.range(1).selectExpr(
+        *[f"{expr} AS t{i}" for i, (_, expr) in enumerate(_Q213_PLANTED)]
+    )
+    planted = planted.selectExpr(
+        f"STACK({len(_Q213_PLANTED)}, "
+        + ", ".join(f"'planted', t{i}" for i in range(len(_Q213_PLANTED)))
+        + ") AS (source, text)"
+    )
+    corpus = d.unionByName(planted)
+    flagged = annotate_gopher_rules(corpus)
+    any_fail = None
+    for c in _Q213_FAILS:
+        any_fail = F.col(c) if any_fail is None else (any_fail | F.col(c))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(any_fail, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_drop"),
+            *[
+                F.sum(F.when(F.col(c), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{c}")
+                for c in _Q213_FAILS
+            ],
+        )
+        .orderBy("source")
+    )

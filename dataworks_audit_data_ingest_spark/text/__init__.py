@@ -18,6 +18,7 @@ from .incremental_semantic import (  # noqa: F401
 
 from .pipeline import (  # noqa: F401
     annotate_compressibility,
+    annotate_gopher_rules,
     annotate_quality,
     assign_leakage_safe_splits,
     cap_per_source,

@@ -849,3 +849,97 @@ def interleave_for_training(
         )
         .drop("_rn", "_ns", "_n")
     )
+
+
+def annotate_gopher_rules(
+    docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style surface-form quality rules (Rae et al. 2021,
+    arXiv:2112.11446 — the MassiveText filter set), the complement of
+    q81's repetition rules and q61's stopword/length features:
+
+    - ``fail_word_count``    words < 50 or > 100,000
+    - ``fail_mean_word_len`` mean word length outside [3, 10]
+    - ``fail_symbol_ratio``  ('#' + '...') per word > 0.1
+    - ``fail_bullet_lines``  > 90 % of lines start with a bullet
+    - ``fail_ellipsis_lines``> 30 % of lines end with '...'
+    - ``fail_alpha_words``   < 80 % of words contain a letter
+
+    plus ``gopher_verdict`` ('keep' unless any rule fails). All rules
+    are map-side whole-stage-codegen expressions over the split arrays
+    (no shuffle, no Python); thresholds are the paper's. ASCII-only
+    bullet forms ('- ', '* ') keep Java/RE2/DuckDB regex semantics
+    identical across engines.
+    """
+    words = f"FILTER(SPLIT({text_col}, ' '), w -> w != '')"
+    lines = f"SPLIT({text_col}, '\\n')"
+    nw = f"SIZE({words})"
+    d = docs.withColumn("g_n_words", F.expr(nw).cast("bigint")).withColumn(
+        "g_word_chars",
+        F.expr(
+            f"AGGREGATE(TRANSFORM({words}, w -> LENGTH(w)), 0L, (a, v) -> a + v)"
+        ),
+    ).withColumn(
+        "g_n_lines", F.expr(f"SIZE({lines})").cast("bigint")
+    ).withColumn(
+        "g_bullet_lines",
+        F.expr(
+            f"SIZE(FILTER({lines}, l -> l LIKE '- %' OR l LIKE '* %'))"
+        ).cast("bigint"),
+    ).withColumn(
+        "g_ellipsis_lines",
+        F.expr(f"SIZE(FILTER({lines}, l -> l LIKE '%...'))").cast("bigint"),
+    ).withColumn(
+        "g_symbols",
+        F.expr(
+            f"LENGTH({text_col}) - LENGTH(REPLACE({text_col}, '#', ''))"
+            f" + (LENGTH({text_col}) - LENGTH(REPLACE({text_col}, '...', ''))) DIV 3"
+        ).cast("bigint"),
+    ).withColumn(
+        "g_alpha_words",
+        F.expr(
+            f"SIZE(FILTER({words}, w -> w RLIKE '[A-Za-z]'))"
+        ).cast("bigint"),
+    )
+    d = (
+        d.withColumn(
+            "fail_word_count",
+            (F.col("g_n_words") < 50) | (F.col("g_n_words") > 100_000),
+        )
+        .withColumn(
+            "fail_mean_word_len",
+            (F.col("g_n_words") > 0)
+            & (
+                (F.col("g_word_chars") < 3 * F.col("g_n_words"))
+                | (F.col("g_word_chars") > 10 * F.col("g_n_words"))
+            ),
+        )
+        .withColumn(
+            "fail_symbol_ratio",
+            (F.col("g_n_words") > 0)
+            & (F.col("g_symbols") * 10 > F.col("g_n_words")),
+        )
+        .withColumn(
+            "fail_bullet_lines",
+            F.col("g_bullet_lines") * 10 > F.col("g_n_lines") * 9,
+        )
+        .withColumn(
+            "fail_ellipsis_lines",
+            F.col("g_ellipsis_lines") * 10 > F.col("g_n_lines") * 3,
+        )
+        .withColumn(
+            "fail_alpha_words",
+            F.col("g_alpha_words") * 10 < F.col("g_n_words") * 8,
+        )
+    )
+    any_fail = (
+        F.col("fail_word_count")
+        | F.col("fail_mean_word_len")
+        | F.col("fail_symbol_ratio")
+        | F.col("fail_bullet_lines")
+        | F.col("fail_ellipsis_lines")
+        | F.col("fail_alpha_words")
+    )
+    return d.withColumn(
+        "gopher_verdict", F.when(any_fail, "drop").otherwise("keep")
+    )

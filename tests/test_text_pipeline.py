@@ -909,3 +909,41 @@ def test_interleave_for_training_evenness_and_stability(spark):
     h1 = sorted((r.doc_id, r.order_key) for r in interleave_for_training(d, mode="hash").collect())
     h2 = sorted((r.doc_id, r.order_key) for r in interleave_for_training(d.repartition(5), mode="hash").collect())
     assert h1 == h2
+
+
+def test_annotate_gopher_rules_each_rule_isolates(spark):
+    from dataworks_audit_data_ingest_spark.text.pipeline import (
+        annotate_gopher_rules,
+    )
+
+    good = " ".join(f"the word{i} is fine" for i in range(20))  # 80 words
+    rows = [
+        (0, good),
+        (1, "too few words"),
+        (2, ("#x " * 80).strip()),
+        (3, "\n".join("- item" for _ in range(19)) + "\ntail " + good),
+        (4, "\n".join("so it goes..." for _ in range(9)) + "\n" + good),
+        (5, ("1234 5678 " * 30).strip()),
+        (6, ("extraordinarily " * 60).strip()),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in annotate_gopher_rules(d).collect()}
+    assert got[0].gopher_verdict == "keep"
+    assert got[1].fail_word_count and got[1].gopher_verdict == "drop"
+    assert got[2].fail_symbol_ratio
+    assert got[5].fail_alpha_words
+    assert got[6].fail_mean_word_len
+    # bullet/ellipsis rules fire on line fractions
+    b = annotate_gopher_rules(
+        spark.createDataFrame(
+            [(0, "\n".join("- b" for _ in range(20)))], "doc_id long, text string"
+        )
+    ).first()
+    assert b.fail_bullet_lines
+    e = annotate_gopher_rules(
+        spark.createDataFrame(
+            [(0, "\n".join("go on..." for _ in range(10)))],
+            "doc_id long, text string",
+        )
+    ).first()
+    assert e.fail_ellipsis_lines
