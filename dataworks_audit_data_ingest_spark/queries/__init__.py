@@ -56,6 +56,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q208_order_count_distribution",
     "q204_anonymity_ladder",
     "q213_gopher_rules",
+    "q214_contamination_fraction",
     "q86_chunk_dedup",
     "q87_heavy_hitters_countmin",
     "q89_ann_srp_lsh",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q63_fingerprint",
     "q64_deterministic_sample",
     "q65_tfidf_top_terms",
-    "q71_nation_trade_volume",
 )
 
 

@@ -1659,3 +1659,129 @@ def q213_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q214 — contamination FRACTION (dirty-gram ppm per document)
+# ---------------------------------------------------------------------------
+# q82's gate is binary (any shared 8-gram ⇒ flagged); real hygiene
+# policies (GPT-3 appendix C's dirty-document definition and its
+# descendants) grade by HOW MUCH of a document overlaps the benchmark —
+# a page quoting one benchmark item is salvageable by span-removal, a
+# page that IS the benchmark is not. Per candidate document: distinct
+# 8-grams, distinct grams hitting the benchmark set, and the exact
+# integer dirty-ppm; output the 20 dirtiest. Same corpus seeding as q82
+# (planted gram on doc_id % 50 == 3) so the ranking is observable on
+# the clean fixture, same broadcast-semi-join scale shape, plus one
+# doc-keyed partial aggregation and a TakeOrderedAndProject.
+_Q214_TOP = 20
+
+
+@register(
+    "q214_contamination_fraction",
+    sql=f"""
+    WITH probe AS (
+      SELECT ARRAY_TO_STRING((STRING_SPLIT(text, ' '))[1:{_NGRAM}], ' ') AS g0
+      FROM documents WHERE doc_id = 0
+    ), seeded AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % {_SEED_MOD} = 3 AND doc_id % {_BENCH_MOD} <> 0
+                  THEN text || ' ' || g0 ELSE text END AS text
+      FROM documents CROSS JOIN probe
+    ), words AS (
+      SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ws
+      FROM seeded
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= {_NGRAM}
+    ), grams AS (
+      SELECT DISTINCT doc_id, source,
+             ARRAY_TO_STRING(ws[i:i+{_NGRAM - 1}], ' ') AS gram
+      FROM (SELECT doc_id, source, ws,
+                   UNNEST(RANGE(1, LEN(ws) - {_NGRAM - 2})) AS i
+            FROM words)
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+    ), per_doc AS (
+      SELECT g.doc_id, ANY_VALUE(g.source) AS source,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dirty
+      FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+      WHERE g.doc_id % {_BENCH_MOD} <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, source, n_grams, n_dirty,
+           CAST(n_dirty * 1000000 // n_grams AS BIGINT) AS dirty_ppm
+    FROM per_doc
+    WHERE n_dirty > 0
+    ORDER BY dirty_ppm DESC, doc_id
+    LIMIT {_Q214_TOP}
+    """,
+    tags=("curation", "decontamination", "ngram", "exact-integer"),
+)
+def q214_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most benchmark-contaminated candidate documents by exact
+    dirty-gram ppm (module comment) — the graded form of q82's gate.
+
+    Scale shape: q82's exact shape (each side filters to its own docs
+    before the gram explode, benchmark grams dedup tiny then broadcast)
+    with the semi-join widened to a broadcast LEFT join so the per-doc
+    aggregation counts hits and misses in one pass; ppm is exact BIGINT
+    arithmetic; top-20 plans as TakeOrderedAndProject.
+    """
+    d = table(spark, sf_dir, "documents")
+    probe = d.filter(F.col("doc_id") == 0).select(
+        F.expr(
+            f"ARRAY_JOIN(SLICE(SPLIT(text, ' '), 1, {_NGRAM}), ' ')"
+        ).alias("g0")
+    )
+    seeded = d.join(F.broadcast(probe)).select(
+        "doc_id",
+        "source",
+        F.when(
+            (F.col("doc_id") % _SEED_MOD == 3)
+            & (F.col("doc_id") % _BENCH_MOD != 0),
+            F.concat_ws(" ", F.col("text"), F.col("g0")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+    def _grams(docs: DataFrame) -> DataFrame:
+        return (
+            docs.filter(F.size(F.split("text", " ")) >= _NGRAM)
+            .select(
+                "doc_id",
+                "source",
+                F.explode(
+                    F.expr(
+                        f"TRANSFORM(SEQUENCE(1, SIZE(SPLIT(text, ' ')) - {_NGRAM - 1}), "
+                        f"i -> ARRAY_JOIN(SLICE(SPLIT(text, ' '), i, {_NGRAM}), ' '))"
+                    )
+                ).alias("gram"),
+            )
+            .distinct()
+        )
+
+    bench = (
+        _grams(seeded.filter(F.col("doc_id") % _BENCH_MOD == 0))
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        _grams(seeded.filter(F.col("doc_id") % _BENCH_MOD != 0))
+        .join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_dirty"),
+        )
+        .filter(F.col("n_dirty") > 0)
+        .withColumn(
+            "dirty_ppm",
+            F.expr("CAST(n_dirty * 1000000 DIV n_grams AS BIGINT)"),
+        )
+        .orderBy(F.desc("dirty_ppm"), F.asc("doc_id"))
+        .limit(_Q214_TOP)
+    )
