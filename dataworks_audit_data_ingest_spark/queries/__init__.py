@@ -45,6 +45,7 @@ from . import graph_shaped  # noqa: E402,F401
 # their evidence is pytest plus a green oracle-backed twin each.
 DRIVER_PRIORITY_AS_OF_ROUND = 7
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "q215_decayed_activity",
     "q203_dsir_selection",
     "q211_training_interleave",
     "q209_hard_negatives",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q62_token_count",
     "q63_fingerprint",
     "q64_deterministic_sample",
-    "q65_tfidf_top_terms",
 )
 
 

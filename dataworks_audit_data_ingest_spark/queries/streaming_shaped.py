@@ -2512,3 +2512,80 @@ def q200_session_gap_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"merged_ppm_{name}")
         )
     return gaps.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# q215 — time-decayed activity score (integer-exact exponential decay)
+# ---------------------------------------------------------------------------
+# Recency-weighted scoring — "active NOW beats active last month" — is
+# usually an exponential decay exp(-age/τ), which is float pow and not
+# portable across engines. The integer-exact form: half-life decay as a
+# RIGHT SHIFT of a fixed-point unit weight, weight = 10⁶ >> (age_days
+# DIV half_life). Pure BIGINT arithmetic, identical on every engine and
+# partitioning, and mergeable (weights are per-event, the score is a
+# plain SUM — partial aggregation works unchanged, which also makes it
+# a valid streaming accumulator as long as the anchor day is frozen per
+# window). Anchor = the corpus max event date (broadcast 1-row), so the
+# query is deterministic on a fixed fixture. The census pairs each
+# user's decayed score with the raw count — the two rankings disagree
+# exactly where recency matters.
+_Q215_HALF_LIFE_DAYS = 2
+_Q215_UNIT = 1_000_000
+_Q215_TOP = 30
+_Q215_MAX_SHIFT = 40  # ages past ~27 half-lives contribute 0 anyway
+
+
+@register(
+    "q215_decayed_activity",
+    sql=f"""
+    WITH anchor AS (
+      SELECT CAST(MAX(ts) AS DATE) AS d0 FROM events
+    ), weighted AS (
+      SELECT user_id,
+             {_Q215_UNIT} >> LEAST(
+               CAST(a.d0 - CAST(ts AS DATE) AS BIGINT)
+                 // {_Q215_HALF_LIFE_DAYS},
+               {_Q215_MAX_SHIFT}) AS w
+      FROM events CROSS JOIN anchor a
+    )
+    SELECT user_id,
+           CAST(SUM(w) AS BIGINT) AS decayed_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM weighted
+    GROUP BY user_id
+    ORDER BY decayed_micro DESC, user_id
+    LIMIT {_Q215_TOP}
+    """,
+    tags=("events", "timeseries", "decay", "exact-integer", "agg"),
+)
+def q215_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 users by half-life-decayed activity (module comment):
+    score = Σ 10⁶ >> (age_days DIV 2) over each user's events, anchored
+    at the corpus max event date.
+
+    Scale shape: the anchor is a broadcast 1-row cross join (stays in
+    the plan, no collect); the weight is one map-side shift expression;
+    the score is an ordinary partially-aggregated SUM keyed on user;
+    top-30 plans as TakeOrderedAndProject. Streaming twin: freeze the
+    anchor per trigger window and the same SUM is the state update.
+    """
+    e = table(spark, sf_dir, "events")
+    anchor = e.agg(F.expr("CAST(MAX(ts) AS DATE)").alias("d0"))
+    return (
+        e.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.expr(
+                f"SHIFTRIGHT({_Q215_UNIT}, LEAST("
+                f"DATEDIFF(d0, CAST(ts AS DATE)) DIV {_Q215_HALF_LIFE_DAYS},"
+                f" {_Q215_MAX_SHIFT}))"
+            ).alias("w"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("w").cast("bigint").alias("decayed_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .orderBy(F.desc("decayed_micro"), F.asc("user_id"))
+        .limit(_Q215_TOP)
+    )
