@@ -48,6 +48,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q215_decayed_activity",
     "q203_dsir_selection",
     "q211_training_interleave",
+    "q216_passage_chunks",
     "q209_hard_negatives",
     "q210_triplet_margins",
     "q212_activity_profile_similarity",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q61_quality_score",
     "q62_token_count",
     "q63_fingerprint",
-    "q64_deterministic_sample",
 )
 
 

@@ -2607,3 +2607,82 @@ def q211_training_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("band", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q216 — overlapping passage chunking (fixed window + stride, RAG shape)
+# ---------------------------------------------------------------------------
+# q93/q86 chunk by CONTENT (CDC boundaries — dedup-stable); retrieval
+# and pretraining pipelines also need the other chunking: fixed word
+# windows with overlap (window W, stride S < W), so every position has
+# context on both sides and no boundary ever severs an answer span.
+# Passages are derived data — the query emits (doc, passage_idx, word
+# span, portable passage hash) rather than text, which is what an index
+# builder actually ships (the text reconstructs from the span). API twin
+# `text/pipeline.py::chunk_passages` returns the passages with text for
+# downstream embedding.
+_Q216_W = 64
+_Q216_S = 48
+_Q216_DOC_MOD = 20  # census over every 20th doc keeps rows driver-sized
+
+
+@register(
+    "q216_passage_chunks",
+    sql=f"""
+    WITH docs AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS ws
+      FROM documents WHERE doc_id % {_Q216_DOC_MOD} = 0
+    ), spans AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS passage_idx,
+             1 + i * {_Q216_S} AS w_start,
+             LEAST(1 + i * {_Q216_S} + {_Q216_W} - 1, LEN(ws)) AS w_end,
+             ws
+      FROM (SELECT doc_id, ws,
+                   UNNEST(RANGE(0, GREATEST(
+                     (LEN(ws) - {_Q216_W} + {_Q216_S} - 1) // {_Q216_S}, 0
+                   ) + 1)) AS i
+            FROM docs)
+    )
+    SELECT doc_id, passage_idx,
+           CAST(w_start AS BIGINT) AS w_start,
+           CAST(w_end - w_start + 1 AS BIGINT) AS n_words,
+           {duckdb_hash32("ARRAY_TO_STRING(ws[w_start:w_end], ' ')", "psg")}
+             AS passage_hash
+    FROM spans
+    ORDER BY doc_id, passage_idx
+    """,
+    tags=("text", "chunking", "rag", "exact-integer"),
+)
+def q216_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping passage decomposition census (module comment): every
+    20th document cut into 64-word windows at stride 48, each passage
+    identified by (doc, idx, start, length) and a portable MD5 hash of
+    its reconstructed text.
+
+    Scale shape: pure map-side — one SEQUENCE/TRANSFORM explode per
+    document (passages ≈ words/stride per doc, bounded fan-out), the
+    hash computed on the SLICE without materializing passage text
+    downstream; no shuffle until the final presentation sort. The API
+    twin (`chunk_passages`) keeps the text column for the embedding
+    stage; both share the same window arithmetic so spans can never
+    disagree with the index.
+    """
+    from ..text.pipeline import chunk_passages
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _Q216_DOC_MOD == 0)
+        .select("doc_id", "text")
+    )
+    p = chunk_passages(d, window=_Q216_W, stride=_Q216_S)
+    return (
+        p.select(
+            "doc_id",
+            "passage_idx",
+            "w_start",
+            "n_words",
+            F.expr(spark_hash32("passage_text", "psg")).alias("passage_hash"),
+        )
+        .orderBy("doc_id", "passage_idx")
+    )

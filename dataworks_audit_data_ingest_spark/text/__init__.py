@@ -22,6 +22,7 @@ from .pipeline import (  # noqa: F401
     annotate_quality,
     assign_leakage_safe_splits,
     cap_per_source,
+    chunk_passages,
     drop_contained_duplicates,
     drop_contaminated,
     drop_near_duplicates,

@@ -943,3 +943,49 @@ def annotate_gopher_rules(
     return d.withColumn(
         "gopher_verdict", F.when(any_fail, "drop").otherwise("keep")
     )
+
+
+def chunk_passages(
+    docs: DataFrame,
+    *,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut documents into overlapping fixed word windows (``window``
+    words every ``stride`` — stride < window gives symmetric overlap so
+    no boundary severs a span): the retrieval/pretraining counterpart
+    to content-defined chunking (`text/cdc.py`). Returns one row per
+    passage: (id_col, passage_idx, w_start (1-based), n_words,
+    passage_text). A document shorter than one window yields exactly
+    one passage (the whole document); empty docs yield one empty
+    passage row (filter upstream if unwanted).
+
+    Scale shape: one map-side SEQUENCE explode per document — fan-out
+    ≈ words/stride, no shuffle; q216 registers the span arithmetic
+    under the DuckDB oracle via a shared-constant hash census.
+    """
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+    ws = f"SPLIT({text_col}, ' ')"
+    n_psg = (
+        f"GREATEST(CAST(CEIL((SIZE({ws}) - {window}) / {stride}.0) AS INT), 0)"
+    )
+    return docs.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"TRANSFORM(SEQUENCE(0, {n_psg}), "
+                f"i -> ARRAY_JOIN(SLICE({ws}, 1 + i * {stride}, {window}), ' '))"
+            )
+        ).alias("passage_idx", "passage_text"),
+    ).select(
+        id_col,
+        F.col("passage_idx").cast("bigint").alias("passage_idx"),
+        (F.col("passage_idx") * stride + 1).cast("bigint").alias("w_start"),
+        F.expr(
+            "CAST(SIZE(FILTER(SPLIT(passage_text, ' '), w -> w != '')) AS BIGINT)"
+        ).alias("n_words"),
+        "passage_text",
+    )

@@ -947,3 +947,28 @@ def test_annotate_gopher_rules_each_rule_isolates(spark):
         )
     ).first()
     assert e.fail_ellipsis_lines
+
+
+def test_chunk_passages_spans_and_overlap(spark):
+    from dataworks_audit_data_ingest_spark.text.pipeline import chunk_passages
+    import pytest as _pytest
+
+    text = " ".join(f"w{i}" for i in range(100))
+    d = spark.createDataFrame([(1, text), (2, "short doc")],
+                              "doc_id long, text string")
+    out = sorted(
+        chunk_passages(d, window=64, stride=48).collect(),
+        key=lambda r: (r.doc_id, r.passage_idx),
+    )
+    one = [r for r in out if r.doc_id == 1]
+    # 100 words, window 64, stride 48 -> passages at 1 and 49
+    assert [(r.w_start, r.n_words) for r in one] == [(1, 64), (49, 52)]
+    # overlap region is identical text in both passages
+    assert one[0].passage_text.split()[48:] == one[1].passage_text.split()[:16]
+    # reconstruction: stitching first passage + tail of second == doc
+    stitched = one[0].passage_text.split() + one[1].passage_text.split()[16:]
+    assert " ".join(stitched) == text
+    short = [r for r in out if r.doc_id == 2]
+    assert len(short) == 1 and short[0].n_words == 2
+    with _pytest.raises(ValueError):
+        chunk_passages(d, window=10, stride=11)
