@@ -52,6 +52,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q209_hard_negatives",
     "q210_triplet_margins",
     "q212_activity_profile_similarity",
+    "q217_vector_hygiene",
     "q205_small_quantity_revenue",
     "q206_large_volume_customers",
     "q207_brand_promo_revenue",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q60_lang_id_heuristic",
     "q61_quality_score",
     "q62_token_count",
-    "q63_fingerprint",
 )
 
 

@@ -2031,3 +2031,134 @@ def q212_activity_profile_similarity(
         )
         .orderBy("user_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q217 — vector hygiene audit (the QA gate before any index build)
+# ---------------------------------------------------------------------------
+# Embedding pipelines break silently: an upstream encoder emits zeros
+# (padding bug), NaN/Inf (overflow), or byte-identical vectors for
+# different ids (cache bug) — and every one of those poisons an ANN
+# index (zero norms divide by zero, dups distort cells, NaN breaks
+# ordering). The audit census per label cell: vector count, zero-norm
+# count, non-finite count, exact-duplicate count (portable MD5 over the
+# canonical string form), and dimensionality agreement — the checks
+# `vector_index_lifecycle` should run before train/swap. Planted: the
+# fixture is clean, so three pathological vectors are appended in-plan
+# (one zero, one NaN, one duplicate of vec_id 0) under label -1/0 to
+# prove each counter fires.
+@register(
+    "q217_vector_hygiene",
+    sql=f"""
+    WITH planted AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      UNION ALL
+      SELECT 80000001,
+             CAST(-1 AS BIGINT),
+             LIST_TRANSFORM(embedding, x -> CAST(0.0 AS FLOAT))
+      FROM embeddings WHERE vec_id = 0
+      UNION ALL
+      SELECT 80000002,
+             CAST(-1 AS BIGINT),
+             LIST_TRANSFORM(embedding, x -> CAST('NaN' AS FLOAT))
+      FROM embeddings WHERE vec_id = 0
+      UNION ALL
+      SELECT 80000003, label, embedding FROM embeddings WHERE vec_id = 0
+    ), feats AS (
+      SELECT label,
+             LEN(embedding) AS dim,
+             LEN(LIST_FILTER(embedding, x -> x <> 0.0)) = 0 AS zero_norm,
+             LEN(LIST_FILTER(embedding, x -> NOT ISFINITE(x))) > 0
+               AS nonfinite,
+             MD5(ARRAY_TO_STRING(
+               LIST_TRANSFORM(embedding,
+                 x -> CASE WHEN ISNAN(x) THEN 'nan'
+                           ELSE CAST(CAST(x AS DECIMAL(18,9)) AS VARCHAR)
+                      END), ',')) AS vhash
+      FROM planted
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(DISTINCT dim) AS BIGINT) AS n_dims,
+           CAST(SUM(CASE WHEN zero_norm THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_norm,
+           CAST(SUM(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonfinite,
+           CAST(COUNT(*) - COUNT(DISTINCT vhash) AS BIGINT) AS n_exact_dups
+    FROM feats
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("similarity", "audit", "quality", "vectors"),
+)
+def q217_vector_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell vector QA census (module comment): counts of zero-norm,
+    non-finite, exact-duplicate, and dimension-disagreeing embeddings,
+    with three planted pathologies proving each counter fires.
+
+    Scale shape: every feature is a map-side array expression (no
+    Python); the census is one label-keyed partial aggregation whose
+    distinct-count payloads are the 16-byte canonical hashes, not
+    vectors. The float canonicalization quantizes to DECIMAL(18,9)
+    before hashing — float-to-string formatting differs across engines,
+    decimal formatting does not (and NaN != NaN needs the explicit
+    branch on BOTH sides or the dup counter undercounts).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    zero = e.filter(F.col("vec_id") == 0).select(
+        F.lit(80000001).cast("bigint").alias("vec_id"),
+        F.lit(-1).cast("bigint").alias("label"),
+        F.expr("TRANSFORM(embedding, x -> CAST(0.0 AS FLOAT))").alias(
+            "embedding"
+        ),
+    )
+    nan = e.filter(F.col("vec_id") == 0).select(
+        F.lit(80000002).cast("bigint").alias("vec_id"),
+        F.lit(-1).cast("bigint").alias("label"),
+        F.expr("TRANSFORM(embedding, x -> CAST('NaN' AS FLOAT))").alias(
+            "embedding"
+        ),
+    )
+    dup = e.filter(F.col("vec_id") == 0).select(
+        F.lit(80000003).cast("bigint").alias("vec_id"),
+        F.col("label").cast("bigint").alias("label"),
+        "embedding",
+    )
+    planted = (
+        e.select("vec_id", F.col("label").cast("bigint").alias("label"), "embedding")
+        .unionByName(zero)
+        .unionByName(nan)
+        .unionByName(dup)
+    )
+    feats = planted.select(
+        "label",
+        F.expr("SIZE(embedding)").alias("dim"),
+        F.expr("SIZE(FILTER(embedding, x -> x != 0.0F)) = 0").alias(
+            "zero_norm"
+        ),
+        F.expr(
+            "SIZE(FILTER(embedding, x -> ISNAN(x) OR ABS(x) = CAST('Infinity' AS FLOAT))) > 0"
+        ).alias("nonfinite"),
+        F.expr(
+            "MD5(ARRAY_JOIN(TRANSFORM(embedding,"
+            " x -> CASE WHEN ISNAN(x) THEN 'nan'"
+            " ELSE CAST(CAST(x AS DECIMAL(18,9)) AS STRING) END), ','))"
+        ).alias("vhash"),
+    )
+    return (
+        feats.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.countDistinct("dim").cast("bigint").alias("n_dims"),
+            F.sum(F.when(F.col("zero_norm"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero_norm"),
+            F.sum(F.when(F.col("nonfinite"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nonfinite"),
+            (F.count(F.lit(1)) - F.countDistinct("vhash"))
+            .cast("bigint")
+            .alias("n_exact_dups"),
+        )
+        .orderBy("label")
+    )
