@@ -2686,3 +2686,117 @@ def q216_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "passage_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# q218 — passage-level BM25 (the granularity a RAG index actually serves)
+# ---------------------------------------------------------------------------
+# q103 ranks DOCUMENTS; retrieval stacks index PASSAGES — the answer for
+# a query lives in a 64-word span, and document-level tf smears it. Same
+# fixed-point BM25 arithmetic as q103 (module comment above it — exact
+# integers, no ln), re-keyed on (doc_id, passage_idx) over q216's
+# overlapping windows: dl is the passage length, df counts passages, and
+# the winning passage localizes the hit to a span the reader model can
+# consume. Spark side goes through `text/pipeline.py::chunk_passages`
+# (the API is what an index builder calls); the oracle recomputes the
+# same spans from the shared window constants.
+_Q218_TOP = 10
+
+
+@register(
+    "q218_passage_bm25",
+    sql=f"""
+    WITH docs AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS ws
+      FROM documents WHERE doc_id % {_Q216_DOC_MOD} = 0
+    ), spans AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS passage_idx,
+             ws[1 + i * {_Q216_S} :
+                LEAST(1 + i * {_Q216_S} + {_Q216_W} - 1, LEN(ws))] AS pws
+      FROM (SELECT doc_id, ws,
+                   UNNEST(RANGE(0, GREATEST(
+                     (LEN(ws) - {_Q216_W} + {_Q216_S} - 1) // {_Q216_S}, 0
+                   ) + 1)) AS i
+            FROM docs)
+    ), toks AS (
+      SELECT doc_id, passage_idx, UNNEST(pws) AS w FROM spans
+    ), dls AS (
+      SELECT doc_id, passage_idx, COUNT(*) AS dl
+      FROM toks WHERE w <> '' GROUP BY doc_id, passage_idx
+    ), corpus AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS s FROM dls
+    ), tfs AS (
+      SELECT doc_id, passage_idx, w AS term, COUNT(*) AS tf
+      FROM toks WHERE w IN ({_BM25_SQL_LIST})
+      GROUP BY doc_id, passage_idx, w
+    ), dfs AS (
+      SELECT term, COUNT(*) AS df FROM tfs GROUP BY term
+    )
+    SELECT t.doc_id, t.passage_idx,
+           CAST(SUM(
+             ((1000000 * (2*c.n - 2*f.df + 1)) // (2*f.df + 1))
+             * ((22000 * c.s * t.tf) // (10*c.s*t.tf + 3*c.s + 9*d.dl*c.n))
+           ) AS BIGINT) AS bm25_scaled,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+    FROM tfs t
+    JOIN dfs f USING (term)
+    JOIN dls d USING (doc_id, passage_idx)
+    CROSS JOIN corpus c
+    GROUP BY t.doc_id, t.passage_idx
+    ORDER BY bm25_scaled DESC, t.doc_id, t.passage_idx
+    LIMIT {_Q218_TOP}
+    """,
+    tags=("text", "retrieval", "bm25", "rag", "chunking", "top-k"),
+)
+def q218_passage_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 passages by fixed-point BM25 against the standing 4-term
+    query set — q103's kernel at the granularity a RAG index serves,
+    over q216's overlapping 64/48 windows (module comment).
+
+    Scale shape: q103's exact shape with the passage explode fused in
+    front — the term filter still runs BEFORE any exchange so only
+    matching (passage, term) rows shuffle; passage lengths come from the
+    same explode; corpus totals and the |terms|-row df table broadcast;
+    top-10 is TakeOrderedAndProject. The overlap factor (W/S = 4/3)
+    multiplies token volume by a constant, not a scale term.
+    """
+    from ..text.pipeline import chunk_passages
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _Q216_DOC_MOD == 0)
+        .select("doc_id", "text")
+    )
+    p = chunk_passages(d, window=_Q216_W, stride=_Q216_S)
+    toks = p.select(
+        "doc_id",
+        "passage_idx",
+        F.explode(F.split("passage_text", " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    dls = toks.groupBy("doc_id", "passage_idx").agg(
+        F.count(F.lit(1)).alias("dl")
+    )
+    corpus = dls.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").cast("bigint").alias("s")
+    )
+    tfs = (
+        toks.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "passage_idx", F.col("w").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tfs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_ppm = F.expr("(1000000 * (2*n - 2*df + 1)) DIV (2*df + 1)")
+    sat_k = F.expr("(22000 * s * tf) DIV (10*s*tf + 3*s + 9*dl*n)")
+    return (
+        tfs.join(F.broadcast(dfs), "term")
+        .join(dls, ["doc_id", "passage_idx"])
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id", "passage_idx")
+        .agg(
+            F.sum(idf_ppm * sat_k).cast("bigint").alias("bm25_scaled"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25_scaled"), "doc_id", "passage_idx")
+        .limit(_Q218_TOP)
+    )
