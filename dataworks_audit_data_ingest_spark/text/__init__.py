@@ -11,6 +11,11 @@ from .dsir import (  # noqa: F401
     select_dsir,
 )
 
+from .incremental_passages import (  # noqa: F401
+    hash_passages,
+    incremental_passage_batch,
+)
+
 from .incremental_semantic import (  # noqa: F401
     incremental_semantic_batch,
     sign_and_quantize,
