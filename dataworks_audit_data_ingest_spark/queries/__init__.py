@@ -50,6 +50,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q211_training_interleave",
     "q216_passage_chunks",
     "q218_passage_bm25",
+    "q219_source_fair_threshold",
     "q209_hard_negatives",
     "q210_triplet_margins",
     "q212_activity_profile_similarity",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q54_dedup_embedding_cosine",
     "q57_minhash_jaccard_estimate",
     "q60_lang_id_heuristic",
-    "q61_quality_score",
 )
 
 

@@ -2800,3 +2800,124 @@ def q218_passage_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_scaled"), "doc_id", "passage_idx")
         .limit(_Q218_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q219 — source-fair quality thresholds (global vs per-source percentile)
+# ---------------------------------------------------------------------------
+# A single global quality cutoff starves whole sources: code and chat
+# score short, prose scores long, and "drop the bottom 30 % by length"
+# quietly deletes the bottom 80 % of one domain and 5 % of another. The
+# calibration census: the exact 30th-percentile length cutoff computed
+# GLOBALLY and PER SOURCE (both via the q184 discipline — cumsum over
+# the distinct length support, never a corpus sort), and per source how
+# many documents each policy keeps. The gap column is the argument for
+# rank-normalizing quality scores within source before any global gate.
+_Q219_PCT = 30  # drop the bottom 30 %
+
+
+@register(
+    "q219_source_fair_threshold",
+    sql=f"""
+    WITH support AS (
+      SELECT source, n_chars, COUNT(*) AS c
+      FROM documents GROUP BY source, n_chars
+    ), per_src AS (
+      SELECT source, n_chars, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum_s,
+             SUM(c) OVER (PARTITION BY source) AS n_s
+      FROM support
+    ), src_cut AS (
+      SELECT source,
+             MIN(CASE WHEN cum_s * 100 >= {_Q219_PCT} * n_s
+                      THEN n_chars END) AS cut_src
+      FROM per_src GROUP BY source
+    ), glob_support AS (
+      SELECT n_chars, SUM(c) AS c FROM support GROUP BY n_chars
+    ), glob_cum AS (
+      SELECT n_chars,
+             SUM(c) OVER (ORDER BY n_chars) AS cum_g,
+             SUM(c) OVER () AS n_g
+      FROM glob_support
+    ), glob_cut AS (
+      SELECT MIN(CASE WHEN cum_g * 100 >= {_Q219_PCT} * n_g
+                      THEN n_chars END) AS cut_glob
+      FROM glob_cum
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(ANY_VALUE(g.cut_glob) AS BIGINT) AS cut_global,
+           CAST(ANY_VALUE(s.cut_src) AS BIGINT) AS cut_source,
+           CAST(SUM(CASE WHEN d.n_chars >= g.cut_glob THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_global,
+           CAST(SUM(CASE WHEN d.n_chars >= s.cut_src THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_fair,
+           CAST(SUM(CASE WHEN d.n_chars >= s.cut_src THEN 1 ELSE 0 END)
+                - SUM(CASE WHEN d.n_chars >= g.cut_glob THEN 1 ELSE 0 END)
+                AS BIGINT) AS fairness_gap
+    FROM documents d
+      JOIN src_cut s ON s.source = d.source
+      CROSS JOIN glob_cut g
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    tags=("text", "curation", "quality", "calibration", "exact-integer"),
+)
+def q219_source_fair_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep counts under a GLOBAL 30th-percentile length
+    cutoff vs a PER-SOURCE one (module comment): the fairness gap a
+    rank-normalized gate closes.
+
+    Scale shape: percentile cutoffs come from cumsums over the DISTINCT
+    length support per source / globally (thousands of rows, never a
+    corpus sort — q184's discipline); the tiny cutoff tables broadcast
+    back onto one corpus scan; the census is one per-source partial
+    aggregation.
+    """
+    d = table(spark, sf_dir, "documents").select("source", "n_chars")
+    support = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("source").orderBy("n_chars")
+    w_src = Window.partitionBy("source")
+    per_src = support.withColumn("cum_s", F.sum("c").over(w_cum)).withColumn(
+        "n_s", F.sum("c").over(w_src)
+    )
+    src_cut = per_src.groupBy("source").agg(
+        F.min(
+            F.when(
+                F.col("cum_s") * 100 >= _Q219_PCT * F.col("n_s"),
+                F.col("n_chars"),
+            )
+        ).alias("cut_src")
+    )
+    glob_support = support.groupBy("n_chars").agg(F.sum("c").alias("c"))
+    w_g = Window.partitionBy(F.lit(1)).orderBy("n_chars")
+    glob_cut = (
+        glob_support.crossJoin(
+            F.broadcast(glob_support.agg(F.sum("c").alias("n_g")))
+        )
+        .withColumn("cum_g", F.sum("c").over(w_g))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_g") * 100 >= _Q219_PCT * F.col("n_g"),
+                    F.col("n_chars"),
+                )
+            ).alias("cut_glob")
+        )
+    )
+    kept_g = F.when(F.col("n_chars") >= F.col("cut_glob"), 1).otherwise(0)
+    kept_s = F.when(F.col("n_chars") >= F.col("cut_src"), 1).otherwise(0)
+    return (
+        d.join(F.broadcast(src_cut), "source")
+        .crossJoin(F.broadcast(glob_cut))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.any_value("cut_glob").cast("bigint").alias("cut_global"),
+            F.any_value("cut_src").cast("bigint").alias("cut_source"),
+            F.sum(kept_g).cast("bigint").alias("kept_global"),
+            F.sum(kept_s).cast("bigint").alias("kept_fair"),
+            (F.sum(kept_s) - F.sum(kept_g)).cast("bigint").alias("fairness_gap"),
+        )
+        .orderBy("source")
+    )
