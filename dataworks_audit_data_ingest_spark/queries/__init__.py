@@ -62,6 +62,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q204_anonymity_ladder",
     "q213_gopher_rules",
     "q214_contamination_fraction",
+    "q220_filter_agreement_kappa",
     "q86_chunk_dedup",
     "q87_heavy_hitters_countmin",
     "q89_ann_srp_lsh",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q53_dedup_ngram_jaccard",
     "q54_dedup_embedding_cosine",
     "q57_minhash_jaccard_estimate",
-    "q60_lang_id_heuristic",
 )
 
 

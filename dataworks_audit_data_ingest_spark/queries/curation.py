@@ -1785,3 +1785,181 @@ def q214_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dirty_ppm"), F.asc("doc_id"))
         .limit(_Q214_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q220 — quality-filter agreement (pairwise Cohen's kappa, exact ppm)
+# ---------------------------------------------------------------------------
+# Three keep/drop gates ship in this repo (q61 heuristics, q81
+# repetition, q213 Gopher surface form); before stacking filters a
+# pipeline should know whether they agree BEYOND CHANCE — raw overlap
+# (q194's Jaccard, right for dedup pair sets) is inflated when both
+# filters keep almost everything. Cohen's kappa corrects for chance:
+#
+#   kappa = (po - pe) / (1 - pe)
+#         = (N·(n11+n00) − (r1·c1 + r0·c0)) / (N² − (r1·c1 + r0·c0))
+#
+# — a ratio of integers; the census reports it in exact ppm with the
+# full 2×2 table alongside. Products run as HUGEINT / DECIMAL(38,0)
+# (N² wraps BIGINT at ~3·10⁹ docs — the q184 overflow idiom).
+_Q220_GATES = ("heuristic", "repetition", "gopher")
+
+
+def _q220_duck_verdicts() -> str:
+    words = "LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '')"
+    stop_list = ", ".join(f"'{w}'" for w in
+                          ("the", "a", "of", "to", "and", "in", "is", "on"))
+    return f"""
+      SELECT doc_id,
+             (LEN({words}) >= 40
+              AND LEN(LIST_FILTER({words}, w -> w IN ({stop_list}))) * 100
+                  BETWEEN 1 * LEN({words}) AND 50 * LEN({words}))
+               AS keep_heuristic,
+             (SELECT NOT (MAX(c) * 100 > 12 * SUM(c)
+                          OR (SUM(c) - COUNT(*)) * 100 > 70 * SUM(c))
+              FROM (SELECT COUNT(*) AS c
+                    FROM UNNEST(STRING_SPLIT(d.text, ' ')) AS t(w)
+                    WHERE w <> '' GROUP BY w))
+               AS keep_repetition,
+             (LEN({words}) BETWEEN 50 AND 100000
+              AND LEN({words}) > 0
+              AND COALESCE(LIST_SUM(LIST_TRANSFORM({words},
+                    w -> LENGTH(w))), 0) BETWEEN 3 * LEN({words})
+                                             AND 10 * LEN({words})
+              AND (LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
+                   + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3)
+                  * 10 <= LEN({words})
+              AND LEN(LIST_FILTER(STRING_SPLIT(text, CHR(10)),
+                    l -> l LIKE '- %' OR l LIKE '* %')) * 10
+                  <= LEN(STRING_SPLIT(text, CHR(10))) * 9
+              AND LEN(LIST_FILTER(STRING_SPLIT(text, CHR(10)),
+                    l -> l LIKE '%...')) * 10
+                  <= LEN(STRING_SPLIT(text, CHR(10))) * 3
+              AND LEN(LIST_FILTER({words},
+                    w -> REGEXP_MATCHES(w, '[A-Za-z]'))) * 10
+                  >= LEN({words}) * 8)
+               AS keep_gopher
+      FROM documents d
+    """
+
+
+@register(
+    "q220_filter_agreement_kappa",
+    sql=f"""
+    WITH verdicts AS ({_q220_duck_verdicts()}
+    ), pairs AS (
+      SELECT 'heuristic|repetition' AS pair,
+             keep_heuristic AS a, keep_repetition AS b FROM verdicts
+      UNION ALL
+      SELECT 'heuristic|gopher', keep_heuristic, keep_gopher FROM verdicts
+      UNION ALL
+      SELECT 'repetition|gopher', keep_repetition, keep_gopher FROM verdicts
+    ), cells AS (
+      SELECT pair,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, n, n11, n00, n10, n01,
+           CAST(1000000 * (CAST(n AS HUGEINT) * (n11 + n00)
+                  - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                     + CAST(n00 + n01 AS HUGEINT) * (n00 + n10)))
+                // (CAST(n AS HUGEINT) * n
+                  - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                     + CAST(n00 + n01 AS HUGEINT) * (n00 + n10)))
+             AS BIGINT) AS kappa_ppm
+    FROM cells
+    ORDER BY pair
+    """,
+    tags=("curation", "quality", "calibration", "statistics", "exact-integer"),
+)
+def q220_filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cohen's kappa (exact ppm) between the repo's three
+    keep/drop quality gates, with the full 2×2 agreement table per pair
+    (module comment) — the do-my-filters-measure-the-same-thing audit
+    run before stacking them.
+
+    Scale shape: all three verdicts are map-side expressions computed in
+    ONE corpus scan (the repetition gate's word counts collapse per doc
+    before aggregation); the 2×2 cells are a 3-row rollup; kappa is
+    integer arithmetic over the cells with DECIMAL(38,0)/HUGEINT
+    products for the N² terms.
+    """
+    from ..text.pipeline import annotate_gopher_rules, annotate_quality
+
+    d = table(spark, sf_dir, "documents")
+    base = annotate_gopher_rules(annotate_quality(d)).select(
+        "doc_id",
+        (F.col("quality_verdict") == "keep").alias("keep_heuristic"),
+        (F.col("gopher_verdict") == "keep").alias("keep_gopher"),
+        "text",
+    )
+    wc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("total"),
+            F.max("c").alias("top_c"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            (
+                ~(
+                    (F.col("top_c") * 100 > 12 * F.col("total"))
+                    | ((F.col("total") - F.col("n_distinct")) * 100
+                       > 70 * F.col("total"))
+                )
+            ).alias("keep_repetition"),
+        )
+    )
+    v = base.join(wc, "doc_id").select(
+        "keep_heuristic", "keep_repetition", "keep_gopher"
+    )
+    pairs = None
+    combos = [
+        ("heuristic|repetition", "keep_heuristic", "keep_repetition"),
+        ("heuristic|gopher", "keep_heuristic", "keep_gopher"),
+        ("repetition|gopher", "keep_repetition", "keep_gopher"),
+    ]
+    for name, ca, cb in combos:
+        part = v.select(
+            F.lit(name).alias("pair"),
+            F.col(ca).alias("a"),
+            F.col(cb).alias("b"),
+        )
+        pairs = part if pairs is None else pairs.unionByName(part)
+    cells = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+    )
+    dec = "DECIMAL(38,0)"
+    pe_terms = (
+        f"(CAST(n11 + n10 AS {dec}) * (n11 + n01)"
+        f" + CAST(n00 + n01 AS {dec}) * (n00 + n10))"
+    )
+    kappa = (
+        f"CAST((1000000 * (CAST(n AS {dec}) * (n11 + n00) - {pe_terms}))"
+        f" DIV (CAST(n AS {dec}) * n - {pe_terms}) AS BIGINT)"
+    )
+    return cells.select(
+        "pair", "n", "n11", "n00", "n10", "n01",
+        F.expr(kappa).alias("kappa_ppm"),
+    ).orderBy("pair")
