@@ -51,6 +51,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q216_passage_chunks",
     "q218_passage_bm25",
     "q219_source_fair_threshold",
+    "q221_source_signature_terms",
     "q209_hard_negatives",
     "q210_triplet_margins",
     "q212_activity_profile_similarity",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q52b_simhash_hamming",
     "q53_dedup_ngram_jaccard",
     "q54_dedup_embedding_cosine",
-    "q57_minhash_jaccard_estimate",
 )
 
 

@@ -2921,3 +2921,106 @@ def q219_source_fair_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q221 — source signature terms (per-source lift over the corpus share)
+# ---------------------------------------------------------------------------
+# Curation debugging's first question about an opaque source is "what
+# IS this" — answered by the terms most over-represented in it relative
+# to the corpus: lift_ppm = (c_st / T_s) / (c_gt / T_g) in exact integer
+# ppm (the q186 idiom applied source-vs-corpus instead of pair-vs-
+# independence). A support floor keeps one-off typos out; the top-5
+# per source come off a rank window over the qualified (source, term)
+# table, which is vocabulary-sized, never corpus-sized.
+_Q221_MIN_COUNT = 8
+_Q221_TOP = 5
+
+
+@register(
+    "q221_source_signature_terms",
+    sql=f"""
+    WITH toks AS (
+      SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS w
+      FROM documents
+    ), toks_f AS (
+      SELECT * FROM toks WHERE w <> ''
+    ), st AS (
+      SELECT source, w, COUNT(*) AS c_st FROM toks_f GROUP BY source, w
+    ), s_tot AS (
+      SELECT source, SUM(c_st) AS t_s FROM st GROUP BY source
+    ), gt AS (
+      SELECT w, SUM(c_st) AS c_gt FROM st GROUP BY w
+    ), g_tot AS (
+      SELECT SUM(c_st) AS t_g FROM st
+    ), lifted AS (
+      SELECT st.source, st.w,
+             CAST(st.c_st AS BIGINT) AS c_src,
+             CAST(gt.c_gt AS BIGINT) AS c_corpus,
+             CAST(CAST(st.c_st AS HUGEINT) * g.t_g * 1000000
+                  // (CAST(gt.c_gt AS HUGEINT) * s.t_s) AS BIGINT)
+               AS lift_ppm
+      FROM st
+        JOIN gt USING (w)
+        JOIN s_tot s USING (source)
+        CROSS JOIN g_tot g
+      WHERE st.c_st >= {_Q221_MIN_COUNT}
+    )
+    SELECT source, w AS term, c_src, c_corpus, lift_ppm,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY lift_ppm DESC, w) AS rnk
+      FROM lifted)
+    WHERE rnk <= {_Q221_TOP}
+    ORDER BY source, rnk
+    """,
+    tags=("text", "curation", "profile", "exact-integer"),
+)
+def q221_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most over-represented terms per source by exact integer
+    lift ppm with a support floor (module comment).
+
+    Scale shape: one (source, term) partial aggregation off the token
+    explode; the global term table re-aggregates THAT (vocabulary-sized
+    exchange, the q195 collapse discipline); source totals and the
+    corpus total broadcast; the rank window runs over the qualified
+    vocabulary table only. HUGEINT/DECIMAL(38,0) products — c_st·T_g
+    wraps BIGINT once the corpus passes ~10⁹ tokens.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    st = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_st"))
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("t_s"))
+    gt = st.groupBy("w").agg(F.sum("c_st").alias("c_gt"))
+    g_tot = st.agg(F.sum("c_st").alias("t_g"))
+    lifted = (
+        st.filter(F.col("c_st") >= _Q221_MIN_COUNT)
+        .join(gt, "w")
+        .join(F.broadcast(s_tot), "source")
+        .crossJoin(F.broadcast(g_tot))
+        .select(
+            "source",
+            "w",
+            F.col("c_st").cast("bigint").alias("c_src"),
+            F.col("c_gt").cast("bigint").alias("c_corpus"),
+            F.expr(
+                "CAST(CAST(c_st AS DECIMAL(38,0)) * t_g * 1000000"
+                " DIV (CAST(c_gt AS DECIMAL(38,0)) * t_s) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.desc("lift_ppm"), F.asc("w")
+    )
+    return (
+        lifted.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rnk") <= _Q221_TOP)
+        .select(
+            "source", F.col("w").alias("term"),
+            "c_src", "c_corpus", "lift_ppm", "rnk",
+        )
+        .orderBy("source", "rnk")
+    )
