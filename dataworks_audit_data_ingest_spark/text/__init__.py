@@ -35,6 +35,7 @@ from .pipeline import (  # noqa: F401
     interleave_for_training,
     mix_sources,
     pack_sequences,
+    rank_normalize_scores,
     redact_pii,
     resample_to_allocation,
     strip_boilerplate_lines,

@@ -989,3 +989,36 @@ def chunk_passages(
         ).alias("n_words"),
         "passage_text",
     )
+
+
+def rank_normalize_scores(
+    docs: DataFrame,
+    score_col: str,
+    *,
+    by: str = "source",
+    out_col: str = "score_pct_milli",
+) -> DataFrame:
+    """Per-group rank normalization of a quality score — the remedy for
+    the q219 finding that one global threshold starves whole sources:
+    ``out_col`` = the document's exact percentile WITHIN its group in
+    milli units (rank·1000 DIV n_group, ties averaged by RANK semantics
+    — deterministic, integer-exact), so ``filter("score_pct_milli >=
+    300")`` drops the bottom 30 % of EVERY group instead of the bottom
+    30 % of the pooled distribution.
+
+    Scale shape: one rank window per group partition — the same
+    exchange any per-group top-k pays; at 100 TB the approximate twin
+    is the q110 histogram-cutoff route (compute per-group cutoffs from
+    the value support, broadcast, compare map-side — q219's exact
+    construction), which avoids the full per-group sort at the cost of
+    bucket-edge resolution.
+    """
+    w = Window.partitionBy(by).orderBy(F.col(score_col))
+    n = Window.partitionBy(by)
+    return docs.withColumn(
+        out_col,
+        (
+            F.rank().over(w).cast("bigint") * 1000
+            / F.count(F.lit(1)).over(n)
+        ).cast("bigint"),
+    )

@@ -972,3 +972,31 @@ def test_chunk_passages_spans_and_overlap(spark):
     assert len(short) == 1 and short[0].n_words == 2
     with _pytest.raises(ValueError):
         chunk_passages(d, window=10, stride=11)
+
+
+def test_rank_normalize_scores_equalizes_keep_rates(spark):
+    from dataworks_audit_data_ingest_spark.text.pipeline import (
+        rank_normalize_scores,
+    )
+
+    d = table(spark, SF, "documents").select("doc_id", "source", "n_chars")
+    out = rank_normalize_scores(d, "n_chars")
+    kept = out.filter("score_pct_milli >= 300")
+    per_src = {
+        r.source: (r.kept, r.total)
+        for r in out.groupBy("source")
+        .agg(
+            F.sum(F.expr("CASE WHEN score_pct_milli >= 300 THEN 1 ELSE 0 END")).alias("kept"),
+            F.count("*").alias("total"),
+        )
+        .collect()
+    }
+    # every source keeps ~70% (integer rank edges allow small slack)
+    for src, (k, t) in per_src.items():
+        assert abs(k / t - 0.7) < 0.1, (src, k, t)
+    # deterministic under repartitioning
+    again = rank_normalize_scores(d.repartition(9), "n_chars")
+    assert sorted((r.doc_id, r.score_pct_milli) for r in out.collect()) == sorted(
+        (r.doc_id, r.score_pct_milli) for r in again.collect()
+    )
+    assert kept.count() > 0
