@@ -7,4 +7,5 @@ from .enrich import (  # noqa: F401
     refresh_skew_report,
     run_enriched_incremental,
 )
+from .forget import forget_ids_from_store  # noqa: F401
 from .runner import IncrementalJob, run_incremental  # noqa: F401

@@ -1,0 +1,87 @@
+"""Right-to-be-forgotten over DERIVED incremental state.
+
+`sinks/forget.py::forget_keys` erases a subject from the published
+tables; compliance also requires erasing them from the pipeline's
+working state — the MinHash band store, the semantic signature store,
+the perceptual-hash store — or the subject ghosts on: a re-submitted
+document would still match the deleted subject's stored signatures and
+be silently dropped as "duplicate of" data that legally no longer
+exists.
+
+``forget_ids_from_store`` rewrites exactly the store partitions that
+contain the subject's rows (anti-join on the id column, dynamic
+overwrite through the same ``commit_batch_partition`` the rungs use),
+leaves every other partition untouched on disk, and returns a per-
+partition removal manifest for the audit trail. Idempotent: a re-run
+(or a crash-resume) removes nothing further and converges. After the
+forget, re-ingesting the same content under a new id is NOVEL again —
+the drill test pins that end-to-end through `incremental_dedup_batch`.
+
+Scope note: this targets ID-CARRYING stores (band/semantic/phash rows
+each name their ``doc_id``). Content-hash stores (the CDC chunk store
+and the passage store hold ``(hash, len)`` only) carry no subject
+linkage to erase by id; scrubbing specific CONTENT from them means
+recomputing the hashes from the content and deleting those rows — the
+caller owns that mapping, and the same function then applies with
+``id_col="chunk_hash"``/``"passage_hash"``.
+
+Reference scope note: the reference (dwp/dataworks-audit-data-ingest,
+audit_data_ingest.py:1-313) has no state stores; this extends the
+GDPR-forget surface the build brief adds beyond the reference.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .store import _list_partitions, commit_batch_partition
+
+
+def forget_ids_from_store(
+    spark: SparkSession,
+    store_path: str,
+    ids: Sequence,
+    *,
+    id_col: str = "doc_id",
+) -> dict[str, int]:
+    """Remove every row whose ``id_col`` is in ``ids`` from every batch
+    partition of the store. Returns ``{batch_id: rows_removed}`` for the
+    partitions that were rewritten (others are not touched on disk).
+    """
+    if not ids:
+        return {}
+    listed = _list_partitions(spark, store_path)
+    if listed is None:
+        return {}
+    fs, jvm, dirs = listed
+    id_list = list(ids)
+    removed: dict[str, int] = {}
+    for bid in sorted(dirs):
+        part = spark.read.parquet(f"{store_path}/{dirs[bid]}")
+        if id_col not in part.columns:
+            raise ValueError(
+                f"store partition {bid!r} has no column {id_col!r}"
+                f" (columns: {part.columns}); content-hash stores need the"
+                " hash recomputed from content — see module docstring"
+            )
+        hits = part.filter(F.col(id_col).isin(id_list)).count()
+        if hits == 0:
+            continue
+        kept = part.filter(~F.col(id_col).isin(id_list)).localCheckpoint()
+        if kept.count() == 0:
+            # dynamic overwrite writes nothing for an empty frame (no
+            # partition values present), which would LEAVE the subject's
+            # rows on disk — a fully-erased partition must be deleted
+            # outright (same rule as sinks/forget.py's empty-partition
+            # case)
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{store_path}/{dirs[bid]}"),
+                True,
+            )
+        else:
+            commit_batch_partition(kept, store_path, bid)
+        removed[bid] = int(hits)
+    return removed
