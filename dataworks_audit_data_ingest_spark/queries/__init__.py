@@ -56,6 +56,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q210_triplet_margins",
     "q212_activity_profile_similarity",
     "q217_vector_hygiene",
+    "q222_retrieval_graded_metrics",
     "q205_small_quantity_revenue",
     "q206_large_volume_customers",
     "q207_brand_promo_revenue",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q52_dedup_simhash",
     "q52b_simhash_hamming",
     "q53_dedup_ngram_jaccard",
-    "q54_dedup_embedding_cosine",
 )
 
 

@@ -2162,3 +2162,103 @@ def q217_vector_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q222 — graded retrieval metrics: MRR + NDCG of the IVF route vs exact
+# ---------------------------------------------------------------------------
+# q182's recall counts hits; ranking quality needs the GRADED metrics a
+# retrieval eval actually reports: MRR (how early does the first right
+# answer appear) and NDCG@3 (position-discounted credit for all of
+# them). Relevance = membership in the exact top-3 (q55), ranking = the
+# IVF route (q56) — same two registered legs as q182, composed. The
+# log2 discounts are pinned INTEGER CONSTANTS (milli: 1000, 630, 500 =
+# floor(1000/log2(r+1)) for r=1..3), identical literals on both engine
+# sides — graded metrics without a single float log.
+_Q222_DISC = (1000, 630, 500)  # rank 1..3 discount, milli
+_Q222_IDCG = sum(_Q222_DISC)   # all three relevant, best order
+_Q222_DISC_CASE = "CASE rnk " + " ".join(
+    f"WHEN {r + 1} THEN {d}" for r, d in enumerate(_Q222_DISC)
+) + " ELSE 0 END"
+
+
+@register(
+    "q222_retrieval_graded_metrics",
+    sql=f"""
+    WITH {_brute_ranked_ctes()}, {_ivf_ranked_ctes(f"vec_id < {_N_QUERIES}")}, exact AS (
+      SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {_RECALL_K}
+    ), ivf AS (
+      SELECT query_id, neighbor_id, rnk
+      FROM ivf_ranked WHERE rnk <= {_RECALL_K}
+    ), graded AS (
+      SELECT i.query_id, i.rnk,
+             CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM ivf i LEFT JOIN exact e
+        ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    ), per_q AS (
+      SELECT query_id,
+             SUM(rel) AS n_hits,
+             MIN(CASE WHEN rel = 1 THEN rnk END) AS first_hit,
+             SUM(rel * ({_Q222_DISC_CASE})) AS dcg_milli
+      FROM graded GROUP BY query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(1000 // p.first_hit, 0) AS BIGINT) AS mrr_milli,
+           CAST(COALESCE(p.dcg_milli, 0) * 1000 // {_Q222_IDCG} AS BIGINT)
+             AS ndcg_milli
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN per_q p USING (query_id)
+    ORDER BY query_id
+    """,
+    tags=("similarity", "ann", "retrieval", "audit", "exact-integer"),
+)
+def q222_retrieval_graded_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-query MRR and NDCG@3 (milli, integer-exact) of the IVF route
+    against exact-scan relevance (module comment) — the graded
+    companion to q182's recall.
+
+    Scale shape: both legs are queries×k frames; the grading join and
+    the per-query rollup never touch the corpus. Same sampled-query
+    protocol as q182 at 100 TB.
+    """
+    exact = (
+        q55_ann_bruteforce_topk(spark, sf_dir)
+        .filter(F.col("rnk") <= _RECALL_K)
+        .select("query_id", F.col("neighbor_id").alias("rel_id"))
+    )
+    ivf = q56_ann_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rnk"
+    )
+    graded = ivf.join(
+        exact,
+        (ivf.query_id == exact.query_id)
+        & (ivf.neighbor_id == exact.rel_id),
+        "left",
+    ).select(
+        ivf.query_id.alias("qid"),
+        "rnk",
+        F.when(F.col("rel_id").isNotNull(), 1).otherwise(0).alias("rel"),
+    )
+    per_q = graded.groupBy("qid").agg(
+        F.sum("rel").alias("n_hits"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_hit"),
+        F.sum(F.col("rel") * F.expr(_Q222_DISC_CASE)).alias("dcg_milli"),
+    )
+    spine = exact.select("query_id").distinct()
+    return (
+        spine.join(per_q, spine.query_id == per_q.qid, "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.coalesce(
+                F.expr("1000 DIV first_hit"), F.lit(0)
+            ).cast("bigint").alias("mrr_milli"),
+            F.expr(
+                f"CAST(COALESCE(dcg_milli, 0) * 1000 DIV {_Q222_IDCG} AS BIGINT)"
+            ).alias("ndcg_milli"),
+        )
+        .orderBy("query_id")
+    )
