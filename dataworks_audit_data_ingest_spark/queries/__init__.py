@@ -52,6 +52,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q218_passage_bm25",
     "q219_source_fair_threshold",
     "q221_source_signature_terms",
+    "q223_copy_direction",
     "q209_hard_negatives",
     "q210_triplet_margins",
     "q212_activity_profile_similarity",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q50_dedup_exact",
     "q52_dedup_simhash",
     "q52b_simhash_hamming",
-    "q53_dedup_ngram_jaccard",
 )
 
 

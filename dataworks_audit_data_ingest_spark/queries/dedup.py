@@ -2862,3 +2862,119 @@ def q194_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{ppm.format(both='n_hc', a='n_h', b='n_c')}) "
         "AS (method_a, method_b, n_a, n_b, n_both, agreement_ppm)"
     ).orderBy("method_a", "method_b")
+
+
+# ---------------------------------------------------------------------------
+# q223 — copy-direction census (who originates, who republishes)
+# ---------------------------------------------------------------------------
+# q130 counts cross-source duplication symmetrically; licensing and
+# crawl-policy decisions need the DIRECTION: for every exact-duplicate
+# group spanning sources, which source holds the EARLIEST copy (doc_id
+# is ingest order on this fixture — first-seen attribution, q99's
+# convention) and which sources republish it. Output: per
+# (origin_source, copy_source) pair, distinct duplicated texts and
+# total republished copies — the provenance matrix a source-quota
+# policy reads before down-weighting a mirror site. The clean fixture
+# has no exact cross-source copies, so mirrors are PLANTED in-plan:
+# every 25th document is republished verbatim by the "next" source
+# (doc_id + offset keeps ingest order), and every 125th twice — the
+# census must attribute all of them to the true origin.
+_Q223_OFF = 70_000_000
+
+
+@register(
+    "q223_copy_direction",
+    sql=f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_Q223_OFF},
+             'mirror_' || CAST((doc_id % 3) AS VARCHAR) AS source, text
+      FROM documents WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id + {2 * _Q223_OFF}, 'mirror_deep' AS source, text
+      FROM documents WHERE doc_id % 125 = 0
+    ), hashed AS (
+      SELECT doc_id, source,
+             {duckdb_hash32("text", "cd")} AS h
+      FROM corpus
+    ), firsts AS (
+      SELECT h, MIN(doc_id) AS first_doc
+      FROM hashed GROUP BY h HAVING COUNT(*) > 1
+    ), origin AS (
+      SELECT f.h, d.source AS origin_source
+      FROM firsts f JOIN hashed d ON d.doc_id = f.first_doc
+    ), copies AS (
+      SELECT o.origin_source, d.source AS copy_source, o.h,
+             COUNT(*) AS n_copies
+      FROM origin o
+        JOIN hashed d ON d.h = o.h
+      WHERE d.doc_id > (SELECT first_doc FROM firsts WHERE firsts.h = o.h)
+      GROUP BY o.origin_source, d.source, o.h
+    )
+    SELECT origin_source, copy_source,
+           CAST(COUNT(*) AS BIGINT) AS n_texts,
+           CAST(SUM(n_copies) AS BIGINT) AS n_copies
+    FROM copies
+    GROUP BY origin_source, copy_source
+    ORDER BY origin_source, copy_source
+    """,
+    tags=("dedup", "provenance", "census"),
+)
+def q223_copy_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance matrix of exact duplication (module comment): per
+    (origin source, republishing source), how many distinct texts and
+    how many later copies — first-seen attribution by doc_id.
+
+    Scale shape: one hash-keyed aggregation finds multi-copy groups
+    (8-byte portable hashes on the wire, q50's discipline), the
+    origin lookup is a keyed join on the tiny multi-copy set, and the
+    census is a |sources|²-bounded rollup. Nothing corpus-sized ever
+    joins to itself.
+    """
+    base = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    mirrors = base.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + _Q223_OFF).alias("doc_id"),
+        F.concat(F.lit("mirror_"), (F.col("doc_id") % 3).cast("string")).alias(
+            "source"
+        ),
+        "text",
+    )
+    deep = base.filter(F.col("doc_id") % 125 == 0).select(
+        (F.col("doc_id") + 2 * _Q223_OFF).alias("doc_id"),
+        F.lit("mirror_deep").alias("source"),
+        "text",
+    )
+    d = (
+        base.unionByName(mirrors)
+        .unionByName(deep)
+        .select(
+            "doc_id", "source", F.expr(spark_hash32("text", "cd")).alias("h")
+        )
+    )
+    firsts = (
+        d.groupBy("h")
+        .agg(F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("h", "first_doc")
+    )
+    origin = firsts.join(
+        d.select(F.col("doc_id").alias("first_doc"), F.col("source").alias("origin_source")),
+        "first_doc",
+    )
+    copies = (
+        d.join(origin, "h")
+        .filter(F.col("doc_id") > F.col("first_doc"))
+        .groupBy("origin_source", F.col("source").alias("copy_source"), "h")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+    )
+    return (
+        copies.groupBy("origin_source", "copy_source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_texts"),
+            F.sum("n_copies").cast("bigint").alias("n_copies"),
+        )
+        .orderBy("origin_source", "copy_source")
+    )
