@@ -66,6 +66,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q213_gopher_rules",
     "q214_contamination_fraction",
     "q220_filter_agreement_kappa",
+    "q224_dedup_assortativity",
     "q86_chunk_dedup",
     "q87_heavy_hitters_countmin",
     "q89_ann_srp_lsh",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q49_filtered_aggregates",
     "q50_dedup_exact",
     "q52_dedup_simhash",
-    "q52b_simhash_hamming",
 )
 
 

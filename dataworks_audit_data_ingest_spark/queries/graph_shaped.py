@@ -170,3 +170,127 @@ def q146_dedup_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = q52c_simhash60_hamming(spark, sf_dir)
     return triangle_count(pairs, src="doc_a", dst="doc_b")
+
+
+# ---------------------------------------------------------------------------
+# q224 — degree assortativity of the near-dup graph (hub detection)
+# ---------------------------------------------------------------------------
+# q146's closure says whether wedges close; assortativity says WHO pairs
+# with whom: re-encode piles are cliques (every node the same degree →
+# r ≈ +1-ish), banding artifacts are hubs chaining low-degree satellites
+# (high-degree↔low-degree edges → r < 0). Newman's r is the Pearson
+# correlation of endpoint degrees over edges, symmetrized — exact in
+# integers: with M = 2|E| samples, Sx = Σ(du+dv), Sxx = Σ(du²+dv²),
+# Sxy = 2·Σ(du·dv):  r = (M·Sxy − Sx²) / (M·Sxx − Sx²). The milli
+# output splits sign from magnitude (SIGN(num)·(1000·|num| DIV den)) —
+# Spark's DIV truncates toward zero where DuckDB's // floors, so signed
+# integer division must never see a negative operand (the q110-era
+# discipline). Products run in DECIMAL(38,0)/HUGEINT.
+
+
+def _assortativity_oracle_sql() -> str:
+    from .dedup import _simhash60_sql
+
+    pair_sql = _simhash60_sql().strip().rstrip(";")
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      {pair_sql}
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
+      FROM pairs WHERE doc_a != doc_b
+    ), deg AS MATERIALIZED (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+      GROUP BY n
+    ), ed AS (
+      SELECT du.d AS d_u, dv.d AS d_v
+      FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+    ), moments AS (
+      SELECT CAST(2 * COUNT(*) AS HUGEINT) AS m,
+             CAST(SUM(d_u + d_v) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(d_u AS HUGEINT) * d_u
+                      + CAST(d_v AS HUGEINT) * d_v) AS HUGEINT) AS sxx,
+             CAST(2 * SUM(CAST(d_u AS HUGEINT) * d_v) AS HUGEINT) AS sxy,
+             COUNT(*) AS n_edges
+      FROM ed
+    )
+    SELECT CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(sx AS BIGINT) AS sum_deg,
+           CAST(sxx AS BIGINT) AS sum_deg_sq,
+           CAST(sxy AS BIGINT) AS sum_deg_prod,
+           CAST(CASE WHEN m * sxx - sx * sx = 0 THEN 0
+                ELSE CASE WHEN m * sxy - sx * sx < 0 THEN -1 ELSE 1 END
+                     * (1000 * ABS(m * sxy - sx * sx)
+                        // (m * sxx - sx * sx)) END AS BIGINT)
+             AS assortativity_milli
+    FROM moments
+    """
+
+
+@register(
+    "q224_dedup_assortativity",
+    sql=_assortativity_oracle_sql(),
+    tags=("graph", "audit", "dedup", "exact-integer"),
+)
+def q224_dedup_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity (exact milli) of the q52c near-dup
+    pair graph, with the raw degree moments alongside (module comment):
+    negative = hub-and-spoke banding artifacts, near-zero/positive =
+    clique-like re-encode piles. The companion hub diagnostic to q146's
+    wedge closure.
+
+    Scale shape: degrees are one count over the edge endpoints, the
+    (d_u, d_v) join touches only the (bucket-cap-bounded) edge list,
+    and the moments collapse to one row — the corpus never re-enters
+    after the pair query. Signed ratio splits sign from magnitude so
+    cross-engine integer division never sees a negative operand.
+    """
+    from .dedup import q52c_simhash60_hamming
+
+    pairs = q52c_simhash60_hamming(spark, sf_dir)
+    # materialize the edge list ONCE: it feeds three plan branches (deg
+    # twice, the moment join once) and would otherwise re-run the whole
+    # simhash pipeline per branch — the kernel idiom in functions/graph.py
+    e = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("u"),
+            F.greatest("doc_a", "doc_b").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("n").alias("u"), F.col("d").alias("d_u")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("d_v")), "v")
+    )
+    dec = "DECIMAL(38,0)"
+    moments = ed.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.expr(f"CAST(SUM(d_u + d_v) AS {dec})").alias("sx"),
+        F.expr(
+            f"CAST(SUM(CAST(d_u AS {dec}) * d_u + CAST(d_v AS {dec}) * d_v)"
+            f" AS {dec})"
+        ).alias("sxx"),
+        F.expr(f"CAST(2 * SUM(CAST(d_u AS {dec}) * d_v) AS {dec})").alias(
+            "sxy"
+        ),
+    ).withColumn("m", F.expr(f"CAST(2 * n_edges AS {dec})"))
+    return moments.select(
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        F.col("sx").cast("bigint").alias("sum_deg"),
+        F.col("sxx").cast("bigint").alias("sum_deg_sq"),
+        F.col("sxy").cast("bigint").alias("sum_deg_prod"),
+        F.expr(
+            "CAST(CASE WHEN m * sxx - sx * sx = 0 THEN 0"
+            " ELSE CASE WHEN m * sxy - sx * sx < 0 THEN -1 ELSE 1 END"
+            " * (1000 * ABS(m * sxy - sx * sx) DIV (m * sxx - sx * sx))"
+            " END AS BIGINT)"
+        ).alias("assortativity_milli"),
+    )
