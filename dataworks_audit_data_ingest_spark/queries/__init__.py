@@ -53,6 +53,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q219_source_fair_threshold",
     "q221_source_signature_terms",
     "q223_copy_direction",
+    "q225_dedup_threshold_curve",
     "q209_hard_negatives",
     "q210_triplet_margins",
     "q212_activity_profile_similarity",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q47_histogram",
     "q49_filtered_aggregates",
     "q50_dedup_exact",
-    "q52_dedup_simhash",
 )
 
 

@@ -2978,3 +2978,143 @@ def q223_copy_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("origin_source", "copy_source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q225 — dedup threshold sensitivity curve (the tuning table)
+# ---------------------------------------------------------------------------
+# Every dedup deployment asks the same question before committing a
+# threshold: how many pairs — and how many DOCUMENTS, under keep-min-id
+# survivorship — does each candidate threshold remove? q53 reports the
+# pairs at one pinned threshold; this sweeps the exact-Jaccard kernel
+# across five thresholds in one pass (jaccard in exact integer milli,
+# 1000·|A∩B| DIV |A∪B|) and reports the removal curve. The elbow in
+# n_docs_dropped is where the threshold goes.
+_Q225_THRESHOLDS = (500, 600, 700, 800, 900)
+
+
+@register(
+    "q225_dedup_threshold_curve",
+    sql=f"""
+    WITH positions AS (
+      SELECT doc_id, source, text,
+             UNNEST(RANGE(1, LENGTH(text) - 1)) AS i
+      FROM documents
+      WHERE LENGTH(text) >= 3
+    ), all_grams AS (
+      SELECT DISTINCT doc_id, source, SUBSTRING(text, i, 3) AS gram
+      FROM positions
+    ), stop_grams AS (
+      SELECT source, gram FROM all_grams
+      GROUP BY source, gram HAVING COUNT(*) > {_GRAM_DF_CAP}
+    ), grams AS (
+      SELECT all_grams.* FROM all_grams
+      ANTI JOIN stop_grams ON all_grams.source = stop_grams.source
+                          AND all_grams.gram = stop_grams.gram
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM grams a JOIN grams b
+        ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), scored AS (
+      SELECT doc_a, doc_b,
+             1000 * n_common // (sa.n_grams + sb.n_grams - n_common)
+               AS j_milli
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    ), thresholds AS (
+      SELECT UNNEST(ARRAY[{", ".join(str(t) for t in _Q225_THRESHOLDS)}])
+        AS threshold_milli
+    )
+    SELECT t.threshold_milli,
+           CAST(COUNT(*) FILTER (s.j_milli >= t.threshold_milli) AS BIGINT)
+             AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN s.j_milli >= t.threshold_milli
+                                    THEN s.doc_b END) AS BIGINT)
+             AS n_docs_dropped
+    FROM thresholds t LEFT JOIN scored s ON s.j_milli >= t.threshold_milli
+    GROUP BY t.threshold_milli
+    ORDER BY t.threshold_milli
+    """,
+    tags=("dedup", "ngram", "jaccard", "calibration", "exact-integer"),
+)
+def q225_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal curve of the exact n-gram-Jaccard dedup across five
+    candidate thresholds: qualifying pairs and keep-min-id documents
+    dropped per threshold (module comment).
+
+    Scale shape: one pass of q53's kernel (gram-blocked, stop-gram
+    capped, the all-pairs product never materializes) scores every
+    candidate pair ONCE in exact integer milli; the five-threshold
+    census is a broadcast 5-row join over the scored pair list — the
+    sweep costs one dedup pass, not five.
+    """
+    d = table(spark, sf_dir, "documents")
+    all_grams = (
+        d.filter(F.length("text") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "TRANSFORM(SEQUENCE(1, LENGTH(text) - 2),"
+                    " i -> SUBSTRING(text, i, 3))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    stop = (
+        all_grams.groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _GRAM_DF_CAP)
+        .select("source", "gram")
+    )
+    grams = all_grams.join(stop, ["source", "gram"], "left_anti")
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "ga"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "gb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("1000 * n_common DIV (ga + gb - n_common)").alias("j_milli"),
+        )
+    )
+    thresholds = spark.range(1).selectExpr(
+        f"EXPLODE(ARRAY({', '.join(str(t) for t in _Q225_THRESHOLDS)}))"
+        " AS threshold_milli"
+    )
+    return (
+        F.broadcast(thresholds)
+        .join(scored, F.col("j_milli") >= F.col("threshold_milli"), "left")
+        .groupBy("threshold_milli")
+        .agg(
+            F.count(F.col("j_milli")).cast("bigint").alias("n_pairs"),
+            F.countDistinct(
+                F.when(
+                    F.col("j_milli") >= F.col("threshold_milli"),
+                    F.col("doc_b"),
+                )
+            )
+            .cast("bigint")
+            .alias("n_docs_dropped"),
+        )
+        .orderBy("threshold_milli")
+    )
