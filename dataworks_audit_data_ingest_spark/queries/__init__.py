@@ -54,6 +54,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q221_source_signature_terms",
     "q223_copy_direction",
     "q225_dedup_threshold_curve",
+    "q226_containment_threshold_curve",
     "q209_hard_negatives",
     "q210_triplet_margins",
     "q212_activity_profile_similarity",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q46_interval_self_join",
     "q47_histogram",
     "q49_filtered_aggregates",
-    "q50_dedup_exact",
 )
 
 

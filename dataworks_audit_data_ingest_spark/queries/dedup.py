@@ -3118,3 +3118,100 @@ def q225_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_milli")
     )
+
+
+# ---------------------------------------------------------------------------
+# q226 — containment threshold sensitivity curve (q225's asymmetric twin)
+# ---------------------------------------------------------------------------
+# q225 tunes the SYMMETRIC (Jaccard) threshold; sub-document duplication
+# tunes separately — a pull-quote is 95 % contained at any Jaccard, and
+# the fragment-removal threshold decides how aggressive
+# `drop_contained_duplicates` is. One pass of q174's kernel scores every
+# directed candidate pair in exact milli; the census reports, per
+# threshold, qualifying pairs and distinct FRAGMENTS removed (the doc_a
+# side — containment drops the smaller set by construction).
+_Q226_THRESHOLDS = (300, 500, 700, 900)
+
+
+@register(
+    "q226_containment_threshold_curve",
+    sql=f"""
+    WITH positions AS (
+      SELECT doc_id, text, UNNEST(RANGE(1, LENGTH(text) - {_CONTAIN_W - 2})) AS i
+      FROM documents WHERE LENGTH(text) >= {_CONTAIN_W}
+    ), all_grams AS (
+      SELECT DISTINCT doc_id, SUBSTRING(text, i, {_CONTAIN_W}) AS gram
+      FROM positions
+    ), stop_grams AS (
+      SELECT gram FROM all_grams GROUP BY gram HAVING COUNT(*) > {_CONTAIN_DF_CAP}
+    ), grams AS (
+      SELECT all_grams.* FROM all_grams ANTI JOIN stop_grams USING (gram)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT doc_a, 1000 * n_common // sa.n AS c_milli
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE (sa.n < sb.n OR (sa.n = sb.n AND doc_a < doc_b))
+    ), thresholds AS (
+      SELECT UNNEST(ARRAY[{", ".join(str(t) for t in _Q226_THRESHOLDS)}])
+        AS threshold_milli
+    )
+    SELECT t.threshold_milli,
+           CAST(COUNT(s.c_milli) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN s.c_milli >= t.threshold_milli
+                                    THEN s.doc_a END) AS BIGINT)
+             AS n_fragments_dropped
+    FROM thresholds t LEFT JOIN scored s ON s.c_milli >= t.threshold_milli
+    GROUP BY t.threshold_milli
+    ORDER BY t.threshold_milli
+    """,
+    tags=("dedup", "containment", "calibration", "exact-integer"),
+)
+def q226_containment_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Removal curve of asymmetric containment dedup across four
+    thresholds: qualifying directed pairs and distinct fragments dropped
+    per threshold (module comment) — the `drop_contained_duplicates`
+    tuning table beside q225's Jaccard curve.
+
+    Scale shape: ONE pass of q174's kernel (DF-capped gram join,
+    direction filter before the count aggregation) scores every
+    candidate pair; the four-threshold census is a broadcast 4-row join
+    over the scored list.
+    """
+    d = table(spark, sf_dir, "documents")
+    scored = containment_pairs(d).select("doc_a", "containment_milli")
+    thresholds = spark.range(1).selectExpr(
+        f"EXPLODE(ARRAY({', '.join(str(t) for t in _Q226_THRESHOLDS)}))"
+        " AS threshold_milli"
+    )
+    return (
+        F.broadcast(thresholds)
+        .join(
+            scored,
+            F.col("containment_milli") >= F.col("threshold_milli"),
+            "left",
+        )
+        .groupBy("threshold_milli")
+        .agg(
+            F.count(F.col("containment_milli"))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.countDistinct(
+                F.when(
+                    F.col("containment_milli") >= F.col("threshold_milli"),
+                    F.col("doc_a"),
+                )
+            )
+            .cast("bigint")
+            .alias("n_fragments_dropped"),
+        )
+        .orderBy("threshold_milli")
+    )
