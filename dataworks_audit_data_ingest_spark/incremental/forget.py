@@ -46,10 +46,13 @@ def forget_ids_from_store(
     ids: Sequence,
     *,
     id_col: str = "doc_id",
+    audit_path: str | None = None,
 ) -> dict[str, int]:
     """Remove every row whose ``id_col`` is in ``ids`` from every batch
     partition of the store. Returns ``{batch_id: rows_removed}`` for the
     partitions that were rewritten (others are not touched on disk).
+    ``audit_path``: append one manifest row recording the erasure
+    (`incremental/audit.py` — the auditor-facing trail).
     """
     if not ids:
         return {}
@@ -84,4 +87,15 @@ def forget_ids_from_store(
         else:
             commit_batch_partition(kept, store_path, bid)
         removed[bid] = int(hits)
+    if audit_path is not None:
+        from .audit import record_audit
+
+        record_audit(
+            spark,
+            audit_path,
+            "forget_ids_from_store",
+            sum(removed.values()),
+            f"store={store_path} ids={len(id_list)}"
+            f" partitions={sorted(removed)}",
+        )
     return removed

@@ -49,6 +49,7 @@ def rotate_envelope_keys(
     new_public_key_pem: bytes,
     new_key_id: str,
     key_provider: Callable[[], bytes] | None = None,
+    audit_path: str | None = None,
 ) -> int:
     """Re-wrap every object under the configured prefix from the retiring
     master key to ``new_public_key_pem`` / ``new_key_id``. Returns the
@@ -123,4 +124,16 @@ def rotate_envelope_keys(
     report: DataFrame = keys_df.repartition(n).mapInPandas(
         rewrap, schema=_ROT_SCHEMA
     )
-    return report.filter("rotated").count()
+    n_rotated = report.filter("rotated").count()
+    if audit_path is not None:
+        from ..incremental.audit import record_audit
+
+        record_audit(
+            spark,
+            audit_path,
+            "rotate_envelope_keys",
+            n_rotated,
+            f"bucket={cfg.s3_bucket} prefix={cfg.s3_prefix}"
+            f" new_key_id={new_key_id} objects={len(keys)}",
+        )
+    return n_rotated

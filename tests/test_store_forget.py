@@ -86,3 +86,16 @@ def test_forget_idempotent_and_partition_scoped(spark, tmp_path):
     # empty id list is a no-op even before any store exists
     assert forget_ids_from_store(spark, str(tmp_path / "nope"), []) == {}
     assert forget_ids_from_store(spark, str(tmp_path / "nope"), [5]) == {}
+
+
+def test_audit_manifest_accumulates(spark, tmp_path):
+    store = str(tmp_path / "bands")
+    audit = str(tmp_path / "audit")
+    incremental_dedup_batch(spark, store, _docs(spark, [(1, TEXT_A)]), "0")
+    forget_ids_from_store(spark, store, [1], audit_path=audit)
+    forget_ids_from_store(spark, store, [1], audit_path=audit)  # idempotent op, second row
+    rows = spark.read.parquet(audit).collect()
+    assert len(rows) == 2
+    assert {r.operation for r in rows} == {"forget_ids_from_store"}
+    assert sorted(r.n_affected for r in rows) == [0, 4]
+    assert all(r.recorded_at is not None and "store=" in r.detail for r in rows)
