@@ -46,6 +46,7 @@ from . import graph_shaped  # noqa: E402,F401
 DRIVER_PRIORITY_AS_OF_ROUND = 7
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q215_decayed_activity",
+    "q227_burstiness_screen",
     "q203_dsir_selection",
     "q211_training_interleave",
     "q216_passage_chunks",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q41_binary_payload_stats",
     "q46_interval_self_join",
     "q47_histogram",
-    "q49_filtered_aggregates",
 )
 
 

@@ -2589,3 +2589,75 @@ def q215_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("decayed_micro"), F.asc("user_id"))
         .limit(_Q215_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q227 — burstiness screen (peak-to-mean event rate per user)
+# ---------------------------------------------------------------------------
+# q188's entropy catches MONOCULTURE (one event type forever); bots also
+# show up as BURSTS — hundreds of events in one minute from an account
+# that averages two per hour. The exact integer screen: per user, the
+# busiest minute's count vs the mean per ACTIVE minute, as a milli
+# ratio (peak·1000·active_minutes DIV total); high ratio = machine-gun
+# traffic, ratio ≈ 1000 = steady. Top-20 burstiest with the raw pieces
+# alongside (peak alone is meaningless without the denominator).
+_Q227_TOP = 20
+_Q227_MIN_EVENTS = 50  # screen only accounts with enough mass to judge
+
+
+@register(
+    "q227_burstiness_screen",
+    sql=f"""
+    WITH minutes AS (
+      SELECT user_id, DATE_TRUNC('minute', CAST(ts AS TIMESTAMP)) AS minute,
+             COUNT(*) AS c
+      FROM events GROUP BY user_id, minute
+    ), per_user AS (
+      SELECT user_id,
+             CAST(MAX(c) AS BIGINT) AS peak_minute,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS active_minutes
+      FROM minutes GROUP BY user_id
+    )
+    SELECT user_id, peak_minute, n_events, active_minutes,
+           CAST(peak_minute * 1000 * active_minutes // n_events AS BIGINT)
+             AS burst_milli
+    FROM per_user
+    WHERE n_events >= {_Q227_MIN_EVENTS}
+    ORDER BY burst_milli DESC, user_id
+    LIMIT {_Q227_TOP}
+    """,
+    tags=("events", "audit", "monitoring", "exact-integer"),
+)
+def q227_burstiness_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 burstiest accounts by exact peak-to-mean minute rate
+    (module comment) — the temporal bot screen beside q188's
+    type-entropy screen.
+
+    Scale shape: one (user, minute) partial aggregation (combines
+    map-side — the minute key bounds rows per task), one per-user
+    rollup, TakeOrderedAndProject for the top-20. The ratio is pure
+    BIGINT (peak·1000·minutes stays far inside 2^63 at any plausible
+    per-user history).
+    """
+    e = table(spark, sf_dir, "events")
+    minutes = e.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per_user = minutes.groupBy("user_id").agg(
+        F.max("c").cast("bigint").alias("peak_minute"),
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("active_minutes"),
+    )
+    return (
+        per_user.filter(F.col("n_events") >= _Q227_MIN_EVENTS)
+        .withColumn(
+            "burst_milli",
+            F.expr(
+                "CAST(peak_minute * 1000 * active_minutes DIV n_events"
+                " AS BIGINT)"
+            ),
+        )
+        .orderBy(F.desc("burst_milli"), F.asc("user_id"))
+        .limit(_Q227_TOP)
+    )
