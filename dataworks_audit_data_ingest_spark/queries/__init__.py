@@ -47,6 +47,7 @@ DRIVER_PRIORITY_AS_OF_ROUND = 7
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q215_decayed_activity",
     "q227_burstiness_screen",
+    "q228_modal_journey_reachability",
     "q203_dsir_selection",
     "q211_training_interleave",
     "q216_passage_chunks",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q40_incremental_watermark",
     "q41_binary_payload_stats",
     "q46_interval_self_join",
-    "q47_histogram",
 )
 
 

@@ -2661,3 +2661,79 @@ def q227_burstiness_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("burst_milli"), F.asc("user_id"))
         .limit(_Q227_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q228 — recursive CTE: reachability over the modal journey graph
+# ---------------------------------------------------------------------------
+# Spark 4 added WITH RECURSIVE; this registers the repo's first
+# recursive-CTE operator on a shape that needs one: take each event
+# type's MODAL next step (q102's transition matrix reduced to its top
+# outgoing edge — the "usual journey" graph), then walk it recursively
+# from the entry type and report the minimum hop count to every
+# reachable type. The walk is the SQL-native form of the BFS the graph
+# kernels do iteratively; the hop guard bounds it on any cycle. Both
+# engines run the IDENTICAL statement text (DuckDB's WITH RECURSIVE is
+# the q58-oracle machinery), so this also pins Spark's new recursion
+# semantics against a second implementation.
+_Q228_SEED = "view"
+_Q228_MAX_HOPS = 10
+
+
+def _q228_sql(events_rel: str) -> str:
+    """One statement, two engines: ``events_rel`` is the events relation
+    name (a temp view Spark-side, the fixture view DuckDB-side)."""
+    return f"""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_type, event_id, ts,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM {events_rel}
+    ), trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ), modal AS (
+      SELECT prev_type, next_type FROM (
+        SELECT prev_type, next_type,
+               ROW_NUMBER() OVER (
+                 PARTITION BY prev_type
+                 ORDER BY n DESC, next_type) AS rnk
+        FROM trans) ranked
+      WHERE rnk = 1
+    ), walk (t, hops) AS (
+      SELECT CAST('{_Q228_SEED}' AS STRING), 0
+      UNION ALL
+      SELECT m.next_type, w.hops + 1
+      FROM walk w JOIN modal m ON m.prev_type = w.t
+      WHERE w.hops < {_Q228_MAX_HOPS}
+    )
+    SELECT t AS event_type, CAST(MIN(hops) AS BIGINT) AS min_hops
+    FROM walk GROUP BY t ORDER BY min_hops, event_type
+    """
+
+
+@register(
+    "q228_modal_journey_reachability",
+    sql=_q228_sql("events").replace("AS STRING", "AS VARCHAR"),
+    tags=("events", "graph", "recursive-cte", "journey"),
+)
+def q228_modal_journey_reachability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Minimum hops from the '{seed}' entry type to every type reachable
+    by always taking the MODAL next step (module comment) — Spark's
+    WITH RECURSIVE executing the same statement text as the DuckDB
+    oracle.
+
+    Scale shape: the transition matrix is q102's one user-keyed window
+    exchange + a type×type rollup; everything recursive happens on the
+    |types|-row modal edge table — each recursion step is a join
+    against a broadcast-sized relation, and the hop guard caps the
+    step count. The corpus is scanned once, outside the recursion.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    e.createOrReplaceTempView("q228_events")
+    return spark.sql(_q228_sql("q228_events"))
