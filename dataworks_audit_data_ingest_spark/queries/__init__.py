@@ -48,6 +48,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q215_decayed_activity",
     "q227_burstiness_screen",
     "q228_modal_journey_reachability",
+    "q229_funnel_dropoff_destinations",
     "q203_dsir_selection",
     "q211_training_interleave",
     "q216_passage_chunks",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q37s_distribution_ranks_scale",
     "q40_incremental_watermark",
     "q41_binary_payload_stats",
-    "q46_interval_self_join",
 )
 
 

@@ -2737,3 +2737,119 @@ def q228_modal_journey_reachability(
     )
     e.createOrReplaceTempView("q228_events")
     return spark.sql(_q228_sql("q228_events"))
+
+
+# ---------------------------------------------------------------------------
+# q229 — funnel drop-off destinations (where non-converters went instead)
+# ---------------------------------------------------------------------------
+# Conversion queries (q101/q34b) count who advanced; fixing a funnel
+# needs the complement: of the users who saw the entry step but never
+# took the next step in its window, what did they do FIRST instead?
+# Census per destination type (including "nothing" — the view was their
+# last event), with the converted cohort as the baseline row. All exact
+# integers off one user-keyed pass: first view, first qualifying click,
+# first post-view event.
+_Q229_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "q229_funnel_dropoff_destinations",
+    sql=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id,
+             CAST(EPOCH_US(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+      FROM events
+    ), first_view AS (
+      SELECT user_id, MIN(us) AS v_us
+      FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ), converted AS (
+      SELECT f.user_id
+      FROM first_view f
+      WHERE EXISTS (
+        SELECT 1 FROM ev e
+        WHERE e.user_id = f.user_id AND e.event_type = 'click'
+          AND e.us > f.v_us AND e.us <= f.v_us + {_Q229_WINDOW_US}
+      )
+    ), dropped AS (
+      SELECT f.user_id, f.v_us
+      FROM first_view f ANTI JOIN converted c ON c.user_id = f.user_id
+    ), next_ev AS (
+      SELECT user_id, dest FROM (
+        SELECT d.user_id, e.event_type AS dest,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.user_id ORDER BY e.us, e.event_id) AS rn
+        FROM dropped d JOIN ev e
+          ON e.user_id = d.user_id AND e.us > d.v_us)
+      WHERE rn = 1
+    )
+    SELECT dest AS destination,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM (
+      SELECT d.user_id, COALESCE(n.dest, '(nothing)') AS dest
+      FROM dropped d LEFT JOIN next_ev n ON n.user_id = d.user_id
+      UNION ALL
+      SELECT user_id, '(converted)' AS dest FROM converted
+    )
+    GROUP BY dest
+    ORDER BY n_users DESC, destination
+    """,
+    tags=("events", "funnel", "journey", "audit"),
+)
+def q229_funnel_dropoff_destinations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Where view→click non-converters went instead: first event after
+    their first view (or '(nothing)'), with the '(converted)' cohort as
+    the baseline row (module comment).
+
+    Scale shape: every cohort derives from user-keyed aggregations on
+    ONE exchange of (user, type, µs) triples — first view is a filtered
+    MIN, conversion is a windowed semi join on the same key, the
+    destination is a per-user ARG_MIN over post-view events; the census
+    is a |types|+2-row rollup. Deterministic ties: (µs, event_id).
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+    )
+    first_view = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("us").alias("c_us")
+    )
+    converted = (
+        first_view.join(
+            clicks,
+            (first_view.user_id == clicks.user_id)
+            & (F.col("c_us") > F.col("v_us"))
+            & (F.col("c_us") <= F.col("v_us") + _Q229_WINDOW_US),
+            "left_semi",
+        )
+        .select("user_id")
+    )
+    dropped = first_view.join(converted, "user_id", "left_anti")
+    next_ev = (
+        dropped.join(e, "user_id")
+        .filter(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(
+            F.min_by(
+                "event_type", F.struct(F.col("us"), F.col("event_id"))
+            ).alias("dest")
+        )
+    )
+    census_rows = (
+        dropped.join(next_ev, "user_id", "left")
+        .select(F.coalesce("dest", F.lit("(nothing)")).alias("dest"))
+        .unionByName(converted.select(F.lit("(converted)").alias("dest")))
+    )
+    return (
+        census_rows.groupBy(F.col("dest").alias("destination"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("destination"))
+    )
