@@ -85,6 +85,33 @@ def _validate(levels: Sequence[Level]) -> list[str]:
     return qi
 
 
+def _reject_marker_collisions(
+    base: DataFrame, levels: Sequence[Level], qi: Sequence[str]
+) -> None:
+    """Fail fast if a GENUINE generalized value equals the suppression
+    marker (ADVICE r08): a real ``'*'`` cell would otherwise merge with
+    suppressed classes in both grouping and display, silently conflating
+    a real class with the suppression bucket. Checked on the class table
+    (already aggregated — tiny), only over cells whose level expression
+    is not itself the suppression literal."""
+    real_cells = [
+        _gcol(j, name)
+        for j, level in enumerate(levels)
+        for name in qi
+        if level[name] is not None
+    ]
+    if not real_cells:
+        return
+    pred = " OR ".join(f"{c} = '{SUPPRESSED}'" for c in real_cells)
+    hit = base.filter(F.expr(pred)).limit(1).count()
+    if hit:
+        raise ValueError(
+            f"a generalized QI value equals the suppression marker"
+            f" {SUPPRESSED!r}; rewrite the level expression so real"
+            " values cannot collide with the suppression bucket"
+        )
+
+
 def ladder_assignment(
     df: DataFrame,
     levels: Sequence[Level],
@@ -108,6 +135,7 @@ def ladder_assignment(
         .groupBy(*gcols, "_sens")
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )
+    _reject_marker_collisions(base, levels, qi)
 
     resid = base
     assigned: list[DataFrame] = []

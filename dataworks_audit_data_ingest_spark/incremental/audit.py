@@ -32,8 +32,11 @@ def record_audit(
     detail: str,
 ) -> None:
     """Append one audit row; creates the manifest on first use."""
-    row = [(operation, int(n_affected), detail,
-            datetime.now(timezone.utc).replace(tzinfo=None))]
+    # tz-AWARE datetime on purpose (ADVICE r08): Spark converts an aware
+    # value to the correct instant regardless of session timezone; a
+    # naive value would be re-interpreted in session-local time and
+    # shift recorded_at by the UTC offset on non-UTC sessions.
+    row = [(operation, int(n_affected), detail, datetime.now(timezone.utc))]
     spark.createDataFrame(row, _SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(audit_path)

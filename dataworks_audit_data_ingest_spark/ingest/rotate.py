@@ -26,6 +26,19 @@ server-side copy) fans out over executors via mapInPandas with only
 keys on the wire. Session keys exist transiently in executor memory —
 same exposure class as the decrypt path, same ``key_provider``
 mitigation for shipping the retiring PEM.
+
+Caveats (both surfaced in the per-object report, not by crashing):
+- S3 ``CopyObject`` is capped at 5 GiB per object; objects larger than
+  ``multipart_threshold`` take the multipart path instead
+  (``create_multipart_upload`` carries the NEW metadata, then
+  ``upload_part_copy`` range-copies the body server-side — still zero
+  payload bytes through the cluster).
+- Stray objects under the prefix that lack the 3-field envelope
+  metadata (partial uploads, unrelated files) are SKIPPED and reported
+  with status ``skipped_no_envelope`` rather than aborting the run.
+- Like any S3 copy-over-self, the rewrite resets non-metadata
+  attributes (storage class, ACL, object-lock) to request defaults;
+  callers with non-default attributes must re-apply them.
 """
 
 from __future__ import annotations
@@ -33,13 +46,19 @@ from __future__ import annotations
 import base64
 from collections.abc import Callable, Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..session import tune
 from .pipeline import IngestConfig
 from .decrypt import _unwrap_session_key
 
-_ROT_SCHEMA = "s3_key string, rotated boolean"
+_ROT_SCHEMA = "s3_key string, rotated boolean, status string"
+
+# S3 CopyObject hard cap. Objects at/above this take the multipart
+# upload_part_copy path (parameterized so the drill can exercise it
+# without a 5 GiB fixture).
+_COPY_OBJECT_LIMIT = 5 * 1024**3
+_ENVELOPE_FIELDS = {"iv", "ciphertext", "datakeyencryptionkeyid"}
 
 
 def rotate_envelope_keys(
@@ -50,11 +69,15 @@ def rotate_envelope_keys(
     new_key_id: str,
     key_provider: Callable[[], bytes] | None = None,
     audit_path: str | None = None,
+    multipart_threshold: int = _COPY_OBJECT_LIMIT,
+    multipart_part_size: int = _COPY_OBJECT_LIMIT,
 ) -> int:
     """Re-wrap every object under the configured prefix from the retiring
     master key to ``new_public_key_pem`` / ``new_key_id``. Returns the
     number of objects rewrapped (objects already on the new key id are
-    skipped). Payload bytes are untouched (server-side copy)."""
+    skipped, as are stray objects without envelope metadata — see the
+    module docstring). Payload bytes are untouched (server-side copy;
+    multipart upload_part_copy above ``multipart_threshold``)."""
     import boto3
 
     tune(spark)
@@ -95,20 +118,8 @@ def rotate_envelope_keys(
             algorithm=hashes.SHA256(),
             label=None,
         )
-        for pdf in batches:
-            out = {"s3_key": [], "rotated": []}
-            for key in pdf["s3_key"]:
-                head = s3.head_object(Bucket=bucket, Key=key)
-                meta = dict(head["Metadata"])
-                if meta.get("datakeyencryptionkeyid") == new_key_id:
-                    out["s3_key"].append(key)
-                    out["rotated"].append(False)
-                    continue
-                session_key = _unwrap_session_key(pem, meta["ciphertext"])
-                meta["ciphertext"] = base64.b64encode(
-                    new_pub.encrypt(session_key, oaep)
-                ).decode("ascii")
-                meta["datakeyencryptionkeyid"] = new_key_id
+        def copy_with_new_meta(key: str, size: int, meta: dict) -> None:
+            if size < multipart_threshold:
                 s3.copy_object(
                     Bucket=bucket,
                     Key=key,
@@ -116,15 +127,84 @@ def rotate_envelope_keys(
                     Metadata=meta,
                     MetadataDirective="REPLACE",
                 )
+                return
+            # Above the CopyObject cap: multipart copy. Metadata rides on
+            # create_multipart_upload; each part is a server-side range
+            # copy of the source body — still zero payload bytes here.
+            mpu = s3.create_multipart_upload(
+                Bucket=bucket, Key=key, Metadata=meta
+            )
+            parts = []
+            try:
+                part_no = 1
+                for start in range(0, size, multipart_part_size):
+                    end = min(start + multipart_part_size, size) - 1
+                    res = s3.upload_part_copy(
+                        Bucket=bucket,
+                        Key=key,
+                        UploadId=mpu["UploadId"],
+                        PartNumber=part_no,
+                        CopySource={"Bucket": bucket, "Key": key},
+                        CopySourceRange=f"bytes={start}-{end}",
+                    )
+                    parts.append(
+                        {
+                            "PartNumber": part_no,
+                            "ETag": res["CopyPartResult"]["ETag"],
+                        }
+                    )
+                    part_no += 1
+                s3.complete_multipart_upload(
+                    Bucket=bucket,
+                    Key=key,
+                    UploadId=mpu["UploadId"],
+                    MultipartUpload={"Parts": parts},
+                )
+            except Exception:
+                s3.abort_multipart_upload(
+                    Bucket=bucket, Key=key, UploadId=mpu["UploadId"]
+                )
+                raise
+
+        for pdf in batches:
+            out = {"s3_key": [], "rotated": [], "status": []}
+            for key in pdf["s3_key"]:
+                head = s3.head_object(Bucket=bucket, Key=key)
+                meta = dict(head["Metadata"])
+                if not _ENVELOPE_FIELDS.issubset(meta):
+                    # Stray/partial object: report, never crash the run.
+                    out["s3_key"].append(key)
+                    out["rotated"].append(False)
+                    out["status"].append("skipped_no_envelope")
+                    continue
+                if meta.get("datakeyencryptionkeyid") == new_key_id:
+                    out["s3_key"].append(key)
+                    out["rotated"].append(False)
+                    out["status"].append("already_current")
+                    continue
+                session_key = _unwrap_session_key(pem, meta["ciphertext"])
+                meta["ciphertext"] = base64.b64encode(
+                    new_pub.encrypt(session_key, oaep)
+                ).decode("ascii")
+                meta["datakeyencryptionkeyid"] = new_key_id
+                copy_with_new_meta(key, int(head["ContentLength"]), meta)
                 out["s3_key"].append(key)
                 out["rotated"].append(True)
+                out["status"].append("rotated")
             yield pd.DataFrame(out)
 
     n = max(1, min(len(keys), spark.sparkContext.defaultParallelism))
     report: DataFrame = keys_df.repartition(n).mapInPandas(
         rewrap, schema=_ROT_SCHEMA
     )
-    n_rotated = report.filter("rotated").count()
+    counts = {
+        r["status"]: r["n"]
+        for r in report.groupBy("status").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    n_rotated = int(counts.get("rotated", 0))
+    n_skipped = int(counts.get("skipped_no_envelope", 0))
     if audit_path is not None:
         from ..incremental.audit import record_audit
 
@@ -134,6 +214,7 @@ def rotate_envelope_keys(
             "rotate_envelope_keys",
             n_rotated,
             f"bucket={cfg.s3_bucket} prefix={cfg.s3_prefix}"
-            f" new_key_id={new_key_id} objects={len(keys)}",
+            f" new_key_id={new_key_id} objects={len(keys)}"
+            f" skipped_no_envelope={n_skipped}",
         )
     return n_rotated

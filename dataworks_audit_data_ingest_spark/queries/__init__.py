@@ -30,71 +30,71 @@ from . import graph_shaped  # noqa: E402,F401
 # registration order indices 0-49). DRIVER_PRIORITY pins an explicit order,
 # rotated per round so every query accumulates a current driver row.
 #
-# Round-8 rotation is COMPUTED, not hand-curated: the list below is the
-# verbatim output of `python tools/rotation.py --emit` over the r01–r07
+# Round-9 rotation is COMPUTED, not hand-curated: the list below is the
+# verbatim output of `python tools/rotation.py --emit` over the r01–r08
 # driver history (DRIVER_PRIORITY_AS_OF_ROUND pins which history it was
 # computed from; tests/test_cli_operators.py asserts the paste matches the
 # computation, so hand-drift is a test failure). With zero never-run
-# oracle-backed queries left, the slate is pure stalest-first refresh:
-# q86/q87/q89 (last three r03-latest rows) lead, followed by the r04
-# tail. Queries registered during round 8 are appended by the emitter as
-# never-run and take slots ahead of the refresh tail on re-emission. The
-# four rows-only queries
+# oracle-backed queries left at emission time, the slate is pure
+# stalest-first refresh: the 28 r04-latest rows (q46…q97) lead, then the
+# r05 tail. Queries registered during round 9 are appended by the emitter
+# as never-run and take slots ahead of the refresh tail on re-emission.
+# The four rows-only queries
 # (q42/q74/q16s/q59, sql=None) are excluded from emission — they can
 # only ever produce a `no_oracle` driver row (q16s burned an r06 slot);
 # their evidence is pytest plus a green oracle-backed twin each.
-DRIVER_PRIORITY_AS_OF_ROUND = 7
+DRIVER_PRIORITY_AS_OF_ROUND = 8
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q215_decayed_activity",
-    "q227_burstiness_screen",
-    "q228_modal_journey_reachability",
-    "q229_funnel_dropoff_destinations",
-    "q203_dsir_selection",
-    "q211_training_interleave",
-    "q216_passage_chunks",
-    "q218_passage_bm25",
-    "q219_source_fair_threshold",
-    "q221_source_signature_terms",
-    "q223_copy_direction",
-    "q225_dedup_threshold_curve",
-    "q226_containment_threshold_curve",
-    "q209_hard_negatives",
-    "q210_triplet_margins",
-    "q212_activity_profile_similarity",
-    "q217_vector_hygiene",
-    "q222_retrieval_graded_metrics",
-    "q205_small_quantity_revenue",
-    "q206_large_volume_customers",
-    "q207_brand_promo_revenue",
-    "q208_order_count_distribution",
-    "q204_anonymity_ladder",
-    "q213_gopher_rules",
-    "q214_contamination_fraction",
-    "q220_filter_agreement_kappa",
-    "q224_dedup_assortativity",
-    "q86_chunk_dedup",
-    "q87_heavy_hitters_countmin",
-    "q89_ann_srp_lsh",
-    "q02_top_orders_by_revenue",
-    "q03_regional_revenue",
-    "q05_order_priority_semi",
-    "q06_customers_without_orders",
-    "q12_topk_per_customer",
-    "q13_running_total",
-    "q18_set_operations",
-    "q19_string_functions",
-    "q20_date_functions",
-    "q21_json_functions",
-    "q22_case_and_nulls",
-    "q23_math_functions",
-    "q24_price_band_join",
-    "q25_asof_join",
-    "q27_array_functions",
-    "q32_session_windows",
-    "q36b_retention_cohorts",
-    "q37s_distribution_ranks_scale",
-    "q40_incremental_watermark",
-    "q41_binary_payload_stats",
+    "q46_interval_self_join",
+    "q47_histogram",
+    "q49_filtered_aggregates",
+    "q50_dedup_exact",
+    "q52_dedup_simhash",
+    "q52b_simhash_hamming",
+    "q53_dedup_ngram_jaccard",
+    "q54_dedup_embedding_cosine",
+    "q57_minhash_jaccard_estimate",
+    "q60_lang_id_heuristic",
+    "q61_quality_score",
+    "q62_token_count",
+    "q63_fingerprint",
+    "q64_deterministic_sample",
+    "q65_tfidf_top_terms",
+    "q71_nation_trade_volume",
+    "q72_region_market_share",
+    "q73_returned_item_customers",
+    "q80_pii_redaction",
+    "q81_repetition_quality",
+    "q83_source_mixing",
+    "q88_source_quota",
+    "q90_semantic_dedup",
+    "q91_sessionize_batch",
+    "q94_salted_join",
+    "q95_diverse_sample",
+    "q96_bloom_blocklist",
+    "q97_exact_substr_spans",
+    "q101_funnel",
+    "q102_event_transitions",
+    "q107_hll_exact_registers",
+    "q110_histogram_quantiles",
+    "q111_hll_daily_rollup",
+    "q114_embedding_health",
+    "q115_scd2_apply",
+    "q116_traffic_anomaly",
+    "q117_covariance_matrix",
+    "q118_hll_overlap",
+    "q120_rolling_active_users",
+    "q122_ols_fit",
+    "q123_seasonal_backtest",
+    "q124_skew_report",
+    "q127_revenue_share",
+    "q128_journey_trigrams",
+    "q131_referential_audit",
+    "q132_weekly_growth",
+    "q133_transition_dwell_times",
+    "q134_snapshot_diff",
+    "q135_duplication_report",
+    "q136_session_length_distribution",
 )
 
 

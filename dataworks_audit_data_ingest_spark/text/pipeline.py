@@ -1001,8 +1001,9 @@ def rank_normalize_scores(
     """Per-group rank normalization of a quality score — the remedy for
     the q219 finding that one global threshold starves whole sources:
     ``out_col`` = the document's exact percentile WITHIN its group in
-    milli units (rank·1000 DIV n_group, ties averaged by RANK semantics
-    — deterministic, integer-exact), so ``filter("score_pct_milli >=
+    milli units (rank·1000 DIV n_group, integer division end-to-end —
+    deterministic, integer-exact at any group size; ties share the
+    MINIMUM rank per RANK semantics), so ``filter("score_pct_milli >=
     300")`` drops the bottom 30 % of EVERY group instead of the bottom
     30 % of the pooled distribution.
 
@@ -1015,10 +1016,11 @@ def rank_normalize_scores(
     """
     w = Window.partitionBy(by).orderBy(F.col(score_col))
     n = Window.partitionBy(by)
-    return docs.withColumn(
-        out_col,
-        (
-            F.rank().over(w).cast("bigint") * 1000
-            / F.count(F.lit(1)).over(n)
-        ).cast("bigint"),
+    return (
+        docs.withColumn("_rnk", F.rank().over(w).cast("bigint"))
+        .withColumn("_n", F.count(F.lit(1)).over(n))
+        # Integer DIV, never a double product: exact at any rank·1000
+        # magnitude (a double round-trip drifts past 2^53).
+        .withColumn(out_col, F.expr("CAST(_rnk * 1000 DIV _n AS BIGINT)"))
+        .drop("_rnk", "_n")
     )

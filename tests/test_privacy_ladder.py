@@ -135,3 +135,18 @@ def test_ladder_rejects_mismatched_levels(spark):
             2,
             2,
         )
+
+
+def test_ladder_rejects_marker_collision(spark):
+    """A GENUINE QI value equal to the suppression marker must be
+    rejected, not silently merged into the suppression bucket
+    (ADVICE r08)."""
+    from dataworks_audit_data_ingest_spark.functions.privacy import (
+        ladder_assignment,
+    )
+
+    d = _toy(spark).withColumn(
+        "city", F.expr("CASE WHEN city = 'C' THEN '*' ELSE city END")
+    )
+    with pytest.raises(ValueError, match="suppression marker"):
+        ladder_assignment(d, LEVELS, "band", k=5, l=2).collect()
