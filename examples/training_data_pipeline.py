@@ -107,6 +107,8 @@ def main() -> None:
     curated = cap_per_source(curated, max_docs=500)  # no domain dominates
     curated = mix_sources(curated, {"src0": 1.0}, default_rate=0.9)
     n_mixed = curated.count()
+    # Distributed two-phase prefix sum: the text column never enters an
+    # exchange, and no single-task global sort — holds at 100 TB.
     curated = token_budget_sample(curated, budget_tokens=8_000)
     n_budget = curated.count()
     total_tokens = curated.select(F.sum(F.size(F.split("text", " ")))).first()[0]

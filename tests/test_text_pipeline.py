@@ -1000,3 +1000,53 @@ def test_rank_normalize_scores_equalizes_keep_rates(spark):
         (r.doc_id, r.score_pct_milli) for r in again.collect()
     )
     assert kept.count() > 0
+
+
+def test_token_budget_sample_matches_global_window_form(spark):
+    """The distributed two-phase prefix sum is pinned output-identical to
+    the r08 single-window form (VERDICT r08 item 1), and its plan carries
+    no full-corpus SinglePartition window."""
+    from pyspark.sql import Window
+    from dataworks_audit_data_ingest_spark.functions.hashing import (
+        spark_hash32,
+    )
+
+    d = table(spark, SF, "documents")
+    for budget in (1_000, 5_000, 50_000):
+        new = token_budget_sample(d, budget_tokens=budget)
+        # the retired global-window construction, inline as the oracle
+        w = (
+            Window.orderBy("_h", "text")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        old = (
+            d.withColumn("_h", F.expr(spark_hash32("text", "budget")))
+            .withColumn("_n_tok", F.size(F.split("text", " ")))
+            .withColumn("_running", F.sum("_n_tok").over(w))
+            .filter(F.col("_running") <= budget)
+        )
+        assert sorted(r.doc_id for r in new.select("doc_id").collect()) == (
+            sorted(r.doc_id for r in old.select("doc_id").collect())
+        )
+
+
+def test_token_budget_sample_plan_has_no_single_partition_window(spark):
+    d = table(spark, SF, "documents")
+    plan = token_budget_sample(d, budget_tokens=5_000)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_token_budget_sample_partition_invariant(spark):
+    d = table(spark, SF, "documents")
+    a = sorted(
+        r.doc_id
+        for r in token_budget_sample(d, 5_000).select("doc_id").collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in token_budget_sample(d.repartition(13), 5_000)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b and a
