@@ -2262,3 +2262,269 @@ def q222_retrieval_graded_metrics(
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q230 — IVF-PQ with TRAINED cells and codebooks under the oracle
+# ---------------------------------------------------------------------------
+# q141 pins the retrieval machinery on a training-free instance (label
+# cells, init-only codebooks). This query closes the r08 verdict's gap:
+# the seeded TRAINING itself — `train_ivfpq` = Lloyd's coarse k-means
+# (spread init, decimal-exact portable means, empty-cell retention) then
+# residual PQ codebooks (one Lloyd round) — runs under the oracle
+# end-to-end: train → encode/assign → route → exact-ADC → exact rerank.
+# The DuckDB twin unrolls the same rounds as CTEs GENERATED from the same
+# constants, so loop count, init, tie policy, and the mean idiom cannot
+# drift between engines. 8-dim slices / tiny k keep the unrolled SQL
+# tractable; the semantics are dimension-independent (the 256-dim
+# behavior is the measured PERF.md study).
+
+_T_D = 8       # sliced dimensions
+_T_K = 4       # coarse cells
+_T_RC = 2      # Lloyd rounds for cells
+_T_M = 2       # PQ subspaces (4-dim sub-vectors)
+_T_KSUB = 4    # codewords per subspace
+_T_RPQ = 1     # Lloyd rounds for PQ codebooks
+_T_PROBE = 2   # cells probed per query
+_T_RERANK = 8  # ADC candidates kept for exact rerank
+_T_KNN = 3     # neighbors returned
+_T_NQ = 8      # vec_id < 8 act as queries
+
+
+def _ivfpq_trained_sql() -> str:
+    """DuckDB twin of q230: the training loops unrolled round-by-round
+    from the module constants — assignment (decimal-exact squared L2,
+    ties to the lower cell), portable mean update (decimal SUM → DOUBLE →
+    divide, the exact idiom `train_cells`/`train_pq` compute), empty-cell
+    retention via LEFT JOIN + COALESCE — then q141's retrieval chain over
+    the trained tables."""
+    subd = _T_D // _T_M
+    h_km = duckdb_hash32("CAST(vec_id AS VARCHAR)", "kmeans")
+    h_pq = duckdb_hash32("CAST(vec_id AS VARCHAR)", "pq")
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sq, cell) AS rn
+        FROM (SELECT e.vec_id, c.cell,
+                     CAST(SUM(CAST((e.v - c.cv) * (e.v - c.cv)
+                                   AS DECIMAL(28,18))) AS DOUBLE) AS sq
+              FROM elems e JOIN {cent} c USING (pos)
+              GROUP BY e.vec_id, c.cell))
+      WHERE rn = 1)"""
+
+    def pq_assign(name: str, book: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT vec_id, sub, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY sq, cell) AS rn
+        FROM (SELECT r.vec_id, r.sub, b.cell,
+                     CAST(SUM(CAST((r.r - b.cw) * (r.r - b.cw)
+                                   AS DECIMAL(28,18))) AS DOUBLE) AS sq
+              FROM res r JOIN {book} b
+                ON b.sub = r.sub AND b.spos = r.spos
+              GROUP BY r.vec_id, r.sub, b.cell))
+      WHERE rn = 1)"""
+
+    parts = [
+        f"""elems AS (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM (SELECT vec_id, embedding, UNNEST(RANGE(1, {_T_D + 1})) AS i
+            FROM embeddings))""",
+        f"""seeds AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY hh, vec_id) - 1 AS cell
+      FROM (SELECT DISTINCT vec_id, {h_km} AS hh FROM elems)
+      QUALIFY cell < {_T_K})""",
+        """cent_0 AS (
+      SELECT s.cell, e.pos, e.v AS cv
+      FROM seeds s JOIN elems e USING (vec_id))""",
+    ]
+    for r in range(1, _T_RC + 1):
+        parts.append(assign(f"assign_{r}", f"cent_{r - 1}"))
+        parts.append(f"""mean_{r} AS (
+      SELECT a.cell, e.pos,
+             CAST(SUM(CAST(e.v AS DECIMAL(28,18))) AS DOUBLE)
+               / COUNT(*) AS mv
+      FROM assign_{r} a JOIN elems e USING (vec_id)
+      GROUP BY a.cell, e.pos)""")
+        parts.append(f"""cent_{r} AS (
+      SELECT c.cell, c.pos, COALESCE(m.mv, c.cv) AS cv
+      FROM cent_{r - 1} c LEFT JOIN mean_{r} m
+        ON m.cell = c.cell AND m.pos = c.pos)""")
+    cent = f"cent_{_T_RC}"
+    parts.append(assign("assign_f", cent))
+    parts.append(f"""res AS (
+      SELECT e.vec_id, e.pos,
+             e.pos // {subd} AS sub, e.pos % {subd} AS spos,
+             e.v - c.cv AS r
+      FROM elems e
+        JOIN assign_f a USING (vec_id)
+        JOIN {cent} c ON c.cell = a.cell AND c.pos = e.pos)""")
+    parts.append(f"""pqseeds AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY hh, vec_id) - 1 AS cell
+      FROM (SELECT DISTINCT vec_id, {h_pq} AS hh FROM elems)
+      QUALIFY cell < {_T_KSUB})""")
+    parts.append("""book_0 AS (
+      SELECT r.sub, s.cell, r.spos, r.r AS cw
+      FROM pqseeds s JOIN res r USING (vec_id))""")
+    for r in range(1, _T_RPQ + 1):
+        parts.append(pq_assign(f"pqa_{r}", f"book_{r - 1}"))
+        parts.append(f"""pqmean_{r} AS (
+      SELECT a.sub, a.cell, r.spos,
+             CAST(SUM(CAST(r.r AS DECIMAL(28,18))) AS DOUBLE)
+               / COUNT(*) AS mv
+      FROM pqa_{r} a JOIN res r
+        ON r.vec_id = a.vec_id AND r.sub = a.sub
+      GROUP BY a.sub, a.cell, r.spos)""")
+        parts.append(f"""book_{r} AS (
+      SELECT b.sub, b.cell, b.spos, COALESCE(m.mv, b.cw) AS cw
+      FROM book_{r - 1} b LEFT JOIN pqmean_{r} m
+        ON m.sub = b.sub AND m.cell = b.cell AND m.spos = b.spos)""")
+    book = f"book_{_T_RPQ}"
+    parts.append(pq_assign("codes", book))
+    parts.append(f"""recon AS (
+      SELECT c.vec_id,
+             SQRT(CAST(SUM(CAST((ct.cv + b.cw) * (ct.cv + b.cw)
+                                AS DECIMAL(28,18))) AS DOUBLE)) AS recon_norm
+      FROM codes c
+        JOIN {book} b ON b.sub = c.sub AND b.cell = c.cell
+        JOIN assign_f a ON a.vec_id = c.vec_id
+        JOIN {cent} ct ON ct.cell = a.cell
+                      AND ct.pos = c.sub * {subd} + b.spos
+      GROUP BY c.vec_id)""")
+    parts.append(f"""queries AS (
+      SELECT vec_id AS query_id, pos, v FROM elems
+      WHERE vec_id < {_T_NQ})""")
+    parts.append("""qnorm AS (
+      SELECT query_id,
+             SQRT(CAST(SUM(CAST(v * v AS DECIMAL(28,18))) AS DOUBLE)) AS qn
+      FROM queries GROUP BY query_id)""")
+    parts.append(f"""routing AS (
+      SELECT q.query_id, c.cell,
+             SUM(CAST(q.v * c.cv AS DECIMAL(28,18))) AS cdot,
+             CAST(SUM(CAST(q.v * c.cv AS DECIMAL(28,18))) AS DOUBLE)
+               / (MIN(qn.qn)
+                  * SQRT(CAST(SUM(CAST(c.cv * c.cv AS DECIMAL(28,18)))
+                              AS DOUBLE))) AS rcos
+      FROM queries q
+        JOIN {cent} c USING (pos)
+        JOIN qnorm qn USING (query_id)
+      GROUP BY q.query_id, c.cell)""")
+    parts.append(f"""probes AS (
+      SELECT query_id, cell, cdot FROM (
+        SELECT query_id, cell, cdot,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rcos DESC, cell) AS pr
+        FROM routing) WHERE pr <= {_T_PROBE})""")
+    parts.append(f"""qsub AS (
+      SELECT query_id, pos // {subd} AS sub, pos % {subd} AS spos, v
+      FROM queries)""")
+    parts.append(f"""lut AS (
+      SELECT q.query_id, b.sub, b.cell,
+             SUM(CAST(q.v * b.cw AS DECIMAL(28,18))) AS pd
+      FROM qsub q JOIN {book} b ON b.sub = q.sub AND b.spos = q.spos
+      GROUP BY q.query_id, b.sub, b.cell)""")
+    parts.append("""adc AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(p.cdot + SUM(l.pd) AS DOUBLE)
+               / (MIN(qn.qn) * MIN(r.recon_norm)) AS qcos
+      FROM probes p
+        JOIN assign_f a ON a.cell = p.cell AND a.vec_id != p.query_id
+        JOIN codes c ON c.vec_id = a.vec_id
+        JOIN lut l ON l.query_id = p.query_id
+                  AND l.sub = c.sub AND l.cell = c.cell
+        JOIN recon r ON r.vec_id = a.vec_id
+        JOIN qnorm qn ON qn.query_id = p.query_id
+      GROUP BY p.query_id, a.vec_id, p.cdot)""")
+    parts.append(f"""cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY qcos DESC, neighbor_id) AS cr
+        FROM adc) WHERE cr <= {_T_RERANK})""")
+    parts.append("""rr AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             CAST(SUM(CAST(q.v * e.v AS DECIMAL(28,18))) AS DOUBLE)
+               / (SQRT(CAST(SUM(CAST(q.v * q.v AS DECIMAL(28,18)))
+                            AS DOUBLE))
+                  * SQRT(CAST(SUM(CAST(e.v * e.v AS DECIMAL(28,18)))
+                              AS DOUBLE))) AS cosine
+      FROM cand cd
+        JOIN elems e ON e.vec_id = cd.neighbor_id
+        JOIN queries q ON q.query_id = cd.query_id AND q.pos = e.pos
+      GROUP BY cd.query_id, cd.neighbor_id)""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT query_id, neighbor_id, rnk, ROUND(cosine, 6) AS score
+    FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM rr)
+    WHERE rnk <= {_T_KNN}
+    ORDER BY query_id, rnk
+    """
+    )
+
+
+@register(
+    "q230_ivfpq_trained_funnel",
+    sql=_ivfpq_trained_sql(),
+    tags=("similarity", "ann", "ivf", "pq", "training", "scale-path"),
+)
+def q230_ivfpq_trained_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ funnel with SEEDED TRAINING under the oracle
+    (`similarity/ivfpq.py::train_ivfpq` → `encode_ivfpq` → `ivfpq_knn`):
+    2 Lloyd rounds train 4 coarse cells from the spread init (lowest
+    portable-hash ids), 1 round trains the residual PQ codebooks, then
+    each query routes to 2 cells, exact-ADC-scores their codes, and the
+    top 8 candidates rerank with exact cosine. Every mean is the portable
+    decimal-SUM→double→divide idiom, every argmin/topk ties on ids, so
+    cells, codebooks, codes, candidates and scores hash-match the
+    round-by-round unrolled DuckDB twin.
+
+    At 100 TB: per Lloyd round one broadcast + one corpus scan + one
+    (cell,pos)-keyed shuffle of k·d rows (never corpus-width); the
+    trained index stores cell-partitioned so the probe is partition
+    pruning (`save_ivfpq_index`)."""
+    from ..similarity.ivfpq import encode_ivfpq, ivfpq_knn, train_ivfpq
+
+    e = table(spark, sf_dir, "embeddings")
+    e8 = e.select(
+        "vec_id",
+        F.expr(
+            f"TRANSFORM(SLICE(embedding, 1, {_T_D}), x -> CAST(x AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    cents, books = train_ivfpq(
+        e8,
+        k_cells=_T_K,
+        m=_T_M,
+        ksub=_T_KSUB,
+        n_iter_cells=_T_RC,
+        n_iter_pq=_T_RPQ,
+        cell_init="spread",
+    )
+    enc = encode_ivfpq(e8, cents, books, m=_T_M)
+    q = e8.filter(F.col("vec_id") < _T_NQ)
+    out = ivfpq_knn(
+        q,
+        enc,
+        cents,
+        books,
+        k=_T_KNN,
+        m=_T_M,
+        ksub=_T_KSUB,
+        n_probe=_T_PROBE,
+        rerank=_T_RERANK,
+        corpus=e8,
+        exact_adc=True,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("score")
+    ).orderBy("query_id", "rnk")

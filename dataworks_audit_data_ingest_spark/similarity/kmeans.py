@@ -153,10 +153,16 @@ def train_cells(
             pts.join(assigned.select("id", "cell"), "id")
             .select("cell", F.posexplode("vec").alias("pos", "v"))
         )
+        # Portable mean: exact decimal SUM, one cast to double, THEN the
+        # IEEE division — the same value DuckDB's
+        # CAST(SUM(decimal) AS DOUBLE)/COUNT(*) produces, so trained
+        # centroids hash-match the oracle (q230). Decimal division first
+        # would round at Spark's decimal-division scale instead.
         means = elems.groupBy("cell", "pos").agg(
             (
-                F.sum(F.col("v").cast(_DEC)) / F.count(F.lit(1))
-            ).cast("double").alias("m")
+                F.sum(F.col("v").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
         )
         new_cents = (
             means.groupBy("cell")

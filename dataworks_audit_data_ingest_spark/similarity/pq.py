@@ -124,10 +124,14 @@ def train_pq(
             subpts.join(assigned.select("id", "sub", "cell"), ["id", "sub"])
             .select("sub", "cell", F.posexplode("svec").alias("pos", "v"))
         )
+        # Portable mean (see kmeans.py): decimal-exact SUM → double →
+        # divide, matching DuckDB's CAST(SUM(...) AS DOUBLE)/COUNT(*)
+        # bit-for-bit so trained codebooks pin under the oracle (q230).
         means = elems.groupBy("sub", "cell", "pos").agg(
-            (F.sum(F.col("v").cast(_DEC)) / F.count(F.lit(1)))
-            .cast("double")
-            .alias("mval")
+            (
+                F.sum(F.col("v").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mval")
         )
         new_cents = (
             means.groupBy("sub", "cell")

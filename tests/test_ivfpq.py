@@ -182,3 +182,28 @@ def test_index_roundtrip_preserves_search_results(spark, tmp_path):
     assert after == before
     cell_dirs = glob.glob(f"{path}/encoded/cell=*")
     assert len(cell_dirs) == enc.select("cell").distinct().count()
+
+
+def test_training_partition_invariant_exact(spark):
+    """Lloyd training itself (not just encode/search) is bit-identical
+    across input partitionings — the property q230's oracle pin relies
+    on: decimal-exact sums, portable mean idiom, id tiebreaks."""
+    e = table(spark, SF, "embeddings").select(
+        "vec_id",
+        F.expr("TRANSFORM(SLICE(embedding, 1, 8), x -> CAST(x AS DOUBLE))")
+        .alias("embedding"),
+    )
+    c1, b1 = train_ivfpq(
+        e, k_cells=4, m=2, ksub=4, n_iter_cells=2, n_iter_pq=1,
+        cell_init="spread",
+    )
+    c2, b2 = train_ivfpq(
+        e.repartition(11), k_cells=4, m=2, ksub=4, n_iter_cells=2,
+        n_iter_pq=1, cell_init="spread",
+    )
+    cents1 = sorted((r.cell, tuple(r.cvec)) for r in c1.collect())
+    cents2 = sorted((r.cell, tuple(r.cvec)) for r in c2.collect())
+    assert cents1 == cents2
+    books1 = sorted((r.sub, r.cell, tuple(r.cvec)) for r in b1.collect())
+    books2 = sorted((r.sub, r.cell, tuple(r.cvec)) for r in b2.collect())
+    assert books1 == books2
