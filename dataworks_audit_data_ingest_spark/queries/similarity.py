@@ -2528,3 +2528,154 @@ def q230_ivfpq_trained_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "rnk", F.round("cosine", 6).alias("score")
     ).orderBy("query_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# q231 — FILTERED ANN: metadata predicate inside the IVF probe
+# ---------------------------------------------------------------------------
+# The most common real retrieval need not covered until now: "nearest
+# neighbors WHERE <metadata predicate>". Two orders exist and only one is
+# right: filter-then-rank (predicate evaluated inside the cell probe, the
+# top-k is over qualifying vectors) vs rank-then-filter (post-filter an
+# unfiltered top-k — silently starves below k whenever neighbors fail the
+# predicate). `knn_join(filter_expr=...)` implements the former with the
+# index geometry untouched (centroids over the FULL corpus; the predicate
+# prunes probed-cell members only). This query pins BOTH legs side by
+# side: the filtered-IVF top-k and the exact filtered brute ranking, with
+# a per-rank agreement flag — so the oracle hash freezes the probe
+# semantics AND the measured filtered recall of the fixture.
+
+_FA_PRED = "vec_id % 3 > 0"  # qualifies 2/3 of the corpus, crosses cells
+_FA_PROBE = 2
+_FA_K = 5
+
+
+@register(
+    "q231_filtered_ann_parity",
+    sql=f"""
+    WITH e_indexed AS (
+      SELECT vec_id, label, embedding,
+             UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
+      FROM embeddings
+    ), elems AS (
+      SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM e_indexed
+    ), centroids AS (  -- FULL corpus: the filter never reshapes the index
+      SELECT label, pos,
+             CAST(SUM(CAST(v AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS cv
+      FROM elems GROUP BY label, pos
+    ), queries AS (
+      SELECT vec_id AS query_id, pos, v FROM elems
+      WHERE vec_id < {_N_QUERIES}
+    ), qnorm AS (
+      SELECT query_id,
+             SQRT(CAST(SUM(CAST(v * v AS DECIMAL(28,18))) AS DOUBLE)) AS qn
+      FROM queries GROUP BY query_id
+    ), routing AS (    -- knn_join's routing: decimal dot, ties low cell
+      SELECT q.query_id, c.label,
+             CAST(SUM(CAST(q.v * c.cv AS DECIMAL(28,18))) AS DOUBLE) AS dot
+      FROM queries q JOIN centroids c USING (pos)
+      GROUP BY q.query_id, c.label
+    ), probes AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, label) AS pr
+        FROM routing) WHERE pr <= {_FA_PROBE}
+    ), keep AS (       -- the metadata predicate, INSIDE the probe
+      SELECT vec_id FROM embeddings WHERE {_FA_PRED}
+    ), ivf_scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(CAST(q.v * e.v AS DECIMAL(28,18))) AS DOUBLE)
+               / (MIN(qn.qn)
+                  * SQRT(CAST(SUM(CAST(e.v * e.v AS DECIMAL(28,18)))
+                              AS DOUBLE))) AS cosine
+      FROM probes p
+        JOIN elems e ON e.label = p.label AND e.vec_id != p.query_id
+        SEMI JOIN keep k ON k.vec_id = e.vec_id
+        JOIN queries q ON q.query_id = p.query_id AND q.pos = e.pos
+        JOIN qnorm qn ON qn.query_id = p.query_id
+      GROUP BY p.query_id, e.vec_id
+    ), ivf_topk AS (
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM ivf_scored) WHERE rnk <= {_FA_K}
+    ), exact_scored AS (  -- filter-then-rank ground truth: brute over keep
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(CAST(q.v * e.v AS DECIMAL(28,18))) AS DOUBLE)
+               / (MIN(qn.qn)
+                  * SQRT(CAST(SUM(CAST(e.v * e.v AS DECIMAL(28,18)))
+                              AS DOUBLE))) AS cosine
+      FROM elems e
+        SEMI JOIN keep k ON k.vec_id = e.vec_id
+        JOIN queries q ON q.pos = e.pos AND q.query_id != e.vec_id
+        JOIN qnorm qn ON qn.query_id = q.query_id
+      GROUP BY q.query_id, e.vec_id
+    ), exact_topk AS (
+      SELECT query_id, neighbor_id, cosine, rnk FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM exact_scored) WHERE rnk <= {_FA_K}
+    )
+    SELECT x.query_id, x.rnk,
+           i.neighbor_id AS ivf_neighbor,
+           x.neighbor_id AS exact_neighbor,
+           COALESCE(i.neighbor_id = x.neighbor_id, FALSE) AS agree,
+           ROUND(x.cosine, 6) AS exact_score
+    FROM exact_topk x
+      LEFT JOIN ivf_topk i USING (query_id, rnk)
+    ORDER BY x.query_id, x.rnk
+    """,
+    tags=("similarity", "ann", "ivf", "filtered", "scale-path"),
+)
+def q231_filtered_ann_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN parity census (`similarity/knn.py::knn_join` with
+    ``filter_expr``): the IVF leg evaluates the metadata predicate INSIDE
+    the probed cells (index geometry untouched), the exact leg is
+    brute-force over the qualifying corpus — both filter-then-rank, so
+    every returned rank holds a qualifying vector. The per-rank ``agree``
+    flag freezes the fixture's filtered recall under the oracle hash; a
+    routing, tie, or filter-placement change flips it.
+
+    At 100 TB: the predicate reaches the cell-partitioned encoded scan as
+    an ordinary pushed filter (`save_ivfpq_index` layout), so a probe
+    reads n_probe directories and skips non-qualifying row groups — no
+    post-hoc re-ranking round trips."""
+    from ..similarity.knn import knn_join
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    ivf = knn_join(
+        q,
+        e,
+        k=_FA_K,
+        method="ivf",
+        cell_col="label",
+        n_probe=_FA_PROBE,
+        filter_expr=_FA_PRED,
+    ).select("query_id", "rnk", F.col("neighbor_id").alias("ivf_neighbor"))
+    exact = knn_join(
+        q, e, k=_FA_K, method="brute", filter_expr=_FA_PRED
+    ).select(
+        "query_id",
+        "rnk",
+        F.col("neighbor_id").alias("exact_neighbor"),
+        F.round("cosine", 6).alias("exact_score"),
+    )
+    return (
+        exact.join(ivf, ["query_id", "rnk"], "left")
+        .select(
+            "query_id",
+            "rnk",
+            "ivf_neighbor",
+            "exact_neighbor",
+            F.coalesce(
+                F.col("ivf_neighbor") == F.col("exact_neighbor"), F.lit(False)
+            ).alias("agree"),
+            "exact_score",
+        )
+        .orderBy("query_id", "rnk")
+    )

@@ -102,6 +102,7 @@ def knn_join(
     srp_bits: int = 4,
     neg_group_col: str | None = None,
     pos_group_col: str | None = None,
+    filter_expr: str | None = None,
 ) -> DataFrame:
     """Top-k neighbors per query: (query_id, neighbor_id, rnk, cosine).
 
@@ -111,7 +112,18 @@ def knn_join(
     own class/source/cluster. ``pos_group_col`` is the mirror (groups
     must AGREE — positive mining for contrastive pairs); setting both is
     an error. Either filter sits inside the pair join, so pruned
-    candidates never reach a cosine."""
+    candidates never reach a cosine.
+
+    ``filter_expr``: FILTERED ANN (q231) — a SQL boolean predicate over
+    the corpus's own columns, evaluated INSIDE candidate generation
+    (filter-then-rank): the returned top-k is over qualifying vectors
+    only, never a post-filter of an unfiltered top-k (which can starve
+    below k). For ``method="ivf"`` the index geometry is untouched —
+    centroids are computed over the FULL corpus, and the predicate
+    prunes members of the probed cells only, exactly how a static IVF
+    index serves a per-request metadata filter at 100 TB (the predicate
+    rides into the cell-partitioned scan as an ordinary pushed filter).
+    """
     if neg_group_col and pos_group_col:
         raise ValueError("set at most one of neg_group_col / pos_group_col")
     g = neg_group_col or pos_group_col
@@ -134,6 +146,7 @@ def knn_join(
             F.col(vec_col),
             *([F.col(cell_col).alias("_cell")] if cell_col else []),
             *([F.col(g).alias("_cg")] if g else []),
+            *([F.expr(filter_expr).alias("_keep")] if filter_expr else []),
         ),
         vec_col,
     ).select(
@@ -142,7 +155,12 @@ def knn_join(
         F.col("_nrm").alias("_cn"),
         *(["_cell"] if cell_col else []),
         *(["_cg"] if g else []),
+        *(["_keep"] if filter_expr else []),
     )
+    # the candidate view the predicate has pruned; for ivf, c (unfiltered)
+    # still feeds the centroid derivation — the index is built once over
+    # the full corpus, the filter applies per probe.
+    c_f = c.filter("_keep").drop("_keep") if filter_expr else c
 
     cos = cosine_expr("_qv", "_cv", "_qn", "_cn")
     if not g:
@@ -153,7 +171,7 @@ def knn_join(
         disagree = F.col("_qg") == F.col("_cg")
     if method == "brute":
         pairs = F.broadcast(q).join(
-            c, (F.col("neighbor_id") != F.col("query_id")) & disagree
+            c_f, (F.col("neighbor_id") != F.col("query_id")) & disagree
         )
     elif method == "ivf":
         if not cell_col:
@@ -183,7 +201,7 @@ def knn_join(
         )
         pairs = (
             F.broadcast(q.join(probes, "query_id"))
-            .join(c, ["_cell"])
+            .join(c_f, ["_cell"])
             .filter((F.col("neighbor_id") != F.col("query_id")) & disagree)
         )
     elif method == "srp":
@@ -192,7 +210,7 @@ def knn_join(
             "query_id", F.expr(stack)
         )
         proj_c, stack_c = _srp_bands_expr("_cv", srp_bands, srp_bits, "srp")
-        c_bands = c.withColumn("_sig", F.expr(proj_c)).select(
+        c_bands = c_f.withColumn("_sig", F.expr(proj_c)).select(
             "neighbor_id", F.expr(stack_c)
         )
         cand = (
@@ -204,7 +222,7 @@ def knn_join(
         )
         pairs = (
             cand.join(F.broadcast(q), "query_id")
-            .join(c, "neighbor_id")
+            .join(c_f, "neighbor_id")
             .filter(disagree)
         )
     else:

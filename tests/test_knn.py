@@ -240,3 +240,48 @@ def test_mine_triplets_margin_and_group_semantics(spark):
         assert nid in (out[qid].pos_id, out[qid].neg_id)
     with _pytest.raises(ValueError):
         knn_join(anchors, e, 1, neg_group_col="label", pos_group_col="label")
+
+
+def test_filtered_ann_filter_then_rank(spark):
+    """filter_expr is filter-then-rank: every returned rank holds a
+    QUALIFYING vector (never a post-filtered, starved top-k), and with
+    all cells probed the filtered IVF leg equals brute force over the
+    filtered corpus exactly."""
+    e = table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    pred = "vec_id % 3 > 0"
+    n_cells = e.select("label").distinct().count()
+
+    brute = knn_join(q, e, k=5, filter_expr=pred)
+    rows = brute.collect()
+    assert all(r.neighbor_id % 3 > 0 for r in rows)
+    # full k returned even where the unfiltered top-k would be starved
+    assert all(
+        n == 5
+        for n in brute.groupBy("query_id").count().rdd.map(
+            lambda r: r["count"]
+        ).collect()
+    )
+
+    ivf_full = knn_join(
+        q, e, k=5, method="ivf", cell_col="label", n_probe=n_cells,
+        filter_expr=pred,
+    )
+    assert sorted(map(tuple, ivf_full.collect())) == sorted(
+        map(tuple, rows)
+    )
+
+    # rank-then-filter (the wrong order) would differ: post-filtering the
+    # unfiltered top-5 keeps < 5 rows for at least one fixture query
+    unfiltered = knn_join(q, e, k=5)
+    post = unfiltered.filter(F.expr("neighbor_id % 3 > 0"))
+    starved = post.groupBy("query_id").count().filter("count < 5").count()
+    assert starved > 0
+
+
+def test_filtered_ann_srp_candidates_qualify(spark):
+    e = table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    out = knn_join(q, e, k=3, method="srp", filter_expr="vec_id % 2 = 0")
+    rows = out.collect()
+    assert rows and all(r.neighbor_id % 2 == 0 for r in rows)
