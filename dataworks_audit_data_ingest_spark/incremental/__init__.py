@@ -7,5 +7,6 @@ from .enrich import (  # noqa: F401
     refresh_skew_report,
     run_enriched_incremental,
 )
+from .cc import read_cc_labels, update_cc_store  # noqa: F401
 from .forget import forget_ids_from_store  # noqa: F401
 from .runner import IncrementalJob, run_incremental  # noqa: F401

@@ -1,0 +1,139 @@
+"""Incremental connected components — merge-only maintenance of a
+persisted min-label store.
+
+Every near-dup CC in the batch path (`functions/graph.py`) recomputes
+labels from the full edge set. A 100 TB re-crawl produces a trickle of
+NEW candidate pairs per batch (the incremental dedup stores already
+surface them); recomputing a corpus-wide CC per batch is O(corpus) work
+for an O(batch) change. This module maintains the labels incrementally:
+
+- **Store**: the shared batch-partitioned contract (`incremental/
+  store.py`) holding ``(node_id, cluster_id)`` delta rows. Labels are
+  MONOTONE — a merge can only lower a component's minimum — so the
+  current label of a node is ``MIN(cluster_id)`` over all of its rows,
+  an order-free fold. That is what makes the store replay- and
+  compaction-safe with no ordering metadata: duplicate rows, stale rows
+  and fold order all wash out in the MIN.
+- **Update** (:func:`update_cc_store`): contract each new edge's
+  endpoints to their current representative (one store read + broadcast
+  join), run the batch CC kernel on the CONTRACTED edges — a graph the
+  size of the batch, never the corpus — then emit delta rows for (a)
+  nodes first seen in this batch and (b) members of components whose
+  minimum dropped (one store scan against the broadcast remap). Merge
+  work is proportional to the touched components only.
+- **Replay**: the update reads the store EXCLUDING its own batch
+  partition and commits via dynamic partition overwrite — the same
+  discipline as the signature stores, so a crashed batch re-runs to an
+  identical (or, after later batches landed, strictly-lower — still
+  correct under the MIN fold) partition.
+- **Compaction**: `store.compact_store` folds partitions with set
+  semantics; the MIN-fold read is indifferent to the fold, so the
+  generic compactor applies unchanged (drill-pinned).
+
+Deletions are out of scope by design: removing an edge can SPLIT a
+component, which a monotone min-label store cannot express — that is a
+recompute (`functions/graph.py::connected_components` over the surviving
+edges), exactly like the GDPR-forget path rebuilds derived state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.graph import connected_components
+from .store import commit_batch_partition, read_store_excluding_batch
+
+# an id no caller batch may use; read_cc_labels(exclude_batch=None)
+# excludes this nonexistent partition, i.e. reads everything
+_NO_BATCH = "__cc_read_all__"
+
+
+def read_cc_labels(
+    spark: SparkSession, store_path: str, exclude_batch: str | None = None
+) -> DataFrame | None:
+    """Current labels ``(node_id, cluster_id)`` — the MIN fold over every
+    delta row — or ``None`` when the store does not exist yet. With
+    ``exclude_batch`` the named partition is left out (the update's
+    replay discipline)."""
+    prev = read_store_excluding_batch(
+        spark, store_path, exclude_batch if exclude_batch is not None else _NO_BATCH
+    )
+    if prev is None:
+        return None
+    return prev.groupBy("node_id").agg(F.min("cluster_id").alias("cluster_id"))
+
+
+def update_cc_store(
+    spark: SparkSession,
+    store_path: str,
+    edges: DataFrame,
+    batch_id: str,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Fold one batch of new edges into the label store; returns the delta
+    written to ``batch_id=<id>``. Labels after the call (``read_cc_labels``)
+    equal batch CC over the union of every batch's edges (drill-pinned).
+
+    Scale shape: one MIN-fold read of the store (slim: two longs per
+    node), one CC over the CONTRACTED batch graph (size of the batch),
+    one broadcast-remap scan of the store for relabels. The corpus text/
+    vectors are never touched."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node_id"))
+        .union(e.select(F.col("v").alias("node_id")))
+        .distinct()
+    )
+    prev = read_cc_labels(spark, store_path, exclude_batch=batch_id)
+    if prev is None:
+        delta = connected_components(e, src="u", dst="v")
+    else:
+        lu = prev.select(
+            F.col("node_id").alias("u"), F.col("cluster_id").alias("lu")
+        )
+        lv = prev.select(
+            F.col("node_id").alias("v"), F.col("cluster_id").alias("lv")
+        )
+        contracted = (
+            e.join(lu, "u", "left")
+            .join(lv, "v", "left")
+            .select(
+                F.coalesce("lu", F.col("u")).alias("a"),
+                F.coalesce("lv", F.col("v")).alias("b"),
+            )
+        )
+        # CC over the label graph: node_id = an existing representative or
+        # a first-seen node, cluster_id = the merged component's minimum
+        merged = connected_components(contracted, src="a", dst="b")
+        remap = merged.filter(F.col("node_id") != F.col("cluster_id")).select(
+            F.col("node_id").alias("old_label"),
+            F.col("cluster_id").alias("new_label"),
+        )
+        relabeled = prev.join(
+            F.broadcast(remap), prev.cluster_id == F.col("old_label")
+        ).select("node_id", F.col("new_label").alias("cluster_id"))
+        node_rep = nodes.join(prev, "node_id", "left").select(
+            "node_id", F.coalesce("cluster_id", F.col("node_id")).alias("rep")
+        )
+        batch_labels = node_rep.join(
+            F.broadcast(remap), node_rep.rep == F.col("old_label"), "left"
+        ).select(
+            "node_id", F.coalesce("new_label", F.col("rep")).alias("cluster_id")
+        )
+        new_nodes = nodes.join(prev.select("node_id"), "node_id", "left_anti")
+        delta = (
+            batch_labels.join(new_nodes, "node_id", "left_semi")
+            .unionByName(relabeled)
+            .groupBy("node_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+    delta = delta.select("node_id", "cluster_id").localCheckpoint(eager=True)
+    commit_batch_partition(delta, store_path, batch_id)
+    return delta

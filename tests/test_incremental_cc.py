@@ -1,0 +1,116 @@
+"""Incremental connected components (`incremental/cc.py`): incremental
+labels == batch CC over the union after every batch, replay-idempotent
+(same-batch AND later-batch replays), compaction-safe, merge-only."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataworks_audit_data_ingest_spark.functions.graph import (
+    connected_components,
+)
+from dataworks_audit_data_ingest_spark.incremental.cc import (
+    read_cc_labels,
+    update_cc_store,
+)
+from dataworks_audit_data_ingest_spark.incremental.store import (
+    compact_store,
+)
+
+# three batches engineered to exercise: fresh components, a brand-new
+# component, a cross-batch MERGE (2-3 unites {1,2} and {3,4} under 1),
+# a chain extension, and a no-op duplicate edge
+BATCHES = {
+    "1": [(1, 2), (5, 6)],
+    "2": [(3, 4), (8, 9)],
+    "3": [(2, 3), (9, 10), (5, 6)],
+}
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def _union_df(spark, upto):
+    pairs = [p for b in sorted(BATCHES) if b <= upto for p in BATCHES[b]]
+    return _edges_df(spark, pairs)
+
+
+def _labels(df):
+    return sorted((r.node_id, r.cluster_id) for r in df.collect())
+
+
+def test_incremental_equals_batch_cc_after_every_batch(spark, tmp_path):
+    store = str(tmp_path / "cc_store")
+    for b in sorted(BATCHES):
+        update_cc_store(spark, store, _edges_df(spark, BATCHES[b]), b)
+        got = _labels(read_cc_labels(spark, store))
+        want = _labels(
+            connected_components(_union_df(spark, b)).select(
+                "node_id", "cluster_id"
+            )
+        )
+        assert got == want, f"divergence after batch {b}"
+    # the merge actually happened: 4's label is 1, through 2-3
+    final = dict(_labels(read_cc_labels(spark, store)))
+    assert final[4] == 1 and final[3] == 1 and final[2] == 1
+    assert final[6] == 5 and final[10] == 8
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    store = str(tmp_path / "cc_store")
+    for b in sorted(BATCHES):
+        update_cc_store(spark, store, _edges_df(spark, BATCHES[b]), b)
+    before = _labels(read_cc_labels(spark, store))
+    # same-batch replay (crash between store write and sink write)
+    update_cc_store(spark, store, _edges_df(spark, BATCHES["3"]), "3")
+    assert _labels(read_cc_labels(spark, store)) == before
+    # LATER-batch replay (checkpoint restart re-runs batch 2 after 3
+    # landed): the monotone MIN fold keeps the store consistent
+    update_cc_store(spark, store, _edges_df(spark, BATCHES["2"]), "2")
+    assert _labels(read_cc_labels(spark, store)) == before
+
+
+def test_compaction_preserves_labels(spark, tmp_path):
+    store = str(tmp_path / "cc_store")
+    for b in sorted(BATCHES):
+        update_cc_store(spark, store, _edges_df(spark, BATCHES[b]), b)
+    before = _labels(read_cc_labels(spark, store))
+    removed = compact_store(spark, store, exclude=("3",))
+    assert removed >= 1
+    assert _labels(read_cc_labels(spark, store)) == before
+
+
+def test_merge_only_delta_shape(spark, tmp_path):
+    """The delta touches ONLY merged components and new nodes — untouched
+    components write no rows (the merge-only property)."""
+    store = str(tmp_path / "cc_store")
+    update_cc_store(spark, store, _edges_df(spark, BATCHES["1"]), "1")
+    update_cc_store(spark, store, _edges_df(spark, BATCHES["2"]), "2")
+    delta = update_cc_store(
+        spark, store, _edges_df(spark, [(2, 3)]), "3"
+    )
+    rows = dict(_labels(delta))
+    # {3,4} relabel to 1; 1/2 already carry 1; {5,6},{8,9} untouched
+    assert rows == {3: 1, 4: 1}
+
+
+def test_fixture_pairs_three_batch_split(spark, tmp_path):
+    """Real edge list: q51's minhash pairs at sf0.001 split into three
+    hash batches — incremental union == batch kernel."""
+    from dataworks_audit_data_ingest_spark.queries.dedup import (
+        q51_dedup_minhash_lsh,
+    )
+
+    pairs = q51_dedup_minhash_lsh(spark, "/root/testdata/sf0.001").select(
+        "doc_a", "doc_b"
+    ).localCheckpoint(eager=True)
+    store = str(tmp_path / "cc_store")
+    for b in range(3):
+        part = pairs.filter(F.expr(f"pmod(hash(doc_a, doc_b), 3) = {b}"))
+        update_cc_store(spark, store, part, str(b))
+    got = _labels(read_cc_labels(spark, store))
+    want = _labels(
+        connected_components(pairs).select("node_id", "cluster_id")
+    )
+    assert got == want and got
