@@ -3215,3 +3215,103 @@ def q226_containment_threshold_curve(
         )
         .orderBy("threshold_milli")
     )
+
+
+# ---------------------------------------------------------------------------
+# q232 — connected components as TWO chained recursive CTEs, one statement,
+# both engines (the r08 verdict's second recursion shape)
+# ---------------------------------------------------------------------------
+# q58 pins the iterative kernel against DuckDB's recursive-UNION closure;
+# Spark 4's recursion supports UNION ALL only, where a naive min-label
+# walk re-walks cycles forever (or explodes combinatorially under a hop
+# guard on the fixture's 22-doc cluster). This shape is safe on BOTH
+# engines by construction — the classic hook/contract decomposition:
+#
+# 1. ``ptr``: every node points at the minimum of its closed neighborhood
+#    (one grouped min — the "hook").
+# 2. ``chase`` (recursion 1): follow pointers to the local minimum. The
+#    pointer value strictly DECREASES per hop, so UNION ALL terminates
+#    unaided and each node contributes exactly one row per hop — linear,
+#    cycle-proof.
+# 3. ``cedges``: contract each edge to the two local minima it bridges —
+#    the condensed graph, a few nodes per duplicate cluster.
+# 4. ``walk`` (recursion 2): min-label closure with the label<node prune
+#    and a hop guard, now over the TINY condensed graph where the guard
+#    is comfortably above any condensed diameter.
+# 5. labels = closure minimum of each node's local-minimum root.
+#
+# The statement text is IDENTICAL on Spark and DuckDB (only the pairs
+# relation name differs — q228's device), and a pytest drill pins the
+# three-way agreement: this recursion == the iterative kernel
+# (functions/graph.py, i.e. q58's output) == the oracle, at all scales.
+
+_Q232_MAX_HOPS = 6
+
+
+def _q232_body(rel: str) -> str:
+    """Everything after WITH RECURSIVE — shared verbatim by both engines;
+    ``rel`` is the near-dup pairs relation (doc_a, doc_b)."""
+    return f"""edges AS (
+      SELECT doc_a, doc_b FROM {rel}
+      UNION ALL
+      SELECT doc_b AS doc_a, doc_a AS doc_b FROM {rel}
+    ), ptr AS (
+      SELECT doc_a AS node, LEAST(doc_a, MIN(doc_b)) AS nxt
+      FROM edges GROUP BY doc_a
+    ), chase (node, cur) AS (
+      SELECT node, nxt FROM ptr
+      UNION ALL
+      SELECT c.node, p.nxt
+      FROM chase c JOIN ptr p ON p.node = c.cur
+      WHERE p.nxt < c.cur
+    ), root AS (
+      SELECT node, MIN(cur) AS root FROM chase GROUP BY node
+    ), cedges AS (
+      SELECT DISTINCT ra.root AS doc_a, rb.root AS doc_b
+      FROM edges e JOIN root ra ON ra.node = e.doc_a
+                   JOIN root rb ON rb.node = e.doc_b
+      WHERE ra.root <> rb.root
+    ), walk (doc_id, label, hops) AS (
+      SELECT doc_a AS doc_id, doc_a AS label, 0 FROM cedges
+      UNION ALL
+      SELECT c.doc_a, w.label, w.hops + 1
+      FROM walk w JOIN cedges c ON c.doc_b = w.doc_id
+      WHERE w.label < c.doc_a AND w.hops < {_Q232_MAX_HOPS}
+    ), closure AS (
+      SELECT doc_id, MIN(label) AS cmin FROM walk GROUP BY doc_id
+    )
+    SELECT r.node AS doc_id,
+           CAST(COALESCE(c.cmin, r.root) AS BIGINT) AS cluster_id
+    FROM root r LEFT JOIN closure c ON c.doc_id = r.root
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q232_dedup_clusters_recursive",
+    sql=(
+        "WITH RECURSIVE pairs AS ("
+        + _minhash_sql().replace("ORDER BY doc_a, doc_b", "")
+        + "), "
+        + _q232_body("pairs")
+    ),
+    tags=("dedup", "clustering", "recursive-cte", "iterative"),
+)
+def q232_dedup_clusters_recursive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q58's connected components computed by Spark's own WITH RECURSIVE
+    (module comment above: pointer-chase to local minima, then min-label
+    closure on the condensed graph — both recursions UNION ALL-safe),
+    running the same statement text as the DuckDB oracle over q51's
+    near-dup pairs.
+
+    Scale shape: recursion 1 is out-degree-1 pointer chasing (rows =
+    chain lengths, strictly decreasing so self-terminating); recursion 2
+    walks a condensed graph whose size is the number of LOCAL minima per
+    duplicate cluster — a handful — so the hop-guarded closure never
+    touches corpus-sized state. The heavy lifting (pair generation) is
+    q51's banded LSH, outside both recursions."""
+    pairs = q51_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs.createOrReplaceTempView("q232_pairs")
+    return spark.sql("WITH RECURSIVE " + _q232_body("q232_pairs"))

@@ -261,3 +261,51 @@ def test_triangle_count_matches_bruteforce_on_random_graph(spark):
     )
     r = _tc(spark, edges)
     assert r.n_triangles == want
+
+
+def test_q232_recursive_cc_three_way_agreement(spark):
+    """Three implementations, one answer: Spark WITH RECURSIVE (q232) ==
+    iterative min-label kernel == star-contraction kernel, on the real
+    q51 edge lists at two scales. (The DuckDB leg is the driver's oracle
+    hash for q232 — same statement text.)"""
+    from dataworks_audit_data_ingest_spark.queries.dedup import (
+        q232_dedup_clusters_recursive,
+        q51_dedup_minhash_lsh,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rec = sorted(
+            (r.doc_id, r.cluster_id)
+            for r in q232_dedup_clusters_recursive(spark, sf).collect()
+        )
+        pairs = q51_dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b")
+        for method in ("label", "star"):
+            kern = sorted(
+                (r.node_id, r.cluster_id)
+                for r in connected_components(pairs, method=method).collect()
+            )
+            assert rec == kern, f"{sf} method={method}"
+        assert rec
+
+
+def test_q232_hop_guard_covers_condensed_diameter(spark):
+    """The walk recursion's hop guard must exceed the condensed-graph
+    diameter at the LARGEST fixture scale, or labels silently stop short
+    of the component minimum (identically on both engines — the oracle
+    would not catch it; this drill is the guard's guard)."""
+    from dataworks_audit_data_ingest_spark.queries.dedup import (
+        q232_dedup_clusters_recursive,
+        q51_dedup_minhash_lsh,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    rec = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in q232_dedup_clusters_recursive(spark, sf).collect()
+    )
+    pairs = q51_dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b")
+    kern = sorted(
+        (r.node_id, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    )
+    assert rec == kern
