@@ -45,6 +45,9 @@ from . import graph_shaped  # noqa: E402,F401
 # their evidence is pytest plus a green oracle-backed twin each.
 DRIVER_PRIORITY_AS_OF_ROUND = 8
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "q232_dedup_clusters_recursive",
+    "q230_ivfpq_trained_funnel",
+    "q231_filtered_ann_parity",
     "q46_interval_self_join",
     "q47_histogram",
     "q49_filtered_aggregates",
@@ -92,9 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q131_referential_audit",
     "q132_weekly_growth",
     "q133_transition_dwell_times",
-    "q134_snapshot_diff",
-    "q135_duplication_report",
-    "q136_session_length_distribution",
 )
 
 
