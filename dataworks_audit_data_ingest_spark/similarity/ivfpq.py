@@ -202,6 +202,7 @@ def ivfpq_knn(
     rerank: int = 0,
     corpus: DataFrame | None = None,
     exact_adc: bool = False,
+    candidate_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k by IVF-routed ADC cosine: (query_id, neighbor_id, rnk, cosine).
 
@@ -211,7 +212,15 @@ def ivfpq_knn(
     costs m LUT reads. ``rerank = c ≥ k`` (with ``corpus``) re-scores the
     top c with exact full-precision cosine. ``exact_adc`` keeps the
     m-term fold in DECIMAL — order-free exact, used by the q141 oracle;
-    the double path is the production default."""
+    the double path is the production default.
+
+    ``candidate_filter``: FILTERED ANN at the PQ level (the id-set form
+    of `knn_join(filter_expr=...)`, q231): a DataFrame whose ``corpus_id``
+    column lists the qualifying vectors. Evaluated INSIDE the probe via a
+    semi-join on the encoded codes (filter-then-rank — every returned
+    rank qualifies; the index geometry is untouched). At 100 TB the id
+    set is the materialized result of a metadata predicate and the
+    semi-join rides the cell-partitioned scan."""
     if rerank:
         rerank = max(rerank, k)
         if corpus is None:
@@ -276,6 +285,12 @@ def ivfpq_knn(
     c = encoded.select(
         F.col(corpus_id).alias("neighbor_id"), "cell", "pq_codes", "recon_norm"
     )
+    if candidate_filter is not None:
+        c = c.join(
+            candidate_filter.select(F.col(corpus_id).alias("neighbor_id")),
+            "neighbor_id",
+            "left_semi",
+        )
     if exact_adc:
         adot = (
             f"CAST(AGGREGATE(SEQUENCE(0, {m - 1}), _cdot, "

@@ -114,3 +114,37 @@ def test_fixture_pairs_three_batch_split(spark, tmp_path):
         connected_components(pairs).select("node_id", "cluster_id")
     )
     assert got == want and got
+
+
+def test_composes_with_incremental_lexical_dedup(spark, tmp_path):
+    """The crawl-refresh composition: each batch's dup_pairs from the
+    incremental signature store fold straight into the CC label store —
+    incremental cluster labels == batch CC over every pair any batch
+    surfaced, without re-reading historical text."""
+    from dataworks_audit_data_ingest_spark.tables import table
+    from dataworks_audit_data_ingest_spark.text.incremental_dedup import (
+        incremental_dedup_batch,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    sig_store = str(tmp_path / "sig_store")
+    cc_store = str(tmp_path / "cc_store")
+    all_pairs = []
+    for b in range(3):
+        batch = docs.filter(F.expr(f"pmod(doc_id, 3) = {b}"))
+        _, dup_pairs = incremental_dedup_batch(
+            spark, sig_store, batch, str(b)
+        )
+        dup_pairs = dup_pairs.localCheckpoint(eager=True)
+        all_pairs.append(dup_pairs)
+        update_cc_store(spark, cc_store, dup_pairs, str(b))
+    union = all_pairs[0]
+    for p in all_pairs[1:]:
+        union = union.unionByName(p)
+    got = _labels(read_cc_labels(spark, cc_store))
+    want = _labels(
+        connected_components(union).select("node_id", "cluster_id")
+    )
+    assert got == want and got

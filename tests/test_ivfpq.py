@@ -207,3 +207,29 @@ def test_training_partition_invariant_exact(spark):
     books1 = sorted((r.sub, r.cell, tuple(r.cvec)) for r in b1.collect())
     books2 = sorted((r.sub, r.cell, tuple(r.cvec)) for r in b2.collect())
     assert books1 == books2
+
+
+def test_filtered_ivfpq_parity_with_filtered_brute(spark):
+    """candidate_filter inside the probe: every returned neighbor
+    qualifies, full rank depth is kept, and with all cells probed plus
+    full rerank the result equals exact brute force over the qualifying
+    corpus (filter-then-rank parity at the PQ level)."""
+    e = table(spark, SF, "embeddings")
+    cents, books = train_ivfpq(
+        e, k_cells=KCELLS, m=M, ksub=KSUB, n_iter_cells=1, n_iter_pq=1
+    )
+    enc = encode_ivfpq(e, cents, books, m=M)
+    q = e.filter(F.col("vec_id") < 4)
+    keep = e.filter("vec_id % 3 > 0").select("vec_id")
+    n_corpus = e.count()
+    out = ivfpq_knn(
+        q, enc, cents, books, k=5, m=M, ksub=KSUB, n_probe=KCELLS,
+        rerank=n_corpus, corpus=e, candidate_filter=keep,
+    )
+    rows = out.collect()
+    assert all(r.neighbor_id % 3 > 0 for r in rows)
+    assert out.groupBy("query_id").count().filter("count < 5").count() == 0
+    exact = knn_join(q, e, k=5, filter_expr="vec_id % 3 > 0")
+    assert sorted((r.query_id, r.neighbor_id, r.rnk) for r in rows) == sorted(
+        (r.query_id, r.neighbor_id, r.rnk) for r in exact.collect()
+    )
