@@ -3024,3 +3024,63 @@ def q221_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q233 — temperature-sampled source budget allocation (largest remainder)
+# ---------------------------------------------------------------------------
+# The mixing weights that q83 (fixed rates) and q88 (fixed quotas)
+# ENFORCE have to come from somewhere: multilingual/multi-source
+# training mixes allocate the budget proportionally to token-mass^alpha
+# (alpha=0.5 here — the standard sampling temperature that up-weights
+# small sources), with Hamilton's largest-remainder rounding so the
+# integer allocations sum exactly to the budget. Every step is integer
+# arithmetic or a correctly-rounded sqrt of an integer — portable.
+
+_Q233_BUDGET = 1000
+
+
+@register(
+    "q233_source_budget_allocation",
+    sql=f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+      FROM per_src
+    ), t AS (
+      SELECT *, SUM(weight) OVER () AS tot_w,
+             ({_Q233_BUDGET} * weight) // SUM(weight) OVER () AS base,
+             ({_Q233_BUDGET} * weight) % SUM(weight) OVER () AS rem
+      FROM w
+    ), r AS (
+      SELECT *, {_Q233_BUDGET} - SUM(base) OVER () AS spare,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr
+      FROM t
+    )
+    SELECT source, n_docs, n_tokens, weight,
+           CAST(base + CASE WHEN rr <= spare THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_docs
+    FROM r ORDER BY source
+    """,
+    tags=("text", "sources", "sampling", "training-data"),
+)
+def q233_source_budget_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature (α=0.5) source allocation with largest-remainder
+    rounding (`text/pipeline.py::allocate_source_budget`): the quota
+    table a source-balanced training mix enforces downstream
+    (q83/q88/q211). One corpus scan folds to |sources| rows; the
+    remainder ranking runs on that broadcast-sized table. Allocations
+    are integers summing exactly to the budget — drill-pinned — and
+    every step is portable integer math, so the oracle hash freezes the
+    allocation itself."""
+    from ..text.pipeline import allocate_source_budget
+
+    d = table(spark, sf_dir, "documents")
+    return allocate_source_budget(d, _Q233_BUDGET)

@@ -33,6 +33,7 @@ from .pipeline import (  # noqa: F401
     drop_near_duplicates,
     drop_semantic_duplicates,
     interleave_for_training,
+    allocate_source_budget,
     mix_sources,
     pack_sequences,
     rank_normalize_scores,

@@ -310,6 +310,68 @@ def drop_contaminated(
     return docs.join(hits, id_col, "left_anti")
 
 
+def allocate_source_budget(
+    docs: DataFrame,
+    budget_docs: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-sampled source allocation: split a global document
+    budget across sources proportionally to the SQUARE ROOT of each
+    source's token mass (the standard α=0.5 sampling temperature that
+    up-weights small sources relative to raw proportions), rounded to
+    integers that sum EXACTLY to the budget via Hamilton's
+    largest-remainder method.
+
+    Output (one row per source, broadcast-sized):
+    ``source, n_docs, n_tokens, weight, alloc_docs`` — all BIGINT.
+    ``weight = floor(sqrt(n_tokens))``; ``alloc_docs = (budget·w) DIV W``
+    plus one extra for the ``budget − Σ base`` sources with the largest
+    remainders (ties broken on source ascending). Every step is integer
+    or a correctly-rounded sqrt of an integer, so allocations are
+    deterministic and engine-portable (q233's oracle hash).
+
+    Scale shape: one corpus scan with map-side partial aggregation down
+    to |sources| rows; the remainder ranking runs on that tiny table.
+    The allocation drives `cap_per_source`/`enforce_source_quota`
+    downstream — this computes the quotas those operators enforce."""
+    per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = per_src.withColumn(
+        "weight",
+        F.expr("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)"),
+    )
+    tot = Window.partitionBy()
+    ranked = (
+        w.withColumn("_W", F.sum("weight").over(tot))
+        .withColumn("base", F.expr(f"({budget_docs} * weight) DIV _W"))
+        .withColumn("rem", F.expr(f"({budget_docs} * weight) % _W"))
+        .withColumn("_spare", F.lit(budget_docs) - F.sum("base").over(tot))
+        .withColumn(
+            "_rr",
+            F.row_number().over(
+                Window.orderBy(F.desc("rem"), F.asc("source"))
+            ),
+        )
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        (
+            F.col("base")
+            + F.when(F.col("_rr") <= F.col("_spare"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_docs"),
+    ).orderBy("source")
+
+
 def mix_sources(
     docs: DataFrame,
     rates: dict[str, float],

@@ -1050,3 +1050,30 @@ def test_token_budget_sample_partition_invariant(spark):
         .collect()
     )
     assert a == b and a
+
+
+def test_allocate_source_budget_sums_exactly_and_tempers(spark):
+    from dataworks_audit_data_ingest_spark.text.pipeline import (
+        allocate_source_budget,
+    )
+
+    d = table(spark, SF, "documents")
+    for budget in (7, 100, 1001):
+        out = allocate_source_budget(d, budget).collect()
+        assert sum(r.alloc_docs for r in out) == budget
+        assert all(r.alloc_docs >= 0 for r in out)
+    # temperature property: allocation shares sit BETWEEN uniform and
+    # raw token-mass-proportional shares (sqrt compresses the range)
+    out = allocate_source_budget(d, 10_000).collect()
+    toks = {r.source: r.n_tokens for r in out}
+    alloc = {r.source: r.alloc_docs for r in out}
+    total_t = sum(toks.values())
+    n = len(out)
+    for s in toks:
+        raw = toks[s] / total_t
+        got = alloc[s] / 10_000
+        lo, hi = sorted((raw, 1 / n))
+        assert lo - 0.02 <= got <= hi + 0.02, (s, raw, got)
+    # partition invariance
+    again = allocate_source_budget(d.repartition(9), 10_000).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
