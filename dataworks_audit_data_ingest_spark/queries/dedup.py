@@ -3312,6 +3312,15 @@ def q232_dedup_clusters_recursive(
     duplicate cluster — a handful — so the hop-guarded closure never
     touches corpus-sized state. The heavy lifting (pair generation) is
     q51's banded LSH, outside both recursions."""
-    pairs = q51_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize the edge list ONCE — the recursive plan references the
+    # pairs relation from every iteration of both recursions, and without
+    # this the whole LSH banding pipeline re-executes per step (the same
+    # rationale as connected_components' localCheckpoint; measured 34 s →
+    # 5 s at sf0.1)
+    pairs = (
+        q51_dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     pairs.createOrReplaceTempView("q232_pairs")
     return spark.sql("WITH RECURSIVE " + _q232_body("q232_pairs"))
