@@ -574,3 +574,193 @@ def q208_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q234 — TPC-H Q2 shape: cheapest supplier per part within a region
+# ---------------------------------------------------------------------------
+# The last classic correlated-subquery shape missing from the deep set:
+# Q2's "supplier achieving the MINIMUM cost for this part, restricted to
+# one region" — a correlated scalar MIN that decorrelates into a keyed
+# aggregate plus an equality join-back (the argmin idiom), stacked on a
+# region-filtered dimension chain. The fixture has no partsupp table, so
+# the per-(part, supplier) unit price derives from lineitem: integral
+# milli-cents per unit via BIGINT DIV — exact, portable.
+
+
+@register(
+    "q234_cheapest_regional_supplier",
+    sql="""
+    WITH eu_supp AS (
+      SELECT s_suppkey
+      FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST((1000 * SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                          * 100 + 0.5) AS BIGINT)))
+                  // SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS unit_milli
+      FROM lineitem
+        SEMI JOIN eu_supp e ON e.s_suppkey = l_suppkey
+      GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, MIN(unit_milli) AS unit_price_milli
+      FROM ps GROUP BY l_partkey
+    ), arg AS (
+      SELECT p.l_partkey,
+             MIN(p.l_suppkey) AS best_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n_tied
+      FROM ps p JOIN best b
+        ON b.l_partkey = p.l_partkey AND p.unit_milli = b.unit_price_milli
+      GROUP BY p.l_partkey
+    )
+    SELECT a.l_partkey AS partkey, pt.p_brand AS brand,
+           a.best_suppkey, b.unit_price_milli, a.n_tied
+    FROM arg a
+      JOIN best b ON b.l_partkey = a.l_partkey
+      JOIN part pt ON pt.p_partkey = a.l_partkey
+    ORDER BY b.unit_price_milli, a.l_partkey
+    LIMIT 100
+    """,
+    tags=("tpch", "join", "correlated", "argmin"),
+)
+def q234_cheapest_regional_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q2's shape on the available columns: for every part, the
+    EUROPE-region supplier with the minimum exact unit price
+    (milli-cents per unit, BIGINT DIV), ties resolved to the lowest
+    suppkey with the tie count reported; cheapest 100 parts returned.
+
+    Scale shape: the region chain folds to a broadcast suppkey set
+    (semi-join prunes the fact scan before any aggregate); the per-
+    (part, supplier) rollup is ONE partial-aggregated shuffle of
+    lineitem on its natural key; the correlated MIN decorrelates into a
+    per-part re-aggregate co-located on the same key, and the argmin is
+    the equality join-back — Catalyst's standard Q2 plan. Final order is
+    a 100-row TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey",
+        "l_suppkey",
+        "CAST(l_quantity AS BIGINT) AS qty",
+        "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+        " AS BIGINT) AS disc_cents",
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    ps = (
+        li.join(F.broadcast(eu), "l_suppkey", "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum("disc_cents").alias("sum_cents"),
+            F.sum("qty").alias("sum_qty"),
+        )
+        .withColumn(
+            "unit_milli", F.expr("(1000 * sum_cents) DIV sum_qty")
+        )
+    )
+    best = ps.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("unit_milli").alias("unit_price_milli")
+    )
+    arg = (
+        ps.join(
+            best,
+            (ps.l_partkey == best.pk)
+            & (ps.unit_milli == best.unit_price_milli),
+        )
+        .groupBy("pk", "unit_price_milli")
+        .agg(
+            F.min("l_suppkey").alias("best_suppkey"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tied"),
+        )
+    )
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), "p_brand"
+    )
+    return (
+        arg.join(F.broadcast(p), "pk")
+        .select(
+            F.col("pk").alias("partkey"),
+            F.col("p_brand").alias("brand"),
+            "best_suppkey",
+            "unit_price_milli",
+            "n_tied",
+        )
+        .orderBy("unit_price_milli", "partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q235 — TPC-H Q15 shape: top-revenue supplier via derived view + global max
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q235_top_revenue_supplier",
+    sql="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    ), mx AS (
+      SELECT MAX(revenue_cents) AS max_rev FROM rev
+    )
+    SELECT r.l_suppkey AS suppkey, s.s_name AS supplier_name,
+           r.revenue_cents
+    FROM rev r
+      JOIN mx ON r.revenue_cents = mx.max_rev
+      JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    ORDER BY suppkey
+    """,
+    tags=("tpch", "aggregation", "scalar-subquery"),
+)
+def q235_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with the maximum quarterly revenue —
+    the derived-rollup + global-scalar-MAX shape, all ties returned
+    (Q15's spec point: the filter is equality against the max, not a
+    LIMIT 1 that would drop co-leaders). Revenue in exact cents.
+
+    Scale shape: one pushed date filter into the fact scan, one
+    partial-aggregated shuffle to |suppliers| rows, a 1-row MAX
+    broadcast-cross-joined back (no second fact scan), and a broadcast
+    dim join for the name."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    ).selectExpr(
+        "l_suppkey",
+        "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+        " AS BIGINT) AS disc_cents",
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum("disc_cents").alias("revenue_cents")
+    )
+    mx = rev.agg(F.max("revenue_cents").alias("max_rev"))
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("revenue_cents") == F.col("max_rev"))
+        .join(F.broadcast(s), "l_suppkey")
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            "revenue_cents",
+        )
+        .orderBy("suppkey")
+    )
