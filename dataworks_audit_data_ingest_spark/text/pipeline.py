@@ -792,10 +792,11 @@ def strip_boilerplate_lines(
 
 def assign_leakage_safe_splits(
     docs: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     id_col: str = "doc_id",
     splits: tuple[tuple[str, int], ...] = (("train", 8), ("eval", 2)),
     seed: str = "split",
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Assign every document a split such that NO near-dup pair straddles
     a boundary (q192's remedy as the reusable API): connected components
@@ -808,12 +809,21 @@ def assign_leakage_safe_splits(
     Scale shape: clusters ride the O(diameter) min-label CC over the
     banded pair list (never corpus-shaped); assignment is one left join
     against the CC table (which holds only paired docs) plus map-side
-    hash arithmetic. Composes with `incremental_dedup_batch` — feed it
-    the accumulated ``dup_pairs`` — exactly as
-    ``examples/crawl_refresh_pipeline.py`` does.
+    hash arithmetic.
+
+    ``labels`` skips the CC recompute: pass a precomputed
+    ``(node_id, cluster_id)`` table — in a standing crawl, the
+    incremental CC store's MIN fold (`incremental/cc.py::read_cc_labels`,
+    drill-pinned equal to batch CC over every pair surfaced) — so the
+    split derives from maintained state instead of an O(diameter)
+    recompute per refresh; exactly one of ``pairs``/``labels`` must be
+    given. ``examples/crawl_refresh_pipeline.py`` runs the labels form.
     """
     from ..functions.graph import connected_components
     from ..functions.hashing import spark_hash32
+
+    if (pairs is None) == (labels is None):
+        raise ValueError("pass exactly one of pairs / labels")
 
     total = sum(w for _, w in splits)
     if total <= 0 or any(w < 0 for _, w in splits):
@@ -828,9 +838,12 @@ def assign_leakage_safe_splits(
         lo += w
     expr += " END"
 
-    cc = connected_components(
-        pairs.select("doc_a", "doc_b").distinct()
-    ).select(F.col("node_id").alias(id_col), "cluster_id")
+    if labels is not None:
+        cc = labels.select(F.col("node_id").alias(id_col), "cluster_id")
+    else:
+        cc = connected_components(
+            pairs.select("doc_a", "doc_b").distinct()
+        ).select(F.col("node_id").alias(id_col), "cluster_id")
     return (
         docs.join(cc, id_col, "left")
         .withColumn("_cluster", F.coalesce("cluster_id", F.col(id_col)))

@@ -46,6 +46,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F
 
+from dataworks_audit_data_ingest_spark.incremental.cc import (
+    read_cc_labels,
+    update_cc_store,
+)
 from dataworks_audit_data_ingest_spark.incremental.store import (
     commit_batch_partition,
     compact_store,
@@ -112,6 +116,7 @@ def run(spark, workdir: str) -> dict:
     audit: dict = {}
     bp_store = f"{workdir}/line_df_store"
     sig_store = f"{workdir}/sig_store"
+    cc_store = f"{workdir}/cc_store"
 
     # ------------------------------------------------------------------
     # 1+2. the daily loop: strip boilerplate, dedup against history
@@ -129,6 +134,11 @@ def run(spark, workdir: str) -> dict:
         )
         unique_docs = unique_docs.localCheckpoint()
         dup_pairs = dup_pairs.localCheckpoint()
+        # fold today's pairs into the persisted min-label store — the
+        # standing cluster view (merge-only; incremental/cc.py). The
+        # in-memory union below exists only for the audit counters and
+        # the leak check; the SPLIT no longer needs it.
+        update_cc_store(spark, cc_store, dup_pairs, str(day))
         all_pairs = (
             dup_pairs
             if all_pairs is None
@@ -174,8 +184,11 @@ def run(spark, workdir: str) -> dict:
     # ------------------------------------------------------------------
     # 4. cluster-inherited split (no near-dup straddles) + train shards
     # ------------------------------------------------------------------
+    # split from the MAINTAINED cluster labels (drill-pinned equal to
+    # batch CC over every pair surfaced) — no O(diameter) recompute
     assign = assign_leakage_safe_splits(
-        uniques.select("doc_id", "text", "source", "n_chars"), all_pairs
+        uniques.select("doc_id", "text", "source", "n_chars"),
+        labels=read_cc_labels(spark, cc_store),
     ).localCheckpoint()
     sd = {r.split: r.n for r in assign.groupBy("split").agg(F.count("*").alias("n")).collect()}
     audit["n_train"], audit["n_eval"] = sd.get("train", 0), sd.get("eval", 0)

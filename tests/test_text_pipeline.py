@@ -1077,3 +1077,43 @@ def test_allocate_source_budget_sums_exactly_and_tempers(spark):
     # partition invariance
     again = allocate_source_budget(d.repartition(9), 10_000).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_assign_splits_from_maintained_labels_identical(spark, tmp_path):
+    """The labels form (incremental CC store) assigns the IDENTICAL
+    split as the pairs form — the crawl-refresh example's rewiring."""
+    from dataworks_audit_data_ingest_spark.incremental.cc import (
+        read_cc_labels,
+        update_cc_store,
+    )
+    from dataworks_audit_data_ingest_spark.text.pipeline import (
+        assign_leakage_safe_splits,
+    )
+
+    d = table(spark, SF, "documents").select("doc_id", "text", "source")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    store = str(tmp_path / "cc")
+    update_cc_store(spark, store, pairs.filter("doc_a < 10"), "0")
+    update_cc_store(spark, store, pairs.filter("doc_a >= 10"), "1")
+    via_pairs = sorted(
+        (r.doc_id, r.split)
+        for r in assign_leakage_safe_splits(d, pairs).collect()
+    )
+    via_labels = sorted(
+        (r.doc_id, r.split)
+        for r in assign_leakage_safe_splits(
+            d, labels=read_cc_labels(spark, store)
+        ).collect()
+    )
+    assert via_pairs == via_labels
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        assign_leakage_safe_splits(d)
+    with _pytest.raises(ValueError, match="exactly one"):
+        assign_leakage_safe_splits(
+            d, pairs, labels=read_cc_labels(spark, store)
+        )
