@@ -2853,3 +2853,107 @@ def q229_funnel_dropoff_destinations(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy(F.desc("n_users"), F.asc("destination"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q236 — purchase attribution: last-touch (windowed) × first-touch matrix
+# ---------------------------------------------------------------------------
+# The classic marketing-analytics shape missing from the event family:
+# every purchase attributes its revenue to the user's most recent
+# click/view within a 7-day lookback (last-touch; 'direct' when none)
+# and, independently, to the user's first-ever preceding touch
+# (first-touch) — the assisted-conversion matrix. One user-keyed window
+# pass; timestamps compared as unix micros (portable and exact).
+
+_Q236_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
+_Q236_TOUCHES = "('click', 'view')"
+
+
+@register(
+    "q236_purchase_attribution",
+    sql=f"""
+    WITH enr AS (
+      SELECT user_id, event_type, ts, value,
+             LAST_VALUE(CASE WHEN event_type IN {_Q236_TOUCHES}
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS lt_type,
+             LAST_VALUE(CASE WHEN event_type IN {_Q236_TOUCHES}
+                             THEN epoch_us(ts) END IGNORE NULLS)
+               OVER w AS lt_us,
+             FIRST_VALUE(CASE WHEN event_type IN {_Q236_TOUCHES}
+                              THEN event_type END IGNORE NULLS)
+               OVER w AS ft_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), pur AS (
+      SELECT CASE WHEN lt_us IS NOT NULL
+                   AND lt_us >= epoch_us(ts) - {_Q236_LOOKBACK_US}
+                  THEN lt_type ELSE 'direct' END AS last_touch,
+             COALESCE(ft_type, 'direct') AS first_touch,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM enr WHERE event_type = 'purchase'
+    )
+    SELECT last_touch, first_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM pur GROUP BY last_touch, first_touch
+    ORDER BY last_touch, first_touch
+    """,
+    tags=("events", "window", "attribution", "journey"),
+)
+def q236_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch (7-day lookback) × first-touch purchase-attribution
+    matrix with exact revenue cents (module comment above).
+
+    Scale shape: ONE window exchange keyed by user (the same exchange
+    q91/q102/q229 pay — at 100 TB these journey passes share a
+    user-bucketed layout so it is paid once); the attribution columns
+    are IGNORE NULLS window folds inside that pass, the purchase filter
+    prunes before the tiny (touch × touch) rollup. No self-join of the
+    event table against its own touches."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    enr = e.select(
+        "event_type",
+        "ts",
+        "value",
+        F.last(F.when(touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("lt_type"),
+        F.last(F.when(touch, F.unix_micros("ts")), ignorenulls=True)
+        .over(w)
+        .alias("lt_us"),
+        F.first(F.when(touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("ft_type"),
+    )
+    pur = enr.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("lt_us").isNotNull()
+            & (
+                F.col("lt_us")
+                >= F.unix_micros("ts") - F.lit(_Q236_LOOKBACK_US)
+            ),
+            F.col("lt_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("last_touch"),
+        F.coalesce("ft_type", F.lit("direct")).alias("first_touch"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return (
+        pur.groupBy("last_touch", "first_touch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("last_touch", "first_touch")
+    )
