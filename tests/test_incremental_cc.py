@@ -148,3 +148,16 @@ def test_composes_with_incremental_lexical_dedup(spark, tmp_path):
         connected_components(union).select("node_id", "cluster_id")
     )
     assert got == want and got
+
+
+def test_empty_batch_and_self_loops_are_noops(spark, tmp_path):
+    store = str(tmp_path / "cc_store")
+    update_cc_store(spark, store, _edges_df(spark, BATCHES["1"]), "1")
+    before = _labels(read_cc_labels(spark, store))
+    # empty edge batch: no state change
+    update_cc_store(spark, store, _edges_df(spark, []), "2")
+    assert _labels(read_cc_labels(spark, store)) == before
+    # self-loops neither merge nor crash
+    update_cc_store(spark, store, _edges_df(spark, [(5, 5)]), "3")
+    after = dict(_labels(read_cc_labels(spark, store)))
+    assert after[5] == 5 and after[6] == 5
