@@ -45,9 +45,13 @@ from . import graph_shaped  # noqa: E402,F401
 # their evidence is pytest plus a green oracle-backed twin each.
 DRIVER_PRIORITY_AS_OF_ROUND = 8
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "q236_purchase_attribution",
+    "q233_source_budget_allocation",
     "q232_dedup_clusters_recursive",
     "q230_ivfpq_trained_funnel",
     "q231_filtered_ann_parity",
+    "q234_cheapest_regional_supplier",
+    "q235_top_revenue_supplier",
     "q46_interval_self_join",
     "q47_histogram",
     "q49_filtered_aggregates",
@@ -91,10 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q123_seasonal_backtest",
     "q124_skew_report",
     "q127_revenue_share",
-    "q128_journey_trigrams",
-    "q131_referential_audit",
-    "q132_weekly_growth",
-    "q133_transition_dwell_times",
 )
 
 
