@@ -73,3 +73,69 @@ def q41_binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q237 — the Python Data Source under the oracle
+# ---------------------------------------------------------------------------
+# Spark 4's Python Data Source API as a first-class source
+# (`sources/synthetic.py`): deterministic synthetic events generated ON
+# the executors from the row index through the portable MD5 hash — the
+# load-test input that needs no fixture staging at any volume. The
+# oracle REGENERATES the identical rows in DuckDB from RANGE + the same
+# hash text, so the source implementation itself (batch reader,
+# partition ranges, generation law) sits under the driver's value hash.
+
+from ..sources.synthetic import (  # noqa: E402
+    SyntheticEventsDataSource,
+    duckdb_generation_sql,
+)
+
+_Q237_ROWS = 20_000
+
+
+@register(
+    "q237_python_datasource_census",
+    sql=f"""
+    WITH gen AS ({duckdb_generation_sql(_Q237_ROWS)})
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+           CAST(MIN(ts_us) AS BIGINT) AS first_ts_us,
+           CAST(MAX(ts_us) AS BIGINT) AS last_ts_us
+    FROM gen GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("sources", "python-datasource", "synthetic", "scale-path"),
+)
+def q237_python_datasource_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Census over the Python Data Source (`sources/synthetic.py`):
+    20 000 deterministic events read through
+    ``spark.read.format("synthetic_events")`` — partitioned executor-side
+    generation, zero input bytes — rolled up per type. The DuckDB twin
+    regenerates the same rows from RANGE + the portable hash, so a drift
+    anywhere in the source (partitioning, generation law, Arrow
+    hand-off) breaks the hash. Fixture-independent by design: the query
+    pins the SOURCE, not fixture data (sanctioned Python scan — the
+    generator has to run somewhere; everything downstream is columnar).
+    """
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", _Q237_ROWS)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("value_cents").cast("bigint").alias("total_cents"),
+            F.min("ts_us").cast("bigint").alias("first_ts_us"),
+            F.max("ts_us").cast("bigint").alias("last_ts_us"),
+        )
+        .orderBy("event_type")
+    )
