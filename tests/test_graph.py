@@ -309,3 +309,48 @@ def test_q232_hop_guard_covers_condensed_diameter(spark):
         for r in connected_components(pairs).collect()
     )
     assert rec == kern
+
+
+def test_scripted_cc_four_way_agreement(spark):
+    """FOUR independent connected-components implementations, one
+    answer: SQL-scripting fixpoint == min-label kernel == star kernel ==
+    Spark recursive CTE (q232), on a deep path graph and on the real q51
+    pairs."""
+    from dataworks_audit_data_ingest_spark.functions.scripted import (
+        scripted_connected_components,
+    )
+    from dataworks_audit_data_ingest_spark.queries.dedup import (
+        q232_dedup_clusters_recursive,
+        q51_dedup_minhash_lsh,
+    )
+
+    # engineered: a path (deep for its size) + a triangle + a pair
+    path = [(i, i + 1) for i in range(10, 15)]
+    clique = [(30, 31), (31, 32), (30, 32)]
+    pairs = spark.createDataFrame(
+        path + clique + [(50, 51)], "doc_a long, doc_b long"
+    )
+    scripted = sorted(
+        (r.node_id, r.cluster_id)
+        for r in scripted_connected_components(spark, pairs).collect()
+    )
+    for method in ("label", "star"):
+        kern = sorted(
+            (r.node_id, r.cluster_id)
+            for r in connected_components(pairs, method=method).collect()
+        )
+        assert scripted == kern, method
+    assert scripted[0] == (10, 10) and dict(scripted)[14] == 10
+
+    # real pairs: scripted == kernel == the recursive-CTE registry query
+    sf = "/root/testdata/sf0.001"
+    real = q51_dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b")
+    s2 = sorted(
+        (r.node_id, r.cluster_id)
+        for r in scripted_connected_components(spark, real).collect()
+    )
+    rec = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in q232_dedup_clusters_recursive(spark, sf).collect()
+    )
+    assert s2 == rec and s2
