@@ -50,6 +50,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q232_dedup_clusters_recursive",
     "q230_ivfpq_trained_funnel",
     "q231_filtered_ann_parity",
+    "q237_python_datasource_census",
     "q234_cheapest_regional_supplier",
     "q235_top_revenue_supplier",
     "q46_interval_self_join",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q122_ols_fit",
     "q123_seasonal_backtest",
     "q124_skew_report",
-    "q127_revenue_share",
 )
 
 
