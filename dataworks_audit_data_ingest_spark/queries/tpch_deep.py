@@ -764,3 +764,114 @@ def q235_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q238 — market-basket pair lift over order baskets
+# ---------------------------------------------------------------------------
+# q186's collocation miner on the RETAIL side: which parts are bought
+# together beyond chance. lift_ppm = 1e6·n_ab·n_orders / (n_a·n_b) over
+# part pairs inside an order basket — the classic association-rule
+# screen, exact integers end to end (the log of PMI is dropped as
+# monotone; DECIMAL/HUGEINT products per the overflow idiom).
+
+_Q238_MIN_SUPPORT = 3   # orders containing the pair
+_Q238_MIN_PART = 5      # orders containing each part alone
+_Q238_TOP = 20
+
+
+@register(
+    "q238_basket_pair_lift",
+    sql=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pf AS (
+      SELECT l_partkey, COUNT(*) AS n_p FROM items GROUP BY l_partkey
+      HAVING COUNT(*) >= {_Q238_MIN_PART}
+    ), iq AS (
+      SELECT l_orderkey, l_partkey FROM items
+      SEMI JOIN pf USING (l_partkey)
+    ), total AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem
+    ), pc AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_ab
+      FROM iq a JOIN iq b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= {_Q238_MIN_SUPPORT}
+    )
+    SELECT part_a, part_b,
+           CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(fa.n_p AS BIGINT) AS n_a,
+           CAST(fb.n_p AS BIGINT) AS n_b,
+           CAST(CAST(n_ab AS HUGEINT) * n_orders * 1000000
+                // (CAST(fa.n_p AS HUGEINT) * fb.n_p) AS BIGINT) AS lift_ppm
+    FROM pc
+      JOIN pf fa ON fa.l_partkey = pc.part_a
+      JOIN pf fb ON fb.l_partkey = pc.part_b
+      CROSS JOIN total
+    ORDER BY lift_ppm DESC, part_a, part_b
+    LIMIT {_Q238_TOP}
+    """,
+    tags=("tpch", "basket", "association", "mining", "exact-integer"),
+)
+def q238_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part pairs bought together beyond chance (module comment).
+
+    Scale shape: the basket distinct is one (order, part)-keyed partial
+    agg; part frequencies are item-keyed and broadcast back as the
+    qualification filter, so the within-order pair join fans out only
+    over qualifying items (per-order O(k²), k = basket size — bounded by
+    order shape, not corpus); pair counts combine map-side; the lift
+    arithmetic runs on the aggregated pair table with DECIMAL(38,0)
+    products (n_ab·n_orders·1e6 wraps BIGINT near 1e12 orders). Top-k is
+    TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    pf = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+        .filter(F.col("n_p") >= _Q238_MIN_PART)
+    )
+    iq = items.join(F.broadcast(pf.select("l_partkey")), "l_partkey")
+    total = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    pc = (
+        iq.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+        .join(
+            iq.select("l_orderkey", F.col("l_partkey").alias("part_b")),
+            "l_orderkey",
+        )
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _Q238_MIN_SUPPORT)
+    )
+    return (
+        pc.join(
+            F.broadcast(
+                pf.select(F.col("l_partkey").alias("part_a"), F.col("n_p").alias("_na"))
+            ),
+            "part_a",
+        )
+        .join(
+            F.broadcast(
+                pf.select(F.col("l_partkey").alias("part_b"), F.col("n_p").alias("_nb"))
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("_na").cast("bigint").alias("n_a"),
+            F.col("_nb").cast("bigint").alias("n_b"),
+            F.expr(
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000"
+                " DIV (CAST(_na AS DECIMAL(38,0)) * _nb) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "part_a", "part_b")
+        .limit(_Q238_TOP)
+    )
