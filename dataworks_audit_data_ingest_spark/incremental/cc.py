@@ -30,10 +30,11 @@ for an O(batch) change. This module maintains the labels incrementally:
   semantics; the MIN-fold read is indifferent to the fold, so the
   generic compactor applies unchanged (drill-pinned).
 
-Deletions are out of scope by design: removing an edge can SPLIT a
-component, which a monotone min-label store cannot express — that is a
-recompute (`functions/graph.py::connected_components` over the surviving
-edges), exactly like the GDPR-forget path rebuilds derived state.
+Deletions cannot ride the monotone fold (removing an edge can SPLIT a
+component); they are a scoped RECOMPUTE instead —
+:func:`forget_ids_from_cc_store` erases a subject and relabels exactly
+the affected components from the caller's surviving edge list, the same
+rebuild-derived-state discipline as the rest of the GDPR-forget surface.
 """
 
 from __future__ import annotations
@@ -137,3 +138,106 @@ def update_cc_store(
     delta = delta.select("node_id", "cluster_id").localCheckpoint(eager=True)
     commit_batch_partition(delta, store_path, batch_id)
     return delta
+
+
+def forget_ids_from_cc_store(
+    spark: SparkSession,
+    store_path: str,
+    ids,
+    surviving_edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    audit_path: str | None = None,
+) -> dict[str, int]:
+    """Right-to-be-forgotten over the CLUSTER state: erase ``ids`` from
+    the label store AND repair everything their absence invalidates.
+
+    Plain row deletion is not enough here, in two ways the generic
+    `forget_ids_from_store` cannot see:
+
+    - a forgotten node's id may survive as OTHER rows' ``cluster_id``
+      (labels are component minima — ids outlive their own row);
+    - removing a node can SPLIT its component (cut vertex), which a
+      monotone min-label store cannot express incrementally.
+
+    So the repair recomputes exactly the affected components: members of
+    any cluster the subject touched (as member or as minimum) have their
+    rows deleted alongside the subject's, and the batch CC kernel
+    relabels them from ``surviving_edges`` (the caller's post-erasure
+    edge list — the store itself keeps no edges; pass the regenerable
+    pair list, e.g. the signature store's pairs after their own forget).
+    Members with no surviving edge become singletons. The relabel lands
+    as one deterministic ``__forget__``-prefixed batch partition, so a
+    crashed or repeated request converges (idempotent). Run at
+    quiescence, like every forget (a concurrently replayed old batch
+    could resurrect the erased id as a label).
+
+    Returns ``{"nodes_forgotten": n, "members_relabeled": m}``; with
+    ``audit_path`` the erasure lands in the audit manifest."""
+    import hashlib
+
+    id_list = sorted(set(ids))
+    if not id_list:
+        return {"nodes_forgotten": 0, "members_relabeled": 0}
+    labels = read_cc_labels(spark, store_path)
+    if labels is None:
+        return {"nodes_forgotten": 0, "members_relabeled": 0}
+    from .forget import forget_ids_from_store
+
+    affected = (
+        labels.filter(F.col("node_id").isin(id_list))
+        .select("cluster_id")
+        .union(
+            labels.filter(F.col("cluster_id").isin(id_list)).select(
+                "cluster_id"
+            )
+        )
+        .distinct()
+    )
+    members = (
+        labels.join(F.broadcast(affected), "cluster_id", "left_semi")
+        .filter(~F.col("node_id").isin(id_list))
+        .select("node_id")
+        .localCheckpoint(eager=True)
+    )
+    member_ids = [r.node_id for r in members.collect()]
+    forget_ids_from_store(
+        spark, store_path, id_list + member_ids, id_col="node_id"
+    )
+    # relabel the surviving members from the post-erasure edges
+    e = (
+        surviving_edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        )
+        .filter(
+            ~F.col("u").isin(id_list) & ~F.col("v").isin(id_list)
+        )
+        .join(members.select(F.col("node_id").alias("u")), "u", "left_semi")
+        .join(members.select(F.col("node_id").alias("v")), "v", "left_semi")
+    )
+    relabeled = connected_components(e, src="u", dst="v")
+    singles = members.join(
+        relabeled.select("node_id"), "node_id", "left_anti"
+    ).select("node_id", F.col("node_id").alias("cluster_id"))
+    new_rows = relabeled.select("node_id", "cluster_id").unionByName(
+        singles
+    )
+    token = hashlib.md5(
+        "|".join(str(i) for i in id_list).encode()
+    ).hexdigest()[:12]
+    commit_batch_partition(new_rows, store_path, f"__forget_{token}__")
+    n_members = len(member_ids)
+    if audit_path is not None:
+        from .audit import record_audit
+
+        record_audit(
+            spark,
+            audit_path,
+            "forget_ids_from_cc_store",
+            len(id_list),
+            f"store={store_path} members_relabeled={n_members}",
+        )
+    return {
+        "nodes_forgotten": len(id_list),
+        "members_relabeled": n_members,
+    }

@@ -161,3 +161,57 @@ def test_empty_batch_and_self_loops_are_noops(spark, tmp_path):
     update_cc_store(spark, store, _edges_df(spark, [(5, 5)]), "3")
     after = dict(_labels(read_cc_labels(spark, store)))
     assert after[5] == 5 and after[6] == 5
+
+
+def test_forget_repairs_split_and_min_reference(spark, tmp_path):
+    """Forgetting a node that is BOTH a component minimum and a cut
+    vertex: its id vanishes from node_id AND cluster_id columns, the
+    component splits correctly, untouched components keep their rows,
+    and a re-run converges (idempotent)."""
+    from dataworks_audit_data_ingest_spark.incremental.cc import (
+        forget_ids_from_cc_store,
+    )
+
+    store = str(tmp_path / "cc_store")
+    # component {1,2,3} is a path 2-1-3 (1 = min AND cut vertex);
+    # {5,6} untouched control
+    edges = [(1, 2), (1, 3), (5, 6)]
+    update_cc_store(spark, store, _edges_df(spark, edges), "0")
+    before = dict(_labels(read_cc_labels(spark, store)))
+    assert before == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+    surviving = _edges_df(spark, [(5, 6)])  # post-erasure edge list
+    audit = str(tmp_path / "audit")
+    out = forget_ids_from_cc_store(
+        spark, store, [1], surviving, audit_path=audit
+    )
+    assert out == {"nodes_forgotten": 1, "members_relabeled": 2}
+    after = _labels(read_cc_labels(spark, store))
+    # 1 gone everywhere; 2 and 3 split into singletons; control intact
+    assert after == [(2, 2), (3, 3), (5, 5), (6, 5)]
+    # the erased id appears in NO row, either column
+    raw = spark.read.parquet(store)
+    assert raw.filter("node_id = 1 OR cluster_id = 1").count() == 0
+    # idempotent re-run
+    out2 = forget_ids_from_cc_store(spark, store, [1], surviving)
+    assert _labels(read_cc_labels(spark, store)) == after
+    # audit row landed
+    detail = spark.read.parquet(audit).collect()[0]
+    assert detail.operation == "forget_ids_from_cc_store"
+    assert detail.n_affected == 1
+
+
+def test_forget_keeps_connected_remainder_together(spark, tmp_path):
+    """Forgetting a NON-cut member: the rest of the component stays one
+    cluster, relabeled to its new minimum."""
+    from dataworks_audit_data_ingest_spark.incremental.cc import (
+        forget_ids_from_cc_store,
+    )
+
+    store = str(tmp_path / "cc_store")
+    # triangle {1,2,3}: removing 1 leaves 2-3 connected
+    edges = [(1, 2), (2, 3), (1, 3)]
+    update_cc_store(spark, store, _edges_df(spark, edges), "0")
+    surviving = _edges_df(spark, [(2, 3)])
+    forget_ids_from_cc_store(spark, store, [1], surviving)
+    assert _labels(read_cc_labels(spark, store)) == [(2, 2), (3, 2)]
