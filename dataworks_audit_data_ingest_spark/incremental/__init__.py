@@ -7,6 +7,10 @@ from .enrich import (  # noqa: F401
     refresh_skew_report,
     run_enriched_incremental,
 )
-from .cc import read_cc_labels, update_cc_store  # noqa: F401
+from .cc import (  # noqa: F401
+    forget_ids_from_cc_store,
+    read_cc_labels,
+    update_cc_store,
+)
 from .forget import forget_ids_from_store  # noqa: F401
 from .runner import IncrementalJob, run_incremental  # noqa: F401
