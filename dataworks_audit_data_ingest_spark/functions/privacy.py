@@ -134,6 +134,10 @@ def ladder_assignment(
         )
         .groupBy(*gcols, "_sens")
         .agg(F.count(F.lit(1)).alias("_cnt"))
+        # materialized once: the collision guard below is an eager action
+        # and the residual walk reuses base per level — without this the
+        # corpus aggregation would re-execute per consumer
+        .localCheckpoint()
     )
     _reject_marker_collisions(base, levels, qi)
 

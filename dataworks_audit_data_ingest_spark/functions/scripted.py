@@ -26,6 +26,7 @@ localCheckpoint discipline remains the deep-graph path.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def scripted_connected_components(
@@ -36,15 +37,18 @@ def scripted_connected_components(
     max_iter: int = 30,
 ) -> DataFrame:
     """(node_id, cluster_id) with cluster id = component minimum — the
-    min-label fixpoint executed entirely as ONE SQL script."""
+    min-label fixpoint executed entirely as ONE SQL script. Mirrors the
+    kernel's exhaustion contract: if ``max_iter`` rounds pass without
+    convergence the result is verified post-hoc (`verify_cc_fixpoint`)
+    and a warning fires rather than silently returning mid-iteration
+    labels."""
     enabled = spark.conf.get("spark.sql.scripting.enabled", "false")
     spark.conf.set("spark.sql.scripting.enabled", "true")
     try:
-        pairs.select(
+        edge_pairs = pairs.select(
             pairs[src].alias("doc_a"), pairs[dst].alias("doc_b")
-        ).localCheckpoint(eager=True).createOrReplaceTempView(
-            "cc_scripted_pairs"
-        )
+        ).localCheckpoint(eager=True)
+        edge_pairs.createOrReplaceTempView("cc_scripted_pairs")
         # one propagation round, dst/src view names spliced per round
         step = (
             "CREATE OR REPLACE TEMPORARY VIEW cc_scripted_r' || (rounds + 1) || ' AS"
@@ -62,7 +66,7 @@ def scripted_connected_components(
             " JOIN cc_scripted_r' || rounds || ' o"
             " ON n.node_id = o.node_id AND n.label != o.label"
         )
-        return spark.sql(f"""
+        out = spark.sql(f"""
         BEGIN
           DECLARE changed BIGINT DEFAULT 1;
           DECLARE rounds INT DEFAULT 0;
@@ -83,5 +87,52 @@ def scripted_connected_components(
             || rounds;
         END
         """)
+        out = out.localCheckpoint(eager=True)
+        if not verify_cc_fixpoint(
+            spark, out, edge_pairs, src="doc_a", dst="doc_b"
+        ):
+            import warnings
+
+            warnings.warn(
+                f"scripted_connected_components hit max_iter={max_iter}"
+                " before fixpoint; labels may not be component minima —"
+                " raise max_iter for graphs with diameter beyond it",
+                stacklevel=2,
+            )
+        return out
     finally:
         spark.conf.set("spark.sql.scripting.enabled", enabled)
+
+
+def verify_cc_fixpoint(
+    spark: SparkSession, labels: DataFrame, pairs: DataFrame,
+    src: str = "doc_a", dst: str = "doc_b",
+) -> bool:
+    """True iff ``labels`` is a min-label fixpoint of ``pairs`` — one
+    extra propagation step changes nothing. The convergence guard for
+    `scripted_connected_components` (a script that exhausts ``max_iter``
+    returns non-converged labels with no signal of its own — mirror the
+    kernel's contract by checking, and warn, at the call site):
+
+        labels = scripted_connected_components(spark, pairs)
+        assert verify_cc_fixpoint(spark, labels, pairs)
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    neigh = (
+        both.join(
+            labels.select(
+                F.col("node_id").alias("v"), F.col("cluster_id").alias("nl")
+            ),
+            "v",
+        )
+        .groupBy(F.col("u").alias("node_id"))
+        .agg(F.min("nl").alias("nlabel"))
+    )
+    changed = (
+        labels.join(neigh, "node_id")
+        .filter(F.col("nlabel") < F.col("cluster_id"))
+        .limit(1)
+        .count()
+    )
+    return changed == 0

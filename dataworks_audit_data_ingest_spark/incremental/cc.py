@@ -182,7 +182,7 @@ def forget_ids_from_cc_store(
     labels = read_cc_labels(spark, store_path)
     if labels is None:
         return {"nodes_forgotten": 0, "members_relabeled": 0}
-    from .forget import forget_ids_from_store
+    from .forget import forget_matching_from_store
 
     affected = (
         labels.filter(F.col("node_id").isin(id_list))
@@ -194,15 +194,24 @@ def forget_ids_from_cc_store(
         )
         .distinct()
     )
+    # the member set stays a DataFrame end to end — an affected near-dup
+    # component can hold millions of docs at scale, which must never
+    # round-trip through the driver as an isin list
     members = (
         labels.join(F.broadcast(affected), "cluster_id", "left_semi")
         .filter(~F.col("node_id").isin(id_list))
         .select("node_id")
         .localCheckpoint(eager=True)
     )
-    member_ids = [r.node_id for r in members.collect()]
-    forget_ids_from_store(
-        spark, store_path, id_list + member_ids, id_col="node_id"
+    subjects = labels.sparkSession.createDataFrame(
+        [(i,) for i in id_list],
+        labels.select("node_id").schema,
+    )
+    forget_matching_from_store(
+        spark,
+        store_path,
+        members.unionByName(subjects),
+        id_col="node_id",
     )
     # relabel the surviving members from the post-erasure edges
     e = (
@@ -226,7 +235,7 @@ def forget_ids_from_cc_store(
         "|".join(str(i) for i in id_list).encode()
     ).hexdigest()[:12]
     commit_batch_partition(new_rows, store_path, f"__forget_{token}__")
-    n_members = len(member_ids)
+    n_members = members.count()
     if audit_path is not None:
         from .audit import record_audit
 

@@ -99,3 +99,61 @@ def forget_ids_from_store(
             f" partitions={sorted(removed)}",
         )
     return removed
+
+
+def forget_matching_from_store(
+    spark: SparkSession,
+    store_path: str,
+    ids_df,
+    *,
+    id_col: str = "doc_id",
+    audit_path: str | None = None,
+) -> dict[str, int]:
+    """`forget_ids_from_store` with the id set as a DATAFRAME — the form
+    for removal sets too large to round-trip through the driver (e.g.
+    every member of an affected near-dup component in the CC store's
+    forget repair). Same partition-rewrite discipline: anti-join per
+    partition, untouched partitions never rewritten, fully-erased
+    partitions deleted outright, idempotent."""
+    listed = _list_partitions(spark, store_path)
+    if listed is None:
+        return {}
+    fs, jvm, dirs = listed
+    ids = (
+        ids_df.select(F.col(ids_df.columns[0]).alias(id_col))
+        .distinct()
+        .localCheckpoint()
+    )
+    if ids.limit(1).count() == 0:
+        return {}
+    removed: dict[str, int] = {}
+    for bid in sorted(dirs):
+        part = spark.read.parquet(f"{store_path}/{dirs[bid]}")
+        if id_col not in part.columns:
+            raise ValueError(
+                f"store partition {bid!r} has no column {id_col!r}"
+                f" (columns: {part.columns})"
+            )
+        hits = part.join(ids, id_col, "left_semi").count()
+        if hits == 0:
+            continue
+        kept = part.join(ids, id_col, "left_anti").localCheckpoint()
+        if kept.count() == 0:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{store_path}/{dirs[bid]}"),
+                True,
+            )
+        else:
+            commit_batch_partition(kept, store_path, bid)
+        removed[bid] = int(hits)
+    if audit_path is not None:
+        from .audit import record_audit
+
+        record_audit(
+            spark,
+            audit_path,
+            "forget_matching_from_store",
+            sum(removed.values()),
+            f"store={store_path} partitions={sorted(removed)}",
+        )
+    return removed

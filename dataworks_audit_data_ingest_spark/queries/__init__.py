@@ -53,6 +53,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q237_python_datasource_census",
     "q234_cheapest_regional_supplier",
     "q235_top_revenue_supplier",
+    "q238_basket_pair_lift",
     "q46_interval_self_join",
     "q47_histogram",
     "q49_filtered_aggregates",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q120_rolling_active_users",
     "q122_ols_fit",
     "q123_seasonal_backtest",
-    "q124_skew_report",
 )
 
 

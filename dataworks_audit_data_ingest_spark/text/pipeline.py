@@ -228,11 +228,21 @@ def token_budget_sample(
     h = F.expr(spark_hash32(text_col, order_seed))
     n_buckets = max(1, spark.sparkContext.defaultParallelism)
     width = max(1, (1 << 32) // n_buckets)
-    slim = docs.select(
-        F.col(id_col),
-        h.alias("_h"),
-        F.size(words).alias("_n_tok"),
-    ).withColumn("_pid", F.expr(f"_h DIV {width}"))
+    # NULL-text rows never qualify (their running sum was NULL under the
+    # retired window form too — same selection); materialize the slim
+    # projection ONCE so the totals pass and the window pass don't each
+    # re-execute the corpus scan + hash (two corpus reads total: this
+    # one, and the final join-back for the full rows).
+    slim = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            h.alias("_h"),
+            F.size(words).alias("_n_tok"),
+        )
+        .withColumn("_pid", F.expr(f"_h DIV {width}"))
+        .localCheckpoint()
+    )
     totals = slim.groupBy("_pid").agg(F.sum("_n_tok").alias("_tot")).collect()
     acc = 0
     offsets = []

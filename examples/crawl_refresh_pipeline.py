@@ -185,10 +185,18 @@ def run(spark, workdir: str) -> dict:
     # 4. cluster-inherited split (no near-dup straddles) + train shards
     # ------------------------------------------------------------------
     # split from the MAINTAINED cluster labels (drill-pinned equal to
-    # batch CC over every pair surfaced) — no O(diameter) recompute
+    # batch CC over every pair surfaced) — no O(diameter) recompute.
+    # A corpus with zero near-dup pairs has no label store yet
+    # (read_cc_labels -> None): every doc is its own cluster, which the
+    # pairs form expresses with the (empty) pair list.
+    cc_labels = read_cc_labels(spark, cc_store)
     assign = assign_leakage_safe_splits(
         uniques.select("doc_id", "text", "source", "n_chars"),
-        labels=read_cc_labels(spark, cc_store),
+        **(
+            {"labels": cc_labels}
+            if cc_labels is not None
+            else {"pairs": all_pairs}
+        ),
     ).localCheckpoint()
     sd = {r.split: r.n for r in assign.groupBy("split").agg(F.count("*").alias("n")).collect()}
     audit["n_train"], audit["n_eval"] = sd.get("train", 0), sd.get("eval", 0)

@@ -354,3 +354,23 @@ def test_scripted_cc_four_way_agreement(spark):
         for r in q232_dedup_clusters_recursive(spark, sf).collect()
     )
     assert s2 == rec and s2
+
+
+def test_scripted_cc_warns_on_exhaustion(spark):
+    """max_iter below the diameter: the scripted form must WARN (not
+    silently return mid-iteration labels) — the kernel's contract."""
+    import warnings as _warnings
+
+    from dataworks_audit_data_ingest_spark.functions.scripted import (
+        scripted_connected_components,
+        verify_cc_fixpoint,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 108)], "doc_a long, doc_b long"
+    )
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        out = scripted_connected_components(spark, chain, max_iter=2)
+        assert any("max_iter" in str(w.message) for w in rec)
+    assert not verify_cc_fixpoint(spark, out, chain)

@@ -1117,3 +1117,26 @@ def test_assign_splits_from_maintained_labels_identical(spark, tmp_path):
         assign_leakage_safe_splits(
             d, pairs, labels=read_cc_labels(spark, store)
         )
+
+
+def test_token_budget_sample_tolerates_null_text(spark):
+    """NULL-text rows never qualify and never crash the two-phase form
+    (they had a NULL running sum — i.e. were dropped — under the
+    retired global-window form too)."""
+    d = table(spark, SF, "documents").select("doc_id", "text")
+    with_nulls = d.unionByName(
+        spark.createDataFrame(
+            [(990001, None), (990002, None)], "doc_id long, text string"
+        )
+    )
+    base = sorted(
+        r.doc_id
+        for r in token_budget_sample(d, 5_000).select("doc_id").collect()
+    )
+    got = sorted(
+        r.doc_id
+        for r in token_budget_sample(with_nulls, 5_000)
+        .select("doc_id")
+        .collect()
+    )
+    assert got == base  # same selection, null rows silently excluded
