@@ -1269,3 +1269,51 @@ def q189_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# q239 — correlated LATERAL subquery (per-group top-k without a window)
+# ---------------------------------------------------------------------------
+# The one classical join form not yet registered: a correlated LATERAL
+# derived table — "for each outer row, run this subquery" — here the
+# canonical per-group top-k (each nation's two largest account
+# balances). Both engines execute the IDENTICAL statement text (q228's
+# device: the fixture views carry the same names on both sides), so
+# Spark's DecorrelateInnerQuery planning of LATERAL ... ORDER BY/LIMIT
+# is pinned against DuckDB's lateral join. Catalyst decorrelates it to
+# the same partitioned rank the window form (q12) plans — asserted by a
+# drill that cross-pins the two forms row-for-row.
+
+
+def _q239_sql() -> str:
+    return """
+    SELECT n.n_name AS nation, t.c_name AS customer_name,
+           CAST(FLOOR(t.c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+    FROM nation n,
+    LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) t
+    ORDER BY nation, acctbal_cents DESC, customer_name
+    """
+
+
+@register(
+    "q239_lateral_topk_per_nation",
+    sql=_q239_sql(),
+    tags=("join", "lateral", "correlated", "topk"),
+)
+def q239_lateral_topk_per_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Each nation's two largest customer balances via a correlated
+    LATERAL subquery — identical statement text on both engines (module
+    comment). Scale shape: Catalyst decorrelates the lateral into a
+    per-nation rank over ONE customer shuffle (the q12 window plan) —
+    no per-outer-row re-execution survives planning; the nation dim
+    broadcasts."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_q239_sql())

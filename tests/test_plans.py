@@ -131,3 +131,40 @@ def test_q66_is_fully_distributed(spark):
     assert "LocalTableScan" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q239_lateral_decorrelates_to_window_plan(spark):
+    """The LATERAL form must cross-pin the window form row-for-row, and
+    its physical plan must contain a decorrelated rank (a Window node),
+    not per-outer-row re-execution."""
+    from pyspark.sql import Window, functions as F
+    from dataworks_audit_data_ingest_spark.queries.relational import (
+        q239_lateral_topk_per_nation,
+    )
+    from dataworks_audit_data_ingest_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    lateral = q239_lateral_topk_per_nation(spark, sf)
+    plan = lateral._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "CartesianProduct" not in plan
+
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    windowed = (
+        c.withColumn("_r", F.row_number().over(w))
+        .filter("_r <= 2")
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_name").alias("customer_name"),
+            F.expr(
+                "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)"
+            ).alias("acctbal_cents"),
+        )
+    )
+    assert sorted(map(tuple, lateral.collect())) == sorted(
+        map(tuple, windowed.collect())
+    )
