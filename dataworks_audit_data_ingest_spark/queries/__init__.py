@@ -46,6 +46,7 @@ from . import graph_shaped  # noqa: E402,F401
 DRIVER_PRIORITY_AS_OF_ROUND = 8
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q239_lateral_topk_per_nation",
+    "q240_nullsafe_linkage_join",
     "q236_purchase_attribution",
     "q233_source_budget_allocation",
     "q232_dedup_clusters_recursive",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q117_covariance_matrix",
     "q118_hll_overlap",
     "q120_rolling_active_users",
-    "q122_ols_fit",
 )
 
 

@@ -1317,3 +1317,83 @@ def q239_lateral_topk_per_nation(
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     return spark.sql(_q239_sql())
+
+
+# ---------------------------------------------------------------------------
+# q240 — null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+# The record-linkage join predicate for keys with MISSING values: plain
+# `=` silently drops every NULL-keyed row (NULL = NULL is NULL), while
+# the null-safe form matches NULL with NULL — the correct semantics when
+# "field absent" is itself a linkage value. Shape: two derived customer
+# feeds with NULLIF-injected missing segments, joined null-safely on
+# (segment, nation), with the NULL-bucket rows counted separately so the
+# census proves the NULL-NULL matches actually happened.
+
+
+@register(
+    "q240_nullsafe_linkage_join",
+    sql="""
+    WITH a AS (
+      SELECT c_custkey, c_nationkey,
+             NULLIF(c_mktsegment, 'BUILDING') AS seg
+      FROM customer WHERE c_custkey % 2 = 0
+    ), b AS (
+      SELECT c_custkey, c_nationkey,
+             NULLIF(c_mktsegment, 'BUILDING') AS seg
+      FROM customer WHERE c_custkey % 2 = 1
+    ), joined AS (
+      SELECT a.c_nationkey AS nationkey, a.seg,
+             COUNT(*) AS n_pairs
+      FROM a JOIN b
+        ON a.seg IS NOT DISTINCT FROM b.seg
+       AND a.c_nationkey = b.c_nationkey
+      GROUP BY a.c_nationkey, a.seg
+    )
+    SELECT CAST(nationkey AS BIGINT) AS nationkey,
+           COALESCE(seg, '(missing)') AS segment,
+           CAST(n_pairs AS BIGINT) AS n_pairs
+    FROM joined
+    ORDER BY nationkey, segment
+    """,
+    tags=("join", "nullsafe", "linkage"),
+)
+def q240_nullsafe_linkage_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Null-safe equality join census (module comment): even/odd customer
+    halves linked on (segment, nation) where segment uses Spark's
+    ``<=>`` (DuckDB's IS NOT DISTINCT FROM) so rows whose segment was
+    NULLed out still pair inside the '(missing)' bucket — plain ``=``
+    would return zero rows for it (drilled).
+
+    Scale shape: the null-safe predicate plans as an ordinary hash join
+    (null-safe keys hash like values, no skew surprise beyond the NULL
+    bucket itself — salt that key upstream if missingness dominates);
+    one exchange per side, census re-aggregate on top."""
+    c = table(spark, sf_dir, "customer")
+    a = c.filter("c_custkey % 2 = 0").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("NULLIF(c_mktsegment, 'BUILDING')").alias("seg"),
+    )
+    b = c.filter("c_custkey % 2 = 1").select(
+        F.col("c_custkey").alias("b_custkey"),
+        F.col("c_nationkey").alias("b_nationkey"),
+        F.expr("NULLIF(c_mktsegment, 'BUILDING')").alias("b_seg"),
+    )
+    return (
+        a.join(
+            b,
+            F.expr("seg <=> b_seg")
+            & (F.col("c_nationkey") == F.col("b_nationkey")),
+        )
+        .groupBy("c_nationkey", "seg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            F.coalesce("seg", F.lit("(missing)")).alias("segment"),
+            "n_pairs",
+        )
+        .orderBy("nationkey", "segment")
+    )

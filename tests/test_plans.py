@@ -168,3 +168,32 @@ def test_q239_lateral_decorrelates_to_window_plan(spark):
     assert sorted(map(tuple, lateral.collect())) == sorted(
         map(tuple, windowed.collect())
     )
+
+
+def test_q240_nullsafe_join_matches_null_bucket(spark):
+    """The '(missing)' bucket must hold PAIRS (null-safe semantics);
+    plain = on the same keys returns no such rows."""
+    from dataworks_audit_data_ingest_spark.queries.relational import (
+        q240_nullsafe_linkage_join,
+    )
+    from dataworks_audit_data_ingest_spark.tables import table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = q240_nullsafe_linkage_join(spark, sf)
+    missing = out.filter("segment = '(missing)'")
+    assert missing.count() > 0
+    assert missing.agg(F.sum("n_pairs")).first()[0] > 0
+
+    # the counter-factual: plain equality drops the NULL bucket entirely
+    c = table(spark, sf, "customer")
+    a = c.filter("c_custkey % 2 = 0").selectExpr(
+        "c_nationkey", "NULLIF(c_mktsegment, 'BUILDING') AS seg"
+    )
+    b = c.filter("c_custkey % 2 = 1").selectExpr(
+        "c_nationkey AS bn", "NULLIF(c_mktsegment, 'BUILDING') AS bseg"
+    )
+    plain = a.join(
+        b, (F.col("seg") == F.col("bseg")) & (F.col("c_nationkey") == F.col("bn"))
+    ).filter("seg IS NULL")
+    assert plain.count() == 0
