@@ -25,8 +25,16 @@ localCheckpoint discipline remains the deep-graph path.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# refcount for the session-wide scripting flag: concurrent calls on one
+# SparkSession must not restore the conf while a sibling is mid-fixpoint
+_SCRIPTING_LOCK = threading.Lock()
+_SCRIPTING_DEPTH = 0
+_SCRIPTING_SAVED = "false"
 
 
 def scripted_connected_components(
@@ -42,48 +50,62 @@ def scripted_connected_components(
     convergence the result is verified post-hoc (`verify_cc_fixpoint`)
     and a warning fires rather than silently returning mid-iteration
     labels."""
-    enabled = spark.conf.get("spark.sql.scripting.enabled", "false")
-    spark.conf.set("spark.sql.scripting.enabled", "true")
+    import uuid
+
+    global _SCRIPTING_DEPTH, _SCRIPTING_SAVED
+    with _SCRIPTING_LOCK:
+        if _SCRIPTING_DEPTH == 0:
+            _SCRIPTING_SAVED = spark.conf.get(
+                "spark.sql.scripting.enabled", "false"
+            )
+            spark.conf.set("spark.sql.scripting.enabled", "true")
+        _SCRIPTING_DEPTH += 1
+    # per-call view namespace: session-global temp views under FIXED names
+    # would let two concurrent calls on one SparkSession clobber each
+    # other's views mid-fixpoint (the per-ROUND suffix below is a separate
+    # requirement — fixed-name swaps trip the recursive-view detector)
+    tok = uuid.uuid4().hex[:8]
+    base = f"cc_scripted_{tok}"
     try:
         edge_pairs = pairs.select(
             pairs[src].alias("doc_a"), pairs[dst].alias("doc_b")
         ).localCheckpoint(eager=True)
-        edge_pairs.createOrReplaceTempView("cc_scripted_pairs")
+        edge_pairs.createOrReplaceTempView(f"{base}_pairs")
         # one propagation round, dst/src view names spliced per round
         step = (
-            "CREATE OR REPLACE TEMPORARY VIEW cc_scripted_r' || (rounds + 1) || ' AS"
+            f"CREATE OR REPLACE TEMPORARY VIEW {base}_r' || (rounds + 1) || ' AS"
             " SELECT l.node_id,"
             "        LEAST(l.label, COALESCE(m.nlabel, l.label)) AS label"
-            " FROM cc_scripted_r' || rounds || ' l LEFT JOIN ("
+            f" FROM {base}_r' || rounds || ' l LEFT JOIN ("
             "   SELECT e.u AS node_id, MIN(l2.label) AS nlabel"
-            "   FROM cc_scripted_edges e"
-            "   JOIN cc_scripted_r' || rounds || ' l2 ON l2.node_id = e.v"
+            f"   FROM {base}_edges e"
+            f"   JOIN {base}_r' || rounds || ' l2 ON l2.node_id = e.v"
             "   GROUP BY e.u) m"
             " ON m.node_id = l.node_id"
         )
         diff = (
-            "SELECT COUNT(*) FROM cc_scripted_r' || (rounds + 1) || ' n"
-            " JOIN cc_scripted_r' || rounds || ' o"
+            f"SELECT COUNT(*) FROM {base}_r' || (rounds + 1) || ' n"
+            f" JOIN {base}_r' || rounds || ' o"
             " ON n.node_id = o.node_id AND n.label != o.label"
         )
         out = spark.sql(f"""
         BEGIN
           DECLARE changed BIGINT DEFAULT 1;
           DECLARE rounds INT DEFAULT 0;
-          CREATE OR REPLACE TEMPORARY VIEW cc_scripted_edges AS
-            SELECT doc_a AS u, doc_b AS v FROM cc_scripted_pairs
+          CREATE OR REPLACE TEMPORARY VIEW {base}_edges AS
+            SELECT doc_a AS u, doc_b AS v FROM {base}_pairs
             UNION ALL
-            SELECT doc_b AS u, doc_a AS v FROM cc_scripted_pairs;
-          CREATE OR REPLACE TEMPORARY VIEW cc_scripted_r0 AS
+            SELECT doc_b AS u, doc_a AS v FROM {base}_pairs;
+          CREATE OR REPLACE TEMPORARY VIEW {base}_r0 AS
             SELECT DISTINCT u AS node_id, u AS label
-            FROM cc_scripted_edges;
+            FROM {base}_edges;
           WHILE changed > 0 AND rounds < {max_iter} DO
             EXECUTE IMMEDIATE '{step}';
             EXECUTE IMMEDIATE '{diff}' INTO changed;
             SET rounds = rounds + 1;
           END WHILE;
           EXECUTE IMMEDIATE
-            'SELECT node_id, label AS cluster_id FROM cc_scripted_r'
+            'SELECT node_id, label AS cluster_id FROM {base}_r'
             || rounds;
         END
         """)
@@ -101,7 +123,17 @@ def scripted_connected_components(
             )
         return out
     finally:
-        spark.conf.set("spark.sql.scripting.enabled", enabled)
+        # drop this call's whole view namespace (count of _r<N> views is
+        # only known at runtime — sweep the catalog by prefix)
+        for t in spark.catalog.listTables():
+            if t.name.startswith(base):
+                spark.catalog.dropTempView(t.name)
+        with _SCRIPTING_LOCK:
+            _SCRIPTING_DEPTH -= 1
+            if _SCRIPTING_DEPTH == 0:
+                spark.conf.set(
+                    "spark.sql.scripting.enabled", _SCRIPTING_SAVED
+                )
 
 
 def verify_cc_fixpoint(

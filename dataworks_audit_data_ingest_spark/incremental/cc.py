@@ -166,11 +166,26 @@ def forget_ids_from_cc_store(
     relabels them from ``surviving_edges`` (the caller's post-erasure
     edge list — the store itself keeps no edges; pass the regenerable
     pair list, e.g. the signature store's pairs after their own forget).
-    Members with no surviving edge become singletons. The relabel lands
-    as one deterministic ``__forget__``-prefixed batch partition, so a
-    crashed or repeated request converges (idempotent). Run at
-    quiescence, like every forget (a concurrently replayed old batch
-    could resurrect the erased id as a label).
+    Members with no surviving edge become singletons.
+
+    Crash safety (persist → stage → erase → settle): the member set is
+    durably written to a ``_forget_pending_<token>`` sidecar FIRST, the
+    repair rows are committed to one deterministic ``__forget_<token>__``
+    partition SECOND, only THEN are old rows erased (excluding the staged
+    partition), and the sidecar is deleted last. Mid-protocol the MIN
+    fold still reads the old labels (a sub-component's new minimum is
+    never lower than the old component's), so readers see the pre-forget
+    state until the erase completes. A re-run of the SAME request (same
+    ids, same ``surviving_edges``) finds the sidecar, recovers the full
+    member set from it — the current labels can no longer name every
+    member once the erase is partially done — recommits the identical
+    repair, completes the erase, and settles: crashed or repeated
+    requests converge (idempotent). Once settled (sidecar gone) a re-run
+    is a plain no-op — it does NOT re-derive members from the staged
+    partition, so clusters that later batches legitimately grew are never
+    re-split by a stale replay. Run at quiescence, like every forget (a
+    concurrently replayed old batch could resurrect the erased id as a
+    label).
 
     Returns ``{"nodes_forgotten": n, "members_relabeled": m}``; with
     ``audit_path`` the erasure lands in the audit manifest."""
@@ -184,6 +199,16 @@ def forget_ids_from_cc_store(
         return {"nodes_forgotten": 0, "members_relabeled": 0}
     from .forget import forget_matching_from_store
 
+    token = hashlib.md5(
+        "|".join(str(i) for i in id_list).encode()
+    ).hexdigest()[:12]
+    forget_bid = f"__forget_{token}__"
+    # the leading "_" keeps the sidecar invisible to _list_partitions'
+    # foreign-content check and to every store read
+    pending_path = f"{store_path}/_forget_pending_{token}"
+    jvm = spark._jvm
+    ppath = jvm.org.apache.hadoop.fs.Path(pending_path)
+    fs = ppath.getFileSystem(spark._jsc.hadoopConfiguration())
     affected = (
         labels.filter(F.col("node_id").isin(id_list))
         .select("cluster_id")
@@ -197,21 +222,22 @@ def forget_ids_from_cc_store(
     # the member set stays a DataFrame end to end — an affected near-dup
     # component can hold millions of docs at scale, which must never
     # round-trip through the driver as an isin list
-    members = (
-        labels.join(F.broadcast(affected), "cluster_id", "left_semi")
-        .filter(~F.col("node_id").isin(id_list))
-        .select("node_id")
-        .localCheckpoint(eager=True)
-    )
+    members = labels.join(
+        F.broadcast(affected), "cluster_id", "left_semi"
+    ).filter(~F.col("node_id").isin(id_list)).select("node_id")
+    # resume: a pending sidecar from a crashed prior attempt names members
+    # the (partially erased) labels may no longer reach
+    if fs.exists(ppath):
+        members = members.unionByName(
+            spark.read.parquet(pending_path).select("node_id")
+        ).distinct()
+    members = members.localCheckpoint(eager=True)
+    # PERSIST the member set before any mutation — the re-run's recovery
+    # record (deleted only after the erase completes, below)
+    members.write.mode("overwrite").parquet(pending_path)
     subjects = labels.sparkSession.createDataFrame(
         [(i,) for i in id_list],
         labels.select("node_id").schema,
-    )
-    forget_matching_from_store(
-        spark,
-        store_path,
-        members.unionByName(subjects),
-        id_col="node_id",
     )
     # relabel the surviving members from the post-erasure edges
     e = (
@@ -231,10 +257,19 @@ def forget_ids_from_cc_store(
     new_rows = relabeled.select("node_id", "cluster_id").unionByName(
         singles
     )
-    token = hashlib.md5(
-        "|".join(str(i) for i in id_list).encode()
-    ).hexdigest()[:12]
-    commit_batch_partition(new_rows, store_path, f"__forget_{token}__")
+    # STAGE second: commit the repair before touching any old row, so a
+    # crash between stage and erase can no longer lose memberships
+    commit_batch_partition(new_rows, store_path, forget_bid)
+    forget_matching_from_store(
+        spark,
+        store_path,
+        members.unionByName(subjects),
+        id_col="node_id",
+        exclude_batch=forget_bid,
+    )
+    # SETTLE: erase complete — drop the recovery record so later replays
+    # of this request are plain no-ops (labels-derived members only)
+    fs.delete(ppath, True)
     n_members = members.count()
     if audit_path is not None:
         from .audit import record_audit

@@ -107,6 +107,7 @@ def forget_matching_from_store(
     ids_df,
     *,
     id_col: str = "doc_id",
+    exclude_batch: str | None = None,
     audit_path: str | None = None,
 ) -> dict[str, int]:
     """`forget_ids_from_store` with the id set as a DATAFRAME — the form
@@ -114,13 +115,33 @@ def forget_matching_from_store(
     every member of an affected near-dup component in the CC store's
     forget repair). Same partition-rewrite discipline: anti-join per
     partition, untouched partitions never rewritten, fully-erased
-    partitions deleted outright, idempotent."""
+    partitions deleted outright, idempotent.
+
+    The id set is taken from ``ids_df``'s ``id_col`` column when present;
+    a single-column frame under any name is accepted (it IS the id set).
+    A multi-column frame without ``id_col`` is rejected — silently using
+    the first column would erase whatever happens to be positioned there.
+
+    ``exclude_batch``: a partition to leave untouched — the CC forget's
+    staged repair partition, which holds the POST-erasure labels and must
+    survive the erasure pass that removes the pre-erasure rows."""
     listed = _list_partitions(spark, store_path)
     if listed is None:
         return {}
     fs, jvm, dirs = listed
+    if id_col in ids_df.columns:
+        src_col = id_col
+    elif len(ids_df.columns) == 1:
+        src_col = ids_df.columns[0]
+    else:
+        raise ValueError(
+            f"ids_df has columns {ids_df.columns} — none named {id_col!r};"
+            " pass a single-column frame or one carrying the id column by"
+            " name (positional guessing over a multi-column frame erases"
+            " the wrong values)"
+        )
     ids = (
-        ids_df.select(F.col(ids_df.columns[0]).alias(id_col))
+        ids_df.select(F.col(src_col).alias(id_col))
         .distinct()
         .localCheckpoint()
     )
@@ -128,6 +149,8 @@ def forget_matching_from_store(
         return {}
     removed: dict[str, int] = {}
     for bid in sorted(dirs):
+        if exclude_batch is not None and bid == exclude_batch:
+            continue
         part = spark.read.parquet(f"{store_path}/{dirs[bid]}")
         if id_col not in part.columns:
             raise ValueError(

@@ -344,10 +344,24 @@ def allocate_source_budget(
     Scale shape: one corpus scan with map-side partial aggregation down
     to |sources| rows; the remainder ranking runs on that tiny table.
     The allocation drives `cap_per_source`/`enforce_source_quota`
-    downstream — this computes the quotas those operators enforce."""
+    downstream — this computes the quotas those operators enforce.
+
+    Edge contracts: a corpus whose summed weight is ZERO (every source's
+    token mass under 1 — empty or null texts) raises a clear error at
+    execution rather than a silent NULL/DIV-by-zero allocation. And
+    ``alloc_docs`` is a QUOTA, not a guarantee: a small source can be
+    allocated more documents than it has (``alloc_docs > n_docs``) —
+    temperature sampling up-weights small sources by design, and the
+    downstream cap operators simply take everything such a source has;
+    the global budget is then an upper bound, not an exact hit."""
     per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.size(F.split(F.col(text_col), " ")))
+        # an all-null-text source must weigh ZERO, not NULL — a NULL
+        # weight would slip past the zero-weight guard and NULL its
+        # allocation silently
+        F.coalesce(
+            F.sum(F.size(F.split(F.col(text_col), " "))), F.lit(0)
+        )
         .cast("bigint")
         .alias("n_tokens"),
     )
@@ -358,7 +372,18 @@ def allocate_source_budget(
     tot = Window.partitionBy()
     ranked = (
         w.withColumn("_W", F.sum("weight").over(tot))
-        .withColumn("base", F.expr(f"({budget_docs} * weight) DIV _W"))
+        # zero-weight corpus: DIV NULL would silently NULL every
+        # allocation (or error opaquely under ANSI) — fail loud instead
+        .withColumn(
+            "base",
+            F.expr(
+                "CASE WHEN _W <= 0 THEN CAST(raise_error("
+                "'allocate_source_budget: summed source weight is zero"
+                " (every source has zero token mass) — no proportional"
+                " allocation exists') AS BIGINT)"
+                f" ELSE ({budget_docs} * weight) DIV _W END"
+            ),
+        )
         .withColumn("rem", F.expr(f"({budget_docs} * weight) % _W"))
         .withColumn("_spare", F.lit(budget_docs) - F.sum("base").over(tot))
         .withColumn(

@@ -298,17 +298,27 @@ def test_q232_hop_guard_covers_condensed_diameter(spark):
         q51_dedup_minhash_lsh,
     )
 
-    sf = "/root/testdata/sf0.1"
-    rec = sorted(
-        (r.doc_id, r.cluster_id)
-        for r in q232_dedup_clusters_recursive(spark, sf).collect()
+    from dataworks_audit_data_ingest_spark.functions.scripted import (
+        verify_cc_fixpoint,
     )
+
+    sf = "/root/testdata/sf0.1"
+    out = q232_dedup_clusters_recursive(spark, sf).localCheckpoint()
+    rec = sorted((r.doc_id, r.cluster_id) for r in out.collect())
     pairs = q51_dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b")
     kern = sorted(
         (r.node_id, r.cluster_id)
         for r in connected_components(pairs).collect()
     )
     assert rec == kern
+    # fixture-independent guard: kernel equality only proves THIS edge
+    # list's condensed diameter fits the guard — the fixpoint check
+    # proves the returned labels are converged minima in their own right
+    assert verify_cc_fixpoint(
+        spark,
+        out.withColumnRenamed("doc_id", "node_id"),
+        pairs,
+    )
 
 
 def test_scripted_cc_four_way_agreement(spark):
@@ -374,3 +384,57 @@ def test_scripted_cc_warns_on_exhaustion(spark):
         out = scripted_connected_components(spark, chain, max_iter=2)
         assert any("max_iter" in str(w.message) for w in rec)
     assert not verify_cc_fixpoint(spark, out, chain)
+
+
+def test_scripted_cc_concurrent_calls_do_not_clobber(spark):
+    """ADVICE r09: two concurrent scripted fixpoints on ONE SparkSession
+    must not clobber each other's temp views or race the session-wide
+    scripting flag (per-call view namespace + refcounted conf toggle);
+    the namespace is dropped and the flag restored afterwards."""
+    import threading
+
+    from dataworks_audit_data_ingest_spark.functions.scripted import (
+        scripted_connected_components,
+    )
+
+    before = spark.conf.get("spark.sql.scripting.enabled", "false")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 16)], "doc_a long, doc_b long"
+    )
+    other = spark.createDataFrame(
+        [(30, 31), (31, 32), (30, 32), (40, 41)],
+        "doc_a long, doc_b long",
+    )
+    results: dict[str, list] = {}
+    errs: list[Exception] = []
+
+    def run(name, pairs):
+        try:
+            results[name] = sorted(
+                (r.node_id, r.cluster_id)
+                for r in scripted_connected_components(spark, pairs).collect()
+            )
+        except Exception as e:  # noqa: BLE001 — surfaced via errs
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=run, args=("chain", chain)),
+        threading.Thread(target=run, args=("other", other)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert results["chain"] == [(i, 10) for i in range(10, 17)]
+    assert results["other"] == [
+        (30, 30), (31, 30), (32, 30), (40, 40), (41, 40),
+    ]
+    # no leaked views, flag restored
+    leftover = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("cc_scripted")
+    ]
+    assert leftover == []
+    assert spark.conf.get("spark.sql.scripting.enabled", "false") == before

@@ -215,3 +215,129 @@ def test_forget_keeps_connected_remainder_together(spark, tmp_path):
     surviving = _edges_df(spark, [(2, 3)])
     forget_ids_from_cc_store(spark, store, [1], surviving)
     assert _labels(read_cc_labels(spark, store)) == [(2, 2), (3, 2)]
+
+
+def test_forget_crash_between_stage_and_erase_resumes(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r09 (medium): a crash AFTER the repair rows are staged but
+    BEFORE the erase runs must not lose memberships. The re-run recovers
+    the member set from the pending sidecar, completes the erase, and
+    settles (sidecar deleted)."""
+    from pathlib import Path
+
+    import dataworks_audit_data_ingest_spark.incremental.forget as fmod
+    from dataworks_audit_data_ingest_spark.incremental.cc import (
+        forget_ids_from_cc_store,
+    )
+
+    store = str(tmp_path / "cc_store")
+    update_cc_store(
+        spark, store, _edges_df(spark, [(1, 2), (1, 3), (5, 6)]), "0"
+    )
+    surviving = _edges_df(spark, [(5, 6)])
+
+    real = fmod.forget_matching_from_store
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before erase")
+
+    monkeypatch.setattr(fmod, "forget_matching_from_store", boom)
+    try:
+        forget_ids_from_cc_store(spark, store, [1], surviving)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    # mid-protocol state: sidecar + staged partition exist, old rows
+    # intact — readers still see the PRE-forget labels
+    pend = [p for p in Path(store).iterdir() if "_forget_pending_" in p.name]
+    assert len(pend) == 1
+    assert dict(_labels(read_cc_labels(spark, store))) == {
+        1: 1, 2: 1, 3: 1, 5: 5, 6: 5,
+    }
+
+    # re-run with the real erase: converges to the repaired state
+    monkeypatch.setattr(fmod, "forget_matching_from_store", real)
+    out = forget_ids_from_cc_store(spark, store, [1], surviving)
+    assert out["members_relabeled"] == 2
+    assert _labels(read_cc_labels(spark, store)) == [
+        (2, 2), (3, 3), (5, 5), (6, 5),
+    ]
+    raw = spark.read.parquet(store)
+    assert raw.filter("node_id = 1 OR cluster_id = 1").count() == 0
+    assert not [
+        p for p in Path(store).iterdir() if "_forget_pending_" in p.name
+    ]
+
+
+def test_forget_crash_mid_erase_resumes(spark, tmp_path, monkeypatch):
+    """Crash HALFWAY through the erase (subject's rows gone, members'
+    rows still carrying the old label): the labels alone can no longer
+    name every member — the sidecar must carry the re-run through."""
+    from pathlib import Path
+
+    import dataworks_audit_data_ingest_spark.incremental.forget as fmod
+    from dataworks_audit_data_ingest_spark.incremental.cc import (
+        forget_ids_from_cc_store,
+    )
+
+    store = str(tmp_path / "cc_store")
+    # min AND cut vertex is the subject; component minimum is node 1
+    update_cc_store(
+        spark, store, _edges_df(spark, [(1, 2), (1, 3), (5, 6)]), "0"
+    )
+    surviving = _edges_df(spark, [(5, 6)])
+
+    real = fmod.forget_matching_from_store
+
+    def partial_then_boom(spark2, sp, ids_df, **kw):
+        # erase only the SUBJECT's rows, then crash — members 2 and 3
+        # survive with cluster_id=1, a label no node_id row backs
+        real(spark2, sp, ids_df.filter("node_id = 1"), **kw)
+        raise RuntimeError("injected crash mid-erase")
+
+    monkeypatch.setattr(fmod, "forget_matching_from_store", partial_then_boom)
+    try:
+        forget_ids_from_cc_store(spark, store, [1], surviving)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+
+    monkeypatch.setattr(fmod, "forget_matching_from_store", real)
+    forget_ids_from_cc_store(spark, store, [1], surviving)
+    assert _labels(read_cc_labels(spark, store)) == [
+        (2, 2), (3, 3), (5, 5), (6, 5),
+    ]
+    raw = spark.read.parquet(store)
+    assert raw.filter("node_id = 1 OR cluster_id = 1").count() == 0
+    assert not [
+        p for p in Path(store).iterdir() if "_forget_pending_" in p.name
+    ]
+
+
+def test_settled_forget_replay_never_resplits_grown_clusters(
+    spark, tmp_path
+):
+    """After a COMPLETED forget, later batches may legitimately re-grow a
+    repaired member's cluster; replaying the old (settled) request must
+    be a no-op — NOT a re-split from stale staged state."""
+    from dataworks_audit_data_ingest_spark.incremental.cc import (
+        forget_ids_from_cc_store,
+    )
+
+    store = str(tmp_path / "cc_store")
+    update_cc_store(
+        spark, store, _edges_df(spark, [(1, 2), (1, 3)]), "0"
+    )
+    surviving0 = _edges_df(spark, [])
+    forget_ids_from_cc_store(spark, store, [1], surviving0)
+    assert _labels(read_cc_labels(spark, store)) == [(2, 2), (3, 3)]
+    # a later batch reconnects 2 into a new component with 9
+    update_cc_store(spark, store, _edges_df(spark, [(2, 9)]), "1")
+    grown = _labels(read_cc_labels(spark, store))
+    assert dict(grown)[9] == 2
+    # stale replay of the settled request: labels untouched
+    forget_ids_from_cc_store(
+        spark, store, [1], _edges_df(spark, [(2, 9)])
+    )
+    assert _labels(read_cc_labels(spark, store)) == grown

@@ -99,3 +99,42 @@ def test_audit_manifest_accumulates(spark, tmp_path):
     assert {r.operation for r in rows} == {"forget_ids_from_store"}
     assert sorted(r.n_affected for r in rows) == [0, 4]
     assert all(r.recorded_at is not None and "store=" in r.detail for r in rows)
+
+
+def test_forget_matching_selects_id_col_by_name(spark, tmp_path):
+    """ADVICE r09: a multi-column ids frame must be matched on id_col BY
+    NAME — never positionally — and a multi-column frame without id_col
+    must be rejected, not silently erase whatever column is first."""
+    import pytest
+
+    from dataworks_audit_data_ingest_spark.incremental.forget import (
+        forget_matching_from_store,
+    )
+
+    store = str(tmp_path / "bands")
+    incremental_dedup_batch(
+        spark, store, _docs(spark, [(1, TEXT_A), (2, TEXT_B)]), "0"
+    )
+
+    # id is NOT the first column: positional selection would erase the
+    # (wrong) score values; name selection erases doc 1 only
+    ids = spark.createDataFrame(
+        [(99.0, 1)], "score double, doc_id long"
+    )
+    removed = forget_matching_from_store(spark, store, ids)
+    assert sum(removed.values()) > 0
+    stored = {
+        r.doc_id
+        for r in spark.read.parquet(store).select("doc_id").collect()
+    }
+    assert 1 not in stored and 2 in stored
+
+    # multi-column frame with NO id_col: loud rejection
+    bad = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="none named"):
+        forget_matching_from_store(spark, store, bad)
+
+    # single-column frame under any name is still accepted as the id set
+    one = spark.createDataFrame([(2,)], "whatever long")
+    removed2 = forget_matching_from_store(spark, store, one)
+    assert sum(removed2.values()) > 0

@@ -1140,3 +1140,31 @@ def test_token_budget_sample_tolerates_null_text(spark):
         .collect()
     )
     assert got == base  # same selection, null rows silently excluded
+
+
+def test_allocate_source_budget_zero_weight_raises(spark):
+    """ADVICE r09: a corpus whose every source has zero token mass must
+    fail LOUD (raise_error in the allocation expression), not emit NULL
+    allocations via DIV-by-zero; and a single all-null-text source must
+    weigh zero, not NULL."""
+    import pytest
+
+    from dataworks_audit_data_ingest_spark.text.pipeline import (
+        allocate_source_budget,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", None), ("b", None)], "source string, text string"
+    )
+    with pytest.raises(Exception, match="summed source weight is zero"):
+        allocate_source_budget(docs, 10).collect()
+
+    # mixed corpus: the null-text source weighs 0 and allocates 0 —
+    # never NULL — while the real source takes the full budget
+    mixed = spark.createDataFrame(
+        [("a", None), ("b", " ".join(["tok"] * 100))],
+        "source string, text string",
+    )
+    rows = {r.source: r for r in allocate_source_budget(mixed, 10).collect()}
+    assert rows["a"].weight == 0 and rows["a"].alloc_docs == 0
+    assert rows["b"].alloc_docs == 10
