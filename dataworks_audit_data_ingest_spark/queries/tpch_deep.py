@@ -875,3 +875,310 @@ def q238_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_ppm"), "part_a", "part_b")
         .limit(_Q238_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic partsupp + the three partsupp-shaped TPC-H analogs (Q9/Q11/Q20)
+# ---------------------------------------------------------------------------
+# The fixture set ships no partsupp table; the three remaining TPC-H
+# shapes that need one (Q9 profit, Q11 important stock, Q20 excess
+# inventory) were fixture-blocked through r07-r09. The r09 Python-data-
+# source precedent (q237: DuckDB regenerates identical rows, so a
+# synthesized input sits UNDER the oracle) unblocks them: partsupp is
+# DERIVED deterministically from lineitem — its key set is the distinct
+# (l_partkey, l_suppkey) pairs (guaranteeing the Q9 triple-key join
+# matches, exactly as dbgen draws lineitem pairs from partsupp), and its
+# attributes are pure functions of the key through the portable MD5
+# hash, so Spark and DuckDB materialize the identical table from the
+# same fixture with no new file.
+#
+#   ps_availqty          = h32('av', "pk|sk") % 9999 + 1      (1..9999)
+#   ps_supplycost_cents  = h32('sc', "pk|sk") % 99900 + 100   ($1..$999.99)
+
+from ..functions.hashing import duckdb_hash32, spark_hash32  # noqa: E402
+
+_PS_KEY_SPARK = (
+    "CONCAT(CAST(l_partkey AS STRING), '|', CAST(l_suppkey AS STRING))"
+)
+_PS_KEY_DUCK = (
+    "CONCAT(CAST(l_partkey AS VARCHAR), '|', CAST(l_suppkey AS VARCHAR))"
+)
+
+_PARTSUPP_SQL = f"""
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             {duckdb_hash32(_PS_KEY_DUCK, "av")} % 9999 + 1 AS ps_availqty,
+             {duckdb_hash32(_PS_KEY_DUCK, "sc")} % 99900 + 100
+               AS ps_supplycost_cents
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+"""
+
+
+def synthetic_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp table (module comment above): one row per
+    distinct (l_partkey, l_suppkey) pair in lineitem, attributes hashed
+    from the key — identical rows in Spark and DuckDB by construction.
+
+    Scale shape: one distinct over a slim two-column projection of
+    lineitem (map-side partial dedup), then per-row hash arithmetic —
+    no joins, no driver state; |partsupp| ≪ |lineitem|."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return li.selectExpr(
+        "l_partkey AS ps_partkey",
+        "l_suppkey AS ps_suppkey",
+        f"{spark_hash32(_PS_KEY_SPARK, 'av')} % 9999 + 1 AS ps_availqty",
+        f"{spark_hash32(_PS_KEY_SPARK, 'sc')} % 99900 + 100"
+        " AS ps_supplycost_cents",
+    )
+
+
+@register(
+    "q241_product_type_profit",
+    sql=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL})
+    SELECT n_name AS nation,
+           CAST(YEAR(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                               + 0.5) AS BIGINT)
+                    - ps_supplycost_cents * CAST(l_quantity AS BIGINT))
+                AS BIGINT) AS sum_profit_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+      JOIN part     ON p_partkey  = l_partkey
+      JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      JOIN supplier ON s_suppkey  = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, YEAR(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("tpch", "join", "partsupp", "agg"),
+)
+def q241_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit on a product line ('red' parts) by supplier
+    nation and order year — the six-way join through the synthesized
+    partsupp, profit = discounted revenue minus supply cost, exact cents.
+
+    Scale shape: the part-name filter folds to a broadcast key set that
+    prunes lineitem FIRST; partsupp derives from the same slim lineitem
+    projection and joins on the fact's natural (partkey, suppkey) key;
+    orders joins on orderkey (the one unavoidable big exchange);
+    supplier/nation broadcast. Catalyst's standard Q9 plan."""
+    li = table(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "CAST(l_quantity AS BIGINT) AS qty",
+        "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+        " AS BIGINT) AS disc_cents",
+    )
+    red = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    ps = synthetic_partsupp(spark, sf_dir).select(
+        F.col("ps_partkey").alias("l_partkey"),
+        F.col("ps_suppkey").alias("l_suppkey"),
+        "ps_supplycost_cents",
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(red), "l_partkey", "left_semi")
+        .join(ps, ["l_partkey", "l_suppkey"])
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.col("disc_cents")
+                - F.col("ps_supplycost_cents") * F.col("qty")
+            ).alias("amount_cents"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            F.sum("amount_cents").cast("bigint").alias("sum_profit_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q242_important_stock",
+    sql=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    natps AS (
+      SELECT ps_partkey,
+             ps_supplycost_cents * ps_availqty AS value_cents
+      FROM partsupp
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+    ),
+    tot AS (
+      SELECT SUM(value_cents) AS total_cents,
+             COUNT(DISTINCT ps_partkey) AS n_parts
+      FROM natps
+    )
+    SELECT ps_partkey AS partkey,
+           CAST(SUM(value_cents) AS BIGINT) AS value_cents
+    FROM natps
+    GROUP BY ps_partkey
+    HAVING SUM(value_cents) * (SELECT n_parts FROM tot)
+           > 2 * (SELECT total_cents FROM tot)
+    ORDER BY value_cents DESC, partkey
+    """,
+    tags=("tpch", "partsupp", "having", "scalar-subquery"),
+)
+def q242_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose stock value held by one nation's suppliers
+    exceeds TWICE the average part's value there — the global-scalar
+    HAVING shape, exact integer cents (value = supplycost × availqty).
+    Q11's published threshold (fraction/SF) is scale-dependent by
+    design; the 2×-average form keeps the identical plan shape while
+    returning a non-degenerate row set at every scale (integer-exact:
+    value × n_parts > 2 × total).
+
+    Scale shape: nation chain folds to a broadcast supplier set pruning
+    partsupp map-side; one groupBy(partkey) shuffle; the global total is
+    a 1-row broadcast joined back (the sanctioned scalar pattern) — no
+    second pass over partsupp."""
+    ps = synthetic_partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey")).select(
+        F.col("s_suppkey").alias("ps_suppkey")
+    )
+    natps = ps.join(F.broadcast(nat_supp), "ps_suppkey", "left_semi").select(
+        "ps_partkey",
+        (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias(
+            "value_cents"
+        ),
+    )
+    per_part = natps.groupBy("ps_partkey").agg(
+        F.sum("value_cents").alias("value_cents")
+    )
+    total = natps.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.countDistinct("ps_partkey").alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents") * F.col("n_parts")
+            > 2 * F.col("total_cents")
+        )
+        .select(
+            F.col("ps_partkey").alias("partkey"),
+            F.col("value_cents").cast("bigint").alias("value_cents"),
+        )
+        .orderBy(F.desc("value_cents"), "partkey")
+    )
+
+
+@register(
+    "q243_excess_inventory_suppliers",
+    sql=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    blue AS (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'),
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS shipped_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    excess AS (
+      SELECT ps_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n_excess_parts
+      FROM partsupp
+        SEMI JOIN blue b ON b.p_partkey = ps_partkey
+        JOIN shipped sh ON sh.l_partkey = ps_partkey
+                       AND sh.l_suppkey = ps_suppkey
+      WHERE ps_availqty * 2 > sh.shipped_qty
+      GROUP BY ps_suppkey
+    )
+    SELECT s_suppkey AS suppkey, s_name, n_name AS nation, n_excess_parts
+    FROM excess
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+    ORDER BY s_name
+    """,
+    tags=("tpch", "partsupp", "correlated", "semi-join"),
+)
+def q243_excess_inventory_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20: suppliers holding EXCESS stock of 'blue' parts —
+    availqty exceeding half of what they actually shipped in 1998
+    (integer form: availqty × 2 > shipped). Q20's correlated scalar
+    subquery decorrelated into a keyed aggregate + equality join, the
+    nested-IN chain as semi-joins.
+
+    Scale shape: the part-name filter broadcasts and prunes partsupp
+    BEFORE the shipped-quantity join; shipped is one partial-aggregated
+    shuffle of the date-pruned lineitem on its natural key (the filter
+    pushes to the parquet scan); supplier/nation broadcast at the end —
+    per-key state only, no correlated re-execution."""
+    ps = synthetic_partsupp(spark, sf_dir)
+    blue = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("blue%"))
+        .select(F.col("p_partkey").alias("ps_partkey"))
+    )
+    shipped = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (
+                F.col("l_shipdate")
+                >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+            )
+            & (
+                F.col("l_shipdate")
+                < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+            )
+        )
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("shipped_qty"))
+    )
+    excess = (
+        ps.join(F.broadcast(blue), "ps_partkey", "left_semi")
+        .join(shipped, ["ps_partkey", "ps_suppkey"])
+        .filter(F.col("ps_availqty") * 2 > F.col("shipped_qty"))
+        .groupBy("ps_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_excess_parts"))
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"), "s_name", "s_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        excess.join(
+            F.broadcast(s), excess.ps_suppkey == s.s_suppkey
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "n_excess_parts",
+        )
+        .orderBy("s_name")
+    )
