@@ -2679,3 +2679,133 @@ def q231_filtered_ann_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q244 — graded retrieval audit of the TRAINED IVF-PQ funnel
+# ---------------------------------------------------------------------------
+# q222 grades the label-cell IVF route; q230 trains real cells and
+# codebooks but pins quality only through the rerank output itself. This
+# closes the r09 verdict's last similarity gap: MRR + NDCG@3 of the
+# TRAINED funnel (q230's exact statement as the ranking leg) against
+# exact-scan relevance over the same 8-dim slice — so a regression
+# anywhere in training (init, mean idiom, tie policy, ADC, rerank) that
+# degrades RETRIEVAL QUALITY hash-fails even when the pipeline still
+# runs. Integer milli metrics, the q222 log2-discount constants.
+
+
+def _trained_graded_sql() -> str:
+    """Exact-relevance leg (decimal-exact brute cosine over the 8-dim
+    slice, self excluded, ties to lower id) + q230's trained funnel as a
+    derived table + the q222 grading arithmetic."""
+    trained_stmt = _ivfpq_trained_sql()
+    return f"""
+    WITH el AS (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM (SELECT vec_id, embedding, UNNEST(RANGE(1, {_T_D + 1})) AS i
+            FROM embeddings)
+    ), qv AS (
+      SELECT vec_id AS query_id, pos, v FROM el WHERE vec_id < {_T_NQ}
+    ), sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(CAST(q.v * e.v AS DECIMAL(28,18))) AS DOUBLE)
+               / (SQRT(CAST(SUM(CAST(q.v * q.v AS DECIMAL(28,18)))
+                            AS DOUBLE))
+                  * SQRT(CAST(SUM(CAST(e.v * e.v AS DECIMAL(28,18)))
+                              AS DOUBLE))) AS cosine
+      FROM qv q JOIN el e ON e.pos = q.pos AND e.vec_id != q.query_id
+      GROUP BY q.query_id, e.vec_id
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM sims) WHERE rnk <= {_T_KNN}
+    ), trained AS (
+      SELECT query_id, neighbor_id, rnk FROM ({trained_stmt}) t
+    ), graded AS (
+      SELECT i.query_id, i.rnk,
+             CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM trained i LEFT JOIN exact e
+        ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    ), per_q AS (
+      SELECT query_id,
+             SUM(rel) AS n_hits,
+             MIN(CASE WHEN rel = 1 THEN rnk END) AS first_hit,
+             SUM(rel * ({_Q222_DISC_CASE})) AS dcg_milli
+      FROM graded GROUP BY query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(1000 // p.first_hit, 0) AS BIGINT) AS mrr_milli,
+           CAST(COALESCE(p.dcg_milli, 0) * 1000 // {_Q222_IDCG} AS BIGINT)
+             AS ndcg_milli
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN per_q p USING (query_id)
+    ORDER BY query_id
+    """
+
+
+@register(
+    "q244_trained_funnel_graded_audit",
+    sql=_trained_graded_sql(),
+    tags=("similarity", "ann", "ivf", "pq", "training", "retrieval", "audit"),
+)
+def q244_trained_funnel_graded_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-query MRR and NDCG@3 (milli, integer-exact) of the TRAINED
+    IVF-PQ funnel (q230) against exact brute-force relevance over the
+    same 8-dim slice — training-QUALITY regressions hash-fail here even
+    when q230's plumbing still matches its own twin.
+
+    Scale shape: the relevance leg is the sampled-queries brute scan
+    (queries broadcast, one corpus pass); the ranking leg is q230's
+    index-width funnel; grading joins two queries×k frames — the corpus
+    is touched exactly twice regardless of scale."""
+    from ..similarity.knn import knn_join
+
+    e8 = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"TRANSFORM(SLICE(embedding, 1, {_T_D}), x -> CAST(x AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    qs = e8.filter(F.col("vec_id") < _T_NQ)
+    exact = knn_join(qs, e8, k=_T_KNN).select(
+        "query_id", F.col("neighbor_id").alias("rel_id")
+    )
+    trained = q230_ivfpq_trained_funnel(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rnk"
+    )
+    graded = trained.join(
+        exact,
+        (trained.query_id == exact.query_id)
+        & (trained.neighbor_id == exact.rel_id),
+        "left",
+    ).select(
+        trained.query_id.alias("qid"),
+        "rnk",
+        F.when(F.col("rel_id").isNotNull(), 1).otherwise(0).alias("rel"),
+    )
+    per_q = graded.groupBy("qid").agg(
+        F.sum("rel").alias("n_hits"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_hit"),
+        F.sum(F.col("rel") * F.expr(_Q222_DISC_CASE)).alias("dcg_milli"),
+    )
+    spine = exact.select("query_id").distinct()
+    return (
+        spine.join(per_q, spine.query_id == per_q.qid, "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.coalesce(
+                F.expr("1000 DIV first_hit"), F.lit(0)
+            ).cast("bigint").alias("mrr_milli"),
+            F.expr(
+                f"CAST(COALESCE(dcg_milli, 0) * 1000 DIV {_Q222_IDCG}"
+                " AS BIGINT)"
+            ).alias("ndcg_milli"),
+        )
+        .orderBy("query_id")
+    )

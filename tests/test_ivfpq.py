@@ -233,3 +233,55 @@ def test_filtered_ivfpq_parity_with_filtered_brute(spark):
     assert sorted((r.query_id, r.neighbor_id, r.rnk) for r in rows) == sorted(
         (r.query_id, r.neighbor_id, r.rnk) for r in exact.collect()
     )
+
+
+def test_q244_graded_audit_matches_hand_recomputation(spark):
+    """q244's integer metrics equal an independent per-query
+    recomputation from the two legs it grades (exact brute top-3 vs the
+    trained q230 funnel) — MRR/NDCG arithmetic included."""
+    from dataworks_audit_data_ingest_spark.queries.similarity import (
+        _Q222_DISC,
+        _Q222_IDCG,
+        _T_D,
+        _T_KNN,
+        _T_NQ,
+        q230_ivfpq_trained_funnel,
+        q244_trained_funnel_graded_audit,
+    )
+    from dataworks_audit_data_ingest_spark.similarity.knn import knn_join
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.query_id: (r.n_hits, r.mrr_milli, r.ndcg_milli)
+        for r in q244_trained_funnel_graded_audit(spark, sf).collect()
+    }
+    e8 = table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"TRANSFORM(SLICE(embedding, 1, {_T_D}), x -> CAST(x AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    exact = {}
+    for r in knn_join(
+        e8.filter(F.col("vec_id") < _T_NQ), e8, k=_T_KNN
+    ).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ranked = {}
+    for r in q230_ivfpq_trained_funnel(spark, sf).collect():
+        ranked.setdefault(r.query_id, []).append((r.rnk, r.neighbor_id))
+    assert set(got) == set(range(_T_NQ))
+    for qid in range(_T_NQ):
+        rel = [
+            (rnk, nid in exact.get(qid, set()))
+            for rnk, nid in sorted(ranked.get(qid, []))
+        ]
+        n_hits = sum(1 for _, h in rel if h)
+        first = min((rnk for rnk, h in rel if h), default=None)
+        mrr = 1000 // first if first else 0
+        dcg = sum(_Q222_DISC[rnk - 1] for rnk, h in rel if h)
+        ndcg = dcg * 1000 // _Q222_IDCG
+        assert got[qid] == (n_hits, mrr, ndcg), qid
+    # the audit is non-degenerate on the fixture: at least one query has
+    # hits and at least one does not (both regimes exercised)
+    assert any(v[0] > 0 for v in got.values())
+    assert any(v[0] == 0 for v in got.values())
