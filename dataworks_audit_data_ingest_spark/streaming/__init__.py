@@ -5,7 +5,9 @@ from .jobs import (  # noqa: F401
     sessionized_events,
     sliding_user_counts,
     start_encrypted_ingest_stream,
+    start_synthetic_encrypted_ingest_stream,
     stream_events_json,
+    synthetic_event_records,
     tumbling_event_counts,
 )
 from .kafka import parse_kafka_events, read_kafka  # noqa: F401

@@ -149,6 +149,84 @@ def start_encrypted_ingest_stream(
     return writer.start()
 
 
+def synthetic_event_records(events: DataFrame) -> DataFrame:
+    """Shape synthetic events (`sources/synthetic.py` schema) into the
+    ingest pipeline's record contract ``(day, basename, content)`` — the
+    file-as-record model of the reference (`audit_data_ingest.py:118-120`)
+    applied to a message stream: one record per event, canonical JSON
+    payload, UTC day derived by INTEGER arithmetic from ``ts_us`` (no
+    session-timezone dependence), basename keyed by event_id so a replay
+    overwrites the same S3 object (idempotent by key).
+
+    Shared verbatim by the streaming job and its batch twin — the
+    byte-identity drill compares decrypted payloads across the two."""
+    return events.select(
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            (F.col("ts_us") / F.lit(86_400_000_000)).cast("int"),
+        )
+        .cast("string")
+        .alias("day"),
+        F.concat(F.lit("event-"), F.col("event_id"), F.lit(".json")).alias(
+            "basename"
+        ),
+        F.encode(
+            F.to_json(
+                F.struct(
+                    "event_id", "user_id", "event_type", "value_cents", "ts_us"
+                )
+            ),
+            "UTF-8",
+        ).alias("content"),
+    )
+
+
+def start_synthetic_encrypted_ingest_stream(
+    spark: SparkSession,
+    cfg: IngestConfig,
+    checkpoint_dir: str,
+    rows: int,
+    rows_per_batch: int,
+    available_now: bool = True,
+):
+    """The full north-star Kafka→encrypt→S3 shape as ONE streaming job,
+    over the native Python streaming source (`sources/synthetic.py`) —
+    the jar-free rehearsal of the reference's production topology (UC
+    Kafka audit stream → envelope encrypt → S3, `README.md:5` +
+    `audit_data_ingest.py:36-68`): checkpoint-resumable message offsets
+    in, per-record zlib+AES-128-EAX envelopes with 3-field metadata out.
+    Swapping the source line for ``readStream.format("kafka")`` +
+    ``from_json(value)`` is the only production delta.
+
+    ``cfg.src_dir`` is unused (rows are generated executor-side); each
+    ``availableNow`` drain advances one committed ``rows_per_batch``
+    chunk, so a restart — crash or scheduled — resumes exactly at the
+    committed offset, and a REPLAYED batch re-uploads the same S3 keys
+    (idempotent by key; see `synthetic_event_records`)."""
+    from ..sources.synthetic import SyntheticEventsDataSource
+
+    tune(spark)
+    spark.dataSource.register(SyntheticEventsDataSource)
+    events = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", rows)
+        .option("rows_per_batch", rows_per_batch)
+        .load()
+    )
+    records = synthetic_event_records(events)
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        enc = encrypt_files(batch_df, cfg.rsa_public_key_pem, cfg.hsm_key_id)
+        enc.foreachPartition(upload_partition_factory(cfg))
+
+    writer = records.writeStream.foreachBatch(sink_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def purchases_to_errors_stream_join(
     purchases: DataFrame, errors: DataFrame, within: str = "1 hour"
 ) -> DataFrame:
