@@ -341,3 +341,57 @@ def test_settled_forget_replay_never_resplits_grown_clusters(
         spark, store, [1], _edges_df(spark, [(2, 9)])
     )
     assert _labels(read_cc_labels(spark, store)) == grown
+
+
+def test_forget_bridge_then_later_batches_then_readd(spark, tmp_path):
+    """VERDICT r09 #4 — the full deletion COMPOSITION: forget a bridge
+    node (component splits), keep folding later batches, pin store
+    labels == batch CC over the surviving-edge union at every step, then
+    re-add the forgotten subject and assert it participates fresh
+    (un-ghosted) without resurrecting erased history."""
+    from dataworks_audit_data_ingest_spark.incremental.cc import (
+        forget_ids_from_cc_store,
+    )
+
+    store = str(tmp_path / "cc_store")
+    # batch 0: path 2-7-3 plus control {20,21}; 7 is the bridge
+    b0 = [(2, 7), (7, 3), (20, 21)]
+    update_cc_store(spark, store, _edges_df(spark, b0), "0")
+    assert dict(_labels(read_cc_labels(spark, store)))[3] == 2
+
+    # forget the bridge: component must split
+    surviving0 = _edges_df(spark, [(20, 21)])
+    forget_ids_from_cc_store(spark, store, [7], surviving0)
+    assert _labels(read_cc_labels(spark, store)) == [
+        (2, 2), (3, 3), (20, 20), (21, 20),
+    ]
+
+    # later batches keep folding: 3 joins a NEW component with 9;
+    # labels == batch CC over surviving past edges + new edges
+    b1 = [(3, 9), (40, 41)]
+    update_cc_store(spark, store, _edges_df(spark, b1), "1")
+    want = _labels(
+        connected_components(
+            _edges_df(spark, [(20, 21)] + b1)
+        ).select("node_id", "cluster_id")
+    )
+    got = [
+        (n, c)
+        for n, c in _labels(read_cc_labels(spark, store))
+        if n != 2  # 2 is a singleton only the store knows (edge erased)
+    ]
+    assert got == want
+    full = dict(_labels(read_cc_labels(spark, store)))
+    assert full[2] == 2 and full[9] == 3  # split held across batches
+
+    # the subject's id never resurfaced as a label anywhere
+    raw = spark.read.parquet(store)
+    assert raw.filter("node_id = 7 OR cluster_id = 7").count() == 0
+
+    # re-add / un-ghost: the same subject id arrives in a new batch and
+    # participates as a fresh node — merged by current rules, with no
+    # memory of its erased memberships (2 stays split off)
+    update_cc_store(spark, store, _edges_df(spark, [(7, 40)]), "2")
+    after = dict(_labels(read_cc_labels(spark, store)))
+    assert after[7] == 7 and after[40] == 7 and after[41] == 7
+    assert after[2] == 2 and after[3] == 3 and after[9] == 3
