@@ -30,71 +30,71 @@ from . import graph_shaped  # noqa: E402,F401
 # registration order indices 0-49). DRIVER_PRIORITY pins an explicit order,
 # rotated per round so every query accumulates a current driver row.
 #
-# Round-9 rotation is COMPUTED, not hand-curated: the list below is the
-# verbatim output of `python tools/rotation.py --emit` over the r01–r08
+# Round-10 rotation is COMPUTED, not hand-curated: the list below is the
+# verbatim output of `python tools/rotation.py --emit` over the r01–r09
 # driver history (DRIVER_PRIORITY_AS_OF_ROUND pins which history it was
 # computed from; tests/test_cli_operators.py asserts the paste matches the
-# computation, so hand-drift is a test failure). With zero never-run
-# oracle-backed queries left at emission time, the slate is pure
-# stalest-first refresh: the 28 r04-latest rows (q46…q97) lead, then the
-# r05 tail. Queries registered during round 9 are appended by the emitter
-# as never-run and take slots ahead of the refresh tail on re-emission.
+# computation, so hand-drift is a test failure). The round-10 queries
+# (q241–q244) lead as never-run; then the stalest-first refresh — the 39
+# r05-latest rows (q122…q172 tail and q92/q93/q99) the r09 verdict asked
+# round 10 to clear, then the r06 tail. Queries registered during round
+# 10 take never-run head slots on re-emission.
 # The four rows-only queries
 # (q42/q74/q16s/q59, sql=None) are excluded from emission — they can
 # only ever produce a `no_oracle` driver row (q16s burned an r06 slot);
 # their evidence is pytest plus a green oracle-backed twin each.
-DRIVER_PRIORITY_AS_OF_ROUND = 8
+DRIVER_PRIORITY_AS_OF_ROUND = 9
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q239_lateral_topk_per_nation",
-    "q240_nullsafe_linkage_join",
-    "q236_purchase_attribution",
-    "q233_source_budget_allocation",
-    "q232_dedup_clusters_recursive",
-    "q230_ivfpq_trained_funnel",
-    "q231_filtered_ann_parity",
-    "q237_python_datasource_census",
-    "q234_cheapest_regional_supplier",
-    "q235_top_revenue_supplier",
-    "q238_basket_pair_lift",
-    "q46_interval_self_join",
-    "q47_histogram",
-    "q49_filtered_aggregates",
-    "q50_dedup_exact",
-    "q52_dedup_simhash",
-    "q52b_simhash_hamming",
-    "q53_dedup_ngram_jaccard",
-    "q54_dedup_embedding_cosine",
-    "q57_minhash_jaccard_estimate",
-    "q60_lang_id_heuristic",
-    "q61_quality_score",
-    "q62_token_count",
-    "q63_fingerprint",
-    "q64_deterministic_sample",
-    "q65_tfidf_top_terms",
-    "q71_nation_trade_volume",
-    "q72_region_market_share",
-    "q73_returned_item_customers",
-    "q80_pii_redaction",
-    "q81_repetition_quality",
-    "q83_source_mixing",
-    "q88_source_quota",
-    "q90_semantic_dedup",
-    "q91_sessionize_batch",
-    "q94_salted_join",
-    "q95_diverse_sample",
-    "q96_bloom_blocklist",
-    "q97_exact_substr_spans",
-    "q101_funnel",
-    "q102_event_transitions",
-    "q107_hll_exact_registers",
-    "q110_histogram_quantiles",
-    "q111_hll_daily_rollup",
-    "q114_embedding_health",
-    "q115_scd2_apply",
-    "q116_traffic_anomaly",
-    "q117_covariance_matrix",
-    "q118_hll_overlap",
-    "q120_rolling_active_users",
+"q244_trained_funnel_graded_audit",
+    "q241_product_type_profit",
+    "q242_important_stock",
+    "q243_excess_inventory_suppliers",
+    "q122_ols_fit",
+    "q123_seasonal_backtest",
+    "q124_skew_report",
+    "q127_revenue_share",
+    "q128_journey_trigrams",
+    "q131_referential_audit",
+    "q132_weekly_growth",
+    "q133_transition_dwell_times",
+    "q134_snapshot_diff",
+    "q135_duplication_report",
+    "q136_session_length_distribution",
+    "q137_seasonality_profile",
+    "q138_vector_contract",
+    "q139_label_balance",
+    "q140_join_size_audit",
+    "q141_ann_ivfpq",
+    "q147_attribution",
+    "q148_brand_affinity",
+    "q149_mad_outliers",
+    "q150_variant_extract",
+    "q151_benford_audit",
+    "q152_keep_best_copy",
+    "q154_ab_readout",
+    "q155_cusum_drift",
+    "q156_point_in_time_features",
+    "q157_target_encoding",
+    "q160_rfm_segmentation",
+    "q161_trending_users",
+    "q162_cohort_ltv",
+    "q163_numeric_drift",
+    "q165_cdc_novelty",
+    "q166_item_cf_neighbors",
+    "q168_funnel_latency",
+    "q169_trimmed_mean",
+    "q171_lsh_precision_audit",
+    "q172_cuped_readout",
+    "q92_char_diversity",
+    "q93_cdc_chunk_dedup",
+    "q99_novelty_score",
+    "q01_pricing_summary",
+    "q04_revenue_forecast",
+    "q07_customer_order_stats",
+    "q08_distinct_agg",
+    "q09_rollup",
+    "q100_vocab_coverage",
+    "q103_bm25",
 )
 
 
