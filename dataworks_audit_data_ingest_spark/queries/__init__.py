@@ -46,9 +46,11 @@ from . import graph_shaped  # noqa: E402,F401
 DRIVER_PRIORITY_AS_OF_ROUND = 9
 DRIVER_PRIORITY: tuple[str, ...] = (
 "q244_trained_funnel_graded_audit",
+    "q246_ingest_record_contract",
     "q241_product_type_profit",
     "q242_important_stock",
     "q243_excess_inventory_suppliers",
+    "q245_rendezvous_sharding",
     "q122_ols_fit",
     "q123_seasonal_backtest",
     "q124_skew_report",
@@ -93,8 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q07_customer_order_stats",
     "q08_distinct_agg",
     "q09_rollup",
-    "q100_vocab_coverage",
-    "q103_bm25",
 )
 
 

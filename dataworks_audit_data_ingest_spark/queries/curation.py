@@ -1963,3 +1963,74 @@ def q220_filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair", "n", "n11", "n00", "n10", "n01",
         F.expr(kappa).alias("kappa_ppm"),
     ).orderBy("pair")
+
+
+# ---------------------------------------------------------------------------
+# q245 — rendezvous (HRW) shard routing census
+# ---------------------------------------------------------------------------
+# `sinks/shards.py::shard_assignment` places by hash-modulo — perfect
+# until n_shards changes, when nearly every document moves. The elastic
+# variant for a standing corpus is rendezvous hashing (`rendezvous_shard`):
+# shard = argmax over shards of the portable hash of (shard, id), so a
+# capacity change moves exactly the documents the new shard wins
+# (~1/(n+1); minimal-disruption drill in tests/test_shards.py). This
+# query pins the routing law itself under the oracle: both engines
+# compute the argmax over the identical hash family, so a drift in the
+# hash text, the tie policy, or the argmax fold breaks the value hash.
+
+_Q245_SHARDS = 8
+
+
+@register(
+    "q245_rendezvous_sharding",
+    sql=f"""
+    WITH cand AS (
+      SELECT d.doc_id, d.text, s.s,
+             {duckdb_hash32("CONCAT(CAST(s.s AS VARCHAR), '#', CAST(d.doc_id AS VARCHAR))", "hrw")} AS h
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST(RANGE({_Q245_SHARDS})) AS s) s
+    ), placed AS (
+      SELECT doc_id, text, s AS shard FROM (
+        SELECT doc_id, text, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY h DESC, s) AS rn
+        FROM cand) WHERE rn = 1
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM placed
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    tags=("curation", "sharding", "rendezvous", "scale-path"),
+)
+def q245_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard census of the rendezvous routing over the documents
+    table: doc count, token mass, id range per shard — balance at a
+    glance, and the routing law itself under the value hash.
+
+    Scale shape: the argmax folds n candidate hashes INSIDE one per-row
+    expression (no explode — the DuckDB twin unnests because it has no
+    array fold, but the Spark side never materializes candidates); the
+    only exchange is the |shards|-row census aggregate."""
+    from ..sinks.shards import rendezvous_shard
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        d.withColumn(
+            "shard", rendezvous_shard("doc_id", _Q245_SHARDS)
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )

@@ -139,3 +139,74 @@ def q237_python_datasource_census(
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q246 — the north-star RECORD CONTRACT under the oracle
+# ---------------------------------------------------------------------------
+# The round-10 streaming rehearsal (streaming/jobs.py::
+# start_synthetic_encrypted_ingest_stream) ships records shaped by
+# `synthetic_event_records`: one record per synthetic event, canonical
+# JSON payload, integer-derived UTC day, id-keyed basename. Encryption
+# itself cannot sit under a value hash (fresh nonces), but the record
+# CONTRACT can: this query runs the exact shaping the streaming job
+# encrypts, with the DuckDB twin regenerating the same rows from RANGE
+# and constructing the identical day/basename/payload strings — so a
+# drift in the JSON field order, the day arithmetic, or the basename
+# format breaks the driver hash, not just a pytest.
+
+_Q246_ROWS = 5_000
+
+
+@register(
+    "q246_ingest_record_contract",
+    sql=f"""
+    WITH gen AS ({duckdb_generation_sql(_Q246_ROWS)})
+    SELECT CAST(DATE '1970-01-01'
+                + CAST(ts_us // 86400000000 AS INT) AS VARCHAR) AS day,
+           CONCAT('event-', CAST(event_id AS VARCHAR), '.json')
+             AS basename,
+           CONCAT('{{"event_id":', CAST(event_id AS VARCHAR),
+                  ',"user_id":', CAST(user_id AS VARCHAR),
+                  ',"event_type":"', event_type,
+                  '","value_cents":', CAST(value_cents AS VARCHAR),
+                  ',"ts_us":', CAST(ts_us AS VARCHAR), '}}') AS payload,
+           CAST(LEN(CONCAT('{{"event_id":', CAST(event_id AS VARCHAR),
+                  ',"user_id":', CAST(user_id AS VARCHAR),
+                  ',"event_type":"', event_type,
+                  '","value_cents":', CAST(value_cents AS VARCHAR),
+                  ',"ts_us":', CAST(ts_us AS VARCHAR), '}}'))
+                AS BIGINT) AS n_bytes
+    FROM gen
+    ORDER BY basename
+    """,
+    tags=("ingest", "streaming-shaped", "sources", "contract"),
+)
+def q246_ingest_record_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streaming rehearsal's record shaping, verbatim, under the
+    value hash: generate {_Q246_ROWS} events through the Python data
+    source's batch reader and apply `synthetic_event_records` — day,
+    basename and the exact payload bytes (decoded to UTF-8 for the
+    hash; all fields ASCII by construction).
+
+    Fixture-independent by design (like q237): the query pins the
+    SOURCE + the record CONTRACT, not fixture data."""
+    from ..sources.synthetic import SyntheticEventsDataSource
+    from ..streaming.jobs import synthetic_event_records
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", _Q246_ROWS)
+        .option("n_partitions", 8)
+        .load()
+    )
+    rec = synthetic_event_records(df)
+    return rec.select(
+        "day",
+        "basename",
+        F.decode("content", "UTF-8").alias("payload"),
+        F.octet_length("content").cast("bigint").alias("n_bytes"),
+    ).orderBy("basename")

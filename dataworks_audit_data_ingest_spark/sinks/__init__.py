@@ -12,6 +12,7 @@ from .shards import (  # noqa: F401
     epoch_shard_order,
     read_manifest,
     read_shard,
+    rendezvous_shard,
     shard_assignment,
     verify_shards,
     write_training_shards,

@@ -61,6 +61,31 @@ def shard_assignment(
     )
 
 
+def rendezvous_shard(
+    id_col: str, n_shards: int, seed: str = "hrw"
+) -> F.Column:
+    """Highest-random-weight (rendezvous) shard assignment: the shard
+    whose portable hash of ``(shard, id)`` is the maximum, ties to the
+    lower shard. Same determinism contract as `shard_assignment`, but
+    ELASTIC: growing ``n_shards`` by one moves ONLY the ~1/(n+1) of
+    documents the new shard now wins — modulo placement reshuffles
+    nearly everything (drill-pinned). That is what makes it the
+    re-shardable routing for a standing 100 TB corpus: a capacity change
+    triggers a 1/(n+1) move, not a full rewrite.
+
+    Pure map-side per-row arithmetic — n candidate hashes folded to an
+    argmax inside one expression, no explode, no shuffle."""
+    cand = (
+        f"TRANSFORM(SEQUENCE(0, {n_shards - 1}), s -> STRUCT("
+        + spark_hash32(
+            f"CONCAT(CAST(s AS STRING), '#', CAST({id_col} AS STRING))",
+            seed,
+        )
+        + " AS h, -s AS ns))"
+    )
+    return F.expr(f"CAST(-ARRAY_MAX({cand}).ns AS INT)")
+
+
 def epoch_sort_key(id_col: str, epoch: int, seed: str = "shards") -> F.Column:
     """Within-shard order for a later epoch — re-hash with the epoch mixed
     into the seed. Epoch 0 equals the stored file order."""

@@ -264,3 +264,57 @@ def test_read_shard_stale_manifest_returns_epoch_order(spark, tmp_path):
         finally:
             man["shards"]["1"] = true_entry
             mp.write_text(_json.dumps(man))
+
+
+def test_rendezvous_minimal_disruption_and_determinism(spark):
+    """HRW's defining property: growing the shard count by one moves
+    ONLY the documents the new shard wins (~1/(n+1) of the corpus);
+    every other assignment is unchanged. Modulo placement moves almost
+    everything under the same change — pinned side by side. Plus
+    determinism across partitionings."""
+    from dataworks_audit_data_ingest_spark.sinks.shards import (
+        rendezvous_shard,
+    )
+    from dataworks_audit_data_ingest_spark.tables import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents").select("doc_id")
+    n = 8
+    a = {
+        r.doc_id: r.s8
+        for r in d.withColumn("s8", rendezvous_shard("doc_id", n)).collect()
+    }
+    b = {
+        r.doc_id: r.s9
+        for r in d.withColumn(
+            "s9", rendezvous_shard("doc_id", n + 1)
+        ).collect()
+    }
+    moved = {k for k in a if a[k] != b[k]}
+    # everything that moved went TO the new shard — nothing reshuffled
+    # among the old shards
+    assert moved and all(b[k] == n for k in moved)
+    # and the move is ~1/(n+1): generous band, deterministic fixture
+    frac = len(moved) / len(a)
+    assert 0.03 < frac < 0.30, frac
+    # modulo placement under the same change moves the majority
+    from dataworks_audit_data_ingest_spark.sinks.shards import (
+        shard_assignment,
+    )
+
+    m8 = {r.doc_id: r.shard for r in shard_assignment(d, "doc_id", n).collect()}
+    m9 = {
+        r.doc_id: r.shard
+        for r in shard_assignment(d, "doc_id", n + 1).collect()
+    }
+    assert sum(1 for k in m8 if m8[k] != m9[k]) / len(m8) > 0.5
+
+    # partition-layout independence
+    c = {
+        r.doc_id: r.s8
+        for r in d.repartition(13)
+        .withColumn("s8", rendezvous_shard("doc_id", n))
+        .collect()
+    }
+    assert c == a
+    # all shards in range and non-empty on the fixture
+    assert set(a.values()) == set(range(n))
