@@ -50,6 +50,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q241_product_type_profit",
     "q242_important_stock",
     "q243_excess_inventory_suppliers",
+    "q247_supplier_count_by_part",
     "q245_rendezvous_sharding",
     "q122_ols_fit",
     "q123_seasonal_backtest",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q04_revenue_forecast",
     "q07_customer_order_stats",
     "q08_distinct_agg",
-    "q09_rollup",
 )
 
 

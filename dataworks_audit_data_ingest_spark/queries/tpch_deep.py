@@ -1182,3 +1182,83 @@ def q243_excess_inventory_suppliers(
         )
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# q247 — TPC-H Q16: supplier count by part attributes, complainers excluded
+# ---------------------------------------------------------------------------
+# The last partsupp-dependent TPC-H shape: COUNT(DISTINCT ps_suppkey) per
+# part attribute group, with suppliers on a complaint list removed by the
+# NOT IN anti-join. The fixture supplier table has no comment column, so
+# the complaint flag derives from the portable hash of the supplier key
+# (~1/8 of suppliers), deterministic on both engines — same device as the
+# partsupp attributes.
+
+_Q16_BRANDS = ("Brand#1", "Brand#2")  # Q16's p_brand <> exclusion, x2
+
+
+@register(
+    "q247_supplier_count_by_part",
+    sql=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    complainers AS (
+      SELECT s_suppkey FROM supplier
+      WHERE {duckdb_hash32("CAST(s_suppkey AS VARCHAR)", "complaint")} % 8 = 0
+    )
+    SELECT p_brand, p_type,
+           CAST(p_size // 10 AS INT) AS size_bucket,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp
+      JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand NOT IN ('{_Q16_BRANDS[0]}', '{_Q16_BRANDS[1]}')
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM complainers)
+    GROUP BY p_brand, p_type, size_bucket
+    ORDER BY supplier_cnt DESC, p_brand, p_type, size_bucket
+    """,
+    tags=("tpch", "partsupp", "distinct", "anti-join"),
+)
+def q247_supplier_count_by_part(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16: how many distinct suppliers can deliver each part
+    profile (brand × type × size bucket), excluding two brands and every
+    supplier on the hash-derived complaint list.
+
+    Scale shape: the complaint list folds to a broadcast anti-join that
+    prunes partsupp before the part join; part broadcasts onto
+    partsupp's natural key; one distinct-aggregate shuffle on the
+    (brand, type, bucket) group key — Catalyst's standard Q16 plan with
+    partial aggregation on the distinct."""
+    ps = synthetic_partsupp(spark, sf_dir).select(
+        "ps_partkey", "ps_suppkey"
+    )
+    complainers = (
+        table(spark, sf_dir, "supplier")
+        .filter(
+            F.expr(
+                f"{spark_hash32('CAST(s_suppkey AS STRING)', 'complaint')} % 8 = 0"
+            )
+        )
+        .select(F.col("s_suppkey").alias("ps_suppkey"))
+    )
+    p = table(spark, sf_dir, "part").filter(
+        ~F.col("p_brand").isin(*_Q16_BRANDS)
+    ).select(
+        F.col("p_partkey").alias("ps_partkey"),
+        "p_brand",
+        "p_type",
+        F.expr("CAST(p_size DIV 10 AS INT)").alias("size_bucket"),
+    )
+    return (
+        ps.join(F.broadcast(complainers), "ps_suppkey", "left_anti")
+        .join(F.broadcast(p), "ps_partkey")
+        .groupBy("p_brand", "p_type", "size_bucket")
+        .agg(
+            F.countDistinct("ps_suppkey")
+            .cast("bigint")
+            .alias("supplier_cnt")
+        )
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "size_bucket"
+        )
+    )

@@ -62,6 +62,7 @@ def test_partsupp_queries_partition_invariant(spark):
         q241_product_type_profit,
         q242_important_stock,
         q243_excess_inventory_suppliers,
+        q247_supplier_count_by_part,
     )
 
     before = spark.conf.get("spark.sql.shuffle.partitions")
@@ -73,6 +74,7 @@ def test_partsupp_queries_partition_invariant(spark):
                 "q241": [tuple(r) for r in q241_product_type_profit(spark, SF).collect()],
                 "q242": [tuple(r) for r in q242_important_stock(spark, SF).collect()],
                 "q243": [tuple(r) for r in q243_excess_inventory_suppliers(spark, SF).collect()],
+                "q247": [tuple(r) for r in q247_supplier_count_by_part(spark, SF).collect()],
             }
         assert rows["7"] == rows[before]
         assert all(rows[before][k] for k in rows[before])
