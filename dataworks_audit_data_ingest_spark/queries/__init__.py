@@ -45,7 +45,9 @@ from . import graph_shaped  # noqa: E402,F401
 # their evidence is pytest plus a green oracle-backed twin each.
 DRIVER_PRIORITY_AS_OF_ROUND = 9
 DRIVER_PRIORITY: tuple[str, ...] = (
-"q244_trained_funnel_graded_audit",
+"q248_sql_udf_census",
+    "q249_pipe_syntax_shipping",
+    "q244_trained_funnel_graded_audit",
     "q246_ingest_record_contract",
     "q241_product_type_profit",
     "q242_important_stock",
@@ -93,8 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q99_novelty_score",
     "q01_pricing_summary",
     "q04_revenue_forecast",
-    "q07_customer_order_stats",
-    "q08_distinct_agg",
 )
 
 

@@ -2177,3 +2177,129 @@ def q175_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q248 — Spark 4 SQL UDFs (CREATE FUNCTION ... RETURN) under the oracle
+# ---------------------------------------------------------------------------
+# Spark 4.0 added SQL-defined scalar functions (SPARK-44338 family):
+# reusable expression logic DECLARED in SQL, inlined by the analyzer into
+# the calling plan — zero Python, zero serialization, fully inside
+# whole-stage codegen (the plan sweep asserts no Python eval). The oracle
+# twin inlines the same expressions textually, so the UDF bodies sit
+# under the value hash.
+
+_Q248_TOK = "SIZE(SPLIT(t, ' '))"           # Spark body (param t)
+_Q248_TOK_DUCK = "LEN(STRING_SPLIT(text, ' '))"
+_Q248_PPM = "CAST(a * 1000000 DIV b AS BIGINT)"  # integer ppm ratio
+_Q248_LONG = 60  # docs with more tokens than this count as long
+
+
+@register(
+    "q248_sql_udf_census",
+    sql=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({_Q248_TOK_DUCK}) AS BIGINT) AS n_tokens,
+           CAST(SUM({_Q248_TOK_DUCK}) * 1000000
+                // COUNT(*) AS BIGINT) AS tokens_per_doc_ppm,
+           CAST(SUM(CASE WHEN {_Q248_TOK_DUCK} > {_Q248_LONG}
+                         THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS long_doc_ppm
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("sql-udf", "spark4", "text", "agg"),
+)
+def q248_sql_udf_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token census computed through Spark 4 SQL UDFs: the
+    token counter and the integer-ppm ratio are CREATE FUNCTION bodies,
+    not inline expressions — declared once, analyzer-inlined into the
+    plan (no Python boundary; the registry-wide plan sweep checks).
+
+    Scale shape: identical to writing the expressions inline — SQL UDFs
+    vanish at analysis time, so partial aggregation and codegen are
+    untouched."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q248_tok(t STRING)"
+        f" RETURNS INT RETURN {_Q248_TOK}"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q248_ppm(a BIGINT, b BIGINT)"
+        f" RETURNS BIGINT RETURN {_Q248_PPM}"
+    )
+    table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "q248_documents"
+    )
+    return spark.sql(
+        f"""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(q248_tok(text)) AS BIGINT) AS n_tokens,
+               q248_ppm(SUM(q248_tok(text)), COUNT(*))
+                 AS tokens_per_doc_ppm,
+               q248_ppm(
+                 SUM(CASE WHEN q248_tok(text) > {_Q248_LONG}
+                          THEN 1 ELSE 0 END),
+                 COUNT(*)) AS long_doc_ppm
+        FROM q248_documents
+        GROUP BY source
+        ORDER BY source
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q249 — Spark 4 SQL pipe syntax under the oracle
+# ---------------------------------------------------------------------------
+# Spark 4.0's pipe syntax (SPARK-49555, `|>`): the query reads as its own
+# dataflow — FROM → WHERE → AGGREGATE → ORDER BY — each stage an explicit
+# operator. Same Catalyst plan as the nested form (it is pure surface
+# syntax), which is exactly what makes it safely oracle-checkable against
+# DuckDB's standard SQL.
+
+
+@register(
+    "q249_pipe_syntax_shipping",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("pipe-syntax", "spark4", "agg"),
+)
+def q249_pipe_syntax_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1997 shipping summary written END-TO-END in Spark 4 pipe syntax —
+    the dataflow reads top-to-bottom and compiles to the identical
+    aggregate plan as the classic form (pure surface syntax; the
+    filter still pushes to the scan, partial aggregation still applies).
+    """
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q249_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM q249_lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |> AGGREGATE
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_items, sum_qty,
+                  revenue_cents
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
