@@ -31,10 +31,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # refcount for the session-wide scripting flag: concurrent calls on one
-# SparkSession must not restore the conf while a sibling is mid-fixpoint
+# SparkSession must not restore the conf while a sibling is mid-fixpoint.
+# Keyed PER SESSION — the conf is session-scoped, so a process-global
+# depth would skip enabling the flag on a second session and restore the
+# wrong saved value across sessions.
 _SCRIPTING_LOCK = threading.Lock()
-_SCRIPTING_DEPTH = 0
-_SCRIPTING_SAVED = "false"
+_SCRIPTING_STATE: dict[int, list] = {}  # id(session) -> [depth, saved]
 
 
 def scripted_connected_components(
@@ -52,14 +54,15 @@ def scripted_connected_components(
     labels."""
     import uuid
 
-    global _SCRIPTING_DEPTH, _SCRIPTING_SAVED
+    skey = id(spark)
     with _SCRIPTING_LOCK:
-        if _SCRIPTING_DEPTH == 0:
-            _SCRIPTING_SAVED = spark.conf.get(
+        state = _SCRIPTING_STATE.setdefault(skey, [0, "false"])
+        if state[0] == 0:
+            state[1] = spark.conf.get(
                 "spark.sql.scripting.enabled", "false"
             )
             spark.conf.set("spark.sql.scripting.enabled", "true")
-        _SCRIPTING_DEPTH += 1
+        state[0] += 1
     # per-call view namespace: session-global temp views under FIXED names
     # would let two concurrent calls on one SparkSession clobber each
     # other's views mid-fixpoint (the per-ROUND suffix below is a separate
@@ -129,11 +132,13 @@ def scripted_connected_components(
             if t.name.startswith(base):
                 spark.catalog.dropTempView(t.name)
         with _SCRIPTING_LOCK:
-            _SCRIPTING_DEPTH -= 1
-            if _SCRIPTING_DEPTH == 0:
+            state = _SCRIPTING_STATE[skey]
+            state[0] -= 1
+            if state[0] == 0:
                 spark.conf.set(
-                    "spark.sql.scripting.enabled", _SCRIPTING_SAVED
+                    "spark.sql.scripting.enabled", state[1]
                 )
+                del _SCRIPTING_STATE[skey]
 
 
 def verify_cc_fixpoint(

@@ -168,11 +168,15 @@ def forget_ids_from_cc_store(
     pair list, e.g. the signature store's pairs after their own forget).
     Members with no surviving edge become singletons.
 
-    Crash safety (persist → stage → erase → settle): the member set is
-    durably written to a ``_forget_pending_<token>`` sidecar FIRST, the
-    repair rows are committed to one deterministic ``__forget_<token>__``
-    partition SECOND, only THEN are old rows erased (excluding the staged
-    partition), and the sidecar is deleted last. Mid-protocol the MIN
+    Crash safety (persist → stage → erase → settle): the member set and
+    a per-invocation partition token are durably written to an
+    id-addressed ``_forget_pending_<digest>`` sidecar FIRST, the repair
+    rows are committed to the token's ``__forget_<token>__`` partition
+    SECOND, only THEN are old rows erased (excluding the staged
+    partition), and the sidecar is deleted last. The token is fresh per
+    invocation (recovered from the sidecar on resume): a later, settled
+    forget of the same ids stages a NEW partition rather than
+    dynamic-overwriting the earlier repair's still-live rows. Mid-protocol the MIN
     fold still reads the old labels (a sub-component's new minimum is
     never lower than the old component's), so readers see the pre-forget
     state until the erase completes. A re-run of the SAME request (same
@@ -199,13 +203,20 @@ def forget_ids_from_cc_store(
         return {"nodes_forgotten": 0, "members_relabeled": 0}
     from .forget import forget_matching_from_store
 
-    token = hashlib.md5(
+    import uuid
+
+    # the sidecar is ADDRESSED by the id set (so a crashed request is
+    # rediscoverable) but the staged partition is NAMED by a per-
+    # invocation token RECORDED IN the sidecar: a later, already-settled
+    # forget of the same ids must get a FRESH partition — reusing an
+    # id-derived name would dynamic-overwrite the earlier forget's
+    # still-live repair rows (their only rows in the store). The leading
+    # "_" keeps the sidecar invisible to _list_partitions' foreign-
+    # content check and to every store read.
+    id_digest = hashlib.md5(
         "|".join(str(i) for i in id_list).encode()
     ).hexdigest()[:12]
-    forget_bid = f"__forget_{token}__"
-    # the leading "_" keeps the sidecar invisible to _list_partitions'
-    # foreign-content check and to every store read
-    pending_path = f"{store_path}/_forget_pending_{token}"
+    pending_path = f"{store_path}/_forget_pending_{id_digest}"
     jvm = spark._jvm
     ppath = jvm.org.apache.hadoop.fs.Path(pending_path)
     fs = ppath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -226,15 +237,38 @@ def forget_ids_from_cc_store(
         F.broadcast(affected), "cluster_id", "left_semi"
     ).filter(~F.col("node_id").isin(id_list)).select("node_id")
     # resume: a pending sidecar from a crashed prior attempt names members
-    # the (partially erased) labels may no longer reach
+    # the (partially erased) labels may no longer reach — and carries the
+    # staged partition's token, so the resume overwrites the SAME
+    # partition the crashed run staged
+    token = None
+    sidecar_ok = False
     if fs.exists(ppath):
-        members = members.unionByName(
-            spark.read.parquet(pending_path).select("node_id")
-        ).distinct()
+        try:
+            side = spark.read.parquet(pending_path).localCheckpoint()
+            trow = side.select("token").limit(1).collect()
+            token = trow[0][0] if trow else None
+            members = members.unionByName(
+                side.select("node_id")
+            ).distinct()
+            sidecar_ok = True
+        except Exception:
+            # a partial sidecar can only come from a crash DURING the
+            # initial write — i.e. BEFORE any store mutation, so the
+            # labels alone are still complete: regenerate from scratch
+            fs.delete(ppath, True)
+    if token is None:
+        token = uuid.uuid4().hex[:12]
+    forget_bid = f"__forget_{token}__"
     members = members.localCheckpoint(eager=True)
-    # PERSIST the member set before any mutation — the re-run's recovery
-    # record (deleted only after the erase completes, below)
-    members.write.mode("overwrite").parquet(pending_path)
+    if not sidecar_ok:
+        # PERSIST the member set + token before any mutation — the
+        # re-run's recovery record (deleted only after the erase
+        # completes, below). A complete sidecar is never rewritten:
+        # overwriting would delete the only durable copy before the
+        # replacement commits, re-opening the crash window it closes.
+        members.withColumn("token", F.lit(token)).write.parquet(
+            pending_path
+        )
     subjects = labels.sparkSession.createDataFrame(
         [(i,) for i in id_list],
         labels.select("node_id").schema,

@@ -34,18 +34,18 @@ from . import graph_shaped  # noqa: E402,F401
 # verbatim output of `python tools/rotation.py --emit` over the r01–r09
 # driver history (DRIVER_PRIORITY_AS_OF_ROUND pins which history it was
 # computed from; tests/test_cli_operators.py asserts the paste matches the
-# computation, so hand-drift is a test failure). The round-10 queries
-# (q241–q244) lead as never-run; then the stalest-first refresh — the 39
-# r05-latest rows (q122…q172 tail and q92/q93/q99) the r09 verdict asked
-# round 10 to clear, then the r06 tail. Queries registered during round
-# 10 take never-run head slots on re-emission.
+# computation, so hand-drift is a test failure). The nine round-10
+# queries (q241–q249) lead as never-run; then the stalest-first refresh —
+# the 39 r05-latest rows (q122…q172 tail and q92/q93/q99) the r09 verdict
+# asked round 10 to clear fill the remaining slots; the r06 tail rotates
+# in on the next emission.
 # The four rows-only queries
 # (q42/q74/q16s/q59, sql=None) are excluded from emission — they can
 # only ever produce a `no_oracle` driver row (q16s burned an r06 slot);
 # their evidence is pytest plus a green oracle-backed twin each.
 DRIVER_PRIORITY_AS_OF_ROUND = 9
 DRIVER_PRIORITY: tuple[str, ...] = (
-"q248_sql_udf_census",
+    "q248_sql_udf_census",
     "q249_pipe_syntax_shipping",
     "q244_trained_funnel_graded_audit",
     "q246_ingest_record_contract",

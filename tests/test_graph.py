@@ -438,3 +438,50 @@ def test_scripted_cc_concurrent_calls_do_not_clobber(spark):
     ]
     assert leftover == []
     assert spark.conf.get("spark.sql.scripting.enabled", "false") == before
+
+
+def test_scripted_cc_concurrent_across_sessions(spark):
+    """Self-review r10: the scripting-flag refcount is PER SESSION — a
+    concurrent call on a second SparkSession must still enable the flag
+    there (a process-global depth would skip it) and each session's conf
+    is restored independently."""
+    import threading
+
+    from dataworks_audit_data_ingest_spark.functions.scripted import (
+        scripted_connected_components,
+    )
+
+    other = spark.newSession()
+    before_a = spark.conf.get("spark.sql.scripting.enabled", "false")
+    before_b = other.conf.get("spark.sql.scripting.enabled", "false")
+    pairs_a = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 14)], "doc_a long, doc_b long"
+    )
+    pairs_b = other.createDataFrame(
+        [(60, 61), (61, 62)], "doc_a long, doc_b long"
+    )
+    results: dict[str, list] = {}
+    errs: list[Exception] = []
+
+    def run(name, sess, pairs):
+        try:
+            results[name] = sorted(
+                (r.node_id, r.cluster_id)
+                for r in scripted_connected_components(sess, pairs).collect()
+            )
+        except Exception as e:  # noqa: BLE001 — surfaced via errs
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=run, args=("a", spark, pairs_a)),
+        threading.Thread(target=run, args=("b", other, pairs_b)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert results["a"] == [(i, 10) for i in range(10, 15)]
+    assert results["b"] == [(60, 60), (61, 60), (62, 60)]
+    assert spark.conf.get("spark.sql.scripting.enabled", "false") == before_a
+    assert other.conf.get("spark.sql.scripting.enabled", "false") == before_b

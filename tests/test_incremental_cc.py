@@ -395,3 +395,65 @@ def test_forget_bridge_then_later_batches_then_readd(spark, tmp_path):
     after = dict(_labels(read_cc_labels(spark, store)))
     assert after[7] == 7 and after[40] == 7 and after[41] == 7
     assert after[2] == 2 and after[3] == 3 and after[9] == 3
+
+
+def test_second_forget_of_same_ids_keeps_first_repair(spark, tmp_path):
+    """Self-review r10: two temporally distinct forgets of the SAME id
+    set must stage DISTINCT partitions — an id-derived partition name
+    would let the second forget dynamic-overwrite the first repair's
+    still-live rows (the members' ONLY rows), silently dropping them
+    from the label store."""
+    from dataworks_audit_data_ingest_spark.incremental.cc import (
+        forget_ids_from_cc_store,
+    )
+
+    store = str(tmp_path / "cc_store")
+    update_cc_store(spark, store, _edges_df(spark, [(1, 2), (1, 3)]), "0")
+    forget_ids_from_cc_store(spark, store, [1], _edges_df(spark, []))
+    assert _labels(read_cc_labels(spark, store)) == [(2, 2), (3, 3)]
+
+    # the subject returns in a later batch with a new companion
+    update_cc_store(spark, store, _edges_df(spark, [(1, 9)]), "1")
+    assert dict(_labels(read_cc_labels(spark, store)))[9] == 1
+
+    # second forget of the SAME ids, non-empty member set this time
+    forget_ids_from_cc_store(spark, store, [1], _edges_df(spark, []))
+    # 9 relabeled to itself AND the first repair's rows survived
+    assert _labels(read_cc_labels(spark, store)) == [
+        (2, 2), (3, 3), (9, 9),
+    ]
+    raw = spark.read.parquet(store)
+    assert raw.filter("node_id = 1 OR cluster_id = 1").count() == 0
+
+
+def test_corrupt_pending_sidecar_is_regenerated(spark, tmp_path):
+    """A partial sidecar (crash DURING the initial sidecar write — i.e.
+    before any store mutation) must be treated as absent: deleted and
+    regenerated, with the forget completing normally from the intact
+    labels."""
+    from pathlib import Path
+
+    from dataworks_audit_data_ingest_spark.incremental.cc import (
+        forget_ids_from_cc_store,
+    )
+
+    store = str(tmp_path / "cc_store")
+    update_cc_store(
+        spark, store, _edges_df(spark, [(1, 2), (1, 3), (5, 6)]), "0"
+    )
+    # plant a corrupt (unreadable-as-parquet) sidecar for ids [1]
+    import hashlib
+
+    digest = hashlib.md5(b"1").hexdigest()[:12]
+    bad = Path(store) / f"_forget_pending_{digest}"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"not parquet")
+
+    out = forget_ids_from_cc_store(
+        spark, store, [1], _edges_df(spark, [(5, 6)])
+    )
+    assert out == {"nodes_forgotten": 1, "members_relabeled": 2}
+    assert _labels(read_cc_labels(spark, store)) == [
+        (2, 2), (3, 3), (5, 5), (6, 5),
+    ]
+    assert not bad.exists()  # settled: sidecar gone

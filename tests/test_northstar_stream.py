@@ -55,7 +55,9 @@ def _drain(spark, cfg, ckpt):
     q = start_synthetic_encrypted_ingest_stream(
         spark, cfg, ckpt, rows=ROWS, rows_per_batch=PER_BATCH
     )
-    q.awaitTermination(120)
+    # fail LOUDLY on a timed-out drain — proceeding with a live query
+    # would read in-flight state (or copytree a checkpoint mid-write)
+    assert q.awaitTermination(120), "drain did not terminate within 120s"
 
 
 def _batch_records(spark):
