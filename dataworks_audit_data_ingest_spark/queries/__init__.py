@@ -34,8 +34,8 @@ from . import graph_shaped  # noqa: E402,F401
 # verbatim output of `python tools/rotation.py --emit` over the r01–r09
 # driver history (DRIVER_PRIORITY_AS_OF_ROUND pins which history it was
 # computed from; tests/test_cli_operators.py asserts the paste matches the
-# computation, so hand-drift is a test failure). The nine round-10
-# queries (q241–q249) lead as never-run; then the stalest-first refresh —
+# computation, so hand-drift is a test failure). The eleven round-10
+# queries (q241–q251) lead as never-run; then the stalest-first refresh —
 # the 39 r05-latest rows (q122…q172 tail and q92/q93/q99) the r09 verdict
 # asked round 10 to clear fill the remaining slots; the r06 tail rotates
 # in on the next emission.
@@ -53,6 +53,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q242_important_stock",
     "q243_excess_inventory_suppliers",
     "q247_supplier_count_by_part",
+    "q250_ship_lag_priority",
+    "q251_bracket_revenue",
     "q245_rendezvous_sharding",
     "q122_ols_fit",
     "q123_seasonal_backtest",
@@ -93,8 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q92_char_diversity",
     "q93_cdc_chunk_dedup",
     "q99_novelty_score",
-    "q01_pricing_summary",
-    "q04_revenue_forecast",
 )
 
 

@@ -1262,3 +1262,149 @@ def q247_supplier_count_by_part(
             F.desc("supplier_cnt"), "p_brand", "p_type", "size_bucket"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q250 — TPC-H Q12: shipping-lag bands with priority-conditional counts
+# ---------------------------------------------------------------------------
+# Q12 counts urgent vs non-urgent orders per ship mode among late lines.
+# The fixture lineitem has no l_shipmode/l_receiptdate, so the grouping key
+# is the shipping LAG band (days between order date and ship date) — the
+# same join + CASE-conditional-count shape over existing columns.
+
+_Q12_URGENT = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+
+
+@register(
+    "q250_ship_lag_priority",
+    sql=f"""
+    SELECT lag_band,
+           CAST(SUM(CASE WHEN {_Q12_URGENT} THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_line_count,
+           CAST(SUM(CASE WHEN {_Q12_URGENT} THEN 0 ELSE 1 END) AS BIGINT)
+             AS low_line_count
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN datediff('day', o_orderdate, l_shipdate) < 0
+                    THEN 'pre-order'
+                  WHEN datediff('day', o_orderdate, l_shipdate) <= 30
+                    THEN '00-30'
+                  WHEN datediff('day', o_orderdate, l_shipdate) <= 90
+                    THEN '31-90'
+                  ELSE '90+' END AS lag_band
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+    GROUP BY lag_band
+    ORDER BY lag_band
+    """,
+    tags=("tpch", "join", "agg", "conditional"),
+)
+def q250_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: per shipping-lag band, how many lines belong to
+    high-priority orders vs the rest — both counts from ONE conditional
+    aggregation pass (no per-priority re-scan).
+
+    Scale shape: the only exchange is orders⋈lineitem on orderkey (the
+    fact-fact join every Q12 run pays), then a 4-group-row aggregate with
+    map-side partials; the CASE band derives from already-joined columns
+    so no second shuffle. Reference analog: dwp/dataworks-audit-data-ingest
+    has no relational surface (313-line ingest script); this extends the
+    TPC-H family q71/q72/q241-q247."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(lag < 0, "pre-order")
+        .when(lag <= 30, "00-30")
+        .when(lag <= 90, "31-90")
+        .otherwise("90+")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(band.alias("lag_band"), urgent.alias("is_urgent"))
+        .groupBy("lag_band")
+        .agg(
+            F.sum(F.when(F.col("is_urgent"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("is_urgent"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("lag_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q251 — TPC-H Q19: disjunctive bracket predicates over a join
+# ---------------------------------------------------------------------------
+# Q19's signature is the OR-of-ANDs predicate referencing BOTH join sides
+# (brand/size from part, quantity from lineitem) — the classic case where
+# the filter cannot be pushed below the join and must run on joined rows.
+# Brackets are brand-disjoint, so each line matches at most one and the
+# per-bracket breakdown is a plain GROUP BY.
+
+_Q19_BRACKETS = (
+    ("Brand#1", 1, 15, 1, 20),
+    ("Brand#2", 1, 25, 5, 30),
+    ("Brand#3", 1, 35, 10, 40),
+)
+
+
+def _q19_cond_sql(b) -> str:
+    brand, s_lo, s_hi, q_lo, q_hi = b
+    return (
+        f"(p_brand = '{brand}' AND p_size BETWEEN {s_lo} AND {s_hi} "
+        f"AND l_quantity BETWEEN {q_lo} AND {q_hi})"
+    )
+
+
+@register(
+    "q251_bracket_revenue",
+    sql=f"""
+    SELECT p_brand,
+           {_VOLUME} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE {' OR '.join(_q19_cond_sql(b) for b in _Q19_BRACKETS)}
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    tags=("tpch", "join", "disjunctive-predicate"),
+)
+def q251_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: discounted revenue from lines matching any of
+    three (brand, size-range, quantity-range) brackets — a disjunction
+    that references both join sides, broken down per brand (brackets are
+    brand-disjoint so the rows partition cleanly).
+
+    Scale shape: part is broadcast onto lineitem (dimension ≪ fact); the
+    OR-of-ANDs runs as one post-join filter inside the same codegen stage;
+    the brand-only residue (p_brand IN (...)) IS pushable and prunes the
+    broadcast side before the join. One small-key aggregate after."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin(*[b[0] for b in _Q19_BRACKETS]))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    cond = None
+    for brand, s_lo, s_hi, q_lo, q_hi in _Q19_BRACKETS:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        cond = c if cond is None else (cond | c)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.expr(f"{_VOLUME} AS revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
