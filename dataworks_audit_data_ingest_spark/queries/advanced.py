@@ -2303,3 +2303,98 @@ def q249_pipe_syntax_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q252 — Spark 4 listagg / WITHIN GROUP under the oracle
+# ---------------------------------------------------------------------------
+# listagg (SPARK-42746, 4.0) is the ordered-concat aggregate; DuckDB's twin
+# is string_agg(expr, sep ORDER BY ...). Concatenating an UNBOUNDED group
+# is an anti-pattern at 100 TB (one string per group grows with the data),
+# so the query demonstrates the scale-honest form: bound the group FIRST
+# (window top-k per nation), then concatenate the k survivors — the
+# output string is O(k), not O(rows).
+
+
+@register(
+    "q252_listagg_top_customers",
+    sql="""
+    SELECT n_name AS nation,
+           string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_custkey)
+             AS top_names,
+           CAST(COUNT(*) AS BIGINT) AS n_listed
+    FROM (
+      SELECT n_name, c_name, c_acctbal, c_custkey,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer JOIN nation ON n_nationkey = c_nationkey)
+    WHERE rn <= 3
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("listagg", "spark4", "window", "agg"),
+)
+def q252_listagg_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation, the ordered comma-roster of its top-3 customers by
+    account balance — Spark 4 `listagg(...) WITHIN GROUP (ORDER BY ...)`
+    over a window-bounded group (rank first, concatenate the 3 survivors;
+    the aggregate's input is O(k · nations) regardless of corpus size).
+
+    The deterministic ORDER BY inside the aggregate (balance desc, key
+    tiebreak) is what makes an order-sensitive aggregate oracle-checkable:
+    both engines sort the group identically before concatenating."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "n_name", "c_name", "c_acctbal", "c_custkey"
+    ).createOrReplaceTempView("q252_cust")
+    return spark.sql(
+        """
+        SELECT n_name AS nation,
+               listagg(c_name, ',')
+                 WITHIN GROUP (ORDER BY c_acctbal DESC, c_custkey)
+                 AS top_names,
+               CAST(COUNT(*) AS BIGINT) AS n_listed
+        FROM (
+          SELECT n_name, c_name, c_acctbal, c_custkey,
+                 ROW_NUMBER() OVER (PARTITION BY n_name
+                                    ORDER BY c_acctbal DESC, c_custkey)
+                   AS rn
+          FROM q252_cust)
+        WHERE rn <= 3
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q253 — GROUP BY ALL / ORDER BY ALL: one statement, both engines verbatim
+# ---------------------------------------------------------------------------
+
+_Q253_SQL = """
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+FROM {tbl}
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register(
+    "q253_groupby_all_census",
+    sql=_Q253_SQL.format(tbl="documents"),
+    tags=("groupby-all", "spark4", "agg", "text"),
+)
+def q253_groupby_all_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, lang) document census written with GROUP BY ALL /
+    ORDER BY ALL — the statement text is SHARED VERBATIM with the DuckDB
+    oracle (only the table reference differs), so the two engines'
+    interpretation of the ALL expansion (non-aggregate select columns;
+    full output order) is itself under the hash.
+
+    Pure syntax sugar: Catalyst expands ALL at analysis, the plan is the
+    standard partial-agg + exchange on the 2-column key."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("q253_docs")
+    return spark.sql(_Q253_SQL.format(tbl="q253_docs"))

@@ -1,0 +1,73 @@
+"""Drills for the Spark 4 SQL-surface queries q252 (listagg WITHIN GROUP)
+and q253 (GROUP BY ALL / ORDER BY ALL): partition invariance and an
+independent recomputation of the ordered roster from raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataworks_audit_data_ingest_spark.queries.advanced import (
+    q252_listagg_top_customers,
+    q253_groupby_all_census,
+)
+from dataworks_audit_data_ingest_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q252_q253_partition_invariant(spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        rows = {}
+        for n in ("7", before):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            rows[n] = {
+                "q252": [tuple(r) for r in q252_listagg_top_customers(spark, SF).collect()],
+                "q253": [tuple(r) for r in q253_groupby_all_census(spark, SF).collect()],
+            }
+        assert rows["7"] == rows[before]
+        assert all(rows[before][k] for k in rows[before])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_q252_roster_recomputed_from_raw_rows(spark):
+    """The listagg string per nation equals the python-side top-3-by-
+    (acctbal desc, custkey) join of names — the WITHIN GROUP order is
+    real, not incidental."""
+    out = {r.nation: (r.top_names, r.n_listed)
+           for r in q252_listagg_top_customers(spark, SF).collect()}
+    assert out
+    c = table(spark, SF, "customer")
+    n = table(spark, SF, "nation")
+    raw = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_name", "c_acctbal", "c_custkey")
+        .collect()
+    )
+    by_nation: dict[str, list] = {}
+    for r in raw:
+        by_nation.setdefault(r.n_name, []).append(r)
+    for nation, rows in by_nation.items():
+        top = sorted(rows, key=lambda r: (-r.c_acctbal, r.c_custkey))[:3]
+        want = ",".join(r.c_name for r in top)
+        assert out[nation] == (want, len(top))
+    assert set(out) == set(by_nation)
+
+
+def test_q253_all_expansion_matches_explicit_form(spark):
+    """GROUP BY ALL must expand to exactly (source, lang) — pinned by
+    equality with the explicitly-grouped form."""
+    got = [tuple(r) for r in q253_groupby_all_census(spark, SF).collect()]
+    explicit = (
+        table(spark, SF, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source", "lang", "n_docs", "total_chars")
+        .collect()
+    )
+    assert got == [tuple(r) for r in explicit]
