@@ -13,4 +13,11 @@ from .cc import (  # noqa: F401
     update_cc_store,
 )
 from .forget import forget_ids_from_store  # noqa: F401
+from .rollup import (  # noqa: F401
+    compact_rollup_store,
+    forget_user_from_rollup,
+    read_rollup,
+    read_rollup_grain,
+    update_rollup_store,
+)
 from .runner import IncrementalJob, run_incremental  # noqa: F401

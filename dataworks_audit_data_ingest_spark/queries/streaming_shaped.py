@@ -2957,3 +2957,83 @@ def q236_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("last_touch", "first_touch")
     )
+
+
+# ---------------------------------------------------------------------------
+# q254 — the incremental rollup store's WHOLE maintenance path under the
+# oracle: three batch updates + a mid-stream additive compaction + the
+# merged read, hash-matched against a direct single-pass aggregate.
+# ---------------------------------------------------------------------------
+
+_Q254_CENTS = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+
+
+@register(
+    "q254_rollup_store_report",
+    sql=f"""
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM({_Q254_CENTS}) AS BIGINT) AS sum_cents,
+           MIN({_Q254_CENTS}) AS min_cents,
+           MAX({_Q254_CENTS}) AS max_cents
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+    tags=("incremental", "rollup", "streaming-twin", "agg"),
+)
+def q254_rollup_store_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate claim, verified end to end: events split
+    into three batches → `incremental/rollup.py::update_rollup_store`
+    per batch → `compact_rollup_store` after the second (the additive
+    sidecar-protocol fold runs UNDER the hash) → `read_rollup` — and the
+    merged report must equal DuckDB's one-pass aggregate over the raw
+    table. Exercises mergeability (count/sum/min/max partials), exact
+    distinct users from the per-user grain, late data (each batch holds a
+    mix of days), and compaction's report-invariance, all in one query.
+
+    Scale shape: each update folds ONE batch map-side (never reads the
+    store); the read merges grain rows proportional to distinct
+    (day, type, user) keys, not events."""
+    import shutil
+    import tempfile
+
+    from ..incremental.rollup import (
+        compact_rollup_store,
+        read_rollup,
+        update_rollup_store,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    store = tempfile.mkdtemp(prefix="q254_rollup_") + "/store"
+    try:
+        for i in range(3):
+            batch = ev.filter(
+                F.pmod(F.xxhash64("event_id"), F.lit(3)) == i
+            )
+            update_rollup_store(spark, store, batch, str(i))
+            if i == 1:
+                assert compact_rollup_store(spark, store) == 2
+        report = (
+            read_rollup(spark, store)
+            .select(
+                "day",
+                "event_type",
+                F.col("n_events").cast("bigint").alias("n_events"),
+                F.col("n_users").cast("bigint").alias("n_users"),
+                F.col("sum_cents").cast("bigint").alias("sum_cents"),
+                "min_cents",
+                "max_cents",
+            )
+            .orderBy("day", "event_type")
+            # materialize BEFORE the store directory is removed: the
+            # driver collects after this function returns
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(store.rsplit("/", 1)[0], ignore_errors=True)
+    return report

@@ -1,0 +1,67 @@
+"""Streaming continuous-aggregate maintenance: keep the rollup store
+(`incremental/rollup.py`) current over an unbounded event stream, one
+micro-batch at a time.
+
+Why foreachBatch rather than a stateful streaming aggregation: the store
+must outlive the query (batch jobs, ad-hoc reports, and GDPR forget all
+read/mutate the SAME parquet state), must support exact
+``COUNT(DISTINCT user_id)`` at read time, and must stay compactable —
+none of which Structured Streaming's internal state store exposes. The
+update path is write-only and O(micro-batch); the standing report is
+``read_rollup(store)`` at any moment, equal to a batch recompute over
+every event ingested so far (drill-pinned, late days included — a late
+event's partial simply lands in its arrival batch).
+
+Replay discipline is the family's: partials are keyed by micro-batch id
+(dynamic overwrite ⇒ crash replay rewrites identical rows); restart from
+the SAME checkpoint so batch slicing is stable. Compaction between runs
+must exclude `~..incremental.store.checkpoint_replayable_ids`.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+
+from ..incremental.rollup import update_rollup_store
+
+logger = logging.getLogger(__name__)
+
+
+def start_rollup_maintenance_stream(
+    events_stream: DataFrame,
+    rollup_store: str,
+    checkpoint_dir: str,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    available_now: bool = True,
+):
+    """foreachBatch rollup maintenance over a (ts, event_type, user_id,
+    value, ...) stream: after every micro-batch the store's merged report
+    covers all events ingested so far. Returns the started query."""
+
+    def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        update_rollup_store(
+            batch_df.sparkSession,
+            rollup_store,
+            batch_df,
+            str(batch_id),
+            ts_col=ts_col,
+            type_col=type_col,
+            user_col=user_col,
+            value_col=value_col,
+        )
+        logger.info("rollup maintenance: committed batch %d", batch_id)
+
+    writer = (
+        events_stream.writeStream.foreachBatch(one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
