@@ -34,8 +34,8 @@ from . import graph_shaped  # noqa: E402,F401
 # verbatim output of `python tools/rotation.py --emit` over the r01–r09
 # driver history (DRIVER_PRIORITY_AS_OF_ROUND pins which history it was
 # computed from; tests/test_cli_operators.py asserts the paste matches the
-# computation, so hand-drift is a test failure). The fourteen round-10
-# queries (q241–q254) lead as never-run; then the stalest-first refresh —
+# computation, so hand-drift is a test failure). The sixteen round-10
+# queries (q241–q256) lead as never-run; then the stalest-first refresh —
 # the 39 r05-latest rows (q122…q172 tail and q92/q93/q99) the r09 verdict
 # asked round 10 to clear fill the remaining slots; the r06 tail rotates
 # in on the next emission.
@@ -49,9 +49,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q249_pipe_syntax_shipping",
     "q252_listagg_top_customers",
     "q253_groupby_all_census",
+    "q256_collated_distinct",
     "q254_rollup_store_report",
     "q244_trained_funnel_graded_audit",
     "q246_ingest_record_contract",
+    "q255_xml_roundtrip_census",
     "q241_product_type_profit",
     "q242_important_stock",
     "q243_excess_inventory_suppliers",
@@ -93,8 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q166_item_cf_neighbors",
     "q168_funnel_latency",
     "q169_trimmed_mean",
-    "q171_lsh_precision_audit",
-    "q172_cuped_readout",
 )
 
 

@@ -2398,3 +2398,72 @@ def q253_groupby_all_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard partial-agg + exchange on the 2-column key."""
     table(spark, sf_dir, "documents").createOrReplaceTempView("q253_docs")
     return spark.sql(_Q253_SQL.format(tbl="q253_docs"))
+
+
+# ---------------------------------------------------------------------------
+# q256 — Spark 4 string collations (UTF8_LCASE) under the oracle
+# ---------------------------------------------------------------------------
+# Spark 4.0 made collation a property of the string TYPE (SPARK-46830):
+# comparisons, grouping, and DISTINCT under COLLATE UTF8_LCASE are
+# case-insensitive with no per-row lower() rewrite. The fixture has no
+# case variance, so the query manufactures it deterministically (half
+# the rows lowercased by the portable hash) and pins that DISTINCT under
+# the collated type merges what raw DISTINCT keeps apart. DuckDB has no
+# column collation types, so its twin is the semantic equivalent
+# (lower()-projection distinct) — which is exactly the claim: the
+# collation IS lower()-equivalence, engine-enforced.
+
+from ..functions.hashing import duckdb_hash32, spark_hash32  # noqa: E402
+
+_Q256_MANGLE_SPARK = (
+    "CASE WHEN {h} % 2 = 0 THEN lower(c_mktsegment) ELSE c_mktsegment END"
+)
+
+
+@register(
+    "q256_collated_distinct",
+    sql=f"""
+    SELECT n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT mangled) AS BIGINT) AS distinct_raw,
+           CAST(COUNT(DISTINCT lower(mangled)) AS BIGINT) AS distinct_ci
+    FROM (
+      SELECT n_name,
+             CASE WHEN {duckdb_hash32("CAST(c_custkey AS VARCHAR)", "case")}
+                       % 2 = 0
+                  THEN lower(c_mktsegment) ELSE c_mktsegment END AS mangled
+      FROM customer JOIN nation ON n_nationkey = c_nationkey)
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("collation", "spark4", "distinct", "agg"),
+)
+def q256_collated_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: distinct market-segment strings counted raw (case
+    variants separate) vs under ``COLLATE UTF8_LCASE`` (variants merge) —
+    the collated count runs on the TYPE, no lower() in the aggregate.
+
+    Scale note: collation-aware distinct/group-by keeps whole-stage
+    codegen and partial aggregation (the collation key is computed
+    map-side), unlike a Python normalizer; it is the idiomatic
+    case-insensitive path in Spark 4."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    h = spark_hash32("CAST(c_custkey AS STRING)", "case")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.expr(_Q256_MANGLE_SPARK.format(h=h)).alias("mangled"),
+        )
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.countDistinct("mangled").cast("bigint").alias("distinct_raw"),
+            F.expr(
+                "CAST(COUNT(DISTINCT collate(mangled, 'UTF8_LCASE'))"
+                " AS BIGINT)"
+            ).alias("distinct_ci"),
+        )
+        .orderBy("nation")
+    )

@@ -210,3 +210,72 @@ def q246_ingest_record_contract(
         F.decode("content", "UTF-8").alias("payload"),
         F.octet_length("content").cast("bigint").alias("n_bytes"),
     ).orderBy("basename")
+
+
+# ---------------------------------------------------------------------------
+# q255 — native XML source (Spark 4) round-trip under the oracle
+# ---------------------------------------------------------------------------
+# SPARK-44265 folded spark-xml into the distribution, making XML the one
+# interchange format (after parquet/ORC/JSON/CSV/binary and the Python
+# Data Source) this engine hadn't pinned. The query writes document
+# METADATA as XML, reads it back with an EXPLICIT schema (inference on
+# XML is a second full scan at scale — readers.py::read_xml docs), and
+# aggregates; the DuckDB twin aggregates the original parquet directly,
+# so any loss or coercion in the XML round-trip breaks the value hash.
+
+
+@register(
+    "q255_xml_roundtrip_census",
+    sql="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("sources", "xml", "spark4", "roundtrip"),
+)
+def q255_xml_roundtrip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language census computed THROUGH an XML round-trip: document
+    metadata → native XML files → explicit-schema read-back → aggregate.
+    Free text stays OUT of the XML leg on purpose (control characters
+    are the format's classic loss channel; metadata columns are the
+    contract being pinned — the text path has its own binary/parquet
+    pins). Equality with the parquet-direct oracle proves the XML writer/
+    reader preserve values and types end to end."""
+    import shutil
+    import tempfile
+
+    from ..sources.readers import read_xml, write_xml
+
+    meta = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="q255_xml_")
+    try:
+        write_xml(meta, f"{tmp}/docs", row_tag="doc")
+        back = read_xml(
+            spark,
+            f"{tmp}/docs",
+            row_tag="doc",
+            schema="doc_id bigint, lang string, n_chars bigint",
+        )
+        out = (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("total_chars"),
+                F.min("doc_id").cast("bigint").alias("first_doc"),
+                F.max("doc_id").cast("bigint").alias("last_doc"),
+            )
+            .orderBy("lang")
+            # materialize before the XML files are removed (driver
+            # collects after return)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -135,3 +135,33 @@ def read_parquet_store_or_none(
         if "FileNotFoundException" in str(e):
             return None
         raise
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", root_tag: str = "rows"
+) -> None:
+    """XML writer — native in Spark 4 (SPARK-44265 folded spark-xml into
+    the distribution; no external jar, unlike Avro)."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Native XML reader (Spark 4). ALWAYS pass ``schema`` in production:
+    XML carries no types, so inference is a full extra pass over the data
+    AND coerces per-file — at 100 TB that is both a second scan and a
+    schema-drift hazard. The q255 round-trip pins explicit-schema reads."""
+    tune(spark)
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
