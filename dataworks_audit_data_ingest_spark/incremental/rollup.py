@@ -229,7 +229,7 @@ def compact_rollup_store(
     listed = _list_partitions(spark, store_path)
     if listed is None:
         return 0
-    fs, jvm, _ = listed
+    fs, jvm, dirs = listed
     root = jvm.org.apache.hadoop.fs.Path(store_path)
 
     # GC pass: finish or abort any prior compaction before computing the
@@ -255,10 +255,15 @@ def compact_rollup_store(
             )
         ):
             for b in folded:  # complete fold: GC the claimed originals
+                # sidecar ids are UNESCAPED; address the directory through
+                # the listing (Hadoop %XX-escapes partition values — an id
+                # like "2026-08-16T00:00" would miss its own directory if
+                # the path were rebuilt from the raw id)
+                d = dirs.get(b)
+                if d is None:
+                    continue  # already GC'd by the crashed run
                 fs.delete(
-                    jvm.org.apache.hadoop.fs.Path(
-                        f"{store_path}/{BATCH_COL}={b}"
-                    ),
+                    jvm.org.apache.hadoop.fs.Path(f"{store_path}/{d}"),
                     True,
                 )
         elif fs.exists(tdir):

@@ -251,3 +251,24 @@ def test_q254_partition_invariant(spark):
         assert rows[before]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_escaped_batch_ids_survive_compaction(spark, tmp_path):
+    """Batch ids with characters Hadoop %XX-escapes in partition paths
+    (':') must round-trip through update → compact → read; the GC pass
+    addresses directories through the listing, not rebuilt raw paths."""
+    store = str(tmp_path / "rollup")
+    batches = _batches(spark)
+    ids = ("day:2026-08-14", "day:2026-08-15", "day:2026-08-16")
+    for bid, b in zip(ids, batches):
+        update_rollup_store(spark, store, b, bid)
+    before = _report_rows(spark, store)
+    assert compact_rollup_store(spark, store) == 3
+    assert _report_rows(spark, store) == before
+    import os
+
+    names = os.listdir(store)
+    assert not any(n.startswith(_COMPACT_PREFIX) for n in names)
+    assert sum(n.startswith("batch_id=__compacted_") for n in names) == 1
+    # the escaped originals are gone (GC really found them)
+    assert not any("day" in n for n in names)
