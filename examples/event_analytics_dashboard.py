@@ -28,8 +28,50 @@ from dataworks_audit_data_ingest_spark.queries import REGISTRY  # noqa: E402
 from dataworks_audit_data_ingest_spark.session import get_spark  # noqa: E402
 
 
-def build_dashboard(spark, sf_dir: str) -> dict:
-    """Materialize the four panels; returns {panel: rows}."""
+def build_volume_panel(spark, sf_dir: str, rollup_store: str | None = None):
+    """Day × type volume (events, exact users, cents): served FROM the
+    maintained rollup store when one is passed — the dashboard refresh
+    then reads grain rows instead of re-scanning the event history (the
+    whole point of `incremental/rollup.py` at 100 TB); without a store it
+    falls back to the direct one-pass aggregate. Both forms return the
+    same rows (the example's test pins it; q254 pins the store path
+    against the DuckDB oracle)."""
+    from pyspark.sql import functions as F
+
+    from dataworks_audit_data_ingest_spark.incremental.rollup import (
+        read_rollup,
+    )
+    from dataworks_audit_data_ingest_spark.tables import table
+
+    if rollup_store is not None:
+        rep = read_rollup(spark, rollup_store)
+        if rep is not None:
+            return rep.orderBy("day", "event_type").collect()
+    cents = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            "user_id",
+            cents.alias("cents"),
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("day", "event_type")
+        .collect()
+    )
+
+
+def build_dashboard(spark, sf_dir: str, rollup_store: str | None = None) -> dict:
+    """Materialize the panels; returns {panel: rows}. Pass the path of a
+    maintained rollup store to serve the volume panel from it."""
     run = lambda name: REGISTRY[name].fn(spark, sf_dir).collect()
     return {
         "funnel": run("q101_funnel"),
@@ -37,6 +79,7 @@ def build_dashboard(spark, sf_dir: str) -> dict:
         "pagerank": run("q106_event_pagerank"),
         "actives": run("q120_rolling_active_users"),
         "anomalies": run("q116_traffic_anomaly"),
+        "volume": build_volume_panel(spark, sf_dir, rollup_store),
     }
 
 
@@ -67,6 +110,9 @@ def main() -> None:
 
     print(f"transitions: {len(panels['transitions'])} edges; "
           f"anomalous days: {len(panels['anomalies'])}")
+    print(f"volume panel: {len(panels['volume'])} day×type rows "
+          "(pass a rollup-store path to serve this panel from "
+          "maintained state instead of an event-history scan)")
 
 
 if __name__ == "__main__":
