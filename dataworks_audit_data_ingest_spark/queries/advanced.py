@@ -2467,3 +2467,85 @@ def q256_collated_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# q257 — ANSI-safe arithmetic (try_divide) under the oracle
+# ---------------------------------------------------------------------------
+# Spark 4 runs ANSI mode ON by default: a plain division by zero THROWS
+# mid-job instead of silently returning NULL — at 100 TB that is a
+# 6-hour job dying on one bad row. The try_* family (try_divide /
+# try_add / try_cast) is the idiomatic guard: NULL on the error case,
+# plan stays in codegen. DuckDB has no try_divide; the twin is the
+# semantic definition x / NULLIF(y, 0) — which is exactly the claim
+# being pinned.
+
+_Q257_CENTS = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+
+
+@register(
+    "q257_try_divide_rates",
+    sql=f"""
+    SELECT event_type,
+           CAST(COUNT(milli_rate) AS BIGINT) AS n_rates,
+           CAST(SUM(CASE WHEN milli_rate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unrateable,
+           CAST(SUM(milli_rate) AS BIGINT) AS sum_milli_rate
+    FROM (
+      SELECT event_type,
+             CAST(FLOOR((cents * 1000.0) /
+                        NULLIF(gap_days, 0)) AS BIGINT) AS milli_rate
+      FROM (
+        SELECT event_type,
+               {_Q257_CENTS} AS cents,
+               datediff('day',
+                        LAG(CAST(ts AS TIMESTAMP)) OVER (
+                          PARTITION BY user_id
+                          ORDER BY ts, event_id),
+                        CAST(ts AS TIMESTAMP)) AS gap_days
+        FROM events))
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("try-functions", "ansi", "spark4", "window"),
+)
+def q257_try_divide_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: value-per-day rates between a user's consecutive
+    events, where same-day gaps (divide-by-zero) and first events (NULL
+    lag) are UNRATEABLE rather than fatal — Spark-side via `try_divide`
+    (ANSI mode stays on; zero → NULL, no job kill), oracle-side via the
+    defining rewrite x / NULLIF(y, 0).
+
+    Scale shape: one user-keyed window pass (the lag), then a map-side
+    milli-integer fold to |event_type| rows; try_divide stays inside
+    whole-stage codegen — no Python, no ANSI-off session flag."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    gap = F.datediff(F.col("ts"), F.lag("ts").over(w))
+    return (
+        ev.select(
+            "event_type",
+            F.expr(_Q257_CENTS).alias("cents"),
+            gap.alias("gap_days"),
+        )
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(FLOOR(try_divide(cents * 1000.0, gap_days))"
+                " AS BIGINT)"
+            ).alias("milli_rate"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("milli_rate").cast("bigint").alias("n_rates"),
+            F.sum(
+                F.when(F.col("milli_rate").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_unrateable"),
+            F.sum("milli_rate").cast("bigint").alias("sum_milli_rate"),
+        )
+        .orderBy("event_type")
+    )

@@ -71,3 +71,35 @@ def test_q253_all_expansion_matches_explicit_form(spark):
         .collect()
     )
     assert got == [tuple(r) for r in explicit]
+
+
+def test_q257_partition_invariant_and_null_census_sane(spark):
+    from dataworks_audit_data_ingest_spark.queries.advanced import (
+        q257_try_divide_rates,
+    )
+    from dataworks_audit_data_ingest_spark.tables import table
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        rows = {}
+        for n in ("7", before):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            rows[n] = [
+                tuple(r) for r in q257_try_divide_rates(spark, SF).collect()
+            ]
+        assert rows["7"] == rows[before]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    out = rows[before]
+    assert out
+    # rateable + unrateable == total events of that type (every event is
+    # exactly one of the two; first-event NULL lag and same-day zero gaps
+    # are the unrateable bucket)
+    totals = {
+        r.event_type: r["count"]
+        for r in table(spark, SF, "events").groupBy("event_type").count().collect()
+    }
+    for event_type, n_rates, n_unrateable, _ in out:
+        assert n_rates + n_unrateable == totals[event_type]
+    # same-day activity exists in the fixture, so the try path is exercised
+    assert any(r[2] > 0 for r in out)
