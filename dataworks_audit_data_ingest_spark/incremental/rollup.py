@@ -107,43 +107,77 @@ def update_rollup_store(
     commit_batch_partition(partials, store_path, batch_id)
 
 
+def _sidecar_entries(spark, store_path: str, fs, jvm):
+    """Classify every compaction sidecar in the store:
+    ``[(name, torn, target, folded_ids)]``.
+
+    A sidecar is TORN (crashed during its own write — which precedes any
+    fold write, so the originals are intact) exactly when its own
+    ``_SUCCESS`` marker is missing; a complete sidecar that then fails to
+    READ has a real IO problem and the error PROPAGATES — the store
+    family's discipline (`store.py`): a swallowed read error here would
+    let a reader count a complete fold's target AND its claimed
+    originals, silently doubling every partial."""
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    out = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not name.startswith(_COMPACT_PREFIX):
+            continue
+        if not fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{store_path}/{name}/_SUCCESS")
+        ):
+            out.append((name, True, None, frozenset()))
+            continue
+        side = spark.read.parquet(f"{store_path}/{name}").collect()
+        out.append(
+            (
+                name,
+                False,
+                side[0]["target"],
+                frozenset(r["folded_id"] for r in side),
+            )
+        )
+    return out
+
+
+def _target_complete(store_path: str, target: str, fs, jvm) -> bool:
+    return fs.exists(
+        jvm.org.apache.hadoop.fs.Path(
+            f"{store_path}/{BATCH_COL}={target}/_SUCCESS"
+        )
+    )
+
+
 def _live_partition_dirs(
     spark: SparkSession, store_path: str
 ) -> dict[str, str] | None:
     """``{batch_id -> directory name}`` of the partitions a reader should
     see, resolving any in-flight compaction to a consistent cut:
 
-    - a COMPLETE fold (sidecar present, target partition has _SUCCESS):
+    - a COMPLETE fold (sidecar complete, target partition has _SUCCESS):
       the target is live; originals the sidecar claims are excluded even
       if their GC delete has not happened yet (counting both would
       double-count every partial in them);
-    - an INCOMPLETE fold (sidecar present, target absent or missing
+    - an INCOMPLETE fold (sidecar complete, target absent or missing
       _SUCCESS): the target is excluded, the originals remain live — the
       crashed compactor never became visible;
-    - a sidecar that itself fails to read was interrupted during its own
-      write, which precedes any fold write: ignored, originals live.
+    - a TORN sidecar (its own _SUCCESS missing — crash during the sidecar
+      write, before any fold write): ignored, originals live. Read errors
+      on a complete sidecar PROPAGATE (see :func:`_sidecar_entries`).
 
     Returns ``None`` when the store does not exist (first batch)."""
     listed = _list_partitions(spark, store_path)
     if listed is None:
         return None
     fs, jvm, dirs = listed
-    root = jvm.org.apache.hadoop.fs.Path(store_path)
     live = dict(dirs)
-    for status in fs.listStatus(root):
-        name = status.getPath().getName()
-        if not name.startswith(_COMPACT_PREFIX):
+    for _, torn, target, folded in _sidecar_entries(
+        spark, store_path, fs, jvm
+    ):
+        if torn:
             continue
-        try:
-            side = spark.read.parquet(f"{store_path}/{name}").collect()
-            target = side[0]["target"]
-            folded = {r["folded_id"] for r in side}
-        except Exception:
-            continue  # partial sidecar: fold never started
-        success = jvm.org.apache.hadoop.fs.Path(
-            f"{store_path}/{BATCH_COL}={target}/_SUCCESS"
-        )
-        if target in live and fs.exists(success):
+        if target in live and _target_complete(store_path, target, fs, jvm):
             for b in folded:
                 live.pop(b, None)
         else:
@@ -151,21 +185,65 @@ def _live_partition_dirs(
     return live
 
 
+def _resolve_pending_compactions(
+    spark: SparkSession, store_path: str
+) -> None:
+    """Finish or abort every pending compaction so the store holds no
+    sidecars and no claimed-but-undeleted originals: torn sidecars are
+    deleted (fold never started); complete folds get their claimed
+    originals GC'd then the sidecar removed; incomplete folds have the
+    half-written target aborted then the sidecar removed. Shared by the
+    compactor (its first pass) and the forget path — mutating a store
+    with unresolved claims would otherwise erase/count a subject's rows
+    once per surviving copy."""
+    listed = _list_partitions(spark, store_path)
+    if listed is None:
+        return
+    fs, jvm, dirs = listed
+    for name, torn, target, folded in _sidecar_entries(
+        spark, store_path, fs, jvm
+    ):
+        spath = jvm.org.apache.hadoop.fs.Path(f"{store_path}/{name}")
+        if torn:
+            fs.delete(spath, True)
+            continue
+        if _target_complete(store_path, target, fs, jvm):
+            for b in folded:  # complete fold: GC the claimed originals
+                # sidecar ids are UNESCAPED; address the directory through
+                # the listing (Hadoop %XX-escapes partition values — an id
+                # like "2026-08-16T00:00" would miss its own directory if
+                # the path were rebuilt from the raw id)
+                d = dirs.get(b)
+                if d is not None:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(f"{store_path}/{d}"),
+                        True,
+                    )
+        else:
+            tdir = jvm.org.apache.hadoop.fs.Path(
+                f"{store_path}/{BATCH_COL}={target}"
+            )
+            if fs.exists(tdir):
+                fs.delete(tdir, True)  # incomplete fold: abort it
+        fs.delete(spath, True)
+
+
 def read_rollup_grain(
     spark: SparkSession, store_path: str
 ) -> DataFrame | None:
     """The merged grain — one row per ``(day, event_type, user_id)`` with
     partials summed across every live batch partition — or ``None`` when
-    the store does not exist. Partitions are read by explicit directory
-    path (the store-family device: no inferred-partition-value coercion,
-    and the compaction cut from :func:`_live_partition_dirs` applies)."""
+    there is no maintained state: the store was never created, OR it was
+    legitimately emptied (a GDPR forget that erased every row deletes the
+    fully-erased partitions outright, leaving only the root _SUCCESS).
+    Callers treat ``None`` as an empty report. Partitions are read by
+    explicit directory path (the store-family device: no
+    inferred-partition-value coercion, and the compaction cut from
+    :func:`_live_partition_dirs` applies); a store holding FOREIGN
+    content still raises, from ``_list_partitions``."""
     live = _live_partition_dirs(spark, store_path)
-    if live is None:
-        return None
     if not live:
-        raise ValueError(
-            f"{store_path}: store exists but has no live partitions"
-        )
+        return None
     paths = [f"{store_path}/{d}" for d in live.values()]
     rows = spark.read.parquet(*paths)
     return (
@@ -229,46 +307,11 @@ def compact_rollup_store(
     listed = _list_partitions(spark, store_path)
     if listed is None:
         return 0
-    fs, jvm, dirs = listed
-    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs, jvm, _ = listed
 
-    # GC pass: finish or abort any prior compaction before computing the
-    # foldable set, so this run folds a clean store
-    for status in fs.listStatus(root):
-        name = status.getPath().getName()
-        if not name.startswith(_COMPACT_PREFIX):
-            continue
-        spath = jvm.org.apache.hadoop.fs.Path(f"{store_path}/{name}")
-        try:
-            side = spark.read.parquet(f"{store_path}/{name}").collect()
-            target = side[0]["target"]
-            folded = {r["folded_id"] for r in side}
-        except Exception:
-            fs.delete(spath, True)  # crashed during sidecar write
-            continue
-        tdir = jvm.org.apache.hadoop.fs.Path(
-            f"{store_path}/{BATCH_COL}={target}"
-        )
-        if fs.exists(
-            jvm.org.apache.hadoop.fs.Path(
-                f"{store_path}/{BATCH_COL}={target}/_SUCCESS"
-            )
-        ):
-            for b in folded:  # complete fold: GC the claimed originals
-                # sidecar ids are UNESCAPED; address the directory through
-                # the listing (Hadoop %XX-escapes partition values — an id
-                # like "2026-08-16T00:00" would miss its own directory if
-                # the path were rebuilt from the raw id)
-                d = dirs.get(b)
-                if d is None:
-                    continue  # already GC'd by the crashed run
-                fs.delete(
-                    jvm.org.apache.hadoop.fs.Path(f"{store_path}/{d}"),
-                    True,
-                )
-        elif fs.exists(tdir):
-            fs.delete(tdir, True)  # incomplete fold: abort it
-        fs.delete(spath, True)
+    # finish or abort any prior compaction before computing the foldable
+    # set, so this run folds a clean store
+    _resolve_pending_compactions(spark, store_path)
 
     live = _live_partition_dirs(spark, store_path) or {}
     excl = {_valid_id(b) for b in exclude}
@@ -316,9 +359,16 @@ def forget_user_from_rollup(
     their own rows; no other key's aggregates change and no raw-event
     recompute is needed (the property a coarser store could not offer).
     Returns ``{batch_id: rows_erased}``. Run at quiescence, like every
-    forget: a concurrently replayed batch would resurrect the partials."""
+    forget: a concurrently replayed batch would resurrect the partials.
+
+    Pending compactions are resolved FIRST: over crashed-compaction
+    residue (complete fold + still-present claimed originals) a blind
+    partition sweep would erase — and audit — the subject's rows once per
+    surviving copy, and rewriting the fold target would strip the
+    _SUCCESS marker its sidecar keys visibility on."""
     from .forget import forget_matching_from_store
 
+    _resolve_pending_compactions(spark, store_path)
     return forget_matching_from_store(
         spark,
         store_path,

@@ -3017,7 +3017,14 @@ def q254_rollup_store_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             update_rollup_store(spark, store, batch, str(i))
             if i == 1:
-                assert compact_rollup_store(spark, store) == 2
+                # a plain statement, NOT an assert: under python -O an
+                # assert's side effect is stripped and the compaction leg
+                # would silently lose its oracle coverage
+                folded = compact_rollup_store(spark, store)
+                if folded != 2:
+                    raise RuntimeError(
+                        f"q254 expected to fold 2 partitions, got {folded}"
+                    )
         report = (
             read_rollup(spark, store)
             .select(

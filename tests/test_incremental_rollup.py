@@ -272,3 +272,106 @@ def test_escaped_batch_ids_survive_compaction(spark, tmp_path):
     assert sum(n.startswith("batch_id=__compacted_") for n in names) == 1
     # the escaped originals are gone (GC really found them)
     assert not any("day" in n for n in names)
+
+
+def test_torn_sidecar_ignored_and_aborted(spark, tmp_path):
+    """A sidecar directory WITHOUT its own _SUCCESS (crash during the
+    sidecar write — before any fold write) is invisible to readers and
+    deleted by the next resolution; a complete sidecar that fails to
+    READ must propagate, not be swallowed (the family discipline)."""
+    import os
+
+    store = str(tmp_path / "rollup")
+    for i, b in enumerate(_batches(spark)):
+        update_rollup_store(spark, store, b, str(i))
+    before = _report_rows(spark, store)
+    torn = f"{store}/{_COMPACT_PREFIX}torn00"
+    os.makedirs(torn)
+    with open(f"{torn}/part-00000.parquet", "wb") as f:
+        f.write(b"\x00garbage, not parquet")  # no _SUCCESS alongside
+    assert _report_rows(spark, store) == before  # reader ignores it
+    assert compact_rollup_store(spark, store) == 3  # resolver aborted it
+    assert not any(
+        n.startswith(_COMPACT_PREFIX) for n in os.listdir(store)
+    )
+    assert _report_rows(spark, store) == before
+
+
+def test_complete_sidecar_read_error_propagates(spark, tmp_path):
+    """Corrupt parquet UNDER a _SUCCESS-complete sidecar is a real IO
+    problem: both the reader and the compactor must raise, never treat
+    the store as sidecar-free (which would double-count a pre-GC fold)."""
+    import os
+
+    import pytest
+
+    store = str(tmp_path / "rollup")
+    for i, b in enumerate(_batches(spark, n=2)):
+        update_rollup_store(spark, store, b, str(i))
+    bad = f"{store}/{_COMPACT_PREFIX}badread"
+    os.makedirs(bad)
+    with open(f"{bad}/part-00000.parquet", "wb") as f:
+        f.write(b"\x00garbage, not parquet")
+    open(f"{bad}/_SUCCESS", "w").close()  # claims completeness
+    with pytest.raises(Exception):
+        read_rollup(spark, store)
+    with pytest.raises(Exception):
+        compact_rollup_store(spark, store)
+
+
+def test_forget_over_pre_gc_residue_counts_once(spark, tmp_path):
+    """Forget on a store left between fold-complete and GC (claimed
+    originals still on disk) must resolve the compaction first: the
+    subject's erasure is counted ONCE, and the report afterwards equals
+    the filtered batch recompute."""
+    import os
+
+    store = str(tmp_path / "rollup")
+    ev = table(spark, SF, "events")
+    for i, b in enumerate(_batches(spark)):
+        update_rollup_store(spark, store, b, str(i))
+    assert compact_rollup_store(spark, store) == 3
+    # reconstruct the pre-GC state: restore a claimed original + sidecar
+    from dataworks_audit_data_ingest_spark.incremental.rollup import (
+        rollup_partials,
+    )
+    from dataworks_audit_data_ingest_spark.incremental.store import (
+        commit_batch_partition,
+    )
+
+    target = next(
+        n.split("=", 1)[1]
+        for n in os.listdir(store)
+        if n.startswith("batch_id=__compacted_")
+    )
+    commit_batch_partition(rollup_partials(_batches(spark)[0]), store, "0")
+    spark.createDataFrame(
+        [("0", target)], "folded_id string, target string"
+    ).coalesce(1).write.parquet(f"{store}/{_COMPACT_PREFIX}residue0")
+
+    subjects = ev.select("user_id").distinct().orderBy("user_id").limit(2)
+    subject_ids = [r.user_id for r in subjects.collect()]
+    # the subject's grain rows exist ONCE per (day, type) after resolution;
+    # a blind sweep over the residue would count them twice
+    expected_once = (
+        rollup_partials(ev)
+        .filter(F.col("user_id").isin(subject_ids))
+        .count()
+    )
+    removed = forget_user_from_rollup(spark, store, subjects)
+    assert sum(removed.values()) == expected_once
+    survivors = ev.filter(~F.col("user_id").isin(subject_ids))
+    assert _report_rows(spark, store) == _batch_recompute(survivors)
+
+
+def test_fully_forgotten_store_reads_as_none(spark, tmp_path):
+    """Erasing every subject leaves a store directory with no live
+    partitions — legitimately empty state, read as None (no maintained
+    state), not an error."""
+    store = str(tmp_path / "rollup")
+    ev = table(spark, SF, "events")
+    update_rollup_store(spark, store, _batches(spark, n=1)[0], "0")
+    everyone = ev.select("user_id").distinct()
+    removed = forget_user_from_rollup(spark, store, everyone)
+    assert sum(removed.values()) > 0
+    assert read_rollup(spark, store) is None
