@@ -45,13 +45,27 @@ def fingerprint(plan: str) -> dict[str, int]:
     return {k: len(re.findall(rx, plan)) for k, rx in _FEATURES.items()}
 
 
+# Stable non-bench shapes worth guarding too (round 10): classic TPC-H
+# plans and the Spark 4 SQL-surface queries whose plans must never grow a
+# Python eval or lose a broadcast. Queries materializing temp state
+# (q254 store, q255 XML) return checkpoint scans — nothing to guard.
+GUARDED_EXTRAS = (
+    "q250_ship_lag_priority",
+    "q251_bracket_revenue",
+    "q252_listagg_top_customers",
+    "q253_groupby_all_census",
+    "q256_collated_distinct",
+    "q257_try_divide_rates",
+)
+
+
 def current_fingerprints(spark, names=None) -> dict[str, dict[str, int]]:
     from bench import BENCH_QUERIES  # the frozen headline set
 
     from dataworks_audit_data_ingest_spark.queries import REGISTRY
 
     out = {}
-    for name in names or BENCH_QUERIES:
+    for name in names or (tuple(BENCH_QUERIES) + GUARDED_EXTRAS):
         df = REGISTRY[name].fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         out[name] = fingerprint(plan)
