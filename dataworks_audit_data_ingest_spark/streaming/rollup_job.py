@@ -38,13 +38,26 @@ def start_rollup_maintenance_stream(
     type_col: str = "event_type",
     user_col: str = "user_id",
     value_col: str = "value",
+    compact_every: int | None = None,
     available_now: bool = True,
 ):
     """foreachBatch rollup maintenance over a (ts, event_type, user_id,
     value, ...) stream: after every micro-batch the store's merged report
-    covers all events ingested so far. Returns the started query."""
+    covers all events ingested so far. Returns the started query.
+
+    ``compact_every=N`` folds the store every N micro-batches, keeping
+    the partition count O(1) over a long-lived stream. The CURRENT batch
+    is always excluded from the fold: its store partition is committed,
+    but the checkpoint's commit-log entry lands only after this callback
+    returns — a crash in between replays the batch, and a replay
+    rewriting an already-folded partition would double-count. Batches
+    before it are checkpoint-committed and can never replay under the
+    same checkpoint (the compact_store precondition, derived not
+    hand-guessed)."""
 
     def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..incremental.rollup import compact_rollup_store
+
         update_rollup_store(
             batch_df.sparkSession,
             rollup_store,
@@ -56,6 +69,17 @@ def start_rollup_maintenance_stream(
             value_col=value_col,
         )
         logger.info("rollup maintenance: committed batch %d", batch_id)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            folded = compact_rollup_store(
+                batch_df.sparkSession,
+                rollup_store,
+                exclude=(str(batch_id),),
+            )
+            logger.info(
+                "rollup maintenance: folded %d partitions after batch %d",
+                folded,
+                batch_id,
+            )
 
     writer = (
         events_stream.writeStream.foreachBatch(one_batch)

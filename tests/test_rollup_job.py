@@ -84,3 +84,46 @@ def test_stream_report_equals_batch_and_restart_is_noop(spark, tmp_path):
     q2 = start_rollup_maintenance_stream(stream2, store, ckpt)
     q2.awaitTermination()
     assert _report(spark, store) == want
+
+
+def test_in_stream_compaction_bounds_partitions_and_preserves_report(
+    spark, tmp_path
+):
+    """compact_every folds mid-stream (current batch excluded), the
+    drained report still equals batch, and the store's partition count is
+    bounded; a checkpointed restart stays a no-op."""
+    import os
+
+    src = str(tmp_path / "src")
+    schema = _spill_chunks(spark, src, n_chunks=4)
+    store = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/c*")
+    )
+    q = start_rollup_maintenance_stream(
+        stream, store, ckpt, compact_every=2
+    )
+    q.awaitTermination()
+
+    want = _batch_reference(spark)
+    assert _report(spark, store) == want
+    parts = [n for n in os.listdir(store) if n.startswith("batch_id=")]
+    # 4 batches, folds after #1 (excl 1) and #3 (excl 3): the fold after
+    # #3 collapses everything except the in-flight batch 3 -> 2 partitions
+    assert len(parts) == 2
+    assert sum("__compacted_" in n for n in parts) == 1
+
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/c*")
+    )
+    q2 = start_rollup_maintenance_stream(
+        stream2, store, ckpt, compact_every=2
+    )
+    q2.awaitTermination()
+    assert _report(spark, store) == want
