@@ -139,3 +139,26 @@ def test_incremental_phash_cross_batch_and_replay(spark, tmp_path):
     u2r, p2r = incremental_phash_batch(spark, store, b2, "b2")
     assert sorted(r.doc_id for r in u2r.collect()) == sorted(u2_ids)
     assert sorted(map(tuple, p2r.collect())) == sorted(map(tuple, pair_rows))
+
+
+def test_arrow_decode_path_row_identical_to_pandas_path(spark):
+    """mapInArrow decode == mapInPandas decode, row for row — the cheaper
+    Python boundary changes nothing but the conversion cost."""
+    from dataworks_audit_data_ingest_spark.multimodal.ops import (
+        decode_media_batches,
+        decode_media_batches_arrow,
+        with_media_payload,
+    )
+    from dataworks_audit_data_ingest_spark.tables import table
+
+    docs = with_media_payload(
+        table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    pandas_rows = sorted(
+        tuple(r) for r in decode_media_batches(docs).collect()
+    )
+    arrow_rows = sorted(
+        tuple(r) for r in decode_media_batches_arrow(docs).collect()
+    )
+    assert arrow_rows == pandas_rows
+    assert arrow_rows
