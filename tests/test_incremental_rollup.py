@@ -375,3 +375,85 @@ def test_fully_forgotten_store_reads_as_none(spark, tmp_path):
     removed = forget_user_from_rollup(spark, store, everyone)
     assert sum(removed.values()) > 0
     assert read_rollup(spark, store) is None
+
+
+# ---------------------------------------------------------------------------
+# property: for ANY rows and ANY batch slicing, the maintained report
+# equals the single-pass recompute, before and after compaction
+# ---------------------------------------------------------------------------
+
+import math
+import shutil
+import tempfile
+from datetime import date, datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ROW = st.tuples(
+    st.integers(0, 2),                      # day index
+    st.integers(0, 1),                      # type index
+    st.integers(0, 3),                      # user index
+    st.one_of(st.none(), st.integers(-10_000, 10_000)),  # cents or NULL
+)
+
+
+@given(
+    rows=st.lists(_ROW, min_size=1, max_size=30),
+    n_batches=st.integers(1, 3),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_rollup_merge_property(spark, rows, n_batches):
+    data = [
+        (
+            datetime(2026, 1, d + 1, 12, 0, 0),
+            f"type_{t}",
+            u,
+            (c / 100.0) if c is not None else None,
+            i,
+        )
+        for i, (d, t, u, c) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "ts timestamp, event_type string, user_id long, "
+        "value double, event_id long"
+    )
+    store = tempfile.mkdtemp(prefix="rollup_prop_") + "/store"
+    try:
+        for b in range(n_batches):
+            batch = df.filter(F.pmod(F.col("event_id"), F.lit(n_batches)) == b)
+            update_rollup_store(spark, store, batch, str(b))
+        got = _report_rows(spark, store)
+
+        # pure-python model over the same rows (same IEEE cents formula)
+        model: dict = {}
+        for d, t, u, c in rows:
+            key = (date(2026, 1, d + 1), f"type_{t}")
+            m = model.setdefault(
+                key, {"n": 0, "users": set(), "cents": []}
+            )
+            m["n"] += 1
+            m["users"].add(u)
+            if c is not None:
+                m["cents"].append(math.floor((c / 100.0) * 100 + 0.5))
+        want = sorted(
+            (
+                day,
+                typ,
+                m["n"],
+                len(m["users"]),
+                sum(m["cents"]) if m["cents"] else None,
+                min(m["cents"]) if m["cents"] else None,
+                max(m["cents"]) if m["cents"] else None,
+            )
+            for (day, typ), m in model.items()
+        )
+        assert got == want
+        compact_rollup_store(spark, store)
+        assert _report_rows(spark, store) == want
+    finally:
+        shutil.rmtree(store.rsplit("/", 1)[0], ignore_errors=True)

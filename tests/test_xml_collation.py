@@ -75,3 +75,24 @@ def test_xml_roundtrip_preserves_rows_and_types(spark, tmp_path):
         (int(r.doc_id), r.lang, int(r.n_chars)) for r in meta.collect()
     )
     assert got == want
+
+
+def test_xml_roundtrip_escapes_special_characters(spark, tmp_path):
+    """XML's classic loss channel is markup characters in values —
+    <, >, &, quotes, newlines must survive the writer/reader pair
+    verbatim (q255 deliberately keeps free text off XML; this pins that
+    the escaping itself is sound for string METADATA that may contain
+    them, e.g. source URLs with &query params)."""
+    rows = [
+        (1, "a < b & c > d"),
+        (2, 'quote " and \' apostrophe'),
+        (3, "line\nbreak and\ttab"),
+        (4, "https://host/path?x=1&y=<z>"),
+        (5, "]]> cdata-ish and <!-- comment-ish -->"),
+    ]
+    df = spark.createDataFrame(rows, "id int, s string")
+    write_xml(df, str(tmp_path / "esc"), row_tag="r")
+    back = read_xml(
+        spark, str(tmp_path / "esc"), row_tag="r", schema="id int, s string"
+    )
+    assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
