@@ -457,3 +457,57 @@ def test_rollup_merge_property(spark, rows, n_batches):
         assert _report_rows(spark, store) == want
     finally:
         shutil.rmtree(store.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_coarser_report_grains_match_recompute(spark, tmp_path):
+    """One store serves any grain coarser than (day, type, user): the
+    by=('event_type',) and by=('day',) reports equal direct recomputes."""
+    store = str(tmp_path / "rollup")
+    ev = table(spark, SF, "events")
+    for i, b in enumerate(_batches(spark)):
+        update_rollup_store(spark, store, b, str(i))
+    cents = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+    base = ev.select(
+        F.to_date("ts").alias("day"), "event_type", "user_id",
+        cents.alias("cents"),
+    )
+    for by in (("event_type",), ("day",)):
+        got = sorted(
+            tuple(r) for r in read_rollup(spark, store, by=by).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in base.groupBy(*by)
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum("cents").alias("sum_cents"),
+                F.min("cents").alias("min_cents"),
+                F.max("cents").alias("max_cents"),
+            )
+            .collect()
+        )
+        assert got == want
+
+
+def test_compact_with_everything_excluded_is_noop(spark, tmp_path):
+    store = str(tmp_path / "rollup")
+    for i, b in enumerate(_batches(spark)):
+        update_rollup_store(spark, store, b, str(i))
+    before = _report_rows(spark, store)
+    assert compact_rollup_store(spark, store, exclude=("0", "1", "2")) == 0
+    assert _report_rows(spark, store) == before
+
+
+def test_forget_writes_audit_manifest(spark, tmp_path):
+    store = str(tmp_path / "rollup")
+    audit = str(tmp_path / "audit")
+    ev = table(spark, SF, "events")
+    update_rollup_store(spark, store, _batches(spark, n=1)[0], "0")
+    subjects = ev.select("user_id").distinct().orderBy("user_id").limit(1)
+    removed = forget_user_from_rollup(
+        spark, store, subjects, audit_path=audit
+    )
+    rows = spark.read.parquet(audit).collect()
+    assert len(rows) == 1
+    assert rows[0].n_affected == sum(removed.values()) > 0
