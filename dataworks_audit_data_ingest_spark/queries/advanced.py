@@ -2549,3 +2549,47 @@ def q257_try_divide_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q258 — SQL:2016 inverse-distribution functions (percentile_cont/_disc
+# WITHIN GROUP) — Spark 4 surface, statement shared verbatim with DuckDB
+# ---------------------------------------------------------------------------
+# percentile_disc returns an actual data value (exact on both engines);
+# percentile_cont interpolates, and the two engines may form the
+# interpolation differently in the last ulp — so the cont result goes
+# through the q4 quantization like every cross-engine double.
+
+_Q258_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       (CAST(CAST(ROUND(
+          percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4)
+          * 10000 AS BIGINT) AS DOUBLE) / 10000.0) AS median_price,
+       percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+         AS p90_price_disc
+FROM {tbl}
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "q258_percentile_within_group",
+    sql=_Q258_SQL.format(tbl="orders"),
+    tags=("percentile", "within-group", "spark4", "agg"),
+)
+def q258_percentile_within_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per order priority: the interpolated median (percentile_cont) and
+    the discrete p90 (percentile_disc — an actual order's price, exact by
+    construction) of order value, written as SQL:2016 inverse-distribution
+    aggregates WITHIN GROUP — one statement, both engines verbatim.
+
+    Scale note: exact inverse-distribution aggregates materialize each
+    group's sorted values — fine for bounded groups (5 priorities);
+    unbounded-cardinality percentiles at 100 TB take the sketch path
+    (q74's t-digest / approx_percentile)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q258_orders")
+    return spark.sql(_Q258_SQL.format(tbl="q258_orders"))

@@ -103,3 +103,34 @@ def test_q257_partition_invariant_and_null_census_sane(spark):
         assert n_rates + n_unrateable == totals[event_type]
     # same-day activity exists in the fixture, so the try path is exercised
     assert any(r[2] > 0 for r in out)
+
+
+def test_q258_partition_invariant_and_disc_is_a_data_value(spark):
+    from dataworks_audit_data_ingest_spark.queries.advanced import (
+        q258_percentile_within_group,
+    )
+    from dataworks_audit_data_ingest_spark.tables import table
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        rows = {}
+        for n in ("7", before):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            rows[n] = [
+                tuple(r)
+                for r in q258_percentile_within_group(spark, SF).collect()
+            ]
+        assert rows["7"] == rows[before]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    out = rows[before]
+    assert out
+    # percentile_disc must return an ACTUAL order price of its group
+    prices = {
+        (r.o_orderpriority, r.o_totalprice)
+        for r in table(spark, SF, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    }
+    for prio, _n, _med, p90 in out:
+        assert (prio, p90) in prices
