@@ -335,3 +335,57 @@ def phash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
     )
+
+
+def reassemble_chunked_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    idx_col: str = "part_idx",
+    payload_col: str = "part",
+) -> DataFrame:
+    """Reassemble media blobs stored as CHUNK ROWS (the only way a
+    multi-GB object fits a row-based table: one row per part, ordered by
+    ``part_idx``) and decode each rebuilt payload — Spark 4
+    ``applyInArrow``: the group's raw RecordBatches arrive as one
+    pyarrow Table, bytes are concatenated in part order, and one
+    metadata row per object comes back. Grouped-by-key is the right
+    boundary here because the kernel NEEDS the whole group (unlike the
+    row-local decode, which takes mapInArrow).
+
+    Scale shape: one hash shuffle on the object id — inherent to
+    reassembly (the parts must meet somewhere); group width is bounded
+    by parts-per-object, so no group outgrows an executor. Output equals
+    `decode_media_batches` over the un-chunked payloads (drill-pinned).
+    """
+
+    def rebuild(table):
+        import hashlib
+
+        import pyarrow as pa
+
+        idx = table.column(idx_col).to_pylist()
+        parts = table.column(payload_col).to_pylist()
+        doc = table.column(id_col)[0].as_py()
+        payload = b"".join(p for _, p in sorted(zip(idx, parts)))
+        m = fake_decode_record(payload)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([doc], pa.int64()),
+                "media_type": pa.array(["image"], pa.string()),
+                "n_bytes": pa.array([m["n_bytes"]], pa.int64()),
+                "width": pa.array([m["width"]], pa.int32()),
+                "height": pa.array([m["height"]], pa.int32()),
+                "n_frames": pa.array([m["n_frames"]], pa.int32()),
+                "checksum": pa.array(
+                    [hashlib.md5(payload).hexdigest()], pa.string()
+                ),
+            }
+        )
+
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias(id_col), idx_col, payload_col
+        )
+        .groupBy(id_col)
+        .applyInArrow(rebuild, schema=MEDIA_SCHEMA)
+    )

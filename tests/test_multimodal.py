@@ -162,3 +162,56 @@ def test_arrow_decode_path_row_identical_to_pandas_path(spark):
     )
     assert arrow_rows == pandas_rows
     assert arrow_rows
+
+
+def test_chunked_reassembly_equals_whole_payload_decode(spark):
+    """Chunk every payload into 3 parts, reassemble via applyInArrow,
+    and pin the result row-identical to decoding the whole payloads."""
+    from dataworks_audit_data_ingest_spark.multimodal.ops import (
+        decode_media_batches,
+        reassemble_chunked_media,
+        with_media_payload,
+    )
+    from dataworks_audit_data_ingest_spark.tables import table
+    from pyspark.sql import functions as F
+
+    docs = with_media_payload(
+        table(spark, "/root/testdata/sf0.001", "documents")
+    ).select("doc_id", "payload")
+    # chunk rows via substring slicing on the binary payload
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.lit(0).alias("part_idx"),
+            F.expr("substring(payload, 1, CAST(length(payload)/3 AS INT))").alias("part"),
+        )
+        .unionByName(
+            docs.select(
+                "doc_id",
+                F.lit(1).alias("part_idx"),
+                F.expr(
+                    "substring(payload, CAST(length(payload)/3 AS INT)+1,"
+                    " CAST(length(payload)/3 AS INT))"
+                ).alias("part"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                "doc_id",
+                F.lit(2).alias("part_idx"),
+                F.expr(
+                    "substring(payload, 2*CAST(length(payload)/3 AS INT)+1,"
+                    " length(payload))"
+                ).alias("part"),
+            )
+        )
+    )
+    got = sorted(
+        tuple(r) for r in reassemble_chunked_media(chunks).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in decode_media_batches(docs).collect()
+    )
+    assert got == want
+    assert got
