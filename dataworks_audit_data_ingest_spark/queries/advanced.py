@@ -2593,3 +2593,41 @@ def q258_percentile_within_group(
     (q74's t-digest / approx_percentile)."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("q258_orders")
     return spark.sql(_Q258_SQL.format(tbl="q258_orders"))
+
+
+# ---------------------------------------------------------------------------
+# q259 — lateral column aliases: a derivation CHAIN in one SELECT,
+# statement shared verbatim by both engines
+# ---------------------------------------------------------------------------
+# Spark 3.4+ lets a SELECT item reference an alias defined earlier in the
+# SAME select list — the pipeline-of-derivations idiom that otherwise
+# forces nested subqueries or repeated expressions. Analyzer-inlined:
+# the plan is identical to writing the full expressions out, so codegen
+# and pushdown are untouched.
+
+_Q259_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents,
+       total_cents / n_orders AS cents_per_order,
+       cents_per_order / 100 AS dollars_per_order
+FROM {tbl}
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "q259_lateral_column_alias",
+    sql=_Q259_SQL.format(tbl="orders"),
+    tags=("lateral-alias", "spark4", "agg"),
+)
+def q259_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value census whose derived columns CHAIN through lateral
+    column aliases (total_cents → cents_per_order → dollars_per_order)
+    in one SELECT — shared verbatim with the DuckDB oracle, so both
+    engines' alias resolution and the integer-division semantics of the
+    chain sit under the hash."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q259_orders")
+    return spark.sql(_Q259_SQL.format(tbl="q259_orders"))

@@ -134,3 +134,25 @@ def test_q258_partition_invariant_and_disc_is_a_data_value(spark):
     }
     for prio, _n, _med, p90 in out:
         assert (prio, p90) in prices
+
+
+def test_q259_partition_invariant_and_chain_consistent(spark):
+    from dataworks_audit_data_ingest_spark.queries.advanced import (
+        q259_lateral_column_alias,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        rows = {}
+        for n in ("7", before):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            rows[n] = [
+                tuple(r)
+                for r in q259_lateral_column_alias(spark, SF).collect()
+            ]
+        assert rows["7"] == rows[before]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    for _prio, n, cents, cpo, dpo in rows[before]:
+        assert cpo == cents / n
+        assert dpo == cpo / 100
