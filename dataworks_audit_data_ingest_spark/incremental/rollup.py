@@ -25,6 +25,16 @@ count, exact-cents sum, min, max — so that
   GC) in which every crash point leaves readers consistent — see
   :func:`compact_rollup_store`.
 
+When the per-user grain is itself too large (key space ~ the corpus —
+billions of users × wide grids), the bounded-state alternative is the
+HLL register store (`streaming/hll_job.py`, q111's shape): state is
+m × groups × days REGARDLESS of user count. The tradeoff is explicit
+and compliance-relevant: registers give ~2%-error distinct counts and
+CANNOT forget a subject (a max-fold absorbs contributions
+irreversibly) — GDPR erasure over registers means rebuilding the
+affected days from source. This store keeps exact counts AND exact
+forget; pick by key-space size and erasure obligations.
+
 Reference parity: dwp/dataworks-audit-data-ingest maintains no aggregate
 state (313-line copy pipeline); this extends the engine's incremental
 family (dedup signatures, CC labels, passages) with the classic
