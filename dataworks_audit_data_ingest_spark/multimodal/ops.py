@@ -49,6 +49,50 @@ def fake_decode_record(payload: bytes) -> dict:
     }
 
 
+def real_decode_record(payload: bytes) -> dict:
+    """PIL-backed image decode: true dimensions, format, frame count
+    (animated formats expose n_frames; stills are 1 frame)."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return {
+            "media_type": (img.format or "image").lower(),
+            "n_bytes": len(payload),
+            "width": img.width,
+            "height": img.height,
+            "n_frames": int(getattr(img, "n_frames", 1)),
+        }
+
+
+def _require_pillow_for(mode: str) -> None:
+    """Fail fast on the driver; executors re-import inside the kernel."""
+    if mode != "real":
+        return
+    try:
+        import PIL  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real media decode needs Pillow (images; audio/video would "
+            "add ffmpeg/torchaudio), not present in this environment — "
+            "install Pillow or use mode='fake'"
+        ) from exc
+
+
+def _decode_payloads(payloads: list, mode: str) -> tuple[list, list]:
+    """The ONE decode kernel (types, metas) both Arrow boundaries call —
+    a change here (checksum, audio decode, frame fallback) reaches the
+    mapInPandas, mapInArrow, and grouped-reassembly paths identically."""
+    if mode == "real":
+        metas = [real_decode_record(bytes(p)) for p in payloads]
+        types = [m["media_type"] for m in metas]
+    else:
+        metas = [fake_decode_record(bytes(p)) for p in payloads]
+        types = ["image"] * len(payloads)
+    return types, metas
+
+
 def decode_media_batches(df: DataFrame, mode: str = "fake") -> DataFrame:
     """Decode/feature-extract media payloads via Arrow-batched mapInPandas.
 
@@ -56,31 +100,7 @@ def decode_media_batches(df: DataFrame, mode: str = "fake") -> DataFrame:
     ``spark.sql.execution.arrow.maxRecordsPerBatch``; CPU-heavy decode scales
     with executors and never funnels through the driver.
     """
-    if mode == "real":
-        try:  # fail fast on the driver; executors re-import inside decode
-            import PIL  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "real media decode needs Pillow (images; audio/video would "
-                "add ffmpeg/torchaudio), not present in this environment — "
-                "install Pillow or use mode='fake'"
-            ) from exc
-
-    def real_decode_record(payload: bytes) -> dict:
-        """PIL-backed image decode: true dimensions, format, frame count
-        (animated formats expose n_frames; stills are 1 frame)."""
-        import io
-
-        from PIL import Image
-
-        with Image.open(io.BytesIO(payload)) as img:
-            return {
-                "media_type": (img.format or "image").lower(),
-                "n_bytes": len(payload),
-                "width": img.width,
-                "height": img.height,
-                "n_frames": int(getattr(img, "n_frames", 1)),
-            }
+    _require_pillow_for(mode)
 
     def decode(batches: Iterator) -> Iterator:
         import hashlib
@@ -88,12 +108,7 @@ def decode_media_batches(df: DataFrame, mode: str = "fake") -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            if mode == "real":
-                metas = [real_decode_record(bytes(p)) for p in pdf["payload"]]
-                types = [m["media_type"] for m in metas]
-            else:
-                metas = [fake_decode_record(bytes(p)) for p in pdf["payload"]]
-                types = ["image"] * len(pdf)
+            types, metas = _decode_payloads(list(pdf["payload"]), mode)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -124,19 +139,10 @@ def decode_media_batches_arrow(df: DataFrame, mode: str = "fake") -> DataFrame:
     At 100 TB the guidance is tiered: built-in functions ≫ mapInArrow ≫
     mapInPandas ≫ row-at-a-time UDFs; decode must leave the JVM, so it
     takes the cheapest boundary that fits."""
-    if mode == "real":
-        try:
-            import PIL  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "real media decode needs Pillow — install it or use "
-                "mode='fake' (same gate as decode_media_batches)"
-            ) from exc
+    _require_pillow_for(mode)
 
     def decode(batches: Iterator) -> Iterator:
         import hashlib
-
-        import io
 
         import pyarrow as pa
 
@@ -145,27 +151,7 @@ def decode_media_batches_arrow(df: DataFrame, mode: str = "fake") -> DataFrame:
             payloads = rb.column(
                 rb.schema.get_field_index("payload")
             ).to_pylist()
-            if mode == "real":
-                from PIL import Image
-
-                metas = []
-                types = []
-                for p in payloads:
-                    with Image.open(io.BytesIO(p)) as img:
-                        metas.append(
-                            {
-                                "n_bytes": len(p),
-                                "width": img.width,
-                                "height": img.height,
-                                "n_frames": int(
-                                    getattr(img, "n_frames", 1)
-                                ),
-                            }
-                        )
-                        types.append((img.format or "image").lower())
-            else:
-                metas = [fake_decode_record(p) for p in payloads]
-                types = ["image"] * len(payloads)
+            types, metas = _decode_payloads(payloads, mode)
             yield pa.RecordBatch.from_arrays(
                 [
                     doc_ids,

@@ -95,7 +95,7 @@ def test_in_stream_compaction_bounds_partitions_and_preserves_report(
     import os
 
     src = str(tmp_path / "src")
-    schema = _spill_chunks(spark, src, n_chunks=4)
+    schema = _spill_chunks(spark, src, n_chunks=6)
     store = str(tmp_path / "rollup")
     ckpt = str(tmp_path / "ckpt")
 
@@ -112,10 +112,15 @@ def test_in_stream_compaction_bounds_partitions_and_preserves_report(
     want = _batch_reference(spark)
     assert _report(spark, store) == want
     parts = [n for n in os.listdir(store) if n.startswith("batch_id=")]
-    # 4 batches, folds after #1 (excl 1) and #3 (excl 3): the fold after
-    # #3 collapses everything except the in-flight batch 3 -> 2 partitions
+    # 6 batches: the fold after #1 is a no-op (only batch 0 foldable);
+    # the fold after #3 REALLY folds {0,1,2} (excl 3); batches 4-5 then
+    # land NEW partitions on top of a compacted one, and the fold after
+    # #5 merges the earlier __compacted_ partition with {3,4} (excl 5)
+    # — fold -> update -> fold-over-compacted is the path under test.
+    # End state: one compacted partition + the in-flight batch 5.
     assert len(parts) == 2
     assert sum("__compacted_" in n for n in parts) == 1
+    assert "batch_id=5" in parts
 
     stream2 = (
         spark.readStream.schema(schema)

@@ -34,12 +34,26 @@ SF = "/root/testdata/sf0.1"
 
 
 def _input_bytes(ui: str) -> int:
-    apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
-    app = apps[0]["id"]
-    stages = json.load(
-        urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages")
-    )
-    return sum(s.get("inputBytes", 0) for s in stages)
+    """Total stage inputBytes, polled until STABLE: the status store is
+    fed by an async listener queue, so a read immediately after an
+    action can miss the final stage's metrics — two consecutive equal
+    readings means the queue has drained for our purposes."""
+    def once() -> int:
+        apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+        app = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages")
+        )
+        return sum(s.get("inputBytes", 0) for s in stages)
+
+    prev = once()
+    for _ in range(50):
+        time.sleep(0.1)
+        cur = once()
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
 
 
 def main() -> int:
