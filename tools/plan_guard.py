@@ -56,6 +56,8 @@ GUARDED_EXTRAS = (
     "q253_groupby_all_census",
     "q256_collated_distinct",
     "q257_try_divide_rates",
+    "q258_percentile_within_group",
+    "q259_lateral_column_alias",
 )
 
 
