@@ -13,6 +13,15 @@ from .cc import (  # noqa: F401
     update_cc_store,
 )
 from .forget import forget_ids_from_store  # noqa: F401
+from .joinview import (  # noqa: F401
+    JoinViewSpec,
+    compact_join_view,
+    forget_left_ids_from_join_view,
+    forget_right_ids_from_join_view,
+    read_join_side,
+    read_join_view,
+    update_join_view,
+)
 from .rollup import (  # noqa: F401
     compact_rollup_store,
     forget_user_from_rollup,

@@ -1,0 +1,502 @@
+"""Incrementally maintained equi-join view — materialize ``A ⋈ B`` and
+keep it current under appends to EITHER side with O(Δ) join work per
+batch, instead of re-joining the full tables every refresh.
+
+The delta rule for an inner equi-join under insert-only updates is the
+classic one (Blakeley et al., "Efficiently Updating Materialized Views",
+SIGMOD 1986; the same rule Flink/Materialize execute continuously):
+
+    ΔV  =  ΔA ⋈ (B_old ∪ ΔB)   ∪   A_old ⋈ ΔB
+
+Each joined pair (a, b) is produced EXACTLY once, in the batch where the
+LATER of its two rows arrives: if ``a`` lands in batch i and ``b`` in
+batch j > i, batch j's ``A_old ⋈ ΔB`` term emits it (``a`` is already in
+the store); if they land together, ``ΔA ⋈ ΔB`` (inside the first term)
+emits it and ``A_old ⋈ ΔB`` cannot (``a`` is not yet old). The
+materialized view is then simply the union of every batch's delta.
+
+Storage is three batch-partitioned parquet stores under one root —
+``left/``, ``right/``, ``view/`` — all on the shared store contract
+(`incremental/store.py`): every write is a dynamic overwrite of the
+batch's OWN partition and every read EXCLUDES the current batch's
+partition, so a crashed-and-replayed batch recomputes an identical delta
+against identical old sides and rewrites exactly its own partitions, in
+any crash ordering. No write-ahead state beyond the stores themselves.
+
+Scale levers, in the order they matter at 100 TB:
+
+- **The stored side is never shuffled whole per batch.** With
+  ``n_buckets > 0`` the side stores are partitioned by
+  ``(batch_id, bucket = pmod(xxhash64(key), n_buckets))`` and each
+  update prunes the old-side read to the buckets the incoming delta's
+  keys actually hash into — directory-level partition pruning, the same
+  lever the zone-map study measures for layout. A delta touching k of n
+  buckets reads k/n of the store's bytes (drill-pinned via
+  ``inputFiles``).
+- **Delta-sized join inputs.** Both delta terms have a Δ on one side;
+  under AQE the Δ side broadcasts when small, so the common case is two
+  broadcast joins against pruned store scans — no exchange of stored
+  rows at all.
+- **O(1) partition count over a long-lived job** via
+  `incremental/store.py::compact_store` on all three stores.
+  COMPACTION PRECONDITION, stronger than the dedup family's: the fold
+  dedups rows, and join-view rows are NOT inherently a set — two
+  identical left rows matching one right row legitimately yield two
+  identical view rows. `JoinViewSpec` therefore REQUIRES per-side
+  unique-id columns (`left_id`/`right_id`); `update_join_view` rejects
+  a delta that repeats an id within the batch, which makes every store
+  row unique (view rows carry both ids) and the fold's distinct() a
+  no-op. Cross-batch repeats of an id are the caller's upsert problem —
+  this is an insert-only view, exactly like the reference's append-only
+  audit ingest (`audit_data_ingest.py:49-68` processes each day's new
+  files exactly once).
+
+Deletions/updates are out of scope by the same monotonicity argument as
+the CC store (`incremental/cc.py`): the documented erasure path is
+:func:`forget_left_ids_from_join_view` /
+:func:`forget_right_ids_from_join_view` — GDPR-style scoped removal of a
+row AND every view row it produced, idempotent, partition-rewriting only
+partitions that actually contain the ids.
+
+The streaming rung is `streaming/joinview_job.py`; the oracle-backed
+end-to-end query is ``q260_join_view_report``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .store import (
+    BATCH_COL,
+    _list_partitions,
+    _valid_id,
+    compact_store,
+    read_store_excluding_batch,
+)
+
+BUCKET_COL = "__jv_bucket__"
+
+
+@dataclass(frozen=True)
+class JoinViewSpec:
+    """Shape of the maintained join: ``left ⋈ right ON key``.
+
+    ``left_id`` / ``right_id`` are per-side UNIQUE row identities (an
+    order key, a customer key) — required so stored rows form a set and
+    `compact_store`'s distinct() fold is lossless (module docstring).
+    ``n_buckets > 0`` turns on key-bucketed side-store layout and
+    bucket-pruned old-side reads; 0 keeps the flat layout."""
+
+    key: str
+    left_id: str
+    right_id: str
+    n_buckets: int = 0
+
+    def __post_init__(self) -> None:
+        if self.n_buckets < 0:
+            raise ValueError("n_buckets must be >= 0")
+
+
+def _side_path(root: str, side: str) -> str:
+    return f"{root}/{side}"
+
+
+def _check_delta(df: DataFrame, spec: JoinViewSpec, side: str) -> None:
+    id_col = spec.left_id if side == "left" else spec.right_id
+    for col in (spec.key, id_col):
+        if col not in df.columns:
+            raise ValueError(
+                f"{side} delta is missing required column {col!r} "
+                f"(has {df.columns})"
+            )
+    if BATCH_COL in df.columns or BUCKET_COL in df.columns:
+        raise ValueError(
+            f"{side} delta must not carry the reserved column "
+            f"{BATCH_COL!r}/{BUCKET_COL!r}"
+        )
+
+
+def _reject_dup_ids(df: DataFrame, id_col: str, side: str) -> DataFrame:
+    """Batch-unique ids make every store row unique (compaction safety —
+    module docstring). One aggregate over the (persisted) delta."""
+    dup = (
+        df.groupBy(id_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"{side} delta repeats {id_col}={dup[0][0]!r} within the "
+            "batch; per-side ids must be unique for the view store to "
+            "stay compaction-safe (see incremental/joinview.py)"
+        )
+    return df
+
+
+def _commit_side(df: DataFrame, store: str, batch_id: str, spec: JoinViewSpec) -> None:
+    """Commit a side delta under its own batch partition; bucketed layout
+    adds the key-hash directory level the pruned reads rely on."""
+    out = df.withColumn(BATCH_COL, F.lit(_valid_id(batch_id)))
+    parts = [BATCH_COL]
+    if spec.n_buckets:
+        out = out.withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(F.col(spec.key)), F.lit(spec.n_buckets)).cast(
+                "int"
+            ),
+        )
+        parts.append(BUCKET_COL)
+    (
+        out.write.mode("overwrite")
+        .partitionBy(*parts)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(store)
+    )
+
+
+def _old_side(
+    spark: SparkSession,
+    store: str,
+    batch_id: str,
+    spec: JoinViewSpec,
+    probe: DataFrame | None,
+) -> DataFrame | None:
+    """The accumulated side minus the current batch, bucket-pruned to the
+    probe delta's key buckets when the layout is bucketed.
+
+    The bucket set comes off a distinct over the (small) delta —
+    at most ``n_buckets`` ints ever reach the driver."""
+    if not spec.n_buckets:
+        return read_store_excluding_batch(spark, store, batch_id)
+    # bucketed layout: the surviving batch directories each contain
+    # bucket=N subdirs, so they cannot be read as independent roots
+    # (partition discovery flags conflicting structures); read them
+    # under an explicit basePath instead. Batch exclusion STAYS
+    # path-addressed — the discovered batch_id column is type-inferred
+    # and untrustworthy for identity (store.py's lesson), so it is
+    # dropped unread; only the bucket filter uses discovery, where the
+    # VALUE never matters, just the directory-level pruning.
+    listed = _list_partitions(spark, store)
+    if listed is None:
+        return None
+    _, _, dirs = listed
+    keep = [name for bid, name in dirs.items() if bid != batch_id]
+    if not keep:
+        return None
+    old = spark.read.option("basePath", store).parquet(
+        *[f"{store}/{name}" for name in sorted(keep)]
+    )
+    if probe is not None:
+        buckets = [
+            r[0]
+            for r in probe.select(
+                F.pmod(
+                    F.xxhash64(F.col(spec.key)), F.lit(spec.n_buckets)
+                ).cast("int")
+            )
+            .distinct()
+            .collect()
+        ]
+        # filter on the DISCOVERED partition column -> directory pruning
+        old = old.filter(F.col(BUCKET_COL).isin(buckets))
+    drop = [c for c in (BATCH_COL, BUCKET_COL) if c in old.columns]
+    return old.drop(*drop)
+
+
+def update_join_view(
+    spark: SparkSession,
+    root: str,
+    batch_id: str,
+    spec: JoinViewSpec,
+    *,
+    left_delta: DataFrame | None = None,
+    right_delta: DataFrame | None = None,
+) -> dict[str, int]:
+    """Apply one batch of appends to the maintained view; returns
+    ``{"left_rows", "right_rows", "view_delta_rows"}``.
+
+    Either delta may be ``None``/empty (a one-sided batch). Non-key
+    column names must be disjoint across sides — the view's schema is
+    ``key, left columns, right columns`` and a silent collision would
+    make one side's values unreadable."""
+    batch_id = _valid_id(batch_id)
+    if left_delta is None and right_delta is None:
+        return {"left_rows": 0, "right_rows": 0, "view_delta_rows": 0}
+    if left_delta is not None:
+        _check_delta(left_delta, spec, "left")
+    if right_delta is not None:
+        _check_delta(right_delta, spec, "right")
+    if left_delta is not None and right_delta is not None:
+        overlap = (set(left_delta.columns) & set(right_delta.columns)) - {
+            spec.key
+        }
+        if overlap:
+            raise ValueError(
+                f"non-key columns {sorted(overlap)} exist on both sides; "
+                "rename before maintaining the view (the output would "
+                "silently shadow one side)"
+            )
+
+    counts = {"left_rows": 0, "right_rows": 0, "view_delta_rows": 0}
+    # persist the deltas: each feeds an id-uniqueness check, up to two
+    # join terms, and its store commit — one materialization, not four
+    # recomputations of the caller's lineage
+    if left_delta is not None:
+        left_delta = left_delta.localCheckpoint(eager=True)
+        counts["left_rows"] = left_delta.count()
+        _reject_dup_ids(left_delta, spec.left_id, "left")
+    if right_delta is not None:
+        right_delta = right_delta.localCheckpoint(eager=True)
+        counts["right_rows"] = right_delta.count()
+        _reject_dup_ids(right_delta, spec.right_id, "right")
+
+    left_store = _side_path(root, "left")
+    right_store = _side_path(root, "right")
+    view_store = _side_path(root, "view")
+
+    # each old side is only ever joined against the OTHER side's delta,
+    # so when that delta is absent the store is not read at all
+    a_old = (
+        _old_side(spark, left_store, batch_id, spec, right_delta)
+        if right_delta is not None
+        else None
+    )
+    b_old = (
+        _old_side(spark, right_store, batch_id, spec, left_delta)
+        if left_delta is not None
+        else None
+    )
+
+    deltas: list[DataFrame] = []
+    if left_delta is not None:
+        # ΔA ⋈ (B_old ∪ ΔB) — allowMissingColumns=False: schema drift
+        # between the stored side and a new delta must fail loudly, not
+        # null-fill
+        b_all = b_old
+        if right_delta is not None:
+            b_all = (
+                right_delta
+                if b_all is None
+                else b_all.unionByName(right_delta)
+            )
+        if b_all is not None:
+            deltas.append(left_delta.join(b_all, on=spec.key, how="inner"))
+    if right_delta is not None and a_old is not None:
+        # A_old ⋈ ΔB
+        deltas.append(a_old.join(right_delta, on=spec.key, how="inner"))
+
+    if deltas:
+        view_delta = deltas[0]
+        for d in deltas[1:]:
+            view_delta = view_delta.unionByName(d)
+        view_delta = view_delta.localCheckpoint(eager=True)
+        counts["view_delta_rows"] = view_delta.count()
+        # flat layout for the view store: its reads are whole-view
+        _commit_plain(view_delta, view_store, batch_id)
+    # side commits LAST: on any crash ordering the replay finds either
+    # no trace of this batch or its own (excluded-on-read) partitions,
+    # and recomputes the identical delta either way
+    if left_delta is not None:
+        _commit_side(left_delta, left_store, batch_id, spec)
+    if right_delta is not None:
+        _commit_side(right_delta, right_store, batch_id, spec)
+    return counts
+
+
+def _commit_plain(df: DataFrame, store: str, batch_id: str) -> None:
+    (
+        df.withColumn(BATCH_COL, F.lit(_valid_id(batch_id)))
+        .write.mode("overwrite")
+        .partitionBy(BATCH_COL)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(store)
+    )
+
+
+def _read_all(spark: SparkSession, store: str) -> DataFrame | None:
+    """Every batch partition of a store (directory-addressed, like all
+    store reads), or ``None`` when the store has no partitions yet."""
+    listed = _list_partitions(spark, store)
+    if listed is None:
+        return None
+    _, _, dirs = listed
+    if not dirs:
+        return None
+    # basePath so a bucketed side store's two-level directories parse;
+    # the discovered (type-inferred) batch_id column is dropped — batch
+    # identity is only ever taken from directory names (store.py)
+    df = spark.read.option("basePath", store).parquet(
+        *[f"{store}/{name}" for name in sorted(dirs.values())]
+    )
+    if BATCH_COL in df.columns:
+        df = df.drop(BATCH_COL)
+    return df
+
+
+def read_join_view(spark: SparkSession, root: str) -> DataFrame | None:
+    """The materialized view: union of every committed batch delta.
+    Equals ``A_all ⋈ B_all`` after any prefix of updates (drill-pinned
+    in `tests/test_join_view.py`). ``None`` -> no matches yet."""
+    view = _read_all(spark, _side_path(root, "view"))
+    if view is not None and BUCKET_COL in view.columns:
+        view = view.drop(BUCKET_COL)
+    return view
+
+
+def read_join_side(
+    spark: SparkSession, root: str, side: str
+) -> DataFrame | None:
+    """Accumulated rows of one side (``"left"``/``"right"``) — the audit
+    read; bucket column stripped so layout stays an implementation
+    detail."""
+    if side not in ("left", "right"):
+        raise ValueError(f"side must be 'left' or 'right', got {side!r}")
+    df = _read_all(spark, _side_path(root, side))
+    if df is not None and BUCKET_COL in df.columns:
+        df = df.drop(BUCKET_COL)
+    return df
+
+
+def compact_join_view(
+    spark: SparkSession,
+    root: str,
+    spec: JoinViewSpec,
+    exclude: tuple[str, ...] = (),
+) -> dict[str, int]:
+    """Fold every store's batch partitions into ``batch_id=__compacted__``
+    — `incremental/store.py::compact_store`'s semantics (same hard
+    precondition: ``exclude`` any batch that may replay), made
+    bucket-aware for the side stores: a bucketed store folds per
+    ``(batch, bucket)`` so the compacted partition keeps the directory
+    level the pruned reads rely on (the shared compactor's flat fold
+    would mix layouts and poison every later read with conflicting
+    partition columns). Returns per-store removed-directory counts."""
+    out = {}
+    for side in ("left", "right"):
+        store = _side_path(root, side)
+        out[side] = (
+            _compact_bucketed(spark, store, exclude)
+            if spec.n_buckets
+            else compact_store(spark, store, exclude)
+        )
+    # the view store is always flat — the shared compactor applies as-is
+    out["view"] = compact_store(spark, _side_path(root, "view"), exclude)
+    return out
+
+
+def _compact_bucketed(
+    spark: SparkSession, store: str, exclude: tuple[str, ...]
+) -> int:
+    """compact_store's write-first/delete-second protocol over a
+    two-level ``batch_id/bucket`` layout. Bucket assignment is carried
+    through from the existing directories (values round-trip as ints),
+    so pruned reads address the same buckets before and after."""
+    from .store import COMPACTED_ID
+
+    listed = _list_partitions(spark, store)
+    if listed is None:
+        return 0
+    fs, jvm, dirs = listed
+    if isinstance(exclude, str):
+        raise TypeError(
+            "exclude must be a sequence of batch ids, not a bare string; "
+            f"pass exclude=({exclude!r},)"
+        )
+    excluded = {_valid_id(x) for x in exclude}
+    foldable = sorted(set(dirs) - (excluded - {COMPACTED_ID}))
+    if foldable in ([], [COMPACTED_ID]):
+        return 0
+    folded = (
+        spark.read.option("basePath", store)
+        .parquet(*[f"{store}/{dirs[bid]}" for bid in foldable])
+        .drop(BATCH_COL)
+        .distinct()
+    )
+    (
+        folded.withColumn(BATCH_COL, F.lit(COMPACTED_ID))
+        .write.mode("overwrite")
+        .partitionBy(BATCH_COL, BUCKET_COL)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(store)
+    )
+    removed = 0
+    for bid in foldable:
+        if bid == COMPACTED_ID:
+            continue
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{store}/{dirs[bid]}"), True
+        )
+        removed += 1
+    return removed
+
+
+def forget_left_ids_from_join_view(
+    spark: SparkSession,
+    root: str,
+    ids_df: DataFrame,
+    spec: JoinViewSpec,
+    *,
+    audit_path: str | None = None,
+) -> dict[str, int]:
+    """GDPR-scoped erasure of left-side rows AND every view row they
+    produced; returns per-store removed-row counts. Idempotent (a
+    repeat finds nothing); a crash between the two erasures leaves only
+    EXTRA rows in one store, and the re-run removes them — never a
+    silently incomplete erasure that a later batch could rejoin against,
+    because the left store is erased FIRST."""
+    return _forget_side(
+        spark, root, ids_df, spec.left_id, "left", audit_path=audit_path
+    )
+
+
+def forget_right_ids_from_join_view(
+    spark: SparkSession,
+    root: str,
+    ids_df: DataFrame,
+    spec: JoinViewSpec,
+    *,
+    audit_path: str | None = None,
+) -> dict[str, int]:
+    """Right-side twin of :func:`forget_left_ids_from_join_view`."""
+    return _forget_side(
+        spark, root, ids_df, spec.right_id, "right", audit_path=audit_path
+    )
+
+
+def _forget_side(
+    spark: SparkSession,
+    root: str,
+    ids_df: DataFrame,
+    id_col: str,
+    side: str,
+    *,
+    audit_path: str | None,
+) -> dict[str, int]:
+    from .forget import forget_matching_from_store
+
+    # side store first: once the source rows are gone no future batch
+    # can emit new view rows for these ids, so the view erasure can
+    # never be outrun
+    side_removed = forget_matching_from_store(
+        spark,
+        _side_path(root, side),
+        ids_df,
+        id_col=id_col,
+        audit_path=audit_path,
+    )
+    view_removed = forget_matching_from_store(
+        spark,
+        _side_path(root, "view"),
+        ids_df,
+        id_col=id_col,
+        audit_path=audit_path,
+    )
+    return {
+        f"{side}_rows_removed": sum(side_removed.values()),
+        "view_rows_removed": sum(view_removed.values()),
+    }
