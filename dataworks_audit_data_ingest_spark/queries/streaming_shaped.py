@@ -3044,3 +3044,112 @@ def q254_rollup_store_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(store.rsplit("/", 1)[0], ignore_errors=True)
     return report
+
+
+# ---------------------------------------------------------------------------
+# q260 — the maintained JOIN view's whole path under the oracle: three
+# interleaved two-sided batches + a mid-stream bucket-aware compaction +
+# the view read, aggregated and hash-matched against a direct join.
+# ---------------------------------------------------------------------------
+
+_Q260_CENTS = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+
+@register(
+    "q260_join_view_report",
+    sql=f"""
+    SELECT c.c_mktsegment,
+           o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({_Q260_CENTS}) AS BIGINT) AS revenue_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+    ORDER BY c.c_mktsegment, o.o_orderpriority
+    """,
+    tags=("incremental", "joinview", "streaming-twin", "join", "agg"),
+)
+def q260_join_view_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-view-maintenance claim, verified end to end:
+    orders (left) and customer (right) are each split into three batches
+    on independent keys — so joined pairs arrive left-first, right-first
+    AND same-batch — fed through
+    `incremental/joinview.py::update_join_view` with the BUCKETED side
+    layout (n_buckets=8, the 100 TB pruning lever runs under the hash),
+    compacted mid-stream after the second batch, then the materialized
+    view is read and aggregated; the report must equal DuckDB's direct
+    join over the raw tables. Exercises the exactly-once delta rule
+    (ΔA⋈(B∪ΔB) ∪ A⋈ΔB), bucket-pruned old-side reads, and the
+    bucket-aware compactor's view-invariance, in one query.
+
+    Scale shape: each update joins delta-sized inputs against
+    bucket-pruned store scans; the final read is one union of committed
+    delta partitions — the full tables are never re-joined."""
+    import shutil
+    import tempfile
+
+    from ..incremental.joinview import (
+        JoinViewSpec,
+        compact_join_view,
+        read_join_view,
+        update_join_view,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    spec = JoinViewSpec(
+        key="c_custkey",
+        left_id="o_orderkey",
+        right_id="c_custkey",
+        n_buckets=8,
+    )
+    root = tempfile.mkdtemp(prefix="q260_jv_") + "/view"
+    try:
+        for i in range(3):
+            update_join_view(
+                spark,
+                root,
+                str(i),
+                spec,
+                left_delta=orders.filter(
+                    F.pmod(F.xxhash64("o_orderkey"), F.lit(3)) == i
+                ),
+                right_delta=cust.filter(
+                    F.pmod(F.xxhash64("c_custkey"), F.lit(3)) == i
+                ),
+            )
+            if i == 1:
+                # plain statement, not an assert (q254's -O lesson):
+                # batches 0 fold, batch 1 is excluded as replayable
+                folded = compact_join_view(
+                    spark, root, spec, exclude=(str(i),)
+                )
+                if folded != {"left": 1, "right": 1, "view": 1}:
+                    raise RuntimeError(
+                        f"q260 expected one folded partition per store,"
+                        f" got {folded}"
+                    )
+        report = (
+            read_join_view(spark, root)
+            .groupBy("c_mktsegment", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.expr(_Q260_CENTS)).cast("bigint").alias(
+                    "revenue_cents"
+                ),
+            )
+            .orderBy("c_mktsegment", "o_orderpriority")
+            # materialize BEFORE the store directory is removed: the
+            # driver collects after this function returns
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root.rsplit("/", 1)[0], ignore_errors=True)
+    return report

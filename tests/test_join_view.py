@@ -252,3 +252,26 @@ def test_empty_update_is_a_noop(spark, tmp_path):
     assert counts == {"left_rows": 0, "right_rows": 0, "view_delta_rows": 0}
     assert read_join_view(spark, root) is None
     assert read_join_side(spark, root, "left") is None
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q260_partition_invariant(spark):
+    from dataworks_audit_data_ingest_spark.queries.streaming_shaped import (
+        q260_join_view_report,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        rows = {}
+        for n in ("7", before):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            rows[n] = [
+                tuple(r)
+                for r in q260_join_view_report(spark, SF).collect()
+            ]
+        assert rows["7"] == rows[before]
+        assert rows[before]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
