@@ -34,8 +34,8 @@ from . import graph_shaped  # noqa: E402,F401
 # verbatim output of `python tools/rotation.py --emit` over the r01–r09
 # driver history (DRIVER_PRIORITY_AS_OF_ROUND pins which history it was
 # computed from; tests/test_cli_operators.py asserts the paste matches the
-# computation, so hand-drift is a test failure). The twenty round-10
-# queries (q241–q260) lead as never-run; then the stalest-first refresh —
+# computation, so hand-drift is a test failure). The twenty-one round-10
+# queries (q241–q261) lead as never-run; then the stalest-first refresh —
 # the 39 r05-latest rows (q122…q172 tail and q92/q93/q99) the r09 verdict
 # asked round 10 to clear fill the remaining slots; the r06 tail rotates
 # in on the next emission.
@@ -45,6 +45,7 @@ from . import graph_shaped  # noqa: E402,F401
 # their evidence is pytest plus a green oracle-backed twin each.
 DRIVER_PRIORITY_AS_OF_ROUND = 9
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "q261_table_checksum",
     "q248_sql_udf_census",
     "q249_pipe_syntax_shipping",
     "q252_listagg_top_customers",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q160_rfm_segmentation",
     "q161_trending_users",
     "q162_cohort_ltv",
-    "q163_numeric_drift",
 )
 
 

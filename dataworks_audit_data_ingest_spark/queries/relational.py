@@ -1397,3 +1397,75 @@ def q240_nullsafe_linkage_join(
         )
         .orderBy("nationkey", "segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q261 — anti-entropy table checksum: order-insensitive per-month content
+# fingerprints for replica/migration verification without moving rows.
+# ---------------------------------------------------------------------------
+
+# canonical row serialization: ids and EXACT cents (a double would not
+# round-trip identically through string formatting across engines)
+_Q261_SPARK_ROW = (
+    "CONCAT_WS('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),"
+    " o_orderstatus, CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+    " AS STRING), CAST(o_orderdate AS STRING), o_orderpriority)"
+)
+_Q261_DUCK_ROW = (
+    "CONCAT_WS('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),"
+    " o_orderstatus, CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+    " AS VARCHAR), CAST(o_orderdate AS VARCHAR), o_orderpriority)"
+)
+
+
+def _q261_sql() -> str:
+    from ..functions.hashing import duckdb_hash32
+
+    return f"""
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({duckdb_hash32(_Q261_DUCK_ROW)}) AS BIGINT) AS checksum
+    FROM orders
+    GROUP BY 1
+    ORDER BY month
+    """
+
+
+@register(
+    "q261_table_checksum",
+    sql=_q261_sql(),
+    tags=("audit", "checksum", "agg", "portable-hash"),
+)
+def q261_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy fingerprint of the orders table: per month, the row
+    count and an ORDER-INSENSITIVE content checksum (SUM of the portable
+    32-bit MD5 row hash over a canonical serialization). Two replicas —
+    or a table before and after a migration/compaction/engine swap —
+    agree iff every month's (n_rows, checksum) pair agrees, without
+    shipping a single row; a mismatch localizes the divergence to a
+    month. The same shape Cassandra/Dynamo anti-entropy uses
+    (Merkle-tree leaves), flattened to one level because partitions are
+    the natural exchange unit here.
+
+    SUM (not XOR) so a row present TWICE is caught (XOR self-cancels);
+    32-bit hashes keep the sum exact — 2^32 × even 10^12 rows is far
+    inside DECIMAL range and inside BIGINT for any real partition.
+
+    Scale shape: one map-side partial agg over the scan (hash computed
+    in-codegen, no Python), one exchange on ~|months| keys; at 100 TB
+    this is the cheapest full-content audit there is — every byte is
+    touched exactly once, nothing is shuffled but (month, count, sum)
+    partials."""
+    o = table(spark, sf_dir, "orders")
+    from ..functions.hashing import spark_hash32
+
+    return (
+        o.groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.expr(spark_hash32(_Q261_SPARK_ROW)))
+            .cast("bigint")
+            .alias("checksum"),
+        )
+        .orderBy("month")
+    )
