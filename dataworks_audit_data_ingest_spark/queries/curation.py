@@ -2034,3 +2034,100 @@ def q245_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# q262 — Neyman (optimal) stratified sample allocation: how many docs to
+# draw per source for a fixed eval-set budget, proportional to stratum
+# size × within-stratum spread.
+# ---------------------------------------------------------------------------
+
+_Q262_BUDGET = 10_000
+
+
+@register(
+    "q262_neyman_allocation",
+    sql=f"""
+    WITH s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               (CAST(CAST(ROUND(SUM(CAST(n_chars AS DECIMAL(18,4))), 4)
+                     * 10000 AS BIGINT) AS DOUBLE) / 10000.0)
+                   / COUNT(*) AS m,
+               (CAST(CAST(ROUND(SUM(CAST(n_chars * n_chars AS DECIMAL(18,4))), 4)
+                     * 10000 AS BIGINT) AS DOUBLE) / 10000.0)
+                   / COUNT(*) AS ex2
+        FROM documents
+        GROUP BY source
+    ), w AS (
+        SELECT source, n_docs,
+               CAST(FLOOR(SQRT(GREATEST(ex2 - m * m, 0)) * 1000) AS BIGINT)
+                   AS s_milli
+        FROM s
+    )
+    SELECT source, n_docs, s_milli,
+           CAST((n_docs * s_milli * {_Q262_BUDGET})
+                // SUM(n_docs * s_milli) OVER () AS BIGINT) AS alloc_docs
+    FROM w
+    ORDER BY source
+    """,
+    tags=("curation", "sampling", "stats", "agg"),
+)
+def q262_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation of a {budget}-doc eval sample across
+    sources: n_h ∝ N_h·S_h (stratum size × within-stratum std-dev of
+    n_chars) — the design that minimizes the estimator's variance for a
+    fixed budget (Neyman 1934). Uniform or size-proportional sampling
+    over-draws from large homogeneous sources; this sends budget where
+    the VARIABILITY is. Output: per source, the stratum size, its
+    std-dev in milli (integer — portable), and the allocated quota.
+
+    Numeric policy: moments are exact decimal sums quantized through the
+    shared q4 idiom, the std-dev is one correctly-rounded IEEE SQRT
+    floored to milli, and the allocation is INTEGER arithmetic
+    (n_docs·s_milli·budget DIV Σ) — every division either exact-integer
+    or a single identical IEEE op, so both engines hash-match bit-for-bit.
+
+    Scale shape: one map-side partial agg over the scan (count/sum/sum²
+    partials), |sources| rows after the exchange, then a window over
+    that tiny aggregate. Nothing downstream of the scan exceeds the
+    stratum count."""
+    from .base import q4
+
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr(
+            q4("SUM(CAST(n_chars AS DECIMAL(18,4)))")
+        ).alias("sx"),
+        F.expr(
+            q4("SUM(CAST(n_chars * n_chars AS DECIMAL(18,4)))")
+        ).alias("sxx"),
+    )
+    w = s.select(
+        "source",
+        "n_docs",
+        F.expr(
+            "CAST(FLOOR(SQRT(GREATEST(sxx / n_docs"
+            " - (sx / n_docs) * (sx / n_docs), 0D)) * 1000) AS BIGINT)"
+        ).alias("s_milli"),
+    )
+    from pyspark.sql.window import Window
+
+    return (
+        w.withColumn(
+            "num",
+            F.expr(f"n_docs * s_milli * {_Q262_BUDGET}").cast("bigint"),
+        )
+        .withColumn(
+            "total",
+            F.sum(F.expr("n_docs * s_milli")).over(Window.partitionBy()),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "s_milli",
+            F.expr("num DIV total").cast("bigint").alias("alloc_docs"),
+        )
+        .orderBy("source")
+    )
