@@ -1,0 +1,102 @@
+"""Order-insensitive table fingerprints — the anti-entropy primitive
+behind q261, as a reusable operator: compare two replicas (or a table
+across a migration, compaction, or engine swap) WITHOUT moving rows,
+and localize any divergence to the audit group it happened in.
+
+Design (Dynamo/Cassandra anti-entropy, one Merkle level): per group, the
+row count plus a SUM of a 32-bit MD5 hash over a CANONICAL row
+serialization. SUM, not XOR — a duplicated row XORs itself away; 32-bit
+summands keep the total exact in BIGINT/DECIMAL for any real table.
+MD5 (not xxhash64) so the fingerprint is ENGINE-PORTABLE: the same rows
+produce the same checksum in Spark, DuckDB, or anything else with MD5 —
+which is the point of an audit that spans systems
+(`functions/hashing.py`'s contract).
+
+Canonicalization is strict about floats: a DOUBLE column is REJECTED
+with instructions rather than silently serialized — float→string
+formatting differs across engines and would make two identical replicas
+look diverged. Quantize to integer units (cents, micros) first.
+
+Scale shape: one map-side partial agg riding the scan (hash computed
+in-codegen), one exchange of (group, count, sum) partials — the
+cheapest possible full-content audit; every byte is read exactly once
+and nothing wider than the group key is shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+def hash32_col(c: Column) -> Column:
+    """Column-level twin of `hashing.spark_hash32`: first 8 hex chars of
+    MD5 as a BIGINT — identical value in any engine with MD5."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def canonical_row(df: DataFrame, content_cols: list[str]) -> Column:
+    """``'|'``-joined, type-canonical serialization of ``content_cols`` —
+    deterministic and engine-portable. NULL serializes as the sentinel
+    ``␀`` (U+2400): CONCAT_WS would otherwise SKIP a null argument —
+    separator included — so ('a', NULL, 'b') and ('a', 'b', NULL) would
+    collide, which is field-alignment blindness an audit cannot afford.
+    The remaining (documented) collision is data containing a literal
+    ``␀``."""
+    parts = []
+    for c in content_cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            raise TypeError(
+                f"column {c!r} is {dt.simpleString()}: float→string "
+                "formatting is not engine-portable; quantize to integer "
+                "units first (e.g. CAST(FLOOR(x * 100 + 0.5) AS BIGINT))"
+            )
+        if isinstance(dt, T.BinaryType):
+            part = F.hex(F.col(c))
+        else:
+            part = F.col(c).cast("string")
+        parts.append(F.coalesce(part, F.lit("␀")))
+    return F.concat_ws("|", *parts)
+
+
+def table_fingerprint(
+    df: DataFrame,
+    group_cols: list[str],
+    content_cols: list[str],
+) -> DataFrame:
+    """Per-group ``(n_rows, checksum)`` fingerprint of ``df``. Two
+    tables agree on a group iff both values agree; group granularity is
+    the localization granularity (a month, a day, a shard)."""
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    row = canonical_row(df, content_cols)
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(hash32_col(row)).cast("bigint").alias("checksum"),
+    )
+
+
+def fingerprint_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Groups where two fingerprint tables disagree — present on one
+    side only, or differing in count/checksum. Output: the group columns
+    plus ``(a_rows, a_checksum, b_rows, b_checksum)`` with NULLs for a
+    group missing from one side entirely."""
+    group_cols = [c for c in a.columns if c not in ("n_rows", "checksum")]
+    an = a.select(
+        *group_cols,
+        F.col("n_rows").alias("a_rows"),
+        F.col("checksum").alias("a_checksum"),
+    )
+    bn = b.select(
+        *group_cols,
+        F.col("n_rows").alias("b_rows"),
+        F.col("checksum").alias("b_checksum"),
+    )
+    joined = an.join(bn, on=group_cols, how="full_outer")
+    return joined.filter(
+        ~(
+            F.col("a_rows").eqNullSafe(F.col("b_rows"))
+            & F.col("a_checksum").eqNullSafe(F.col("b_checksum"))
+        )
+    )
