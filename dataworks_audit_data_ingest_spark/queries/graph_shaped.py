@@ -294,3 +294,77 @@ def q224_dedup_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("assortativity_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q263 — weighted cheapest path over the journey graph (recursive CTE,
+# one statement shared verbatim by both engines).
+# ---------------------------------------------------------------------------
+# q228 walks the MODAL journey graph by hop count; operations questions
+# are usually weighted: "how fast can a user possibly reach state X from
+# the entry point?" Edge weight = the FASTEST observed transition
+# (exact integer micros — a lower bound the funnel can't beat), path
+# cost = sum of weights, answer = min cost per reachable type within a
+# hop budget. Bellman-Ford unrolled by the recursion, bounded because
+# weights are non-negative and hops are capped.
+
+_Q263_SEED = "view"
+_Q263_MAX_HOPS = 4
+
+
+def _q263_sql(events_rel: str) -> str:
+    """One statement, two engines (q228's mechanism): Spark runs it
+    verbatim; the DuckDB twin swaps STRING->VARCHAR and
+    UNIX_MICROS->EPOCH_US (same function, same integer)."""
+    return f"""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_type, event_id,
+             UNIX_MICROS(CAST(ts AS TIMESTAMP)) AS us,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             LAG(UNIX_MICROS(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM {events_rel}
+    ), edges AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(MIN(us - prev_us) AS BIGINT) AS w
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ), walk (t, cost, hops) AS (
+      SELECT CAST('{_Q263_SEED}' AS STRING), CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT e.next_type, w2.cost + e.w, w2.hops + 1
+      FROM walk w2 JOIN edges e ON e.prev_type = w2.t
+      WHERE w2.hops < {_Q263_MAX_HOPS}
+    )
+    SELECT t AS event_type, CAST(MIN(cost) AS BIGINT) AS min_cost_us
+    FROM walk GROUP BY t ORDER BY min_cost_us, event_type
+    """
+
+
+@register(
+    "q263_cheapest_journey_path",
+    sql=_q263_sql("events")
+    .replace("AS STRING", "AS VARCHAR")
+    .replace("UNIX_MICROS(", "EPOCH_US("),
+    tags=("events", "graph", "recursive-cte", "weighted-path", "journey"),
+)
+def q263_cheapest_journey_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest-path costs (exact micros) from the '{seed}' entry type to
+    every journey state reachable in <= {hops} transitions, where each
+    edge costs its fastest observed dwell — the latency lower bound per
+    funnel state. Spark 4's WITH RECURSIVE executes the same statement
+    text as the DuckDB oracle (module comment).
+
+    Scale shape: the corpus is scanned ONCE, outside the recursion (one
+    user-keyed window exchange + a |types|² rollup builds the edge
+    list); every recursion step joins the frontier against that
+    broadcast-sized edge table, and non-negative weights + the hop cap
+    bound the frontier at |types|^hops paths of a |types|-node graph —
+    driver-small however large the corpus grows.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    e.createOrReplaceTempView("q263_events")
+    return spark.sql(_q263_sql("q263_events"))
