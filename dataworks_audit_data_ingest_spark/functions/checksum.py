@@ -93,7 +93,20 @@ def fingerprint_diff(a: DataFrame, b: DataFrame) -> DataFrame:
         F.col("n_rows").alias("b_rows"),
         F.col("checksum").alias("b_checksum"),
     )
-    joined = an.join(bn, on=group_cols, how="full_outer")
+    # null-safe join keys: a NULL-valued audit group (e.g. region=NULL)
+    # must MATCH its twin on the other side, not read as two
+    # irreparable one-sided divergences
+    cond = None
+    for c in group_cols:
+        eq = an[c].eqNullSafe(bn[c])
+        cond = eq if cond is None else cond & eq
+    joined = an.join(bn, on=cond, how="full_outer").select(
+        *[F.coalesce(an[c], bn[c]).alias(c) for c in group_cols],
+        "a_rows",
+        "a_checksum",
+        "b_rows",
+        "b_checksum",
+    )
     return joined.filter(
         ~(
             F.col("a_rows").eqNullSafe(F.col("b_rows"))

@@ -71,13 +71,25 @@ from pyspark.sql import functions as F
 
 from .store import (
     BATCH_COL,
+    COMPACTED_ID,
     _list_partitions,
     _valid_id,
-    compact_store,
+    commit_batch_partition,
     read_store_excluding_batch,
 )
 
 BUCKET_COL = "__jv_bucket__"
+
+# compaction protocol markers (module docstring, "Compaction"): the fold
+# lands in a _-prefixed staging dir (invisible to every store read),
+# a commit manifest makes the swap durable, and recovery replays the
+# swap — so a crash anywhere leaves either the OLD partitions or the
+# folded one visible, never both. The shared compact_store's
+# write-first/delete-second window is fine for set-membership stores
+# (duplicates are harmless there) but NOT here: a doubled old side
+# would double every cross-batch pair in the next delta.
+_FOLD_TMP = "_jv_fold_tmp_"
+_FOLD_COMMIT = "_jv_fold_commit_"
 
 
 @dataclass(frozen=True)
@@ -171,6 +183,7 @@ def _old_side(
 
     The bucket set comes off a distinct over the (small) delta —
     at most ``n_buckets`` ints ever reach the driver."""
+    _recover_compaction(spark, store)
     if not spec.n_buckets:
         return read_store_excluding_batch(spark, store, batch_id)
     # bucketed layout: the surviving batch directories each contain
@@ -258,6 +271,8 @@ def update_join_view(
     left_store = _side_path(root, "left")
     right_store = _side_path(root, "right")
     view_store = _side_path(root, "view")
+    for store in (left_store, right_store, view_store):
+        _recover_compaction(spark, store)
 
     # each old side is only ever joined against the OTHER side's delta,
     # so when that delta is absent the store is not read at all
@@ -271,6 +286,24 @@ def update_join_view(
         if left_delta is not None
         else None
     )
+
+    # the batch-local overlap check above cannot see columns committed in
+    # EARLIER batches of the opposite side — a one-sided 'val' batch
+    # followed by an opposite-sided 'val' batch would otherwise fail deep
+    # in the parquet write with an unactionable duplicate-column error
+    for delta, old, which in (
+        (left_delta, b_old, "left"),
+        (right_delta, a_old, "right"),
+    ):
+        if delta is None or old is None:
+            continue
+        overlap = (set(delta.columns) & set(old.columns)) - {spec.key}
+        if overlap:
+            raise ValueError(
+                f"non-key columns {sorted(overlap)} exist on both the "
+                f"incoming {which} delta and the STORED opposite side; "
+                "rename before maintaining the view"
+            )
 
     deltas: list[DataFrame] = []
     if left_delta is not None:
@@ -309,18 +342,14 @@ def update_join_view(
 
 
 def _commit_plain(df: DataFrame, store: str, batch_id: str) -> None:
-    (
-        df.withColumn(BATCH_COL, F.lit(_valid_id(batch_id)))
-        .write.mode("overwrite")
-        .partitionBy(BATCH_COL)
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(store)
-    )
+    # the shared store commit IS this discipline — one definition
+    commit_batch_partition(df, store, batch_id)
 
 
 def _read_all(spark: SparkSession, store: str) -> DataFrame | None:
     """Every batch partition of a store (directory-addressed, like all
     store reads), or ``None`` when the store has no partitions yet."""
+    _recover_compaction(spark, store)
     listed = _list_partitions(spark, store)
     if listed is None:
         return None
@@ -378,26 +407,115 @@ def compact_join_view(
     partition columns). Returns per-store removed-directory counts."""
     out = {}
     for side in ("left", "right"):
-        store = _side_path(root, side)
-        out[side] = (
-            _compact_bucketed(spark, store, exclude)
-            if spec.n_buckets
-            else compact_store(spark, store, exclude)
+        out[side] = _compact_store_safe(
+            spark,
+            _side_path(root, side),
+            exclude,
+            bucketed=bool(spec.n_buckets),
         )
-    # the view store is always flat — the shared compactor applies as-is
-    out["view"] = compact_store(spark, _side_path(root, "view"), exclude)
+    # the view store is always flat
+    out["view"] = _compact_store_safe(
+        spark, _side_path(root, "view"), exclude, bucketed=False
+    )
     return out
 
 
-def _compact_bucketed(
-    spark: SparkSession, store: str, exclude: tuple[str, ...]
-) -> int:
-    """compact_store's write-first/delete-second protocol over a
-    two-level ``batch_id/bucket`` layout. Bucket assignment is carried
-    through from the existing directories (values round-trip as ints),
-    so pruned reads address the same buckets before and after."""
-    from .store import COMPACTED_ID
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
+
+def _recover_compaction(spark: SparkSession, store: str) -> None:
+    """Finish (or roll back) a compaction interrupted by a crash — run
+    before every store read/update/compact, so the swap protocol's only
+    externally visible states are before-the-fold and after-it.
+
+    A ``_jv_fold_tmp_<tok>`` WITHOUT its ``_jv_fold_commit_<tok>``
+    crashed mid-fold: the originals are untouched, so the staging dir is
+    simply deleted. A commit marker means the fold is complete and
+    durable: re-execute the swap — delete the manifested originals,
+    move the staged ``batch_id=__compacted__`` into place, clear the
+    markers — every step idempotent."""
+    from py4j.protocol import Py4JJavaError
+
+    fs, jvm = _hadoop_fs(spark, store)
+    root = jvm.org.apache.hadoop.fs.Path(store)
+    try:
+        statuses = fs.listStatus(root)
+    except Py4JJavaError as e:
+        if e.java_exception.getClass().getName().endswith(
+            "FileNotFoundException"
+        ):
+            return
+        raise
+    names = {s.getPath().getName() for s in statuses}
+    tmps = {n[len(_FOLD_TMP):] for n in names if n.startswith(_FOLD_TMP)}
+    commits = set()
+    for n in names:
+        if not n.startswith(_FOLD_COMMIT):
+            continue
+        tok = n[len(_FOLD_COMMIT):]
+        # torn-vs-complete decided on the manifest's OWN _SUCCESS (the
+        # rollup sidecar lesson): a manifest dir without it crashed
+        # mid-write and must be rolled back, not replayed
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{store}/{n}/_SUCCESS")
+        ):
+            commits.add(tok)
+        else:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store}/{n}"), True)
+    for tok in tmps - commits:
+        # crashed before the commit point: originals stand, drop staging
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store}/{_FOLD_TMP}{tok}"), True)
+    for tok in sorted(commits):
+        _complete_fold(spark, store, tok)
+
+
+def _complete_fold(spark: SparkSession, store: str, tok: str) -> None:
+    fs, jvm = _hadoop_fs(spark, store)
+
+    def _p(rel: str):
+        return jvm.org.apache.hadoop.fs.Path(f"{store}/{rel}")
+
+    manifest = [
+        r.dir
+        for r in spark.read.parquet(f"{store}/{_FOLD_COMMIT}{tok}").collect()
+    ]
+    compacted_dir = f"{BATCH_COL}={COMPACTED_ID}"
+    # old __compacted__ (always in the manifest when it existed) goes
+    # first so the rename target is free; then swap; then the rest
+    if compacted_dir in manifest and fs.exists(_p(compacted_dir)):
+        staged = _p(f"{_FOLD_TMP}{tok}/{compacted_dir}")
+        if fs.exists(staged):  # not yet swapped -> old dir is pre-fold
+            fs.delete(_p(compacted_dir), True)
+    staged = _p(f"{_FOLD_TMP}{tok}/{compacted_dir}")
+    if fs.exists(staged) and not fs.exists(_p(compacted_dir)):
+        fs.rename(staged, _p(compacted_dir))
+    for d in manifest:
+        if d != compacted_dir and fs.exists(_p(d)):
+            fs.delete(_p(d), True)
+    fs.delete(_p(f"{_FOLD_TMP}{tok}"), True)
+    fs.delete(_p(f"{_FOLD_COMMIT}{tok}"), True)
+
+
+def _compact_store_safe(
+    spark: SparkSession,
+    store: str,
+    exclude: tuple[str, ...],
+    *,
+    bucketed: bool,
+) -> int:
+    """Fold with the staged-swap protocol (module comment at
+    ``_FOLD_TMP``): stage the fold in a _-prefixed dir (store reads
+    never see it), durably commit a manifest of the folded directories,
+    then swap — crash anywhere and :func:`_recover_compaction` lands the
+    store in exactly one of the two consistent states. Bucket-aware:
+    a bucketed store folds per ``(batch, bucket)`` so the compacted
+    partition keeps the directory level the pruned reads rely on."""
+    import uuid
+
+    _recover_compaction(spark, store)
     listed = _list_partitions(spark, store)
     if listed is None:
         return 0
@@ -416,23 +534,21 @@ def _compact_bucketed(
         .parquet(*[f"{store}/{dirs[bid]}" for bid in foldable])
         .drop(BATCH_COL)
         .distinct()
+        .withColumn(BATCH_COL, F.lit(COMPACTED_ID))
     )
-    (
-        folded.withColumn(BATCH_COL, F.lit(COMPACTED_ID))
-        .write.mode("overwrite")
-        .partitionBy(BATCH_COL, BUCKET_COL)
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(store)
+    tok = uuid.uuid4().hex[:12]
+    parts = [BATCH_COL, BUCKET_COL] if bucketed else [BATCH_COL]
+    folded.write.mode("overwrite").partitionBy(*parts).parquet(
+        f"{store}/{_FOLD_TMP}{tok}"
     )
-    removed = 0
-    for bid in foldable:
-        if bid == COMPACTED_ID:
-            continue
-        fs.delete(
-            jvm.org.apache.hadoop.fs.Path(f"{store}/{dirs[bid]}"), True
-        )
-        removed += 1
-    return removed
+    # the commit point: once this manifest exists the fold is the truth
+    spark.createDataFrame(
+        [(dirs[bid],) for bid in foldable], "dir string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{store}/{_FOLD_COMMIT}{tok}"
+    )
+    _complete_fold(spark, store, tok)
+    return sum(1 for bid in foldable if bid != COMPACTED_ID)
 
 
 def forget_left_ids_from_join_view(
@@ -450,7 +566,7 @@ def forget_left_ids_from_join_view(
     silently incomplete erasure that a later batch could rejoin against,
     because the left store is erased FIRST."""
     return _forget_side(
-        spark, root, ids_df, spec.left_id, "left", audit_path=audit_path
+        spark, root, ids_df, spec, "left", audit_path=audit_path
     )
 
 
@@ -464,7 +580,7 @@ def forget_right_ids_from_join_view(
 ) -> dict[str, int]:
     """Right-side twin of :func:`forget_left_ids_from_join_view`."""
     return _forget_side(
-        spark, root, ids_df, spec.right_id, "right", audit_path=audit_path
+        spark, root, ids_df, spec, "right", audit_path=audit_path
     )
 
 
@@ -472,23 +588,31 @@ def _forget_side(
     spark: SparkSession,
     root: str,
     ids_df: DataFrame,
-    id_col: str,
+    spec: JoinViewSpec,
     side: str,
     *,
     audit_path: str | None,
 ) -> dict[str, int]:
     from .forget import forget_matching_from_store
 
+    id_col = spec.left_id if side == "left" else spec.right_id
+    store = _side_path(root, side)
+    _recover_compaction(spark, store)
+    _recover_compaction(spark, _side_path(root, "view"))
     # side store first: once the source rows are gone no future batch
     # can emit new view rows for these ids, so the view erasure can
     # never be outrun
-    side_removed = forget_matching_from_store(
-        spark,
-        _side_path(root, side),
-        ids_df,
-        id_col=id_col,
-        audit_path=audit_path,
-    )
+    if spec.n_buckets:
+        # the shared forget rewrites a partition FLAT — on a bucketed
+        # store that would mix one-level and two-level layouts and brick
+        # every later read with conflicting partition columns
+        side_removed = _forget_bucketed(
+            spark, store, ids_df, id_col, audit_path=audit_path
+        )
+    else:
+        side_removed = forget_matching_from_store(
+            spark, store, ids_df, id_col=id_col, audit_path=audit_path
+        )
     view_removed = forget_matching_from_store(
         spark,
         _side_path(root, "view"),
@@ -500,3 +624,80 @@ def _forget_side(
         f"{side}_rows_removed": sum(side_removed.values()),
         "view_rows_removed": sum(view_removed.values()),
     }
+
+
+def _forget_bucketed(
+    spark: SparkSession,
+    store: str,
+    ids_df: DataFrame,
+    id_col: str,
+    *,
+    audit_path: str | None,
+) -> dict[str, int]:
+    """forget's partition-rewrite discipline over the two-level
+    ``batch/bucket`` layout: only batch partitions that actually contain
+    the ids are touched; within them only the buckets with hits are
+    rewritten (dynamic overwrite), and a bucket left empty is deleted
+    outright. Idempotent — a re-run finds no hits."""
+    listed = _list_partitions(spark, store)
+    if listed is None:
+        return {}
+    fs, jvm, dirs = listed
+    ids = (
+        ids_df.select(F.col(ids_df.columns[0]).alias(id_col))
+        if id_col not in ids_df.columns and len(ids_df.columns) == 1
+        else ids_df.select(id_col)
+    ).distinct().localCheckpoint()
+    removed: dict[str, int] = {}
+    for bid in sorted(dirs):
+        part = spark.read.option("basePath", store).parquet(
+            f"{store}/{dirs[bid]}"
+        )
+        matched = part.join(ids, id_col, "left_semi").localCheckpoint()
+        hits = matched.count()
+        if hits == 0:
+            continue
+        kept = part.join(ids, id_col, "left_anti").localCheckpoint()
+        if kept.count() == 0:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{store}/{dirs[bid]}"), True
+            )
+        else:
+            affected = {
+                r[0]
+                for r in matched.select(BUCKET_COL).distinct().collect()
+            }
+            surviving = {
+                r[0] for r in kept.select(BUCKET_COL).distinct().collect()
+            }
+            rewrite = kept.filter(
+                F.col(BUCKET_COL).isin([b for b in affected & surviving])
+            )
+            if affected & surviving:
+                (
+                    rewrite.drop(BATCH_COL)
+                    .withColumn(BATCH_COL, F.lit(_valid_id(bid)))
+                    .write.mode("overwrite")
+                    .partitionBy(BATCH_COL, BUCKET_COL)
+                    .option("partitionOverwriteMode", "dynamic")
+                    .parquet(store)
+                )
+            for b in affected - surviving:  # fully-erased buckets
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{store}/{dirs[bid]}/{BUCKET_COL}={b}"
+                    ),
+                    True,
+                )
+        removed[bid] = int(hits)
+    if audit_path is not None:
+        from .audit import record_audit
+
+        record_audit(
+            spark,
+            audit_path,
+            "forget_bucketed_join_side",
+            sum(removed.values()),
+            f"store={store} partitions={sorted(removed)}",
+        )
+    return removed

@@ -66,8 +66,15 @@ def start_join_view_maintenance_stream(
     def one_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)
+        # coalesce: a NULL tag makes isin() NULL, which a bare NOT-filter
+        # silently passes over — the exact silent drop this guard exists
+        # to prevent
         stray = (
-            batch_df.filter(~F.col(side_col).isin("left", "right"))
+            batch_df.filter(
+                ~F.coalesce(
+                    F.col(side_col).isin("left", "right"), F.lit(False)
+                )
+            )
             .limit(1)
             .collect()
         )

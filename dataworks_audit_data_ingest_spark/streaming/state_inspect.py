@@ -65,12 +65,18 @@ def read_streaming_state(
     key_fields = df.schema["key"].dataType.names
     val_fields = df.schema["value"].dataType.names
     cols = []
+    # prefix on ANY collision — key vs value, or either vs the reader's
+    # own partition_id column (a grouping key literally named
+    # partition_id would otherwise yield a duplicate column name and
+    # AMBIGUOUS_REFERENCE on first use)
     for f in key_fields:
-        out = f if f not in val_fields else f"key_{f}"
-        cols.append(F.col(f"key.{f}").alias(out))
+        clash = f in val_fields or f == "partition_id"
+        cols.append(F.col(f"key.{f}").alias(f"key_{f}" if clash else f))
     for f in val_fields:
-        out = f if f not in key_fields else f"value_{f}"
-        cols.append(F.col(f"value.{f}").alias(out))
+        clash = f in key_fields or f == "partition_id"
+        cols.append(
+            F.col(f"value.{f}").alias(f"value_{f}" if clash else f)
+        )
     cols.append(F.col("partition_id"))
     return df.select(*cols)
 

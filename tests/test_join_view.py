@@ -275,3 +275,148 @@ def test_q260_partition_invariant(spark):
         assert rows[before]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_forget_on_bucketed_store_preserves_layout(spark, tmp_path):
+    # regression: the shared forget rewrites a partition FLAT, which on
+    # a bucketed store mixes layouts and bricks every later read with
+    # CONFLICTING_PARTITION_COLUMN_NAMES
+    root = str(tmp_path / "jv")
+    bspec = JoinViewSpec(key="k", left_id="lid", right_id="rid", n_buckets=8)
+    list(_apply_all(spark, root, bspec))
+    ids = spark.createDataFrame([(1,), (5,)], "lid int")
+    removed = forget_left_ids_from_join_view(spark, root, ids, bspec)
+    assert removed["left_rows_removed"] == 2
+    # the store must still read, update, AND bucket-prune
+    assert read_join_side(spark, root, "left").filter(
+        F.col("lid").isin(1, 5)
+    ).count() == 0
+    update_join_view(
+        spark,
+        root,
+        "9",
+        bspec,
+        left_delta=_left(spark, [(50, 10, "zz")]),
+    )
+    lefts = [
+        r
+        for b in BATCHES
+        if b[0]
+        for r in b[0]
+        if r[0] not in (1, 5)
+    ] + [(50, 10, "zz")]
+    rights = [r for b in BATCHES if b[1] for r in b[1]]
+    _assert_same_multiset(
+        read_join_view(spark, root), _expected(spark, lefts, rights)
+    )
+    # erase a whole key's rows so an entire bucket empties and is deleted
+    all_ids = spark.createDataFrame([(r[0],) for r in lefts], "lid int")
+    forget_left_ids_from_join_view(spark, root, all_ids, bspec)
+    assert read_join_view(spark, root) is None or (
+        read_join_view(spark, root).count() == 0
+    )
+
+
+def test_compaction_crash_recovery_both_windows(spark, tmp_path):
+    from dataworks_audit_data_ingest_spark.incremental.joinview import (
+        _FOLD_COMMIT,
+        _FOLD_TMP,
+        _hadoop_fs,
+    )
+
+    root = str(tmp_path / "jv")
+    bspec = JoinViewSpec(key="k", left_id="lid", right_id="rid", n_buckets=8)
+    list(_apply_all(spark, root, bspec, BATCHES[:3]))
+    want = _store_snapshot(spark, root)
+    store = _side_path(root, "left")
+
+    # window 1: crash AFTER the fold staged but BEFORE the commit
+    # manifest — recovery must roll the staging back, originals stand
+    folded = (
+        spark.read.option("basePath", store)
+        .parquet(f"{store}/batch_id=0", f"{store}/batch_id=2")
+        .drop("batch_id")
+        .distinct()
+        .withColumn("batch_id", F.lit("__compacted__"))
+        # materialize now: window 2's recovery DELETES the source dirs,
+        # and later windows re-write this frame
+        .localCheckpoint(eager=True)
+    )
+    folded.write.mode("overwrite").partitionBy(
+        "batch_id", "__jv_bucket__"
+    ).parquet(f"{store}/{_FOLD_TMP}deadbeef0001")
+    assert _store_snapshot(spark, root) == want  # recovery on read
+    fs, jvm = _hadoop_fs(spark, store)
+    assert not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{store}/{_FOLD_TMP}deadbeef0001")
+    )
+
+    # window 2: crash AFTER the commit manifest — recovery must FINISH
+    # the swap (delete manifested originals, land __compacted__)
+    folded.write.mode("overwrite").partitionBy(
+        "batch_id", "__jv_bucket__"
+    ).parquet(f"{store}/{_FOLD_TMP}deadbeef0002")
+    spark.createDataFrame(
+        [("batch_id=0",), ("batch_id=2",)], "dir string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{store}/{_FOLD_COMMIT}deadbeef0002"
+    )
+    assert _store_snapshot(spark, root) == want  # rows identical...
+    names = {
+        s.getPath().getName()
+        for s in fs.listStatus(jvm.org.apache.hadoop.fs.Path(store))
+    }
+    # ...but the folded originals are gone and the fold landed
+    assert "batch_id=__compacted__" in names
+    assert "batch_id=0" not in names and "batch_id=2" not in names
+    assert not any(n.startswith(("_jv_fold",)) for n in names)
+
+    # window 3: TORN commit manifest (no _SUCCESS) — must be rolled
+    # back, NOT replayed: a replay would delete the manifested dir
+    # (here the live __compacted__ partition) and lose data
+    folded.write.mode("overwrite").partitionBy(
+        "batch_id", "__jv_bucket__"
+    ).parquet(f"{store}/{_FOLD_TMP}deadbeef0003")
+    spark.createDataFrame(
+        [("batch_id=__compacted__",)], "dir string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{store}/{_FOLD_COMMIT}deadbeef0003"
+    )
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(
+            f"{store}/{_FOLD_COMMIT}deadbeef0003/_SUCCESS"
+        ),
+        False,
+    )
+    assert _store_snapshot(spark, root) == want
+    names = {
+        s.getPath().getName()
+        for s in fs.listStatus(jvm.org.apache.hadoop.fs.Path(store))
+    }
+    assert "batch_id=__compacted__" in names
+    assert not any(n.startswith(("_jv_fold",)) for n in names)
+
+
+def test_rejects_overlap_with_stored_opposite_side(spark, tmp_path):
+    # regression: the batch-local guard cannot see columns committed in
+    # EARLIER batches of the opposite side
+    root = str(tmp_path / "jv")
+    update_join_view(
+        spark,
+        root,
+        "0",
+        SPEC,
+        left_delta=_left(spark, [(1, 10, "a")]).withColumnRenamed(
+            "lval", "val"
+        ),
+    )
+    with pytest.raises(ValueError, match="STORED opposite side"):
+        update_join_view(
+            spark,
+            root,
+            "1",
+            SPEC,
+            right_delta=_right(spark, [(100, 10, "X")]).withColumnRenamed(
+                "rval", "val"
+            ),
+        )

@@ -132,3 +132,21 @@ def test_unknown_side_tag_fails_loudly(spark, tmp_path):
         raise AssertionError("stream should have failed on the typo'd tag")
     except Exception as e:  # StreamingQueryException wraps the ValueError
         assert "unknown side" in str(e) or "letf" in str(e)
+
+
+def test_null_side_tag_fails_loudly(spark, tmp_path):
+    # regression: isin() is NULL for a NULL tag, and a bare NOT-filter
+    # silently passes it over — the row would vanish from both deltas
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "bad.json").write_text(
+        json.dumps(
+            {"o_orderkey": 1, "c_custkey": 1, "o_totalprice": 1.0}
+        )  # no "side" field at all -> NULL tag
+    )
+    q = _start(spark, src, str(tmp_path / "jv"), str(tmp_path / "ckpt"))
+    try:
+        q.awaitTermination()
+        raise AssertionError("stream should have failed on the NULL tag")
+    except Exception as e:
+        assert "unknown side" in str(e) or "None" in str(e)

@@ -70,3 +70,29 @@ def test_diff_shapes_missing_group_and_null_field(spark):
         ).count()
         == 1
     )
+
+
+def test_null_group_key_matches_its_twin(spark):
+    # regression: a NULL-valued audit group must compare null-safely —
+    # identical replicas with region=NULL rows would otherwise flag a
+    # divergence no repair can ever clear
+    rows = [(None, "x"), (None, "y"), (1, "z")]
+    a = spark.createDataFrame(rows, "g int, v string")
+    b = spark.createDataFrame(rows, "g int, v string")
+    assert (
+        fingerprint_diff(
+            table_fingerprint(a, ["g"], ["v"]),
+            table_fingerprint(b, ["g"], ["v"]),
+        ).count()
+        == 0
+    )
+    # and a REAL divergence inside the NULL group still surfaces, keyed
+    # to the NULL group
+    c = spark.createDataFrame(
+        [(None, "x"), (None, "CHANGED"), (1, "z")], "g int, v string"
+    )
+    d = fingerprint_diff(
+        table_fingerprint(a, ["g"], ["v"]),
+        table_fingerprint(c, ["g"], ["v"]),
+    ).collect()
+    assert len(d) == 1 and d[0].g is None

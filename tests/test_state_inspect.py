@@ -97,3 +97,37 @@ def test_skew_report_exposes_hot_partition(spark, tmp_path):
     assert [r.n_keys for r in rows] == sorted(
         (r.n_keys for r in rows), reverse=True
     )
+
+
+def test_flatten_survives_partition_id_named_key(spark, tmp_path):
+    # regression: a grouping key literally named partition_id collided
+    # with the reader's own partition_id column (duplicate names ->
+    # AMBIGUOUS_REFERENCE on first use)
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(
+            json.dumps({"partition_id": f"p{i % 3}", "v": i})
+            for i in range(12)
+        )
+    )
+    stream = spark.readStream.schema("partition_id string, v long").json(
+        str(src)
+    )
+    agg = stream.groupBy("partition_id").agg(F.sum("v").alias("total"))
+    ckpt = str(tmp_path / "ckpt")
+    (
+        agg.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    st = read_streaming_state(spark, ckpt)
+    assert len(st.columns) == len(set(st.columns))
+    assert "key_partition_id" in st.columns and "partition_id" in st.columns
+    got = sorted((r.key_partition_id, r["sum"]) for r in st.collect())
+    assert got == [("p0", 18), ("p1", 22), ("p2", 26)]
+    # the skew report groups by the reader's own partition_id unambiguously
+    assert state_skew_report(spark, ckpt).count() >= 1

@@ -97,9 +97,13 @@ def main() -> int:
     print("| layout | probe | rows hit | wall min s | wall mean s |")
     print("|---|---|---|---|---|")
     for name, path in (("plain", plain), ("bloom", bloomed)):
-        # warm the page cache so the timings compare decode work, not
-        # whichever layout was written (and cached) more recently
-        spark.read.parquet(path).filter(F.col("v1") == -1).count()
+        # warm the page cache with a PROBE-SHAPED query (a v1-only scan
+        # would column-prune and leave the event_id chunks cold for the
+        # first timed repetition, biasing the mean toward whichever
+        # layout ran second)
+        spark.read.parquet(path).filter(
+            F.col("event_id") == F.lit("7" * 32)
+        ).count()
         for probe_name, probe in probes:
             walls, hits = [], 0
             for _ in range(3):
