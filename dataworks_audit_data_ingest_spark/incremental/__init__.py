@@ -20,6 +20,7 @@ from .joinview import (  # noqa: F401
     forget_right_ids_from_join_view,
     read_join_side,
     read_join_view,
+    read_join_view_delta,
     update_join_view,
 )
 from .rollup import (  # noqa: F401

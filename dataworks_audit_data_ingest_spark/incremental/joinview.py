@@ -377,6 +377,30 @@ def read_join_view(spark: SparkSession, root: str) -> DataFrame | None:
     return view
 
 
+def read_join_view_delta(
+    spark: SparkSession, root: str, batch_id: str
+) -> DataFrame | None:
+    """Exactly the view rows batch ``batch_id`` produced — the view's
+    CHANGE FEED. Because the delta rule emits every joined pair exactly
+    once, downstream incremental consumers (a rollup store, an index, a
+    training-shard writer) can fold each batch's delta and never see a
+    pair twice: the IVM cascade (drilled end-to-end by q264, which
+    maintains a continuous aggregate OVER the maintained join).
+    ``None`` when the batch produced no matches. Unavailable for batches
+    already folded by compaction — consume deltas before folding them."""
+    store = _side_path(root, "view")
+    _recover_compaction(spark, store)
+    listed = _list_partitions(spark, store)
+    if listed is None:
+        return None
+    _, _, dirs = listed
+    batch_id = _valid_id(batch_id)
+    if batch_id not in dirs:
+        return None
+    df = spark.read.parquet(f"{store}/{dirs[batch_id]}")
+    return df.drop(*[c for c in (BATCH_COL, BUCKET_COL) if c in df.columns])
+
+
 def read_join_side(
     spark: SparkSession, root: str, side: str
 ) -> DataFrame | None:

@@ -34,8 +34,8 @@ from . import graph_shaped  # noqa: E402,F401
 # verbatim output of `python tools/rotation.py --emit` over the r01–r09
 # driver history (DRIVER_PRIORITY_AS_OF_ROUND pins which history it was
 # computed from; tests/test_cli_operators.py asserts the paste matches the
-# computation, so hand-drift is a test failure). The twenty-three round-10
-# queries (q241–q263) lead as never-run; then the stalest-first refresh —
+# computation, so hand-drift is a test failure). The twenty-four round-10
+# queries (q241–q264) lead as never-run; then the stalest-first refresh —
 # the 39 r05-latest rows (q122…q172 tail and q92/q93/q99) the r09 verdict
 # asked round 10 to clear fill the remaining slots; the r06 tail rotates
 # in on the next emission.
@@ -56,6 +56,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q259_lateral_column_alias",
     "q254_rollup_store_report",
     "q260_join_view_report",
+    "q264_enriched_rollup_cascade",
     "q244_trained_funnel_graded_audit",
     "q246_ingest_record_contract",
     "q255_xml_roundtrip_census",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q155_cusum_drift",
     "q156_point_in_time_features",
     "q157_target_encoding",
-    "q160_rfm_segmentation",
 )
 
 

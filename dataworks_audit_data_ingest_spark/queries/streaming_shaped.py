@@ -3153,3 +3153,116 @@ def q260_join_view_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root.rsplit("/", 1)[0], ignore_errors=True)
     return report
+
+
+# ---------------------------------------------------------------------------
+# q264 — the IVM CASCADE under the oracle: a continuous aggregate
+# maintained OVER the maintained join view. Batch deltas of orders ⋈
+# customer feed the rollup store; the exactly-once delta rule is what
+# makes the composition correct (a pair emitted twice would double its
+# revenue in the rollup with no error anywhere).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q264_enriched_rollup_cascade",
+    sql=f"""
+    SELECT CAST(DATE_TRUNC('day', o.o_orderdate) AS DATE) AS day,
+           c.c_mktsegment AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_users,
+           CAST(SUM({_Q260_CENTS}) AS BIGINT) AS sum_cents,
+           MIN({_Q260_CENTS}) AS min_cents,
+           MAX({_Q260_CENTS}) AS max_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+    tags=("incremental", "joinview", "rollup", "cascade", "join", "agg"),
+)
+def q264_enriched_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two maintained stores composed end to end: three interleaved
+    two-sided batches flow through `update_join_view`, each batch's
+    view CHANGE FEED (`read_join_view_delta` — every joined pair exactly
+    once) feeds `update_rollup_store`, and the merged rollup report
+    (day × market segment, exact distinct customers) must equal DuckDB's
+    one-pass join+aggregate over the raw tables. This is the cascade a
+    standing pipeline actually runs — enrich incrementally, aggregate
+    incrementally — and the oracle hash fails if EITHER store's delta
+    discipline over- or under-delivers a single pair.
+
+    Scale shape: per batch, one delta-sized join (bucket-pruned old
+    sides) plus one write-only rollup fold of that delta; neither the
+    full join nor the full history is ever recomputed."""
+    import shutil
+    import tempfile
+
+    from ..incremental.joinview import (
+        JoinViewSpec,
+        read_join_view_delta,
+        update_join_view,
+    )
+    from ..incremental.rollup import read_rollup, update_rollup_store
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        "o_totalprice",
+        "o_orderdate",
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    spec = JoinViewSpec(
+        key="c_custkey",
+        left_id="o_orderkey",
+        right_id="c_custkey",
+        n_buckets=8,
+    )
+    base = tempfile.mkdtemp(prefix="q264_cascade_")
+    jv_root, rl_store = f"{base}/view", f"{base}/rollup"
+    try:
+        for i in range(3):
+            update_join_view(
+                spark,
+                jv_root,
+                str(i),
+                spec,
+                left_delta=orders.filter(
+                    F.pmod(F.xxhash64("o_orderkey"), F.lit(3)) == i
+                ),
+                right_delta=cust.filter(
+                    F.pmod(F.xxhash64("c_custkey"), F.lit(3)) == i
+                ),
+            )
+            delta = read_join_view_delta(spark, jv_root, str(i))
+            if delta is not None:
+                update_rollup_store(
+                    spark,
+                    rl_store,
+                    delta,
+                    str(i),
+                    ts_col="o_orderdate",
+                    type_col="c_mktsegment",
+                    user_col="c_custkey",
+                    value_col="o_totalprice",
+                )
+        report = (
+            read_rollup(spark, rl_store)
+            .select(
+                "day",
+                "event_type",
+                F.col("n_events").cast("bigint").alias("n_events"),
+                F.col("n_users").cast("bigint").alias("n_users"),
+                F.col("sum_cents").cast("bigint").alias("sum_cents"),
+                "min_cents",
+                "max_cents",
+            )
+            .orderBy("day", "event_type")
+            # materialize BEFORE the store directory is removed
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return report

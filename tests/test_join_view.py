@@ -420,3 +420,44 @@ def test_rejects_overlap_with_stored_opposite_side(spark, tmp_path):
                 "rval", "val"
             ),
         )
+
+
+def test_q264_partition_invariant_and_delta_feed(spark):
+    from dataworks_audit_data_ingest_spark.queries.streaming_shaped import (
+        q264_enriched_rollup_cascade,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        rows = {}
+        for n in ("7", before):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            rows[n] = [
+                tuple(r)
+                for r in q264_enriched_rollup_cascade(spark, SF).collect()
+            ]
+        assert rows["7"] == rows[before]
+        assert rows[before]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_read_join_view_delta_is_exactly_once(spark, tmp_path):
+    from dataworks_audit_data_ingest_spark.incremental import (
+        read_join_view_delta,
+    )
+
+    root = str(tmp_path / "jv")
+    list(_apply_all(spark, root, SPEC))
+    # the union of per-batch deltas IS the view (no pair lost or doubled)
+    deltas = []
+    for i in range(len(BATCHES)):
+        d = read_join_view_delta(spark, root, str(i))
+        if d is not None:
+            deltas.append(d)
+    unioned = deltas[0]
+    for d in deltas[1:]:
+        unioned = unioned.unionByName(d)
+    _assert_same_multiset(unioned, read_join_view(spark, root))
+    # absent batches answer None, not an empty frame mistaken for data
+    assert read_join_view_delta(spark, root, "nope") is None
