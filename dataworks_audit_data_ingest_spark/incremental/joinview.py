@@ -502,6 +502,11 @@ def _complete_fold(spark: SparkSession, store: str, tok: str) -> None:
     def _p(rel: str):
         return jvm.org.apache.hadoop.fs.Path(f"{store}/{rel}")
 
+    # NOTE: this read logs "WARN DataSource: All paths were ignored"
+    # because the manifest dir is _-prefixed (which is exactly what
+    # hides it from store reads) — Spark warns but still reads an
+    # EXPLICITLY-given path; verified empirically and pinned by the
+    # crash-window drills. The warning is benign.
     manifest = [
         r.dir
         for r in spark.read.parquet(f"{store}/{_FOLD_COMMIT}{tok}").collect()
