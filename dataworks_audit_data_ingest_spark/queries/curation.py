@@ -2067,7 +2067,8 @@ _Q262_BUDGET = 10_000
     )
     SELECT source, n_docs, s_milli,
            CAST((n_docs * s_milli * {_Q262_BUDGET})
-                // SUM(n_docs * s_milli) OVER () AS BIGINT) AS alloc_docs
+                // NULLIF(SUM(n_docs * s_milli) OVER (), 0) AS BIGINT)
+               AS alloc_docs
     FROM w
     ORDER BY source
     """,
@@ -2127,7 +2128,12 @@ def q262_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "s_milli",
-            F.expr("num DIV total").cast("bigint").alias("alloc_docs"),
+            # NULLIF guard: if EVERY stratum has zero spread the global
+            # weight is 0 — Spark's DIV would yield NULL while DuckDB's
+            # // raises; NULLIF makes both engines return NULL allocs
+            F.expr("num DIV NULLIF(total, 0)")
+            .cast("bigint")
+            .alias("alloc_docs"),
         )
         .orderBy("source")
     )

@@ -1405,26 +1405,32 @@ def q240_nullsafe_linkage_join(
 # ---------------------------------------------------------------------------
 
 # canonical row serialization: ids and EXACT cents (a double would not
-# round-trip identically through string formatting across engines)
-_Q261_SPARK_ROW = (
-    "CONCAT_WS('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),"
-    " o_orderstatus, CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
-    " AS STRING), CAST(o_orderdate AS STRING), o_orderpriority)"
-)
-_Q261_DUCK_ROW = (
-    "CONCAT_WS('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),"
-    " o_orderstatus, CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
-    " AS VARCHAR), CAST(o_orderdate AS VARCHAR), o_orderpriority)"
-)
+# round-trip identically through string formatting across engines); the
+# field list is shared with functions/checksum.py's INJECTIVE builder
+# (␛-escaped ``|`` joiner, bare-␀ NULL) so query and API cannot drift
+def _q261_row(str_type: str) -> str:
+    from ..functions.checksum import canonical_row_sql
+
+    fields = [
+        f"CAST(o_orderkey AS {str_type})",
+        f"CAST(o_custkey AS {str_type})",
+        "o_orderstatus",
+        f"CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+        f" AS {str_type})",
+        f"CAST(o_orderdate AS {str_type})",
+        "o_orderpriority",
+    ]
+    return canonical_row_sql(fields)
 
 
 def _q261_sql() -> str:
     from ..functions.hashing import duckdb_hash32
 
+    h = duckdb_hash32(_q261_row("VARCHAR"))
     return f"""
     SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM({duckdb_hash32(_Q261_DUCK_ROW)}) AS BIGINT) AS checksum
+           CAST(SUM(CAST({h} AS DECIMAL(38,0))) AS VARCHAR) AS checksum
     FROM orders
     GROUP BY 1
     ORDER BY month
@@ -1448,8 +1454,14 @@ def q261_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     the natural exchange unit here.
 
     SUM (not XOR) so a row present TWICE is caught (XOR self-cancels);
-    32-bit hashes keep the sum exact — 2^32 × even 10^12 rows is far
-    inside DECIMAL range and inside BIGINT for any real partition.
+    the sum accumulates in DECIMAL(38,0) — EXACT at any group size (a
+    BIGINT accumulator wraps past ~2^31 rows per group: 2^32·2^31
+    exceeds BIGINT max, and Spark's silent non-ANSI wrap differs from
+    DuckDB's HUGEINT promotion) — and is rendered as a STRING so
+    neither engine's pandas bridge can coerce it lossily. The row
+    serialization is the shared INJECTIVE builder
+    (functions/checksum.py::canonical_row_sql): delimiter characters in
+    data are ␛-escaped, so field boundaries cannot shift.
 
     Scale shape: one map-side partial agg over the scan (hash computed
     in-codegen, no Python), one exchange on ~|months| keys; at 100 TB
@@ -1459,12 +1471,13 @@ def q261_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     from ..functions.hashing import spark_hash32
 
+    h = spark_hash32(_q261_row("STRING"))
     return (
         o.groupBy(F.trunc("o_orderdate", "month").alias("month"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(F.expr(spark_hash32(_Q261_SPARK_ROW)))
-            .cast("bigint")
+            F.sum(F.expr(h).cast("decimal(38,0)"))
+            .cast("string")
             .alias("checksum"),
         )
         .orderBy("month")

@@ -26,6 +26,35 @@ def test_allocation_follows_design_and_budget(spark):
     assert allocs == sorted(allocs)
 
 
+def test_zero_spread_edge_matches_oracle(spark, tmp_path):
+    """If EVERY stratum has zero spread the allocation weight sums to 0.
+    Unguarded, Spark's DIV yields NULL while DuckDB's // raises — the
+    r10 ADVICE divergence. Both engines must now return NULL allocs
+    (NULLIF guard) on the same rows."""
+    import duckdb
+
+    from dataworks_audit_data_ingest_spark.queries import REGISTRY
+
+    rows = [(f"src{i % 3}", 100) for i in range(30)]
+    docs = spark.createDataFrame(rows, "source string, n_chars int")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = q262_neyman_allocation(spark, str(tmp_path)).collect()
+    assert len(got) == 3
+    assert all(r.s_milli == 0 for r in got)
+    assert all(r.alloc_docs is None for r in got)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"parquet_scan('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = con.execute(REGISTRY["q262_neyman_allocation"].sql).fetchall()
+    assert sorted(tuple(r) for r in oracle) == sorted(
+        (r.source, r.n_docs, r.s_milli, r.alloc_docs) for r in got
+    )
+
+
 def test_q262_partition_invariant(spark):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -67,6 +67,46 @@ def test_order_and_partitioning_invariant(spark, tmp_path):
     assert got == base
 
 
+def test_delimiter_injection_shifts_fingerprint(spark):
+    """Field values containing the ``|`` joiner (or the ␛ escape char, or
+    a literal ␀) must NOT collide across field boundaries — the r10
+    ADVICE delimiter-injection finding. ('a|b','c') vs ('a','b|c') used
+    to fingerprint identically; the ␛-escaped serialization keeps them
+    apart, and a literal ␀ stays distinct from NULL."""
+    from dataworks_audit_data_ingest_spark.functions.checksum import (
+        table_fingerprint,
+    )
+
+    def fp(rows):
+        df = spark.createDataFrame(rows, "g int, x string, y string")
+        out = table_fingerprint(df, ["g"], ["x", "y"]).collect()
+        return {r.g: (r.n_rows, r.checksum) for r in out}
+
+    a = fp([(1, "a|b", "c")])
+    b = fp([(1, "a", "b|c")])
+    assert a != b
+
+    # escape-char injection: ('a␛', '|b') vs ('a', '␛|b') — the naive
+    # "escape | only" scheme collides these; escaping ␛ first keeps
+    # the encoding prefix-free
+    assert fp([(1, "a␛", "|b")]) != fp([(1, "a", "␛|b")])
+
+    # literal NULL sentinel in data vs an actual NULL
+    assert fp([(1, "␀", "c")]) != fp([(1, None, "c")])
+
+
+def test_checksum_accumulates_in_decimal(spark):
+    """The fingerprint sum must be DECIMAL(38,0), not BIGINT — a BIGINT
+    accumulator wraps silently past ~2^31 rows per group (r10 ADVICE)."""
+    from dataworks_audit_data_ingest_spark.functions.checksum import (
+        table_fingerprint,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "g int, x string")
+    out = table_fingerprint(df, ["g"], ["x"])
+    assert dict(out.dtypes)["checksum"] == "decimal(38,0)"
+
+
 def test_q261_partition_invariant(spark):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
