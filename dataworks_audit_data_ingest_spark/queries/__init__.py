@@ -30,71 +30,72 @@ from . import graph_shaped  # noqa: E402,F401
 # registration order indices 0-49). DRIVER_PRIORITY pins an explicit order,
 # rotated per round so every query accumulates a current driver row.
 #
-# Round-10 rotation is COMPUTED, not hand-curated: the list below is the
-# verbatim output of `python tools/rotation.py --emit` over the r01–r09
+# Round-11 rotation is COMPUTED, not hand-curated: the list below is the
+# verbatim output of `python tools/rotation.py --emit` over the r01–r10
 # driver history (DRIVER_PRIORITY_AS_OF_ROUND pins which history it was
 # computed from; tests/test_cli_operators.py asserts the paste matches the
-# computation, so hand-drift is a test failure). The twenty-four round-10
-# queries (q241–q264) lead as never-run; then the stalest-first refresh —
-# the 39 r05-latest rows (q122…q172 tail and q92/q93/q99) the r09 verdict
-# asked round 10 to clear fill the remaining slots; the r06 tail rotates
-# in on the next emission.
-# The four rows-only queries
+# computation, so hand-drift is a test failure). Zero queries are
+# never-run after r10, so the whole slate is stalest-first refresh: the
+# THIRTEEN r05-latest rows lead (q160–q163, q165, q166, q168, q169,
+# q171, q172, q92, q93, q99 — the full r05 staleness floor the r10
+# verdict flagged; STATUS.md's "seven" undercounted it), then 37 of the
+# 50 r06-latest rows fill the remaining slots; the r06 tail rotates in
+# on the next emission. The four rows-only queries
 # (q42/q74/q16s/q59, sql=None) are excluded from emission — they can
 # only ever produce a `no_oracle` driver row (q16s burned an r06 slot);
 # their evidence is pytest plus a green oracle-backed twin each.
-DRIVER_PRIORITY_AS_OF_ROUND = 9
+DRIVER_PRIORITY_AS_OF_ROUND = 10
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q261_table_checksum",
-    "q248_sql_udf_census",
-    "q249_pipe_syntax_shipping",
-    "q252_listagg_top_customers",
-    "q253_groupby_all_census",
-    "q256_collated_distinct",
-    "q257_try_divide_rates",
-    "q258_percentile_within_group",
-    "q259_lateral_column_alias",
-    "q254_rollup_store_report",
-    "q260_join_view_report",
-    "q264_enriched_rollup_cascade",
-    "q244_trained_funnel_graded_audit",
-    "q246_ingest_record_contract",
-    "q255_xml_roundtrip_census",
-    "q241_product_type_profit",
-    "q242_important_stock",
-    "q243_excess_inventory_suppliers",
-    "q247_supplier_count_by_part",
-    "q250_ship_lag_priority",
-    "q251_bracket_revenue",
-    "q245_rendezvous_sharding",
-    "q262_neyman_allocation",
-    "q263_cheapest_journey_path",
-    "q122_ols_fit",
-    "q123_seasonal_backtest",
-    "q124_skew_report",
-    "q127_revenue_share",
-    "q128_journey_trigrams",
-    "q131_referential_audit",
-    "q132_weekly_growth",
-    "q133_transition_dwell_times",
-    "q134_snapshot_diff",
-    "q135_duplication_report",
-    "q136_session_length_distribution",
-    "q137_seasonality_profile",
-    "q138_vector_contract",
-    "q139_label_balance",
-    "q140_join_size_audit",
-    "q141_ann_ivfpq",
-    "q147_attribution",
-    "q148_brand_affinity",
-    "q149_mad_outliers",
-    "q150_variant_extract",
-    "q151_benford_audit",
-    "q152_keep_best_copy",
-    "q154_ab_readout",
-    "q155_cusum_drift",
-    "q156_point_in_time_features",
-    "q157_target_encoding",
+    "q160_rfm_segmentation",
+    "q161_trending_users",
+    "q162_cohort_ltv",
+    "q163_numeric_drift",
+    "q165_cdc_novelty",
+    "q166_item_cf_neighbors",
+    "q168_funnel_latency",
+    "q169_trimmed_mean",
+    "q171_lsh_precision_audit",
+    "q172_cuped_readout",
+    "q92_char_diversity",
+    "q93_cdc_chunk_dedup",
+    "q99_novelty_score",
+    "q01_pricing_summary",
+    "q04_revenue_forecast",
+    "q07_customer_order_stats",
+    "q08_distinct_agg",
+    "q09_rollup",
+    "q100_vocab_coverage",
+    "q103_bm25",
+    "q104_train_split",
+    "q105_posting_lists",
+    "q106_event_pagerank",
+    "q108_split_leakage",
+    "q109_quality_model_score",
+    "q10_cube",
+    "q112_unigram_surprisal",
+    "q113_data_expectations",
+    "q119_bigram_surprisal",
+    "q11_grouping_sets",
+    "q121_frame_sample_plan",
+    "q125_udtf_chunks",
+    "q126_hashed_features",
+    "q129_model_calibration",
+    "q130_source_overlap_matrix",
+    "q142_shard_manifest",
+    "q143_kmv_distinct",
+    "q144_temperature_mixture",
+    "q145_media_phash_dedup",
+    "q146_dedup_triangle_census",
+    "q14_event_gaps",
+    "q153_record_linkage",
+    "q158_interval_coverage",
+    "q159_vocab_drift",
+    "q15_moving_average",
+    "q164_model_ece",
+    "q167_readability",
+    "q16_acctbal_deciles",
+    "q170_hard_negatives",
+    "q173_skew_aware_join",
 )
 
 

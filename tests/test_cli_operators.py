@@ -97,3 +97,43 @@ def test_driver_priority_matches_computed_rotation():
 
     top, _ = plan(as_of=DRIVER_PRIORITY_AS_OF_ROUND)
     assert list(DRIVER_PRIORITY) == top
+
+
+def test_emitted_slate_leads_with_history_derived_stale_set():
+    """The refresh target must come from the CORRECTNESS_r* UNION, never a
+    prose note (the r10 STATUS.md note undercounted the r05-stale rows 7
+    vs 13 — a rotation derived from it would have starved six queries an
+    extra round). Independently recompute the stalest cohort from the raw
+    history files and assert the emitted slate leads with exactly that
+    set, alphabetical within the cohort."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.rotation import PINNED, history, plan
+
+    from dataworks_audit_data_ingest_spark.queries import (
+        DRIVER_PRIORITY_AS_OF_ROUND as AS_OF,
+    )
+    from dataworks_audit_data_ingest_spark.queries import REGISTRY
+
+    newest, _ = history(as_of=AS_OF)
+    emittable = [n for n, q in REGISTRY.items() if q.sql is not None]
+    has_run = [n for n in emittable if n in newest and n not in PINNED]
+    never = [n for n in emittable if n not in newest and n not in PINNED]
+    if not has_run:
+        return  # nothing to refresh yet
+    floor = min(newest[n] for n in has_run)
+    stalest = sorted(n for n in has_run if newest[n] == floor)
+
+    top, _ = plan(as_of=AS_OF)
+    refresh_block = top[len(PINNED) + len(never):]
+    head = refresh_block[: len(stalest)]
+    assert head == stalest[: len(head)], (
+        f"slate refresh head {head[:5]}… does not match the history-derived "
+        f"r{floor:02d} stale set {stalest[:5]}…"
+    )
+    # with the r10 history this cohort is the 13 r05 rows; pin the count
+    # so a silently shrunken union (missing CORRECTNESS file) is loud
+    if AS_OF == 10:
+        assert floor == 5 and len(stalest) == 13
