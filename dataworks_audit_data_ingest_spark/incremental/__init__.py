@@ -23,6 +23,16 @@ from .joinview import (  # noqa: F401
     read_join_view_delta,
     update_join_view,
 )
+from .joinview_cdc import (  # noqa: F401
+    compact_join_view_cdc,
+    forget_left_ids_from_cdc_view,
+    forget_right_ids_from_cdc_view,
+    read_current_side,
+    read_join_view_cdc,
+    read_join_view_cdc_delta,
+    update_join_view_cdc,
+    verify_cdc_side,
+)
 from .rollup import (  # noqa: F401
     compact_rollup_store,
     forget_user_from_rollup,

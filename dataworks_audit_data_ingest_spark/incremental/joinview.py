@@ -534,6 +534,8 @@ def _compact_store_safe(
     exclude: tuple[str, ...],
     *,
     bucketed: bool,
+    fold_fn=None,
+    rank_col: str | None = None,
 ) -> int:
     """Fold with the staged-swap protocol (module comment at
     ``_FOLD_TMP``): stage the fold in a _-prefixed dir (store reads
@@ -541,7 +543,17 @@ def _compact_store_safe(
     then swap — crash anywhere and :func:`_recover_compaction` lands the
     store in exactly one of the two consistent states. Bucket-aware:
     a bucketed store folds per ``(batch, bucket)`` so the compacted
-    partition keeps the directory level the pruned reads rely on."""
+    partition keeps the directory level the pruned reads rely on.
+
+    ``fold_fn`` customizes the fold (default: ``distinct()`` — the
+    set-membership stores' semantics); it receives the foldable rows
+    WITHOUT the batch column and must return the folded rows. With
+    ``rank_col`` set, each foldable directory is read individually and
+    tagged with its TRUSTED batch rank under that name (the compacted
+    partition ranks ``""``, before every live id — the CDC op stores'
+    resolution order; the type-inferred partition column would misorder
+    "10" vs 9), and excluded batches must all sort after every foldable
+    one so the fold cannot re-order op history."""
     import uuid
 
     _recover_compaction(spark, store)
@@ -558,13 +570,43 @@ def _compact_store_safe(
     foldable = sorted(set(dirs) - (excluded - {COMPACTED_ID}))
     if foldable in ([], [COMPACTED_ID]):
         return 0
-    folded = (
-        spark.read.option("basePath", store)
-        .parquet(*[f"{store}/{dirs[bid]}" for bid in foldable])
-        .drop(BATCH_COL)
-        .distinct()
-        .withColumn(BATCH_COL, F.lit(COMPACTED_ID))
-    )
+    if rank_col is not None:
+        live_folds = [b for b in foldable if b != COMPACTED_ID]
+        misordered = [
+            x
+            for x in excluded & set(dirs)
+            if x != COMPACTED_ID and any(x < b for b in live_folds)
+        ]
+        if misordered:
+            raise ValueError(
+                f"excluded batch(es) {sorted(misordered)} sort before a "
+                "foldable batch; folding around them would misorder the "
+                "op history (compacted ranks first) — exclude only the "
+                "newest batches"
+            )
+        parts = []
+        for bid in foldable:
+            part = spark.read.parquet(f"{store}/{dirs[bid]}")
+            parts.append(
+                part.withColumn(
+                    rank_col,
+                    F.lit("" if bid == COMPACTED_ID else bid),
+                )
+            )
+        rows = parts[0]
+        for p in parts[1:]:
+            rows = rows.unionByName(p)
+    else:
+        rows = (
+            spark.read.option("basePath", store)
+            .parquet(*[f"{store}/{dirs[bid]}" for bid in foldable])
+            .drop(BATCH_COL)
+        )
+    if fold_fn is None:
+        folded = rows.distinct()
+    else:
+        folded = fold_fn(rows)
+    folded = folded.withColumn(BATCH_COL, F.lit(COMPACTED_ID))
     tok = uuid.uuid4().hex[:12]
     parts = [BATCH_COL, BUCKET_COL] if bucketed else [BATCH_COL]
     folded.write.mode("overwrite").partitionBy(*parts).parquet(

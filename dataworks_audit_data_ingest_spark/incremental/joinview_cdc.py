@@ -1,0 +1,654 @@
+"""CDC-maintained equi-join view — `incremental/joinview.py` extended
+from insert-only appends to full change-data-capture feeds: per batch,
+each side may carry UPSERTS (insert-or-replace by the side's primary
+key) and DELETES, and the materialized ``A ⋈ B`` stays correct with
+O(Δ)-sized join work per batch.
+
+Representation: the view store is a **z-set** (DBSP / Differential
+Dataflow's multiset-with-signs; Budiu et al., VLDB 2023) over
+batch-partitioned parquet — every batch commits ``+1`` rows for newly
+joined pairs and ``-1`` RETRACTION rows for pairs whose contributing
+version was deleted or replaced. The live view is the net-positive rows
+(merge-on-read, like the rollup store's additive partials); compaction
+folds the net so the store never grows past the live view plus the
+un-folded tail.
+
+Delta rule (extends Blakeley et al. 1986 to deletes; R = retracted
+(key, id) version pairs = upserted ∪ deleted this batch):
+
+    ΔV⁺ =  U_A ⋈ ((B_cur ∖ R_B) ∪ U_B)   ∪   (A_cur ∖ R_A) ⋈ U_B
+    ΔV⁻ =  (A_cur ⋉ R_A) ⋈ B_cur         ∪   (A_cur ∖ R_A) ⋈ (B_cur ⋉ R_B)
+
+Every pair is inserted exactly once and retracted exactly once per
+lifetime (algebraic check in `tests/test_join_view_cdc.py`'s
+invariant drill: view-after == A-after ⋈ B-after at every batch).
+Retractions are derived from the SIDE stores, not by scanning the view:
+both ΔV⁻ terms read only bucket-pruned current-side rows, so the view
+store is write-only during updates — the per-batch cost is O(Δ join
+partners), never O(|view|).
+
+Side stores are OP LOGS: each batch partition holds the batch's upsert
+rows plus ``(key, id)`` tombstones, tagged by ``__cdc_op__``; the
+current side is resolved per ``(key, id)`` — latest batch wins, a
+tombstone means absent. Batch ids must therefore be lexicographically
+MONOTONE (zero-padded sequence numbers, ISO dates — the runner's day
+discipline); `update_join_view_cdc` validates this and the compacted
+partition sorts before everything.
+
+Key-change updates: ops are scoped to ``(key, id)`` so each key bucket
+sees a self-consistent history. An upsert that MOVES an id to a new
+join key must be fed as ``delete(old key, id)`` + ``upsert(new key,
+id)`` in the same batch (the CDC idiom — a real change feed carries the
+old row image); a bare upsert under a new key would strand the old
+version in its bucket. :func:`verify_cdc_side` is the full-scan audit
+for that contract (per id, at most one live version).
+
+Replay contract is the shared one (`incremental/store.py`): every write
+lands in the batch's OWN partitions via dynamic overwrite, every read
+excludes the current batch, so any crash ordering replays to an
+identical state — drilled for every crash window. GDPR erasure
+(:func:`forget_left_ids_from_cdc_view`) physically removes an id's
+rows — op log, tombstones, and both signs of its view rows — which a
+tombstone alone never does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .joinview import (
+    BUCKET_COL,
+    JoinViewSpec,
+    _commit_side,
+    _compact_store_safe,
+    _forget_bucketed,
+    _recover_compaction,
+    _reject_dup_ids,
+    _side_path,
+)
+from .store import (
+    BATCH_COL,
+    COMPACTED_ID,
+    _list_partitions,
+    _valid_id,
+    commit_batch_partition,
+)
+
+OP_COL = "__cdc_op__"
+DIFF_COL = "__diff__"
+_RANK_COL = "__cdc_rank__"
+
+
+def _check_cols(df: DataFrame, cols: list[str], what: str) -> None:
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(
+                f"{what} is missing required column {c!r} (has {df.columns})"
+            )
+    for reserved in (BATCH_COL, BUCKET_COL, OP_COL, DIFF_COL, _RANK_COL):
+        if reserved in df.columns:
+            raise ValueError(
+                f"{what} must not carry the reserved column {reserved!r}"
+            )
+
+
+def _reject_nulls(df: DataFrame, cols: list[str], what: str) -> None:
+    cond = None
+    for c in cols:
+        n = F.col(c).isNull()
+        cond = n if cond is None else cond | n
+    if df.filter(cond).limit(1).collect():
+        raise ValueError(
+            f"{what} contains NULL in {cols}; keys and ids must be non-null "
+            "(an inner join can never match a NULL key, and a NULL id can "
+            "never be upserted over or deleted)"
+        )
+
+
+def _rank_of(bid: str) -> str:
+    # the compacted partition is the FOLDED PREFIX of the batch history,
+    # so it must sort before every live batch id; "" does, for any
+    # non-empty id (_valid_id rejects empty)
+    return "" if bid == COMPACTED_ID else bid
+
+
+def _validate_monotone(
+    spark: SparkSession, root: str, batch_id: str
+) -> None:
+    """CDC resolution orders ops by batch id, so ids must arrive in
+    lexicographic order; only the newest batch may repeat (replay)."""
+    for side in ("left", "right", "view"):
+        listed = _list_partitions(spark, _side_path(root, side))
+        if listed is None:
+            continue
+        _, _, dirs = listed
+        newer = [b for b in dirs if b != COMPACTED_ID and b > batch_id]
+        if newer:
+            raise ValueError(
+                f"batch_id {batch_id!r} sorts before existing batch(es) "
+                f"{sorted(newer)[:3]} in {side!r}; CDC batch ids must be "
+                "lexicographically monotone (zero-pad sequence numbers)"
+            )
+
+
+def _ops_current(
+    spark: SparkSession,
+    store: str,
+    batch_id: str,
+    spec: JoinViewSpec,
+    id_col: str,
+    probe: DataFrame | None,
+) -> DataFrame | None:
+    """Resolved CURRENT rows of one side as of before ``batch_id``:
+    per ``(key, id)``, the latest op wins and a tombstone means absent.
+
+    Reads each surviving batch directory individually so the resolution
+    rank is the TRUSTED directory name (the type-inferred partition
+    column misorders "10" vs 9 — store.py's identity lesson), with the
+    bucket filter applied per directory for file-level pruning when the
+    layout is bucketed and a probe delta is given."""
+    _recover_compaction(spark, store)
+    listed = _list_partitions(spark, store)
+    if listed is None:
+        return None
+    _, _, dirs = listed
+    keep = {bid: name for bid, name in dirs.items() if bid != batch_id}
+    if not keep:
+        return None
+    buckets = None
+    if spec.n_buckets and probe is not None:
+        buckets = [
+            r[0]
+            for r in probe.select(
+                F.pmod(
+                    F.xxhash64(F.col(spec.key)), F.lit(spec.n_buckets)
+                ).cast("int")
+            )
+            .distinct()
+            .collect()
+        ]
+    parts = []
+    for bid in sorted(keep):
+        df = spark.read.parquet(f"{store}/{keep[bid]}")
+        if buckets is not None and BUCKET_COL in df.columns:
+            df = df.filter(F.col(BUCKET_COL).isin(buckets))
+        parts.append(df.withColumn(_RANK_COL, F.lit(_rank_of(bid))))
+    ops = parts[0]
+    for p in parts[1:]:
+        ops = ops.unionByName(p)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(spec.key, id_col).orderBy(F.col(_RANK_COL).desc())
+    cur = (
+        ops.withColumn("__rn__", F.row_number().over(w))
+        .filter((F.col("__rn__") == 1) & (F.col(OP_COL) == "u"))
+    )
+    drop = [_RANK_COL, "__rn__", OP_COL]
+    if BUCKET_COL in cur.columns:
+        drop.append(BUCKET_COL)
+    return cur.drop(*drop)
+
+
+def _pair_cols(key: str, id_col: str) -> list[str]:
+    """The ``(key, id)`` column list, collapsed when the join key IS the
+    side's id (a dimension keyed by its primary key, like q260's
+    customer side) — a duplicated name would break selects and joins."""
+    return [key] if key == id_col else [key, id_col]
+
+
+def _as_pairs(
+    dfs: list[DataFrame | None], key: str, id_col: str
+) -> DataFrame | None:
+    """Distinct retracted ``(key, id)`` version pairs of one side."""
+    cols = _pair_cols(key, id_col)
+    parts = [d.select(*cols) for d in dfs if d is not None]
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def _null_fill_deletes(
+    deletes: DataFrame,
+    template: DataFrame,
+    spec: JoinViewSpec,
+    id_col: str,
+) -> DataFrame:
+    """Tombstone rows in the op store's full schema: key + id from the
+    delete feed, every other column a typed NULL (only identity matters
+    for a tombstone; uniform schema keeps the partition union loud on
+    genuine drift)."""
+    cols = []
+    for f in template.schema.fields:
+        if f.name in (spec.key, id_col):
+            cols.append(F.col(f.name))
+        elif f.name == OP_COL:
+            continue
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return deletes.select(*cols)
+
+
+def update_join_view_cdc(
+    spark: SparkSession,
+    root: str,
+    batch_id: str,
+    spec: JoinViewSpec,
+    *,
+    left_upserts: DataFrame | None = None,
+    left_deletes: DataFrame | None = None,
+    right_upserts: DataFrame | None = None,
+    right_deletes: DataFrame | None = None,
+) -> dict[str, int]:
+    """Apply one CDC batch to the maintained view. Upserts carry full
+    rows (insert-or-replace by the side's id); deletes must carry the
+    ``(key, id)`` of the version being removed — the old row image every
+    real change feed ships. Returns per-feed row counts plus the view
+    delta's insert/retraction counts."""
+    batch_id = _valid_id(batch_id)
+    feeds = {
+        "left": (left_upserts, left_deletes, spec.left_id),
+        "right": (right_upserts, right_deletes, spec.right_id),
+    }
+    if all(u is None and d is None for u, d, _ in feeds.values()):
+        return {
+            "left_upserts": 0,
+            "left_deletes": 0,
+            "right_upserts": 0,
+            "right_deletes": 0,
+            "view_inserts": 0,
+            "view_retractions": 0,
+        }
+    _validate_monotone(spark, root, batch_id)
+
+    counts: dict[str, int] = {}
+    checked: dict[str, tuple[DataFrame | None, DataFrame | None]] = {}
+    for side, (ups, dels, id_col) in feeds.items():
+        if ups is not None:
+            _check_cols(ups, [spec.key, id_col], f"{side} upserts")
+            ups = ups.localCheckpoint(eager=True)
+            counts[f"{side}_upserts"] = ups.count()
+            _reject_nulls(ups, [spec.key, id_col], f"{side} upserts")
+            _reject_dup_ids(ups, id_col, side)
+        else:
+            counts[f"{side}_upserts"] = 0
+        if dels is not None:
+            _check_cols(dels, [spec.key, id_col], f"{side} deletes")
+            dels = dels.select(
+                *_pair_cols(spec.key, id_col)
+            ).distinct().localCheckpoint(
+                eager=True
+            )
+            counts[f"{side}_deletes"] = dels.count()
+            _reject_nulls(dels, [spec.key, id_col], f"{side} deletes")
+        else:
+            counts[f"{side}_deletes"] = 0
+        if ups is not None and dels is not None:
+            clash = ups.join(
+                dels, on=_pair_cols(spec.key, id_col), how="left_semi"
+            )
+            if clash.limit(1).collect():
+                raise ValueError(
+                    f"{side} batch upserts AND deletes the same "
+                    f"({spec.key}, {id_col}) version — ambiguous; a "
+                    "key-moving update is delete(old key) + upsert(new "
+                    "key), which IS allowed in one batch"
+                )
+        checked[side] = (ups, dels)
+    left_upserts, left_deletes = checked["left"]
+    right_upserts, right_deletes = checked["right"]
+
+    if left_upserts is not None and right_upserts is not None:
+        overlap = (
+            set(left_upserts.columns) & set(right_upserts.columns)
+        ) - {spec.key}
+        if overlap:
+            raise ValueError(
+                f"non-key columns {sorted(overlap)} exist on both sides; "
+                "rename before maintaining the view"
+            )
+
+    left_store = _side_path(root, "left")
+    right_store = _side_path(root, "right")
+    view_store = _side_path(root, "view")
+
+    # one probe set per opposite store: every key this batch touches —
+    # the union bounds every pruned read below (module delta rule)
+    def _keys(*dfs: DataFrame | None) -> DataFrame | None:
+        parts = [d.select(spec.key) for d in dfs if d is not None]
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
+    probe = _keys(left_upserts, left_deletes, right_upserts, right_deletes)
+
+    a_cur = _ops_current(
+        spark, left_store, batch_id, spec, spec.left_id, probe
+    )
+    b_cur = _ops_current(
+        spark, right_store, batch_id, spec, spec.right_id, probe
+    )
+    if a_cur is not None:
+        a_cur = a_cur.localCheckpoint(eager=True)
+    if b_cur is not None:
+        b_cur = b_cur.localCheckpoint(eager=True)
+
+    r_a = _as_pairs([left_upserts, left_deletes], spec.key, spec.left_id)
+    r_b = _as_pairs([right_upserts, right_deletes], spec.key, spec.right_id)
+
+    def _minus(cur: DataFrame | None, pairs, key, id_col):
+        if cur is None:
+            return None
+        if pairs is None:
+            return cur
+        return cur.join(
+            F.broadcast(pairs), on=_pair_cols(key, id_col), how="left_anti"
+        )
+
+    def _hit(cur: DataFrame | None, pairs, key, id_col):
+        if cur is None or pairs is None:
+            return None
+        return cur.join(
+            F.broadcast(pairs), on=_pair_cols(key, id_col), how="left_semi"
+        )
+
+    a_live = _minus(a_cur, r_a, spec.key, spec.left_id)   # A_cur ∖ R_A
+    a_gone = _hit(a_cur, r_a, spec.key, spec.left_id)     # A_cur ⋉ R_A
+    b_live = _minus(b_cur, r_b, spec.key, spec.right_id)  # B_cur ∖ R_B
+    b_gone = _hit(b_cur, r_b, spec.key, spec.right_id)    # B_cur ⋉ R_B
+
+    deltas: list[DataFrame] = []
+
+    def _join(l, r, diff: int):  # noqa: E741
+        if l is None or r is None:
+            return
+        deltas.append(
+            l.join(r, on=spec.key, how="inner").withColumn(
+                DIFF_COL, F.lit(diff)
+            )
+        )
+
+    # ΔV⁺: U_A ⋈ ((B_cur ∖ R_B) ∪ U_B)  ∪  (A_cur ∖ R_A) ⋈ U_B
+    b_new = b_live
+    if right_upserts is not None:
+        b_new = (
+            right_upserts
+            if b_new is None
+            else b_new.unionByName(right_upserts)
+        )
+    _join(left_upserts, b_new, +1)
+    _join(a_live, right_upserts, +1)
+    # ΔV⁻: (A_cur ⋉ R_A) ⋈ B_cur  ∪  (A_cur ∖ R_A) ⋈ (B_cur ⋉ R_B)
+    _join(a_gone, b_cur, -1)
+    _join(a_live, b_gone, -1)
+
+    counts["view_inserts"] = 0
+    counts["view_retractions"] = 0
+    if deltas:
+        view_delta = deltas[0]
+        for d in deltas[1:]:
+            view_delta = view_delta.unionByName(d)
+        view_delta = view_delta.localCheckpoint(eager=True)
+        counts["view_inserts"] = view_delta.filter(
+            F.col(DIFF_COL) > 0
+        ).count()
+        counts["view_retractions"] = view_delta.filter(
+            F.col(DIFF_COL) < 0
+        ).count()
+        commit_batch_partition(
+            view_delta, view_store, batch_id
+        )
+
+    # side op-log commits LAST (the insert-only store's crash argument:
+    # a replay recomputes the identical delta against identical old
+    # sides whichever subset of commits survived)
+    for side, store, ups, dels, id_col in (
+        ("left", left_store, left_upserts, left_deletes, spec.left_id),
+        ("right", right_store, right_upserts, right_deletes, spec.right_id),
+    ):
+        ops = None
+        if ups is not None:
+            ops = ups.withColumn(OP_COL, F.lit("u"))
+        if dels is not None:
+            template = ups
+            if template is None:
+                listed = _list_partitions(spark, store)
+                if listed is not None and listed[2]:
+                    _, _, dirs = listed
+                    any_dir = sorted(dirs.values())[0]
+                    template = spark.read.parquet(f"{store}/{any_dir}")
+                    drop = [
+                        c
+                        for c in (BATCH_COL, BUCKET_COL, OP_COL)
+                        if c in template.columns
+                    ]
+                    template = template.drop(*drop)
+            if template is None:
+                # no store and no upserts: these ids were never inserted,
+                # so the tombstones can never apply — recording nothing
+                # is replay-identical and keeps the op schema anchored to
+                # real data
+                pass
+            else:
+                tomb = _null_fill_deletes(dels, template, spec, id_col)
+                tomb = tomb.withColumn(OP_COL, F.lit("d"))
+                ops = tomb if ops is None else ops.unionByName(tomb)
+        if ops is not None:
+            _commit_side(ops, store, batch_id, spec)
+    return counts
+
+
+def read_join_view_cdc(spark: SparkSession, root: str) -> DataFrame | None:
+    """The live view: net-positive z-set rows (merge-on-read). Equals
+    ``current_A ⋈ current_B`` after any prefix of CDC batches
+    (invariant-drilled). ``None`` -> nothing committed yet."""
+    store = _side_path(root, "view")
+    _recover_compaction(spark, store)
+    listed = _list_partitions(spark, store)
+    if listed is None:
+        return None
+    _, _, dirs = listed
+    if not dirs:
+        return None
+    df = spark.read.parquet(*[f"{store}/{n}" for n in sorted(dirs.values())])
+    if BATCH_COL in df.columns:
+        df = df.drop(BATCH_COL)
+    content = [c for c in df.columns if c != DIFF_COL]
+    return (
+        df.groupBy(*content)
+        .agg(F.sum(DIFF_COL).alias("__net__"))
+        .filter(F.col("__net__") > 0)
+        .drop("__net__")
+    )
+
+
+def read_join_view_cdc_delta(
+    spark: SparkSession, root: str, batch_id: str
+) -> DataFrame | None:
+    """One batch's SIGNED change feed (``__diff__`` = +1 inserts, -1
+    retractions) — what a downstream incremental consumer folds; a
+    rollup store subtracts retracted rows' contributions and adds the
+    inserts, so the IVM cascade stays exact under deletes. ``None`` when
+    the batch produced no view change. Unavailable once folded by
+    compaction — consume deltas before folding them."""
+    store = _side_path(root, "view")
+    _recover_compaction(spark, store)
+    listed = _list_partitions(spark, store)
+    if listed is None:
+        return None
+    _, _, dirs = listed
+    batch_id = _valid_id(batch_id)
+    if batch_id not in dirs:
+        return None
+    df = spark.read.parquet(f"{store}/{dirs[batch_id]}")
+    return df.drop(*[c for c in (BATCH_COL,) if c in df.columns])
+
+
+def read_current_side(
+    spark: SparkSession, root: str, side: str, spec: JoinViewSpec
+) -> DataFrame | None:
+    """Resolved current rows of one side (latest op per ``(key, id)``,
+    tombstoned versions absent) — the audit read."""
+    if side not in ("left", "right"):
+        raise ValueError(f"side must be 'left' or 'right', got {side!r}")
+    id_col = spec.left_id if side == "left" else spec.right_id
+    return _ops_current(
+        spark,
+        _side_path(root, side),
+        # a "/" can never appear in a partition directory name, so no
+        # batch is excluded: this reads the WHOLE resolved side
+        "never/a/batch",
+        spec,
+        id_col,
+        None,
+    )
+
+
+def verify_cdc_side(
+    spark: SparkSession, root: str, side: str, spec: JoinViewSpec
+) -> int:
+    """Full-scan audit of the key-change contract (module docstring): an
+    id may have at most ONE live ``(key, id)`` version. Returns the
+    number of violating ids (0 = clean); a violation means some upsert
+    moved an id's key without tombstoning the old version."""
+    cur = read_current_side(spark, root, side, spec)
+    if cur is None:
+        return 0
+    id_col = spec.left_id if side == "left" else spec.right_id
+    return (
+        cur.groupBy(id_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+
+
+def compact_join_view_cdc(
+    spark: SparkSession,
+    root: str,
+    spec: JoinViewSpec,
+    exclude: tuple[str, ...] = (),
+) -> dict[str, int]:
+    """Fold each store to its SEMANTIC state under the staged-swap crash
+    protocol (`joinview._compact_store_safe`): the sides fold to their
+    resolved current rows (absorbed tombstones disappear — the op log
+    becomes a snapshot), the view folds to its net-positive rows with
+    ``+1`` signs. Same hard precondition as every compactor (``exclude``
+    replayable batches), plus a CDC-specific one enforced here: every
+    excluded batch must sort AFTER every folded one, because the
+    compacted partition ranks before all live batches and a folded-over
+    middle batch would misorder resolution."""
+    from pyspark.sql.window import Window
+
+    out: dict[str, int] = {}
+    for side in ("left", "right"):
+        id_col = spec.left_id if side == "left" else spec.right_id
+
+        def _fold_ops(ops: DataFrame, id_col=id_col) -> DataFrame:
+            w = Window.partitionBy(spec.key, id_col).orderBy(
+                F.col(_RANK_COL).desc()
+            )
+            return (
+                ops.withColumn("__rn__", F.row_number().over(w))
+                .filter((F.col("__rn__") == 1) & (F.col(OP_COL) == "u"))
+                .drop(_RANK_COL, "__rn__")
+            )
+
+        out[side] = _compact_store_safe(
+            spark,
+            _side_path(root, side),
+            exclude,
+            bucketed=bool(spec.n_buckets),
+            fold_fn=_fold_ops,
+            rank_col=_RANK_COL,
+        )
+
+    def _fold_view(df: DataFrame) -> DataFrame:
+        content = [
+            c for c in df.columns if c not in (DIFF_COL, _RANK_COL)
+        ]
+        return (
+            df.groupBy(*content)
+            .agg(F.sum(DIFF_COL).alias("__net__"))
+            .filter(F.col("__net__") > 0)
+            .drop("__net__")
+            .withColumn(DIFF_COL, F.lit(1))
+        )
+
+    out["view"] = _compact_store_safe(
+        spark,
+        _side_path(root, "view"),
+        exclude,
+        bucketed=False,
+        fold_fn=_fold_view,
+        rank_col=_RANK_COL,
+    )
+    return out
+
+
+def forget_left_ids_from_cdc_view(
+    spark: SparkSession,
+    root: str,
+    ids_df: DataFrame,
+    spec: JoinViewSpec,
+    *,
+    audit_path: str | None = None,
+) -> dict[str, int]:
+    """GDPR erasure of left ids: every op-log row (upserts AND
+    tombstones) and every view row — both signs — that carries the id is
+    physically removed. A tombstone is not erasure; this is."""
+    return _forget_cdc(spark, root, ids_df, spec, "left", audit_path)
+
+
+def forget_right_ids_from_cdc_view(
+    spark: SparkSession,
+    root: str,
+    ids_df: DataFrame,
+    spec: JoinViewSpec,
+    *,
+    audit_path: str | None = None,
+) -> dict[str, int]:
+    """Right-side twin of :func:`forget_left_ids_from_cdc_view`."""
+    return _forget_cdc(spark, root, ids_df, spec, "right", audit_path)
+
+
+def _forget_cdc(
+    spark: SparkSession,
+    root: str,
+    ids_df: DataFrame,
+    spec: JoinViewSpec,
+    side: str,
+    audit_path: str | None,
+) -> dict[str, int]:
+    from .forget import forget_matching_from_store
+
+    id_col = spec.left_id if side == "left" else spec.right_id
+    store = _side_path(root, side)
+    view_store = _side_path(root, "view")
+    _recover_compaction(spark, store)
+    _recover_compaction(spark, view_store)
+    # op log first (insert-only forget's ordering argument): with the
+    # source versions gone no future batch can re-derive view rows for
+    # these ids, so a crash between the two erasures only ever leaves
+    # removable extras in the view
+    if spec.n_buckets:
+        side_removed = _forget_bucketed(
+            spark, store, ids_df, id_col, audit_path=audit_path
+        )
+    else:
+        side_removed = forget_matching_from_store(
+            spark, store, ids_df, id_col=id_col, audit_path=audit_path
+        )
+    view_removed = forget_matching_from_store(
+        spark, view_store, ids_df, id_col=id_col, audit_path=audit_path
+    )
+    return {
+        f"{side}_rows_removed": sum(side_removed.values()),
+        "view_rows_removed": sum(view_removed.values()),
+    }

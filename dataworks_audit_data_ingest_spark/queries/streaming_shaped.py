@@ -3266,3 +3266,175 @@ def q264_enriched_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return report
+
+
+# ---------------------------------------------------------------------------
+# q265 — the CDC-maintained join view under the oracle: a four-batch
+# change feed with inserts, DELETES, value UPDATES, and a key-MOVE, plus
+# a mid-stream semantic compaction; the net view must hash-match
+# DuckDB's full recompute of the final state. The batch membership and
+# every mutation are integer-mod expressions shared by both engines.
+# ---------------------------------------------------------------------------
+
+# mutation sets, disjoint by o_orderkey % 4 class (so a row is never
+# deleted AND updated): deletes from class 0, value updates from class
+# 1, key moves from class 2
+_Q265_DEL_L = "o_orderkey % 4 = 0 AND o_orderkey % 5 = 0"
+_Q265_UPD_L = "o_orderkey % 4 = 1 AND o_orderkey % 5 = 0"
+_Q265_MOVE_L = "o_orderkey % 4 = 2 AND o_orderkey % 7 = 0"
+_Q265_DEL_R = "c_custkey % 3 = 0 AND c_custkey % 11 = 0"
+_Q265_UPD_R = "c_custkey % 3 = 1 AND c_custkey % 13 = 0"
+
+
+@register(
+    "q265_cdc_join_view_report",
+    sql=f"""
+    WITH final_orders AS (
+        SELECT o_orderkey,
+               CASE WHEN {_Q265_MOVE_L} THEN o_custkey + 1
+                    ELSE o_custkey END AS c_custkey,
+               CASE WHEN {_Q265_UPD_L} THEN '1-UPDATED'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_totalprice
+        FROM orders
+        WHERE NOT ({_Q265_DEL_L})
+    ), final_cust AS (
+        SELECT c_custkey,
+               CASE WHEN {_Q265_UPD_R} THEN 'SEG-UPDATED'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+        WHERE NOT ({_Q265_DEL_R})
+    )
+    SELECT c.c_mktsegment,
+           o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({_Q260_CENTS}) AS BIGINT) AS revenue_cents
+    FROM final_orders o
+    JOIN final_cust c ON c.c_custkey = o.c_custkey
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+    ORDER BY c.c_mktsegment, o.o_orderpriority
+    """,
+    tags=("incremental", "joinview", "cdc", "join", "agg"),
+)
+def q265_cdc_join_view_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under FULL CDC, verified end to end
+    (`incremental/joinview_cdc.py`): orders ⋈ customer is maintained
+    through four batches that insert both sides in interleaved mod
+    classes, DELETE a slice of the first orders class, UPDATE a slice of
+    the second class's priority, key-MOVE a slice of the third class to
+    ``custkey + 1`` (the delete-old-key + upsert-new-key CDC idiom), and
+    DELETE/UPDATE customer slices — with a semantic compaction (sides
+    fold to current rows, view folds to its net) after the third batch.
+    The net-positive view's report must equal DuckDB's one-shot join
+    over the mutations' closed form; a single missed retraction or
+    double-applied upsert shifts a count or a cents sum and breaks the
+    hash.
+
+    Scale shape: per batch two delta-sized inserts and two delta-sized
+    retraction joins, all against bucket-pruned current-side reads
+    (n_buckets=8) — the view store is WRITE-ONLY during updates (the
+    retraction terms derive from the side stores, never a view scan),
+    and the read is one net-sum over committed signed partitions."""
+    import shutil
+    import tempfile
+
+    from ..incremental.joinview import JoinViewSpec
+    from ..incremental.joinview_cdc import (
+        compact_join_view_cdc,
+        read_join_view_cdc,
+        update_join_view_cdc,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    # the mutation predicates reference the ORIGINAL column names; after
+    # the alias above, o_custkey is c_custkey on the Spark side
+    move_l = _Q265_MOVE_L
+    spec = JoinViewSpec(
+        key="c_custkey",
+        left_id="o_orderkey",
+        right_id="c_custkey",
+        n_buckets=8,
+    )
+    root = tempfile.mkdtemp(prefix="q265_cdc_") + "/view"
+
+    def lcls(i: int) -> DataFrame:
+        return orders.filter(F.expr(f"o_orderkey % 4 = {i}"))
+
+    def rcls(i: int) -> DataFrame:
+        return cust.filter(F.expr(f"c_custkey % 3 = {i}"))
+
+    try:
+        # b0: seed class 0 / class 0
+        update_join_view_cdc(
+            spark, root, "b0", spec,
+            left_upserts=lcls(0), right_upserts=rcls(0),
+        )
+        # b1: insert class 1 / class 1; delete the order slice
+        update_join_view_cdc(
+            spark, root, "b1", spec,
+            left_upserts=lcls(1),
+            left_deletes=orders.filter(F.expr(_Q265_DEL_L)).select(
+                "c_custkey", "o_orderkey"
+            ),
+            right_upserts=rcls(1),
+        )
+        # b2: insert class 2 / class 2; UPDATE order priorities (same
+        # key, new value); delete the customer slice
+        update_join_view_cdc(
+            spark, root, "b2", spec,
+            left_upserts=lcls(2).unionByName(
+                orders.filter(F.expr(_Q265_UPD_L)).withColumn(
+                    "o_orderpriority", F.lit("1-UPDATED")
+                )
+            ),
+            right_upserts=rcls(2),
+            # key == id on this side (the dimension is keyed by its PK),
+            # so the delete feed is the single column
+            right_deletes=cust.filter(F.expr(_Q265_DEL_R)).select(
+                "c_custkey"
+            ),
+        )
+        # semantic compaction mid-stream: b0/b1 fold, b2 stays replayable
+        folded = compact_join_view_cdc(spark, root, spec, exclude=("b2",))
+        if folded != {"left": 2, "right": 2, "view": 2}:
+            raise RuntimeError(
+                f"q265 expected two folded partitions per store, got {folded}"
+            )
+        # b3: insert class 3; key-MOVE the order slice to custkey+1
+        # (delete old key + upsert new key in ONE batch); UPDATE the
+        # customer segment slice
+        moved = orders.filter(F.expr(move_l))
+        update_join_view_cdc(
+            spark, root, "b3", spec,
+            left_upserts=lcls(3).unionByName(
+                moved.withColumn("c_custkey", F.expr("c_custkey + 1"))
+            ),
+            left_deletes=moved.select("c_custkey", "o_orderkey"),
+            right_upserts=cust.filter(F.expr(_Q265_UPD_R)).withColumn(
+                "c_mktsegment", F.lit("SEG-UPDATED")
+            ),
+        )
+        report = (
+            read_join_view_cdc(spark, root)
+            .groupBy("c_mktsegment", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.expr(_Q260_CENTS)).cast("bigint").alias(
+                    "revenue_cents"
+                ),
+            )
+            .orderBy("c_mktsegment", "o_orderpriority")
+            # materialize BEFORE the store directory is removed
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root.rsplit("/", 1)[0], ignore_errors=True)
+    return report
