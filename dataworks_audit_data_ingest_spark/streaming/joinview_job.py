@@ -38,6 +38,38 @@ from ..incremental.joinview import (
 logger = logging.getLogger(__name__)
 
 
+def split_sides(
+    batch_df: DataFrame,
+    side_col: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Project a multiplexed change micro-batch into its (left, right)
+    deltas, failing LOUDLY on any unknown or NULL side tag. The coalesce
+    matters: a NULL tag makes ``isin()`` NULL, which a bare NOT-filter
+    silently passes over — the row would vanish from both deltas and its
+    joins would be missing forever. Shared by the plain maintenance
+    stream and the cascade job (`streaming/cascade_job.py`)."""
+    stray = (
+        batch_df.filter(
+            ~F.coalesce(
+                F.col(side_col).isin("left", "right"), F.lit(False)
+            )
+        )
+        .limit(1)
+        .collect()
+    )
+    if stray:
+        raise ValueError(
+            f"change row with unknown {side_col}="
+            f"{stray[0][side_col]!r}; expected 'left' or 'right'"
+        )
+    return (
+        batch_df.filter(F.col(side_col) == "left").select(*left_cols),
+        batch_df.filter(F.col(side_col) == "right").select(*right_cols),
+    )
+
+
 def start_join_view_maintenance_stream(
     changes_stream: DataFrame,
     root: str,
@@ -66,25 +98,7 @@ def start_join_view_maintenance_stream(
     def one_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)
-        # coalesce: a NULL tag makes isin() NULL, which a bare NOT-filter
-        # silently passes over — the exact silent drop this guard exists
-        # to prevent
-        stray = (
-            batch_df.filter(
-                ~F.coalesce(
-                    F.col(side_col).isin("left", "right"), F.lit(False)
-                )
-            )
-            .limit(1)
-            .collect()
-        )
-        if stray:
-            raise ValueError(
-                f"change row with unknown {side_col}="
-                f"{stray[0][side_col]!r}; expected 'left' or 'right'"
-            )
-        ld = batch_df.filter(F.col(side_col) == "left").select(*left_cols)
-        rd = batch_df.filter(F.col(side_col) == "right").select(*right_cols)
+        ld, rd = split_sides(batch_df, side_col, left_cols, right_cols)
         counts = update_join_view(
             spark,
             root,
