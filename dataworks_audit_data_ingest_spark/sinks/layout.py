@@ -38,6 +38,8 @@ def zorder_write(
     n_files: int = 8,
     bits: int = 8,
     mode: str = "overwrite",
+    bloom_cols: tuple[str, ...] = (),
+    bloom_ndv: int | None = None,
 ) -> None:
     """Write ``df`` as parquet clustered on the Z-order curve of ``cols``.
 
@@ -46,6 +48,19 @@ def zorder_write(
     into a Morton code, and the output is range-partitioned by it into
     ``n_files`` files — every listed column gets min/max locality in every
     file, so selective scans on any of them prune files.
+
+    ``bloom_cols`` writes parquet BLOOM FILTERS for the named columns —
+    the pruning lever for point lookups on HIGH-CARDINALITY ids that the
+    Z-order does NOT cluster (an event_id or content hash stays scattered
+    across every file, so min/max and page indexes cannot skip anything;
+    `tools/bloom_study.py` measures 1.4×/1.9× present/absent probe wins
+    at production row-group sizes for +1.8 % disk). ``bloom_ndv`` sizes
+    the filters (expected distinct values PER FILE); when omitted it is
+    estimated as ``count/n_files`` — without it parquet falls back to
+    ``parquet.bloom.filter.max.bytes`` and writes maximal 1 MB blooms.
+    At fixture-scale row groups blooms COST more than they skip (the
+    round-10 honest-negative) — turn them on for production-sized row
+    groups and genuinely random point probes, not reflexively.
     """
     aggs = []
     for c in cols:
@@ -70,13 +85,27 @@ def zorder_write(
         cell_cols.append(f"_cell_{c}")
 
     z = cells.withColumn("_z", _interleave_expr(cell_cols, bits))
-    (
+    writer = (
         z.repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z", *cell_cols, *[f"_min_{c}" for c in cols], *[f"_max_{c}" for c in cols])
         .write.mode(mode)
-        .parquet(path)
     )
+    if bloom_cols:
+        missing = [c for c in bloom_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"bloom_cols not in the frame: {missing}")
+        ndv = bloom_ndv
+        if ndv is None:
+            # one count job; the estimate only sizes the filters, it
+            # does not gate correctness (false-positive rate degrades
+            # gracefully if the guess is low)
+            ndv = max(1, df.count() // max(1, n_files))
+        for c in bloom_cols:
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{c}", "true"
+            ).option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+    writer.parquet(path)
 
 
 def files_touched(df_filtered: DataFrame) -> int:

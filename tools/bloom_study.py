@@ -60,28 +60,52 @@ def _gen(spark, n_rows: int, n_files: int):
 
 
 def main() -> int:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 6_000_000
-    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    args = [a for a in sys.argv[1:] if a != "--sink"]
+    use_sink = "--sink" in sys.argv[1:]
+    n_rows = int(args[0]) if len(args) > 0 else 6_000_000
+    n_files = int(args[1]) if len(args) > 1 else 8
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.showConsoleProgress", "false")
+        # the --sink path sorts each ~128 MB row group in-task before
+        # the parquet write; the default 1g heap OOMs at 6M rows
+        .config("spark.driver.memory", "12g")
         .appName("bloom-study")
         .getOrCreate()
     )
     base = tempfile.mkdtemp(prefix="bloom_study_")
     plain, bloomed = f"{base}/plain", f"{base}/bloom"
     df = _gen(spark, n_rows, n_files)
-    df.write.mode("overwrite").parquet(plain)
-    (
-        df.write.mode("overwrite")
-        .option("parquet.bloom.filter.enabled#event_id", "true")
-        .option(
-            "parquet.bloom.filter.expected.ndv#event_id",
-            str(max(1, n_rows // n_files)),
+    if use_sink:
+        # the engine's OWN sorted sink (round-11 follow-up): Z-order
+        # clusters (v1, ts_s); event_id stays scattered — exactly the
+        # column the new bloom_cols knob exists for
+        from dataworks_audit_data_ingest_spark.sinks.layout import (
+            zorder_write,
         )
-        .parquet(bloomed)
-    )
+
+        print(f"writer: zorder_write(cols=(v1, ts_s), n_files={n_files})")
+        zorder_write(df, plain, cols=("v1", "ts_s"), n_files=n_files)
+        zorder_write(
+            df,
+            bloomed,
+            cols=("v1", "ts_s"),
+            n_files=n_files,
+            bloom_cols=("event_id",),
+            bloom_ndv=max(1, n_rows // n_files),
+        )
+    else:
+        df.write.mode("overwrite").parquet(plain)
+        (
+            df.write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#event_id", "true")
+            .option(
+                "parquet.bloom.filter.expected.ndv#event_id",
+                str(max(1, n_rows // n_files)),
+            )
+            .parquet(bloomed)
+        )
     present = F.md5(F.lit(str(n_rows // 2)))
     # MID-domain absent value: an edge value like "000...0" would sit
     # below every page's min and be pruned by plain min/max stats,
