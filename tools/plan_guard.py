@@ -47,8 +47,11 @@ def fingerprint(plan: str) -> dict[str, int]:
 
 # Stable non-bench shapes worth guarding too (round 10): classic TPC-H
 # plans and the Spark 4 SQL-surface queries whose plans must never grow a
-# Python eval or lose a broadcast. Queries materializing temp state
-# (q254 store, q255 XML) return checkpoint scans — nothing to guard.
+# Python eval or lose a broadcast. Round 11 adds the three guardable
+# round-10 shapes (q261 checksum, q262 allocation, q263 recursive path).
+# Queries materializing temp state (q254/q260/q264/q265 stores, q255
+# XML) return checkpoint scans — nothing to guard; their plan evidence
+# is the store modules' drills and PERF.md's cross-scale shuffle rows.
 GUARDED_EXTRAS = (
     "q250_ship_lag_priority",
     "q251_bracket_revenue",
@@ -58,6 +61,9 @@ GUARDED_EXTRAS = (
     "q257_try_divide_rates",
     "q258_percentile_within_group",
     "q259_lateral_column_alias",
+    "q261_table_checksum",
+    "q262_neyman_allocation",
+    "q263_cheapest_journey_path",
 )
 
 
