@@ -34,8 +34,9 @@ from . import graph_shaped  # noqa: E402,F401
 # verbatim output of `python tools/rotation.py --emit` over the r01–r10
 # driver history (DRIVER_PRIORITY_AS_OF_ROUND pins which history it was
 # computed from; tests/test_cli_operators.py asserts the paste matches the
-# computation, so hand-drift is a test failure). The round-11 query
-# (q265 CDC join view) leads as never-run; then stalest-first refresh:
+# computation, so hand-drift is a test failure). The round-11 queries
+# (q265 CDC join view, q266 semantic-verifier audit) lead as
+# never-run; then stalest-first refresh:
 # the THIRTEEN r05-latest rows (q160–q163, q165, q166, q168, q169,
 # q171, q172, q92, q93, q99 — the full r05 staleness floor the r10
 # verdict flagged; STATUS.md's "seven" undercounted it), then 37 of the
@@ -47,6 +48,7 @@ from . import graph_shaped  # noqa: E402,F401
 DRIVER_PRIORITY_AS_OF_ROUND = 10
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q265_cdc_join_view_report",
+    "q266_semantic_store_verifier_audit",
     "q160_rfm_segmentation",
     "q161_trending_users",
     "q162_cohort_ltv",
@@ -95,7 +97,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q164_model_ece",
     "q167_readability",
     "q16_acctbal_deciles",
-    "q170_hard_negatives",
 )
 
 

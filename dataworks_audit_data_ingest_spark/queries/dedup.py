@@ -1004,15 +1004,40 @@ _SEM_THRESHOLD = 0.98
 _SEM_N_VARIANTS = 25  # vec_id < 25 get two scaled clones each
 
 
-def _semantic_dedup_sql() -> str:
-    """DuckDB oracle for ``text.pipeline.drop_semantic_duplicates``:
-    mirrors, arithmetic step for arithmetic step, the operator's SRP
-    signatures (integer-quantized BIGINT folds, shared ``SRP_SCALE``),
-    its two candidate levels (exact-full-signature anchor stars; capped
-    banded buckets with over-cap buckets degrading to an anchor star),
-    the exact DECIMAL(28,18) cosine gate, and the q58-style
-    ``WITH RECURSIVE`` min-label connected components. The kept set is
-    the corpus minus every node whose component minimum is not itself."""
+def _sem_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-family fixture corpus: embeddings plus two scaled
+    clones (×1.5, ×2.25 — cosine-1.0 piles of three) for each of the
+    first ``_SEM_N_VARIANTS`` vectors. Shared by q90 and q266 and
+    mirrored verbatim by the oracle's ``corpus`` CTE."""
+    e = table(spark, sf_dir, "embeddings")
+    orig = e.select(
+        "vec_id",
+        F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+
+    def clones(offset: int, scale: str) -> DataFrame:
+        return e.filter(F.col("vec_id") < _SEM_N_VARIANTS).select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            F.expr(f"TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * {scale})").alias(
+                "embedding"
+            ),
+        )
+
+    return orig.unionByName(clones(_VARIANT_OFFSET, "1.5")).unionByName(
+        clones(2 * _VARIANT_OFFSET, "2.25")
+    )
+
+
+def _sem_scored_ctes() -> str:
+    """Shared oracle CTE chain for the semantic-dedup family: corpus
+    (embeddings + two scaled clone piles) → SRP projections (integer-
+    quantized BIGINT folds, shared ``SRP_SCALE``) → full signatures →
+    the operator's candidate levels (anchor stars, capped buckets,
+    hot-bucket fallback) → exact DECIMAL(28,18) full-precision cosine
+    per candidate pair (``scored``). Consumed by BOTH q90 (dedup
+    decisions) and q266 (store-verifier audit), so the audit scores
+    exactly the universe the operator decides on — mirrored Spark-side
+    by `text.pipeline.semantic_candidate_scores`."""
     from ..functions.hashing import SRP_SCALE
 
     h = duckdb_hash32(
@@ -1093,7 +1118,17 @@ def _semantic_dedup_sql() -> str:
              CAST(SUM(CAST(ea[i] * eb[i] AS {_DOT_DEC})) AS DOUBLE)
                / (ANY_VALUE(na) * ANY_VALUE(nb)) AS cosine
       FROM pair_terms GROUP BY id_a, id_b
-    ), edges AS (
+    )
+    """
+
+
+def _semantic_dedup_sql() -> str:
+    """DuckDB oracle for ``text.pipeline.drop_semantic_duplicates``:
+    the shared candidate/score chain (`_sem_scored_ctes`) plus the
+    threshold gate and the q58-style ``WITH RECURSIVE`` min-label
+    connected components. The kept set is the corpus minus every node
+    whose component minimum is not itself."""
+    return _sem_scored_ctes() + f""", edges AS (
       SELECT id_a, id_b FROM scored WHERE cosine >= {_SEM_THRESHOLD}
       UNION ALL
       SELECT id_b AS id_a, id_a AS id_b
@@ -1138,23 +1173,7 @@ def q90_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..text.pipeline import drop_semantic_duplicates
 
-    e = table(spark, sf_dir, "embeddings")
-    orig = e.select(
-        "vec_id",
-        F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
-    )
-
-    def clones(offset: int, scale: str) -> DataFrame:
-        return e.filter(F.col("vec_id") < _SEM_N_VARIANTS).select(
-            (F.col("vec_id") + offset).alias("vec_id"),
-            F.expr(f"TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * {scale})").alias(
-                "embedding"
-            ),
-        )
-
-    corpus = orig.unionByName(clones(_VARIANT_OFFSET, "1.5")).unionByName(
-        clones(2 * _VARIANT_OFFSET, "2.25")
-    )
+    corpus = _sem_corpus(spark, sf_dir)
     kept = drop_semantic_duplicates(
         corpus,
         threshold=_SEM_THRESHOLD,
@@ -1165,6 +1184,153 @@ def q90_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_cap=_SEM_CAP,
     )
     return kept.select("vec_id").orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q266 — graded parity audit of the incremental semantic store's
+# QUANTIZED verifier (text/incremental_semantic.py): store-side dedup
+# decisions must equal full-precision decisions on the fixture corpus.
+# ---------------------------------------------------------------------------
+
+
+def _q266_sql() -> str:
+    """Oracle: the shared candidate/score chain, plus the STORE's
+    verifier leg — the kept side (``id_a``, what the store holds)
+    round-tripped through the int8 affine quantizer
+    (`similarity/quantize.py`, mirrored arithmetic step for step:
+    per-vector min/max range, scale (mx-mn)/255, ROUND half-away level,
+    dequant mn + level·scale) and re-scored against the full-precision
+    new side. Output: one census row over every candidate pair —
+    decision counts under both verifiers, disagreements, and the
+    measured cosine error in integer micro."""
+    return _sem_scored_ctes() + f""", qparams AS (
+      SELECT vec_id,
+             LIST_MIN(emb) AS q_mn,
+             CASE WHEN LIST_MAX(emb) = LIST_MIN(emb) THEN CAST(0 AS DOUBLE)
+                  ELSE (LIST_MAX(emb) - LIST_MIN(emb)) / 255.0 END AS q_scale
+      FROM corpus
+    ), deq AS (
+      SELECT c.vec_id,
+             LIST_TRANSFORM(c.emb, x -> q.q_mn +
+                 CAST(ROUND(CASE WHEN q.q_scale = 0 THEN 0
+                                 ELSE (x - q.q_mn) / q.q_scale END)
+                      AS DOUBLE) * q.q_scale) AS emb
+      FROM corpus c JOIN qparams q USING (vec_id)
+    ), dnorm_terms AS (
+      SELECT vec_id, emb, UNNEST(RANGE(1, LEN(emb) + 1)) AS i FROM deq
+    ), dbase AS (
+      SELECT vec_id, ANY_VALUE(emb) AS emb,
+             SQRT(CAST(SUM(CAST(emb[i] * emb[i] AS {_DOT_DEC})) AS DOUBLE))
+               AS nrm
+      FROM dnorm_terms GROUP BY vec_id
+    ), store_pair_terms AS (
+      SELECT id_a, id_b, ea, eb, na, nb, UNNEST(RANGE(1, LEN(ea) + 1)) AS i
+      FROM (SELECT c.id_a, c.id_b, a.emb AS ea, b.emb AS eb,
+                   a.nrm AS na, b.nrm AS nb
+            FROM cand c
+              JOIN dbase a ON a.vec_id = c.id_a
+              JOIN base b ON b.vec_id = c.id_b)
+    ), store_scored AS (
+      SELECT id_a, id_b,
+             CAST(SUM(CAST(ea[i] * eb[i] AS {_DOT_DEC})) AS DOUBLE)
+               / (ANY_VALUE(na) * ANY_VALUE(nb)) AS s_cosine
+      FROM store_pair_terms GROUP BY id_a, id_b
+    ), census AS (
+      SELECT f.cosine AS cf, s.s_cosine AS cs
+      FROM scored f JOIN store_scored s USING (id_a, id_b)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN cf >= {_SEM_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_full,
+           CAST(SUM(CASE WHEN cs >= {_SEM_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_store,
+           CAST(SUM(CASE WHEN (cf >= {_SEM_THRESHOLD})
+                          != (cs >= {_SEM_THRESHOLD})
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
+           CAST(MAX(FLOOR(ABS(cf - cs) * 1000000)) AS BIGINT)
+               AS max_err_micro,
+           CAST(SUM(FLOOR(ABS(cf - cs) * 1000000)) AS BIGINT)
+               AS sum_err_micro
+    FROM census
+    """
+
+
+@register(
+    "q266_semantic_store_verifier_audit",
+    sql=_q266_sql(),
+    tags=("dedup", "semantic", "incremental", "audit", "quantize"),
+)
+def q266_semantic_store_verifier_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Graded parity audit of the incremental semantic store's verifier
+    (`text/incremental_semantic.py`): the store keeps int8-quantized
+    embeddings and verifies candidate cosines with the KEPT side
+    dequantized — this census pins, pair by pair over the operator's
+    own candidate universe (`text.pipeline.semantic_candidate_scores` —
+    the q90 levels), that the quantized verifier reaches the SAME
+    dedup decisions as full precision, and measures the cosine error it
+    actually pays (max and total, integer micro). The module's
+    documented bound is O(1e-3) at d=64; on this fixture the decision
+    disagreement count is 0 (drill-asserted) and the oracle hash pins
+    every census value, so any quantizer or verifier drift — a changed
+    rounding mode, a lost affine term — breaks this query before it
+    silently weakens the store.
+
+    Scale shape: signatures and quantization are map-side; candidates
+    shuffle (band, bval) and signature keys only (capped buckets); both
+    verifier legs touch candidate PAIRS, never a corpus product — the
+    same shape as the store's own batch step."""
+    from ..similarity.knn import _with_norm, cosine_expr
+    from ..similarity.quantize import quantize_int8
+    from ..text.incremental_semantic import _dequant_expr
+    from ..text.pipeline import semantic_candidate_scores
+
+    corpus = _sem_corpus(spark, sf_dir)
+    scores = semantic_candidate_scores(
+        corpus,
+        id_col="vec_id",
+        vec_col="embedding",
+        srp_bands=_SEM_BANDS,
+        srp_bits=_SEM_BITS,
+        bucket_cap=_SEM_CAP,
+    )
+    base = corpus.select(
+        "vec_id",
+        F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("_v"),
+    )
+    deq = quantize_int8(base, "_v").select(
+        "vec_id", F.expr(_dequant_expr()).alias("_dv")
+    )
+    deqn = _with_norm(deq, "_dv").select(
+        F.col("vec_id").alias("id_a"),
+        F.col("_dv"),
+        F.col("_nrm").alias("_dn"),
+    )
+    legs = (
+        scores.select("id_a", "id_b", "_cos", "_vb", "_nb")
+        .join(deqn, "id_a")
+        .withColumn("_scos", F.expr(cosine_expr("_dv", "_vb", "_dn", "_nb")))
+    )
+    t = _SEM_THRESHOLD
+    err = "CAST(FLOOR(ABS(_cos - _scos) * 1000000) AS BIGINT)"
+    return legs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr(f"SUM(CASE WHEN _cos >= {t} THEN 1 ELSE 0 END)")
+        .cast("bigint")
+        .alias("n_dup_full"),
+        F.expr(f"SUM(CASE WHEN _scos >= {t} THEN 1 ELSE 0 END)")
+        .cast("bigint")
+        .alias("n_dup_store"),
+        F.expr(
+            f"SUM(CASE WHEN (_cos >= {t}) != (_scos >= {t})"
+            " THEN 1 ELSE 0 END)"
+        )
+        .cast("bigint")
+        .alias("n_disagree"),
+        F.expr(f"MAX({err})").alias("max_err_micro"),
+        F.expr(f"SUM({err})").cast("bigint").alias("sum_err_micro"),
+    )
 
 
 # ---------------------------------------------------------------------------

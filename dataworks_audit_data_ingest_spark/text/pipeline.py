@@ -475,9 +475,42 @@ def drop_semantic_duplicates(
     per vector keyed by signature; level-2 shuffles (band, bval) keys
     with ≤ cap²/2 pairs per bucket; CC costs O(cluster diameter)
     shuffles (near-dup clusters are shallow)."""
+    from ..functions.graph import connected_components
+
+    scored = semantic_candidate_scores(
+        docs,
+        id_col=id_col,
+        vec_col=vec_col,
+        srp_bands=srp_bands,
+        srp_bits=srp_bits,
+        bucket_cap=bucket_cap,
+    )
+    edges = scored.filter(F.col("_cos") >= threshold).select("id_a", "id_b")
+    dupes = (
+        connected_components(edges, src="id_a", dst="id_b")
+        .filter(F.col("node_id") != F.col("cluster_id"))
+        .select(F.col("node_id").alias(id_col))
+    )
+    return docs.join(dupes, id_col, "left_anti")
+
+
+def semantic_candidate_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    srp_bands: int = 4,
+    srp_bits: int = 8,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """The operator's candidate universe with exact-decimal cosines:
+    ``(id_a, id_b, _cos)`` for every level-1 anchor-star, capped-bucket,
+    and hot-bucket-fallback pair (see :func:`drop_semantic_duplicates`,
+    whose edge set is exactly ``_cos >= threshold`` over this frame).
+    Exposed so audits (q266's store-verifier parity census) score the
+    SAME pair universe the dedup decision runs on — a reimplementation
+    could silently drift."""
     from pyspark.sql import Window
 
-    from ..functions.graph import connected_components
     from ..similarity.knn import _srp_bands_expr, _with_norm, cosine_expr
 
     base = _with_norm(
@@ -517,7 +550,7 @@ def drop_semantic_duplicates(
         .select(F.col("_bmin").alias("id_a"), F.col("_id").alias("id_b"))
     )
     cand = star.union(bucket_pairs).union(big_star).distinct()
-    scored = (
+    return (
         cand.join(
             base.select(
                 F.col("_id").alias("id_a"),
@@ -536,13 +569,6 @@ def drop_semantic_duplicates(
         )
         .withColumn("_cos", F.expr(cosine_expr("_va", "_vb", "_na", "_nb")))
     )
-    edges = scored.filter(F.col("_cos") >= threshold).select("id_a", "id_b")
-    dupes = (
-        connected_components(edges, src="id_a", dst="id_b")
-        .filter(F.col("node_id") != F.col("cluster_id"))
-        .select(F.col("node_id").alias(id_col))
-    )
-    return docs.join(dupes, id_col, "left_anti")
 
 
 def cap_per_source(
