@@ -472,11 +472,15 @@ def read_join_view_cdc_delta(
     spark: SparkSession, root: str, batch_id: str
 ) -> DataFrame | None:
     """One batch's SIGNED change feed (``__diff__`` = +1 inserts, -1
-    retractions) — what a downstream incremental consumer folds; a
-    rollup store subtracts retracted rows' contributions and adds the
-    inserts, so the IVM cascade stays exact under deletes. ``None`` when
-    the batch produced no view change. Unavailable once folded by
-    compaction — consume deltas before folding them."""
+    retractions) — what a downstream incremental consumer folds. An
+    ADDITIVE consumer (counts, sums: contribution × diff) stays exact
+    under deletes by construction (drill-pinned in
+    `tests/test_join_view_cdc.py::test_signed_feed_folds_additively`);
+    non-retractable aggregates (min/max, a distinct-user grain) cannot
+    subtract a retraction and need recompute-on-retract or the net view
+    read instead. ``None`` when the batch produced no view change.
+    Unavailable once folded by compaction — consume deltas before
+    folding them."""
     store = _side_path(root, "view")
     _recover_compaction(spark, store)
     listed = _list_partitions(spark, store)

@@ -363,3 +363,42 @@ def test_q265_partition_invariant(spark):
         assert rows[before]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_signed_feed_folds_additively(spark, tmp_path):
+    """The IVM-cascade claim under CDC: an ADDITIVE downstream aggregate
+    maintained by folding each batch's signed change feed (contribution
+    × diff, pure accumulation, no history re-read) must equal the same
+    aggregate recomputed from the net view — deletes and updates
+    included."""
+    root = str(tmp_path / "cdc")
+    state = {}  # (k) -> [n_pairs, sum_lval_len]
+    for i, batch in enumerate(BATCHES):
+        _apply(spark, root, SPEC, i, batch)
+        feed = read_join_view_cdc_delta(spark, root, f"b{i}")
+        if feed is None:
+            continue
+        folds = (
+            feed.groupBy("k")
+            .agg(
+                F.sum(DIFF_COL).alias("dn"),
+                F.sum(F.length("lval") * F.col(DIFF_COL)).alias("dlen"),
+            )
+            .collect()
+        )
+        for r in folds:
+            n, ln = state.get(r.k, (0, 0))
+            state[r.k] = (n + r.dn, ln + r.dlen)
+    state = {k: v for k, v in state.items() if v != (0, 0)}
+
+    view = read_join_view_cdc(spark, root)
+    want = {
+        r.k: (r.n, r.ln)
+        for r in view.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("lval")).alias("ln"),
+        )
+        .collect()
+    }
+    assert state == want
