@@ -205,6 +205,19 @@ def _old_side(
         *[f"{store}/{name}" for name in sorted(keep)]
     )
     if probe is not None:
+        # bucket pruning hashes the PROBE's key type; a delta whose key
+        # arrives widened (int store, bigint delta) would probe
+        # different buckets than the stored rows were committed under —
+        # the miss is silent (unionByName widens), so it must be loud
+        stored_t = old.schema[spec.key].dataType
+        probe_t = probe.schema[spec.key].dataType
+        if stored_t != probe_t:
+            raise ValueError(
+                f"key column {spec.key!r} arrives as "
+                f"{probe_t.simpleString()} but the store holds "
+                f"{stored_t.simpleString()}; bucket hashes would "
+                "diverge — cast the delta to the stored type"
+            )
         buckets = [
             r[0]
             for r in probe.select(

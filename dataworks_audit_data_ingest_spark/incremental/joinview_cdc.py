@@ -168,10 +168,29 @@ def _ops_current(
             .distinct()
             .collect()
         ]
+    probe_t = (
+        probe.schema[spec.key].dataType
+        if (buckets is not None and probe is not None)
+        else None
+    )
     parts = []
     for bid in sorted(keep):
         df = spark.read.parquet(f"{store}/{keep[bid]}")
         if buckets is not None and BUCKET_COL in df.columns:
+            # bucket pruning hashes the PROBE's key type; a feed whose
+            # key arrives widened (int store, bigint batch) would probe
+            # DIFFERENT buckets than the rows were committed under —
+            # unionByName widens silently, so the miss would be silent
+            # z-set corruption (stale versions surviving retraction)
+            if probe_t is not None:
+                stored_t = df.schema[spec.key].dataType
+                if stored_t != probe_t:
+                    raise ValueError(
+                        f"key column {spec.key!r} arrives as "
+                        f"{probe_t.simpleString()} but the store holds "
+                        f"{stored_t.simpleString()}; bucket hashes would "
+                        "diverge — cast the feed to the stored type"
+                    )
             df = df.filter(F.col(BUCKET_COL).isin(buckets))
         parts.append(df.withColumn(_RANK_COL, F.lit(_rank_of(bid))))
     ops = parts[0]
@@ -338,6 +357,25 @@ def update_join_view_cdc(
         a_cur = a_cur.localCheckpoint(eager=True)
     if b_cur is not None:
         b_cur = b_cur.localCheckpoint(eager=True)
+
+    # the batch-local overlap check above cannot see columns committed
+    # in EARLIER batches of the opposite side (the insert-only view's
+    # lesson): a one-sided 'val' batch against a stored opposite 'val'
+    # would otherwise die deep in the parquet write with an
+    # unactionable duplicate-column error
+    for ups, opp, which in (
+        (left_upserts, b_cur, "left"),
+        (right_upserts, a_cur, "right"),
+    ):
+        if ups is None or opp is None:
+            continue
+        overlap = (set(ups.columns) & set(opp.columns)) - {spec.key}
+        if overlap:
+            raise ValueError(
+                f"non-key columns {sorted(overlap)} exist on both the "
+                f"incoming {which} upserts and the STORED opposite side; "
+                "rename before maintaining the view"
+            )
 
     r_a = _as_pairs([left_upserts, left_deletes], spec.key, spec.left_id)
     r_b = _as_pairs([right_upserts, right_deletes], spec.key, spec.right_id)

@@ -39,9 +39,9 @@ from . import graph_shaped  # noqa: E402,F401
 # never-run; then stalest-first refresh:
 # the THIRTEEN r05-latest rows (q160–q163, q165, q166, q168, q169,
 # q171, q172, q92, q93, q99 — the full r05 staleness floor the r10
-# verdict flagged; STATUS.md's "seven" undercounted it), then 37 of the
-# 50 r06-latest rows fill the remaining slots; the r06 tail rotates in
-# on the next emission. The four rows-only queries
+# verdict flagged; STATUS.md's "seven" undercounted it), then 35 of the
+# 50 r06-latest rows fill the remaining slots (2 + 13 + 35); the r06
+# tail rotates in on the next emission. The four rows-only queries
 # (q42/q74/q16s/q59, sql=None) are excluded from emission — they can
 # only ever produce a `no_oracle` driver row (q16s burned an r06 slot);
 # their evidence is pytest plus a green oracle-backed twin each.

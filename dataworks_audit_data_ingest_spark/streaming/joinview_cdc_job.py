@@ -79,36 +79,39 @@ def start_cdc_join_view_stream(
     def one_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)
-        stray = (
-            batch_df.filter(
-                ~F.coalesce(
-                    F.col(side_col).isin("left", "right"), F.lit(False)
-                )
-                | ~F.coalesce(
-                    F.col(op_col).isin("upsert", "delete"), F.lit(False)
-                )
-            )
-            .limit(1)
-            .collect()
-        )
-        if stray:
+        # ONE driver round-trip answers both questions — is every tag in
+        # the domain, and which of the four legs are non-empty — instead
+        # of a stray-probe collect plus a limit(1) probe per leg (five
+        # fixed jobs per micro-batch, dominating small-batch wall time).
+        # NULL tags surface as None keys here and fail the domain check.
+        tags = {
+            (r[0], r[1]): r[2]
+            for r in batch_df.groupBy(side_col, op_col).count().collect()
+        }
+        bad = [
+            t
+            for t in tags
+            if t[0] not in ("left", "right")
+            or t[1] not in ("upsert", "delete")
+        ]
+        if bad:
             raise ValueError(
-                f"change row with unknown tags {side_col}="
-                f"{stray[0][side_col]!r} / {op_col}={stray[0][op_col]!r}; "
-                "expected side in (left, right), op in (upsert, delete)"
+                f"change row with unknown tags {side_col}={bad[0][0]!r} / "
+                f"{op_col}={bad[0][1]!r}; expected side in (left, right), "
+                "op in (upsert, delete)"
             )
 
         def leg(side: str, op: str, cols: list[str]) -> DataFrame | None:
+            if not tags.get((side, op)):
+                return None
             rows = batch_df.filter(
                 (F.col(side_col) == side) & (F.col(op_col) == op)
             )
             if op == "delete":
                 id_col = spec.left_id if side == "left" else spec.right_id
                 sel = [spec.key] if spec.key == id_col else [spec.key, id_col]
-                rows = rows.select(*sel)
-            else:
-                rows = rows.select(*cols)
-            return rows if rows.limit(1).collect() else None
+                return rows.select(*sel)
+            return rows.select(*cols)
 
         bid = pad_batch_id(batch_id)
         counts = update_join_view_cdc(

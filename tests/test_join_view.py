@@ -461,3 +461,25 @@ def test_read_join_view_delta_is_exactly_once(spark, tmp_path):
     _assert_same_multiset(unioned, read_join_view(spark, root))
     # absent batches answer None, not an empty frame mistaken for data
     assert read_join_view_delta(spark, root, "nope") is None
+
+
+def test_widened_key_type_raises_on_bucketed_store(spark, tmp_path):
+    """Self-review regression (round 11): the bucketed old-side read
+    must reject a delta whose key type differs from the store's — the
+    probe would hash into different buckets and silently skip stored
+    rows (a missed join, not an error)."""
+    root = str(tmp_path / "jv")
+    bspec = JoinViewSpec(key="k", left_id="lid", right_id="rid", n_buckets=8)
+    update_join_view(
+        spark,
+        root,
+        "0",
+        bspec,
+        left_delta=_left(spark, [(1, 10, "a")]),
+        right_delta=_right(spark, [(100, 10, "X")]),
+    )
+    widened = spark.createDataFrame(
+        [(2, 10, "b")], "lid int, k bigint, lval string"
+    )
+    with pytest.raises(ValueError, match="bucket hashes would diverge"):
+        update_join_view(spark, root, "1", bspec, left_delta=widened)

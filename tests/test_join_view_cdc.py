@@ -402,3 +402,51 @@ def test_signed_feed_folds_additively(spark, tmp_path):
         .collect()
     }
     assert state == want
+
+
+def test_stored_opposite_side_column_collision_raises(spark, tmp_path):
+    """Self-review regression: a one-sided batch whose new column name
+    collides with a column committed EARLIER on the opposite side must
+    raise the designed ValueError, not die deep in the parquet write
+    with a duplicate-column error (the insert-only view's lesson,
+    ported)."""
+    root = str(tmp_path / "cdc")
+    update_join_view_cdc(
+        spark,
+        root,
+        "b0",
+        SPEC,
+        right_upserts=spark.createDataFrame(
+            [(100, 10, "X")], "rid int, k int, val string"
+        ),
+    )
+    with pytest.raises(ValueError, match="STORED opposite side"):
+        update_join_view_cdc(
+            spark,
+            root,
+            "b1",
+            SPEC,
+            left_upserts=spark.createDataFrame(
+                [(1, 10, "a")], "lid int, k int, val string"
+            ),
+        )
+
+
+def test_widened_key_type_raises_instead_of_silent_bucket_miss(
+    spark, tmp_path
+):
+    """Self-review regression: bucket pruning hashes the probe's key
+    TYPE — an int-keyed store probed by a bigint-keyed feed would read
+    the wrong buckets and silently skip retractions. Must be loud."""
+    root = str(tmp_path / "cdc")
+    _apply(spark, root, SPEC, 0, BATCHES[0])
+    with pytest.raises(ValueError, match="bucket hashes would diverge"):
+        update_join_view_cdc(
+            spark,
+            root,
+            "b1",
+            SPEC,
+            left_upserts=spark.createDataFrame(
+                [(7, 10, "w")], "lid int, k bigint, lval string"
+            ),
+        )
