@@ -35,12 +35,12 @@ from . import graph_shaped  # noqa: E402,F401
 # driver history (DRIVER_PRIORITY_AS_OF_ROUND pins which history it was
 # computed from; tests/test_cli_operators.py asserts the paste matches the
 # computation, so hand-drift is a test failure). The round-11 queries
-# (q265 CDC join view, q266 semantic-verifier audit) lead as
-# never-run; then stalest-first refresh:
+# (q265 CDC join view, q266 semantic-verifier audit, q267 CDC feed
+# rollup) lead as never-run; then stalest-first refresh:
 # the THIRTEEN r05-latest rows (q160–q163, q165, q166, q168, q169,
 # q171, q172, q92, q93, q99 — the full r05 staleness floor the r10
-# verdict flagged; STATUS.md's "seven" undercounted it), then 35 of the
-# 50 r06-latest rows fill the remaining slots (2 + 13 + 35); the r06
+# verdict flagged; STATUS.md's "seven" undercounted it), then 34 of the
+# 50 r06-latest rows fill the remaining slots (3 + 13 + 34); the r06
 # tail rotates in on the next emission. The four rows-only queries
 # (q42/q74/q16s/q59, sql=None) are excluded from emission — they can
 # only ever produce a `no_oracle` driver row (q16s burned an r06 slot);
@@ -48,6 +48,7 @@ from . import graph_shaped  # noqa: E402,F401
 DRIVER_PRIORITY_AS_OF_ROUND = 10
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q265_cdc_join_view_report",
+    "q267_cdc_feed_rollup",
     "q266_semantic_store_verifier_audit",
     "q160_rfm_segmentation",
     "q161_trending_users",
@@ -96,7 +97,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q15_moving_average",
     "q164_model_ece",
     "q167_readability",
-    "q16_acctbal_deciles",
 )
 
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import table
-from .base import dsum, register
+from .base import REGISTRY, dsum, register
 
 
 @register(
@@ -3286,6 +3286,100 @@ _Q265_DEL_R = "c_custkey % 3 = 0 AND c_custkey % 11 = 0"
 _Q265_UPD_R = "c_custkey % 3 = 1 AND c_custkey % 13 = 0"
 
 
+def _run_q265_cdc_batches(spark, sf_dir, root, on_batch=None):
+    """The q265 CDC workload, shared with q267's cascade: four batches of
+    inserts/deletes/value-updates/key-move over orders ⋈ customer, plus
+    the mid-stream semantic compaction. ``on_batch(batch_id)`` fires
+    after each update (q267 folds the signed change feed there, BEFORE
+    the compaction can fold the early batches' deltas away)."""
+    from ..incremental.joinview import JoinViewSpec
+    from ..incremental.joinview_cdc import (
+        compact_join_view_cdc,
+        update_join_view_cdc,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    spec = JoinViewSpec(
+        key="c_custkey",
+        left_id="o_orderkey",
+        right_id="c_custkey",
+        n_buckets=8,
+    )
+
+    def lcls(i: int) -> DataFrame:
+        return orders.filter(F.expr(f"o_orderkey % 4 = {i}"))
+
+    def rcls(i: int) -> DataFrame:
+        return cust.filter(F.expr(f"c_custkey % 3 = {i}"))
+
+    def done(bid: str) -> None:
+        if on_batch is not None:
+            on_batch(bid)
+
+    # b0: seed class 0 / class 0
+    update_join_view_cdc(
+        spark, root, "b0", spec,
+        left_upserts=lcls(0), right_upserts=rcls(0),
+    )
+    done("b0")
+    # b1: insert class 1 / class 1; delete the order slice
+    update_join_view_cdc(
+        spark, root, "b1", spec,
+        left_upserts=lcls(1),
+        left_deletes=orders.filter(F.expr(_Q265_DEL_L)).select(
+            "c_custkey", "o_orderkey"
+        ),
+        right_upserts=rcls(1),
+    )
+    done("b1")
+    # b2: insert class 2 / class 2; UPDATE order priorities (same
+    # key, new value); delete the customer slice
+    update_join_view_cdc(
+        spark, root, "b2", spec,
+        left_upserts=lcls(2).unionByName(
+            orders.filter(F.expr(_Q265_UPD_L)).withColumn(
+                "o_orderpriority", F.lit("1-UPDATED")
+            )
+        ),
+        right_upserts=rcls(2),
+        # key == id on this side (the dimension is keyed by its PK),
+        # so the delete feed is the single column
+        right_deletes=cust.filter(F.expr(_Q265_DEL_R)).select(
+            "c_custkey"
+        ),
+    )
+    done("b2")
+    # semantic compaction mid-stream: b0/b1 fold, b2 stays replayable
+    folded = compact_join_view_cdc(spark, root, spec, exclude=("b2",))
+    if folded != {"left": 2, "right": 2, "view": 2}:
+        raise RuntimeError(
+            f"q265 expected two folded partitions per store, got {folded}"
+        )
+    # b3: insert class 3; key-MOVE the order slice to custkey+1
+    # (delete old key + upsert new key in ONE batch); UPDATE the
+    # customer segment slice
+    moved = orders.filter(F.expr(_Q265_MOVE_L))
+    update_join_view_cdc(
+        spark, root, "b3", spec,
+        left_upserts=lcls(3).unionByName(
+            moved.withColumn("c_custkey", F.expr("c_custkey + 1"))
+        ),
+        left_deletes=moved.select("c_custkey", "o_orderkey"),
+        right_upserts=cust.filter(F.expr(_Q265_UPD_R)).withColumn(
+            "c_mktsegment", F.lit("SEG-UPDATED")
+        ),
+    )
+    done("b3")
+
+
 @register(
     "q265_cdc_join_view_report",
     sql=f"""
@@ -3338,90 +3432,11 @@ def q265_cdc_join_view_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..incremental.joinview import JoinViewSpec
-    from ..incremental.joinview_cdc import (
-        compact_join_view_cdc,
-        read_join_view_cdc,
-        update_join_view_cdc,
-    )
+    from ..incremental.joinview_cdc import read_join_view_cdc
 
-    orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_custkey").alias("c_custkey"),
-        "o_totalprice",
-        "o_orderpriority",
-    )
-    cust = table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment"
-    )
-    # the mutation predicates reference the ORIGINAL column names; after
-    # the alias above, o_custkey is c_custkey on the Spark side
-    move_l = _Q265_MOVE_L
-    spec = JoinViewSpec(
-        key="c_custkey",
-        left_id="o_orderkey",
-        right_id="c_custkey",
-        n_buckets=8,
-    )
     root = tempfile.mkdtemp(prefix="q265_cdc_") + "/view"
-
-    def lcls(i: int) -> DataFrame:
-        return orders.filter(F.expr(f"o_orderkey % 4 = {i}"))
-
-    def rcls(i: int) -> DataFrame:
-        return cust.filter(F.expr(f"c_custkey % 3 = {i}"))
-
     try:
-        # b0: seed class 0 / class 0
-        update_join_view_cdc(
-            spark, root, "b0", spec,
-            left_upserts=lcls(0), right_upserts=rcls(0),
-        )
-        # b1: insert class 1 / class 1; delete the order slice
-        update_join_view_cdc(
-            spark, root, "b1", spec,
-            left_upserts=lcls(1),
-            left_deletes=orders.filter(F.expr(_Q265_DEL_L)).select(
-                "c_custkey", "o_orderkey"
-            ),
-            right_upserts=rcls(1),
-        )
-        # b2: insert class 2 / class 2; UPDATE order priorities (same
-        # key, new value); delete the customer slice
-        update_join_view_cdc(
-            spark, root, "b2", spec,
-            left_upserts=lcls(2).unionByName(
-                orders.filter(F.expr(_Q265_UPD_L)).withColumn(
-                    "o_orderpriority", F.lit("1-UPDATED")
-                )
-            ),
-            right_upserts=rcls(2),
-            # key == id on this side (the dimension is keyed by its PK),
-            # so the delete feed is the single column
-            right_deletes=cust.filter(F.expr(_Q265_DEL_R)).select(
-                "c_custkey"
-            ),
-        )
-        # semantic compaction mid-stream: b0/b1 fold, b2 stays replayable
-        folded = compact_join_view_cdc(spark, root, spec, exclude=("b2",))
-        if folded != {"left": 2, "right": 2, "view": 2}:
-            raise RuntimeError(
-                f"q265 expected two folded partitions per store, got {folded}"
-            )
-        # b3: insert class 3; key-MOVE the order slice to custkey+1
-        # (delete old key + upsert new key in ONE batch); UPDATE the
-        # customer segment slice
-        moved = orders.filter(F.expr(move_l))
-        update_join_view_cdc(
-            spark, root, "b3", spec,
-            left_upserts=lcls(3).unionByName(
-                moved.withColumn("c_custkey", F.expr("c_custkey + 1"))
-            ),
-            left_deletes=moved.select("c_custkey", "o_orderkey"),
-            right_upserts=cust.filter(F.expr(_Q265_UPD_R)).withColumn(
-                "c_mktsegment", F.lit("SEG-UPDATED")
-            ),
-        )
+        _run_q265_cdc_batches(spark, sf_dir, root)
         report = (
             read_join_view_cdc(spark, root)
             .groupBy("c_mktsegment", "o_orderpriority")
@@ -3433,6 +3448,83 @@ def q265_cdc_join_view_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("c_mktsegment", "o_orderpriority")
             # materialize BEFORE the store directory is removed
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root.rsplit("/", 1)[0], ignore_errors=True)
+    return report
+
+
+# ---------------------------------------------------------------------------
+# q267 — the CDC cascade: an additive aggregate maintained PURELY from
+# the view's signed change feed (the net view is never read), equal to
+# the same report computed from the final state. Deletes subtract,
+# updates retract-then-reinsert; one missed or doubled sign anywhere in
+# the z-set machinery shifts a count or a cents sum and breaks the hash.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q267_cdc_feed_rollup",
+    sql=REGISTRY["q265_cdc_join_view_report"].sql,
+    tags=("incremental", "joinview", "cdc", "cascade", "agg"),
+)
+def q267_cdc_feed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADDITIVE IVM cascade under full CDC: the q265 workload runs
+    (inserts, deletes, value updates, a key move, mid-stream semantic
+    compaction), but the report is maintained by folding each batch's
+    SIGNED change feed (`read_join_view_cdc_delta`: contribution ×
+    ``__diff__``) into per-batch partials — the view is NEVER read. The
+    merged partials must hash-match the oracle's closed-form final
+    state, which pins that every pair is inserted exactly once and
+    retracted exactly once per lifetime (q264's composition guarantee,
+    extended to deletes/updates). Feeds are consumed inside the batch
+    callback, BEFORE compaction can fold the early deltas away — the
+    consume-before-fold contract the feed's docstring states.
+
+    Scale shape: each batch folds its delta to |segments × priorities|
+    partial rows map-side; the merged read aggregates |batches| × that
+    — never the view, never history."""
+    import shutil
+    import tempfile
+
+    from ..incremental.joinview_cdc import (
+        DIFF_COL,
+        read_join_view_cdc_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="q267_cdc_") + "/view"
+    cents = F.expr(_Q260_CENTS)
+    partials: list[DataFrame] = []
+
+    def fold(bid: str) -> None:
+        feed = read_join_view_cdc_delta(spark, root, bid)
+        if feed is None:
+            return
+        partials.append(
+            feed.groupBy("c_mktsegment", "o_orderpriority")
+            .agg(
+                F.sum(DIFF_COL).cast("bigint").alias("dn"),
+                F.sum(cents * F.col(DIFF_COL)).cast("bigint").alias("dc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    try:
+        _run_q265_cdc_batches(spark, sf_dir, root, on_batch=fold)
+        merged = partials[0]
+        for p in partials[1:]:
+            merged = merged.unionByName(p)
+        report = (
+            merged.groupBy("c_mktsegment", "o_orderpriority")
+            .agg(
+                F.sum("dn").cast("bigint").alias("n_orders"),
+                F.sum("dc").cast("bigint").alias("revenue_cents"),
+            )
+            # a group whose every pair was retracted nets to zero rows
+            # in the final state: it must not appear in the report
+            .filter(F.col("n_orders") > 0)
+            .orderBy("c_mktsegment", "o_orderpriority")
             .localCheckpoint(eager=True)
         )
     finally:

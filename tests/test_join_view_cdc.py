@@ -450,3 +450,22 @@ def test_widened_key_type_raises_instead_of_silent_bucket_miss(
                 [(7, 10, "w")], "lid int, k bigint, lval string"
             ),
         )
+
+
+def test_q267_partition_invariant(spark):
+    from dataworks_audit_data_ingest_spark.queries.streaming_shaped import (
+        q267_cdc_feed_rollup,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        rows = {}
+        for n in ("7", before):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            rows[n] = [
+                tuple(r) for r in q267_cdc_feed_rollup(spark, SF).collect()
+            ]
+        assert rows["7"] == rows[before]
+        assert rows[before]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)

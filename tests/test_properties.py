@@ -633,3 +633,115 @@ def test_mutual_knn_matches_numpy_model(vecs, k, spark):
         for r in mutual_knn(df, k=k).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# CDC join view: random op sequences vs a dict model
+# ---------------------------------------------------------------------------
+
+# a batch: per side, a list of upserts (id, key, val) and deletes
+# scoped (key, id) — keys/ids from tiny domains so collisions (updates,
+# re-inserts, fan-out, key moves) are the COMMON case, not the corner
+_CDC_IDS = st.integers(min_value=1, max_value=5)
+_CDC_KEYS = st.integers(min_value=1, max_value=3)
+_CDC_VALS = st.text(alphabet="ab", min_size=1, max_size=2)
+
+
+def _one_batch_ops(side_ids):
+    ups = st.lists(
+        st.tuples(side_ids, _CDC_KEYS, _CDC_VALS), max_size=4
+    ).map(lambda rows: list({r[0]: r for r in rows}.values()))
+    return st.tuples(ups, st.lists(st.tuples(_CDC_KEYS, side_ids), max_size=3))
+
+
+@given(
+    batches=st.lists(
+        st.tuples(_one_batch_ops(_CDC_IDS), _one_batch_ops(_CDC_IDS)),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_cdc_view_matches_dict_model_property(batches, spark, tmp_path_factory):
+    """For ANY sequence of CDC batches (random upserts/deletes on both
+    sides, id and key collisions common), the net view equals the dict
+    model's current_A ⋈ current_B. Same-version upsert+delete clashes
+    are resolved model-side by dropping the delete (the engine rejects
+    the ambiguous batch; the model must feed it something legal)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dataworks_audit_data_ingest_spark.incremental import (
+        JoinViewSpec,
+        read_join_view_cdc,
+        update_join_view_cdc,
+    )
+
+    spec = JoinViewSpec(key="k", left_id="lid", right_id="rid", n_buckets=2)
+    root = str(tmp_path_factory.mktemp("cdc_prop") / "view")
+    lmodel: dict = {}
+    rmodel: dict = {}
+    for i, (lops, rops) in enumerate(batches):
+        (lu, ld), (ru, rd) = lops, rops
+        # legalize the random ops to the engine's contract:
+        # (a) a delete of a (key, id) version the same batch upserts is
+        #     ambiguous and rejected — drop those deletes;
+        # (b) an upsert that MOVES an id to a new key must tombstone the
+        #     old version (the CDC idiom; a bare move strands it —
+        #     exactly what test_bare_key_move_detected_by_audit pins)
+        def legalize(ups, dels, model):
+            pairs = {(k, i_) for i_, k, _ in ups}
+            dels = [p for p in dels if (p[0], p[1]) not in pairs]
+            have = {(k, i_) for k, i_ in dels}
+            for i_, k, _ in ups:
+                old = model.get(i_)
+                if old is not None and old[1] != k and (old[1], i_) not in have:
+                    dels.append((old[1], i_))
+                    have.add((old[1], i_))
+            return dels
+
+        ld = legalize(lu, ld, lmodel)
+        rd = legalize(ru, rd, rmodel)
+
+        def df(rows, schema):
+            return (
+                spark.createDataFrame(rows, schema) if rows else None
+            )
+
+        update_join_view_cdc(
+            spark,
+            root,
+            f"b{i}",
+            spec,
+            left_upserts=df(
+                [(i_, k, v) for i_, k, v in lu], "lid int, k int, lval string"
+            ),
+            left_deletes=df(
+                [(i_, k) for k, i_ in ld], "lid int, k int"
+            ),
+            right_upserts=df(
+                [(i_, k, v) for i_, k, v in ru], "rid int, k int, rval string"
+            ),
+            right_deletes=df(
+                [(i_, k) for k, i_ in rd], "rid int, k int"
+            ),
+        )
+        for model, ups, dels in ((lmodel, lu, ld), (rmodel, ru, rd)):
+            for k, i_ in dels:
+                if i_ in model and model[i_][1] == k:
+                    del model[i_]
+            for i_, k, v in ups:
+                model[i_] = (i_, k, v)
+
+    got = read_join_view_cdc(spark, root)
+    want = sorted(
+        (k, li, lv, ri, rv)
+        for (li, k, lv) in lmodel.values()
+        for (ri, rk, rv) in rmodel.values()
+        if k == rk
+    )
+    got_rows = (
+        sorted((r.k, r.lid, r.lval, r.rid, r.rval) for r in got.collect())
+        if got is not None
+        else []
+    )
+    assert got_rows == want
