@@ -680,6 +680,10 @@ def _forget_side(
     from .forget import forget_matching_from_store
 
     id_col = spec.left_id if side == "left" else spec.right_id
+    # materialize the subject set BEFORE any mutation: ids naturally
+    # derive from reading this very store, and a lazy lineage
+    # re-evaluated after the side erasure reads deleted files
+    ids_df = ids_df.localCheckpoint(eager=True)
     store = _side_path(root, side)
     _recover_compaction(spark, store)
     _recover_compaction(spark, _side_path(root, "view"))

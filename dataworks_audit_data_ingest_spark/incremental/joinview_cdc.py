@@ -675,6 +675,11 @@ def _forget_cdc(
     view_store = _side_path(root, "view")
     _recover_compaction(spark, store)
     _recover_compaction(spark, view_store)
+    # materialize the subject set BEFORE any mutation: a caller's ids
+    # naturally derive from reading this very store (the CDC-mirror
+    # example's shape), and a lazy lineage re-evaluated after the side
+    # erasure reads deleted files (FAILED_READ_FILE.FILE_NOT_EXIST)
+    ids_df = ids_df.localCheckpoint(eager=True)
     # op log first (insert-only forget's ordering argument): with the
     # source versions gone no future batch can re-derive view rows for
     # these ids, so a crash between the two erasures only ever leaves
