@@ -30,73 +30,71 @@ from . import graph_shaped  # noqa: E402,F401
 # registration order indices 0-49). DRIVER_PRIORITY pins an explicit order,
 # rotated per round so every query accumulates a current driver row.
 #
-# Round-11 rotation is COMPUTED, not hand-curated: the list below is the
-# verbatim output of `python tools/rotation.py --emit` over the r01–r10
-# driver history (DRIVER_PRIORITY_AS_OF_ROUND pins which history it was
-# computed from; tests/test_cli_operators.py asserts the paste matches the
-# computation, so hand-drift is a test failure). The round-11 queries
-# (q265 CDC join view, q266 semantic-verifier audit, q267 CDC feed
-# rollup) lead as never-run; then stalest-first refresh:
-# the THIRTEEN r05-latest rows (q160–q163, q165, q166, q168, q169,
-# q171, q172, q92, q93, q99 — the full r05 staleness floor the r10
-# verdict flagged; STATUS.md's "seven" undercounted it), then 34 of the
-# 50 r06-latest rows fill the remaining slots (3 + 13 + 34); the r06
-# tail rotates in on the next emission. The four rows-only queries
-# (q42/q74/q16s/q59, sql=None) are excluded from emission — they can
-# only ever produce a `no_oracle` driver row (q16s burned an r06 slot);
-# their evidence is pytest plus a green oracle-backed twin each.
-DRIVER_PRIORITY_AS_OF_ROUND = 10
+# Round-12 rotation is COMPUTED, not hand-curated: the list below is the
+# verbatim output of `python tools/rotation.py --emit --as-of 11` over the
+# r01–r11 driver history (DRIVER_PRIORITY_AS_OF_ROUND pins which history it
+# was computed from; tests/test_cli_operators.py asserts the paste matches
+# the computation, so hand-drift is a test failure). No never-run queries
+# remain, so the slate is pure stalest-first: the FIFTEEN r06-latest rows
+# lead (q16/q170/q173/q174/q175/q17/q26/q28/q29/q30/q31/q33/q34/q34b/q98
+# — the full r06 staleness floor, all judge-verified green in the r11
+# session), then 35 of the 50 r07-latest rows fill the remaining slots
+# (15 + 35); the r07 tail rotates in on the next emission. The four
+# rows-only queries (q42/q74/q16s/q59, sql=None) are excluded from
+# emission — they can only ever produce a `no_oracle` driver row; their
+# evidence is pytest plus a green oracle-backed twin each.
+DRIVER_PRIORITY_AS_OF_ROUND = 11
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q265_cdc_join_view_report",
-    "q267_cdc_feed_rollup",
-    "q266_semantic_store_verifier_audit",
-    "q160_rfm_segmentation",
-    "q161_trending_users",
-    "q162_cohort_ltv",
-    "q163_numeric_drift",
-    "q165_cdc_novelty",
-    "q166_item_cf_neighbors",
-    "q168_funnel_latency",
-    "q169_trimmed_mean",
-    "q171_lsh_precision_audit",
-    "q172_cuped_readout",
-    "q92_char_diversity",
-    "q93_cdc_chunk_dedup",
-    "q99_novelty_score",
-    "q01_pricing_summary",
-    "q04_revenue_forecast",
-    "q07_customer_order_stats",
-    "q08_distinct_agg",
-    "q09_rollup",
-    "q100_vocab_coverage",
-    "q103_bm25",
-    "q104_train_split",
-    "q105_posting_lists",
-    "q106_event_pagerank",
-    "q108_split_leakage",
-    "q109_quality_model_score",
-    "q10_cube",
-    "q112_unigram_surprisal",
-    "q113_data_expectations",
-    "q119_bigram_surprisal",
-    "q11_grouping_sets",
-    "q121_frame_sample_plan",
-    "q125_udtf_chunks",
-    "q126_hashed_features",
-    "q129_model_calibration",
-    "q130_source_overlap_matrix",
-    "q142_shard_manifest",
-    "q143_kmv_distinct",
-    "q144_temperature_mixture",
-    "q145_media_phash_dedup",
-    "q146_dedup_triangle_census",
-    "q14_event_gaps",
-    "q153_record_linkage",
-    "q158_interval_coverage",
-    "q159_vocab_drift",
-    "q15_moving_average",
-    "q164_model_ece",
-    "q167_readability",
+    "q16_acctbal_deciles",
+    "q170_hard_negatives",
+    "q173_skew_aware_join",
+    "q174_ngram_containment",
+    "q175_ks_drift",
+    "q17_nation_rank",
+    "q26_top_parts_global",
+    "q28_percentiles",
+    "q29_scalar_subquery",
+    "q30_tumbling_daily",
+    "q31_sliding_hourly",
+    "q33_dedup_within_watermark",
+    "q34_pivot",
+    "q34b_funnel_conversion",
+    "q98_bpe_pair_counts",
+    "q176_curated_containment",
+    "q177_hybrid_rrf",
+    "q178_normalized_dedup_gain",
+    "q179_hybrid_rrf_ivf",
+    "q180_normalized_minhash_pairs",
+    "q181_semantic_decontamination",
+    "q182_ann_recall_audit",
+    "q183_weighted_sample",
+    "q184_token_mass_quantiles",
+    "q185_packing_waste",
+    "q186_cooccurrence_lift",
+    "q187_srp_bucket_purity",
+    "q188_user_event_entropy",
+    "q189_salted_agg",
+    "q190_cluster_keep_best",
+    "q191_mutual_knn_pairs",
+    "q192_leakage_safe_split",
+    "q193_boilerplate_lines",
+    "q194_dedup_method_agreement",
+    "q195_nb_source_classifier",
+    "q196_dsir_weights",
+    "q197_k_anonymity",
+    "q198_contribution_cap",
+    "q199_watermark_sizing",
+    "q200_session_gap_sizing",
+    "q201_waiting_supplier",
+    "q202_idle_rich_customers",
+    "q35_unpivot",
+    "q35b_session_bounce_rate",
+    "q36_first_last_window",
+    "q37_distribution_ranks",
+    "q37b_zscore_outliers",
+    "q38_full_outer_join",
+    "q39_map_functions",
+    "q43_correlated_min",
 )
 
 
