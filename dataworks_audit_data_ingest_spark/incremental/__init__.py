@@ -21,6 +21,7 @@ from .joinview import (  # noqa: F401
     read_join_side,
     read_join_view,
     read_join_view_delta,
+    recover_pending_forgets,
     update_join_view,
 )
 from .joinview_cdc import (  # noqa: F401

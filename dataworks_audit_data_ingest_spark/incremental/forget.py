@@ -180,3 +180,124 @@ def forget_matching_from_store(
             f"store={store_path} partitions={sorted(removed)}",
         )
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Durable forget intents — crash-recoverable multi-store erasure.
+#
+# A forget that must erase SEVERAL stores (the join view's side op log
+# plus the view itself) has a crash window between the erasures. The
+# subject id set is typically DERIVED from the first store (the
+# CDC-mirror example's shape), so a naive retry after a crash re-derives
+# an EMPTY set from the already-erased store and silently leaves the
+# other store's rows — personal data — on disk. The fix is a durable
+# intent: persist the id set UNDER THE STORE ROOT before the first
+# mutation, erase from the persisted copy, and clear the intent only
+# after every store is clean. Recovery replays any surviving intent
+# (each erasure is idempotent), so the only externally visible states
+# are "not started" and "fully erased".
+
+_PENDING_PREFIX = "_forget_pending_"
+
+
+def _root_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def persist_forget_intent(
+    spark: SparkSession,
+    root: str,
+    ids_df,
+    *,
+    side: str,
+    id_col: str,
+    bucketed: bool,
+    audit_path: str | None = None,
+):
+    """Durably record a forget request before any mutation. Returns
+    ``(token, ids)`` where ``ids`` is the PERSISTED id set read back
+    from disk (erasure must consume this copy, not the caller's lazy
+    lineage), or ``None`` for an empty id set. The parquet write is the
+    action that materializes the caller's lineage, so ids derived from
+    the very store being erased are captured before it changes; the
+    meta sidecar's ``_SUCCESS`` is the intent's commit marker — a
+    pending dir without it crashed mid-persist, before any store was
+    touched, and recovery simply drops it."""
+    import uuid
+
+    if id_col in ids_df.columns:
+        src = id_col
+    elif len(ids_df.columns) == 1:
+        src = ids_df.columns[0]
+    else:
+        raise ValueError(
+            f"ids_df has columns {ids_df.columns} — none named {id_col!r};"
+            " pass a single-column frame or one carrying the id column"
+        )
+    ids = ids_df.select(F.col(src).alias(id_col)).distinct()
+    token = uuid.uuid4().hex
+    pend = f"{root}/{_PENDING_PREFIX}{token}"
+    ids.write.parquet(f"{pend}/ids")
+    persisted = spark.read.parquet(f"{pend}/ids")
+    if persisted.limit(1).count() == 0:
+        fs, jvm = _root_fs(spark, root)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(pend), True)
+        return None
+    spark.createDataFrame(
+        [(side, id_col, bool(bucketed), audit_path)],
+        "side string, id_col string, bucketed boolean, audit_path string",
+    ).coalesce(1).write.parquet(f"{pend}/meta")
+    return token, persisted
+
+
+def pending_forget_intents(spark: SparkSession, root: str) -> list[dict]:
+    """Committed-but-uncleared forget intents under ``root`` (each one
+    is an erasure that may have crashed mid-way and MUST be replayed).
+    Torn intents (no meta ``_SUCCESS`` — crash before any mutation
+    began) are rolled back here."""
+    from py4j.protocol import Py4JJavaError
+
+    fs, jvm = _root_fs(spark, root)
+    try:
+        statuses = fs.listStatus(jvm.org.apache.hadoop.fs.Path(root))
+    except Py4JJavaError as e:
+        if e.java_exception.getClass().getName().endswith(
+            "FileNotFoundException"
+        ):
+            return []
+        raise
+    out: list[dict] = []
+    for s in statuses:
+        name = s.getPath().getName()
+        if not name.startswith(_PENDING_PREFIX):
+            continue
+        token = name[len(_PENDING_PREFIX):]
+        pend = f"{root}/{name}"
+        if not fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{pend}/meta/_SUCCESS")
+        ):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(pend), True)
+            continue
+        row = spark.read.parquet(f"{pend}/meta").collect()[0]
+        out.append(
+            {
+                "token": token,
+                "side": row["side"],
+                "id_col": row["id_col"],
+                "bucketed": bool(row["bucketed"]),
+                "audit_path": row["audit_path"],
+                "ids_path": f"{pend}/ids",
+            }
+        )
+    return sorted(out, key=lambda d: d["token"])
+
+
+def clear_forget_intent(spark: SparkSession, root: str, token: str) -> None:
+    """Commit point of a durable forget: every store is clean."""
+    fs, jvm = _root_fs(spark, root)
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(f"{root}/{_PENDING_PREFIX}{token}"),
+        True,
+    )

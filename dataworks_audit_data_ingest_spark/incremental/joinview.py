@@ -442,6 +442,7 @@ def compact_join_view(
     level the pruned reads rely on (the shared compactor's flat fold
     would mix layouts and poison every later read with conflicting
     partition columns). Returns per-store removed-directory counts."""
+    recover_pending_forgets(spark, root)
     out = {}
     for side in ("left", "right"):
         out[side] = _compact_store_safe(
@@ -645,10 +646,14 @@ def forget_left_ids_from_join_view(
 ) -> dict[str, int]:
     """GDPR-scoped erasure of left-side rows AND every view row they
     produced; returns per-store removed-row counts. Idempotent (a
-    repeat finds nothing); a crash between the two erasures leaves only
-    EXTRA rows in one store, and the re-run removes them — never a
-    silently incomplete erasure that a later batch could rejoin against,
-    because the left store is erased FIRST."""
+    repeat finds nothing) and CRASH-RECOVERABLE end-to-end: the subject
+    id set is durably persisted under the root before the first
+    mutation, so a crash between the two erasures is replayed from the
+    persisted copy by the next forget/compaction (or an explicit
+    :func:`recover_pending_forgets`) — even when the caller's ids were
+    derived from the store the crash half-erased and a retry would
+    re-derive an empty set. The left store is erased first, so no
+    future batch can rejoin against surviving source rows."""
     return _forget_side(
         spark, root, ids_df, spec, "left", audit_path=audit_path
     )
@@ -677,34 +682,103 @@ def _forget_side(
     *,
     audit_path: str | None,
 ) -> dict[str, int]:
-    from .forget import forget_matching_from_store
+    """Durable two-store erasure: finish any CRASHED forget first (its
+    persisted id set is the only surviving record of the subject — the
+    caller's ids typically derive from the store the crash half-erased,
+    so a retry would re-derive an empty set and silently leave the view
+    rows on disk), then persist THIS request's id set under the root,
+    erase both stores from the persisted copy, and clear the intent
+    only once both are clean."""
+    from .forget import clear_forget_intent, persist_forget_intent
 
     id_col = spec.left_id if side == "left" else spec.right_id
-    # materialize the subject set BEFORE any mutation: ids naturally
-    # derive from reading this very store, and a lazy lineage
-    # re-evaluated after the side erasure reads deleted files
-    ids_df = ids_df.localCheckpoint(eager=True)
+    recover_pending_forgets(spark, root)
+    persisted = persist_forget_intent(
+        spark,
+        root,
+        ids_df,
+        side=side,
+        id_col=id_col,
+        bucketed=bool(spec.n_buckets),
+        audit_path=audit_path,
+    )
+    if persisted is None:
+        return {f"{side}_rows_removed": 0, "view_rows_removed": 0}
+    token, ids = persisted
+    out = _erase_side(
+        spark,
+        root,
+        ids,
+        side=side,
+        id_col=id_col,
+        bucketed=bool(spec.n_buckets),
+        audit_path=audit_path,
+    )
+    clear_forget_intent(spark, root, token)
+    return out
+
+
+def recover_pending_forgets(spark: SparkSession, root: str) -> dict[str, int]:
+    """Replay every committed-but-uncleared forget intent under ``root``
+    (erasures are idempotent, so replaying a COMPLETED-but-uncleared
+    intent removes nothing further). Run automatically at the start of
+    every forget and compaction; callers recovering a crashed job can
+    also invoke it directly. Returns summed removal counts. Shared by
+    the insert-only and CDC views — both store families have the same
+    ``left/right/view`` layout under the root."""
+    from .forget import clear_forget_intent, pending_forget_intents
+
+    totals: dict[str, int] = {}
+    for intent in pending_forget_intents(spark, root):
+        ids = spark.read.parquet(intent["ids_path"])
+        res = _erase_side(
+            spark,
+            root,
+            ids,
+            side=intent["side"],
+            id_col=intent["id_col"],
+            bucketed=intent["bucketed"],
+            audit_path=intent["audit_path"],
+        )
+        for k, v in res.items():
+            totals[k] = totals.get(k, 0) + v
+        clear_forget_intent(spark, root, intent["token"])
+    return totals
+
+
+def _erase_side(
+    spark: SparkSession,
+    root: str,
+    ids: DataFrame,
+    *,
+    side: str,
+    id_col: str,
+    bucketed: bool,
+    audit_path: str | None,
+) -> dict[str, int]:
+    from .forget import forget_matching_from_store
+
     store = _side_path(root, side)
     _recover_compaction(spark, store)
     _recover_compaction(spark, _side_path(root, "view"))
     # side store first: once the source rows are gone no future batch
     # can emit new view rows for these ids, so the view erasure can
     # never be outrun
-    if spec.n_buckets:
+    if bucketed:
         # the shared forget rewrites a partition FLAT — on a bucketed
         # store that would mix one-level and two-level layouts and brick
         # every later read with conflicting partition columns
         side_removed = _forget_bucketed(
-            spark, store, ids_df, id_col, audit_path=audit_path
+            spark, store, ids, id_col, audit_path=audit_path
         )
     else:
         side_removed = forget_matching_from_store(
-            spark, store, ids_df, id_col=id_col, audit_path=audit_path
+            spark, store, ids, id_col=id_col, audit_path=audit_path
         )
     view_removed = forget_matching_from_store(
         spark,
         _side_path(root, "view"),
-        ids_df,
+        ids,
         id_col=id_col,
         audit_path=audit_path,
     )

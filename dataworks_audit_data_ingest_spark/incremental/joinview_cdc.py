@@ -54,6 +54,8 @@ tombstone alone never does.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -62,10 +64,11 @@ from .joinview import (
     JoinViewSpec,
     _commit_side,
     _compact_store_safe,
-    _forget_bucketed,
+    _forget_side,
     _recover_compaction,
     _reject_dup_ids,
     _side_path,
+    recover_pending_forgets,
 )
 from .store import (
     BATCH_COL,
@@ -78,6 +81,17 @@ from .store import (
 OP_COL = "__cdc_op__"
 DIFF_COL = "__diff__"
 _RANK_COL = "__cdc_rank__"
+
+logger = logging.getLogger(__name__)
+
+# `_ops_current` reads every surviving batch directory as its own scan
+# and resolves across all of them, so per-batch maintenance cost (file
+# listings, plan size, window input) grows LINEARLY in un-compacted
+# history — regular `compact_join_view_cdc` calls are an operational
+# requirement for long-running streams (the streaming rung's
+# `compact_every` automates it). Past this many live partitions the
+# module warns once per update rather than degrading silently.
+_COMPACTION_NAG_PARTITIONS = 64
 
 
 def _check_cols(df: DataFrame, cols: list[str], what: str) -> None:
@@ -156,6 +170,15 @@ def _ops_current(
     keep = {bid: name for bid, name in dirs.items() if bid != batch_id}
     if not keep:
         return None
+    if len(keep) > _COMPACTION_NAG_PARTITIONS:
+        logger.warning(
+            "CDC store %s holds %d live batch partitions — per-batch "
+            "maintenance cost grows linearly in un-compacted history; "
+            "run compact_join_view_cdc (or set the streaming rung's "
+            "compact_every)",
+            store,
+            len(keep),
+        )
     buckets = None
     if spec.n_buckets and probe is not None:
         buckets = [
@@ -312,9 +335,15 @@ def update_join_view_cdc(
             if clash.limit(1).collect():
                 raise ValueError(
                     f"{side} batch upserts AND deletes the same "
-                    f"({spec.key}, {id_col}) version — ambiguous; a "
-                    "key-moving update is delete(old key) + upsert(new "
-                    "key), which IS allowed in one batch"
+                    f"({spec.key}, {id_col}) version — ambiguous: without"
+                    " an order this is either a same-key UPDATE (the"
+                    " Debezium delete(old image)+insert(new image)"
+                    " encoding — map those to bare upserts, or feed"
+                    " through start_cdc_join_view_stream(seq_col=...)"
+                    " which resolves ordered pairs) or an"
+                    " insert-then-delete whose net is ABSENT. A"
+                    " key-moving update is delete(old key) + upsert(new"
+                    " key), which IS allowed in one batch"
                 )
         checked[side] = (ups, dels)
     left_upserts, left_deletes = checked["left"]
@@ -588,6 +617,7 @@ def compact_join_view_cdc(
     middle batch would misorder resolution."""
     from pyspark.sql.window import Window
 
+    recover_pending_forgets(spark, root)
     out: dict[str, int] = {}
     for side in ("left", "right"):
         id_col = spec.left_id if side == "left" else spec.right_id
@@ -644,7 +674,12 @@ def forget_left_ids_from_cdc_view(
 ) -> dict[str, int]:
     """GDPR erasure of left ids: every op-log row (upserts AND
     tombstones) and every view row — both signs — that carries the id is
-    physically removed. A tombstone is not erasure; this is."""
+    physically removed. A tombstone is not erasure; this is. Durable
+    and crash-recoverable: the id set is persisted under the root
+    before any mutation, and a crash between the op-log and view
+    erasures is replayed from the persisted copy
+    (`joinview.recover_pending_forgets`, run automatically by every
+    forget and compaction)."""
     return _forget_cdc(spark, root, ids_df, spec, "left", audit_path)
 
 
@@ -668,34 +703,13 @@ def _forget_cdc(
     side: str,
     audit_path: str | None,
 ) -> dict[str, int]:
-    from .forget import forget_matching_from_store
-
-    id_col = spec.left_id if side == "left" else spec.right_id
-    store = _side_path(root, side)
-    view_store = _side_path(root, "view")
-    _recover_compaction(spark, store)
-    _recover_compaction(spark, view_store)
-    # materialize the subject set BEFORE any mutation: a caller's ids
-    # naturally derive from reading this very store (the CDC-mirror
-    # example's shape), and a lazy lineage re-evaluated after the side
-    # erasure reads deleted files (FAILED_READ_FILE.FILE_NOT_EXIST)
-    ids_df = ids_df.localCheckpoint(eager=True)
-    # op log first (insert-only forget's ordering argument): with the
-    # source versions gone no future batch can re-derive view rows for
-    # these ids, so a crash between the two erasures only ever leaves
-    # removable extras in the view
-    if spec.n_buckets:
-        side_removed = _forget_bucketed(
-            spark, store, ids_df, id_col, audit_path=audit_path
-        )
-    else:
-        side_removed = forget_matching_from_store(
-            spark, store, ids_df, id_col=id_col, audit_path=audit_path
-        )
-    view_removed = forget_matching_from_store(
-        spark, view_store, ids_df, id_col=id_col, audit_path=audit_path
-    )
-    return {
-        f"{side}_rows_removed": sum(side_removed.values()),
-        "view_rows_removed": sum(view_removed.values()),
-    }
+    # The CDC op-log store has the insert-only store's exact layout
+    # (batch partitions, optionally bucketed; tombstone rows carry the
+    # id column, so the same anti-join removes upserts AND tombstones)
+    # — delegate to the shared durable-intent protocol: the subject id
+    # set is persisted under the root BEFORE the first mutation, both
+    # erasures consume the persisted copy, and a crash between them is
+    # replayed by recover_pending_forgets (called automatically here
+    # and by compaction) instead of silently re-deriving an empty set
+    # from the half-erased store.
+    return _forget_side(spark, root, ids_df, spec, side, audit_path=audit_path)

@@ -469,3 +469,125 @@ def test_q267_partition_invariant(spark):
         assert rows[before]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_forget_crash_between_erasures_recovers_from_persisted_ids(
+    spark, tmp_path, monkeypatch
+):
+    """r11 ADVICE medium: a crash AFTER the op-log erasure but BEFORE
+    the view erasure used to strand the subject's view rows forever —
+    the natural retry re-derives its id set from the now-erased side
+    store (empty) and finds nothing to remove. The durable intent
+    persists the id set under the root before the first mutation, so
+    ANY later forget/compaction replays the erasure from the persisted
+    copy."""
+    import dataworks_audit_data_ingest_spark.incremental.forget as fg
+
+    root = str(tmp_path / "cdc")
+    for i, batch in enumerate(BATCHES):
+        _apply(spark, root, SPEC, i, batch)
+    # subject ids derived FROM the store being erased (the cdc_mirror
+    # example's exact shape) — deliberately lazy
+    ids = (
+        read_current_side(spark, root, "left", SPEC)
+        .filter(F.col("lid") == 1)
+        .select("lid")
+    )
+    real = fg.forget_matching_from_store
+
+    def boom(spark_, store_path, *a, **k):
+        if store_path.rstrip("/").endswith("/view"):
+            raise RuntimeError("injected crash before the view erasure")
+        return real(spark_, store_path, *a, **k)
+
+    monkeypatch.setattr(fg, "forget_matching_from_store", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        forget_left_ids_from_cdc_view(spark, root, ids, SPEC)
+    monkeypatch.undo()
+
+    # the crash window: op log clean, view residue on disk, intent live
+    assert (
+        spark.read.parquet(f"{root}/left").filter(F.col("lid") == 1).count()
+        == 0
+    )
+    assert (
+        spark.read.parquet(f"{root}/view").filter(F.col("lid") == 1).count()
+        > 0
+    )
+    assert len(fg.pending_forget_intents(spark, root)) == 1
+
+    # the naive retry: ids re-derived from the erased store are EMPTY —
+    # pre-fix this silently no-opped and the residue persisted
+    rederived = (
+        read_current_side(spark, root, "left", SPEC)
+        .filter(F.col("lid") == 1)
+        .select("lid")
+    )
+    assert rederived.count() == 0
+    forget_left_ids_from_cdc_view(spark, root, rederived, SPEC)
+
+    assert (
+        spark.read.parquet(f"{root}/view").filter(F.col("lid") == 1).count()
+        == 0
+    )
+    assert fg.pending_forget_intents(spark, root) == []
+    # the surviving view still nets correctly
+    lmodel, rmodel = {}, {}
+    for lu, ld, ru, rd in BATCHES:
+        _model_apply(lmodel, lu, ld, "lid")
+        _model_apply(rmodel, ru, rd, "rid")
+    lmodel.pop(1, None)
+    _assert_same_multiset(
+        read_join_view_cdc(spark, root), _expected(spark, lmodel, rmodel)
+    )
+
+
+def test_forget_crash_replayed_by_compaction(spark, tmp_path, monkeypatch):
+    """The pending intent is also replayed by the next compaction — an
+    operator who never re-runs the forget still converges."""
+    import dataworks_audit_data_ingest_spark.incremental.forget as fg
+
+    root = str(tmp_path / "cdc")
+    for i, batch in enumerate(BATCHES):
+        _apply(spark, root, SPEC, i, batch)
+    ids = spark.createDataFrame([(1,)], "lid int")
+    real = fg.forget_matching_from_store
+
+    def boom(spark_, store_path, *a, **k):
+        if store_path.rstrip("/").endswith("/view"):
+            raise RuntimeError("injected crash")
+        return real(spark_, store_path, *a, **k)
+
+    monkeypatch.setattr(fg, "forget_matching_from_store", boom)
+    with pytest.raises(RuntimeError):
+        forget_left_ids_from_cdc_view(spark, root, ids, SPEC)
+    monkeypatch.undo()
+    assert len(fg.pending_forget_intents(spark, root)) == 1
+
+    compact_join_view_cdc(spark, root, SPEC)
+    assert (
+        spark.read.parquet(f"{root}/view").filter(F.col("lid") == 1).count()
+        == 0
+    )
+    assert fg.pending_forget_intents(spark, root) == []
+
+
+def test_torn_forget_intent_rolls_back(spark, tmp_path):
+    """A pending dir WITHOUT its meta commit marker crashed mid-persist
+    — before any store was touched — and must be dropped, not
+    replayed."""
+    import dataworks_audit_data_ingest_spark.incremental.forget as fg
+
+    root = str(tmp_path / "cdc")
+    _apply(spark, root, SPEC, 0, BATCHES[0])
+    pend = tmp_path / "cdc" / f"{fg._PENDING_PREFIX}deadbeef"
+    spark.createDataFrame([(1,)], "lid int").write.parquet(
+        str(pend / "ids")
+    )  # ids durable, meta never written
+    assert fg.pending_forget_intents(spark, root) == []
+    assert not pend.exists()
+    # and the store is untouched
+    assert (
+        spark.read.parquet(f"{root}/left").filter(F.col("lid") == 1).count()
+        > 0
+    )
