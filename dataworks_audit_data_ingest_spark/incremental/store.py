@@ -121,6 +121,41 @@ def read_store_excluding_batch(
     )
 
 
+_PAD = 12
+
+
+def pad_batch_id(batch_id: int) -> str:
+    """Streaming micro-batch int → lexicographically monotone store
+    batch id (zero-padded: bare "10" sorts before "9" as a string, and
+    everything order-sensitive — CDC op resolution, compaction's
+    excluded-batches-sort-last precondition — compares ids
+    lexicographically). THE id convention for every streaming rung;
+    batch APIs accept any monotone string (ISO dates, padded
+    sequences)."""
+    return f"{int(batch_id):0{_PAD}d}"
+
+
+def resolve_stream_batch_id(
+    spark: SparkSession, store_path: str, batch_id: int
+) -> str:
+    """`pad_batch_id`, EXCEPT when this exact micro-batch already
+    committed under the pre-padding BARE convention — i.e. a job
+    upgraded in place is replaying the batch its old binary crashed on.
+    Reusing the bare id makes the replay overwrite its own partition
+    instead of duplicating the rows under the padded name. Only the
+    replayed boundary batch can hit this (committed batches never
+    re-run under the same checkpoint), so a store migrates to padded
+    ids from the next batch on; bare legacy partitions sort BEFORE all
+    padded ones, which is harmless for order-insensitive stores
+    (append/additive rungs) — order-sensitive stores (the CDC op log)
+    have used padded ids from birth."""
+    bare = str(int(batch_id))
+    listed = _list_partitions(spark, store_path)
+    if listed is not None and bare in listed[2]:
+        return bare
+    return pad_batch_id(batch_id)
+
+
 def _valid_id(batch_id) -> str:
     """Batch ids are DIRECTORY NAMES: coerce str/int (int 7 must address
     the "7" partition), reject everything else. ``None`` (an unset

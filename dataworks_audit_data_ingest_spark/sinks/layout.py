@@ -56,28 +56,37 @@ def zorder_write(
     `tools/bloom_study.py` measures 1.4×/1.9× present/absent probe wins
     at production row-group sizes for +1.8 % disk). ``bloom_ndv`` sizes
     the filters (expected distinct values PER FILE); when omitted it is
-    estimated as ``count/n_files`` — without it parquet falls back to
+    estimated as ``count/n_files`` from the SAME single aggregation
+    pass that supplies the Z-order bounds (no extra scan of the input
+    lineage) — without any sizing parquet falls back to
     ``parquet.bloom.filter.max.bytes`` and writes maximal 1 MB blooms.
     At fixture-scale row groups blooms COST more than they skip (the
     round-10 honest-negative) — turn them on for production-sized row
     groups and genuinely random point probes, not reflexively.
     """
-    aggs = []
+    # ONE pass over the input computes every column's bounds AND the
+    # row count (which only the bloom sizing needs); the bounds reach
+    # the cell expressions as literals, so the write job itself is the
+    # only other evaluation of df's lineage
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
     for c in cols:
         aggs += [
             F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
             F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
         ]
-    bounds = df.agg(*aggs)
+    stats = df.agg(*aggs).collect()[0]
 
-    cells = df.join(F.broadcast(bounds))
+    cells = df
     max_cell = (1 << bits) - 1
     cell_cols = []
     for c in cols:
-        span = F.col(f"_max_{c}") - F.col(f"_min_{c}")
-        frac = F.when(span > 0, (F.col(c).cast("double") - F.col(f"_min_{c}")) / span).otherwise(
-            F.lit(0.0)
-        )
+        lo = stats[f"_min_{c}"]
+        hi = stats[f"_max_{c}"]
+        span = (hi - lo) if (lo is not None and hi is not None) else 0.0
+        if span > 0:
+            frac = (F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+        else:
+            frac = F.lit(0.0)
         cells = cells.withColumn(
             f"_cell_{c}",
             F.least(F.floor(frac * (max_cell + 1)).cast("long"), F.lit(max_cell)),
@@ -88,7 +97,7 @@ def zorder_write(
     writer = (
         z.repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
-        .drop("_z", *cell_cols, *[f"_min_{c}" for c in cols], *[f"_max_{c}" for c in cols])
+        .drop("_z", *cell_cols)
         .write.mode(mode)
     )
     if bloom_cols:
@@ -97,10 +106,9 @@ def zorder_write(
             raise ValueError(f"bloom_cols not in the frame: {missing}")
         ndv = bloom_ndv
         if ndv is None:
-            # one count job; the estimate only sizes the filters, it
-            # does not gate correctness (false-positive rate degrades
-            # gracefully if the guess is low)
-            ndv = max(1, df.count() // max(1, n_files))
+            # sizes only — false-positive rate degrades gracefully if
+            # the per-file estimate is low; no extra job (see above)
+            ndv = max(1, stats["_cnt"] // max(1, n_files))
         for c in bloom_cols:
             writer = writer.option(
                 f"parquet.bloom.filter.enabled#{c}", "true"

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from ..incremental import joinview as _jv
 from ..incremental import rollup as _rl
 from ..incremental.joinview import JoinViewSpec
+from ..incremental.store import resolve_stream_batch_id
 from .joinview_job import split_sides
 
 logger = logging.getLogger(__name__)
@@ -71,39 +72,42 @@ def start_enriched_rollup_cascade_stream(
     def one_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)
+        # the family-wide padded id convention (store.pad_batch_id),
+        # with the bare-id replay guard for stores written pre-padding
+        bid = resolve_stream_batch_id(spark, f"{jv_root}/left", batch_id)
         ld, rd = split_sides(batch_df, side_col, left_cols, right_cols)
         counts = _jv.update_join_view(
             spark,
             jv_root,
-            str(batch_id),
+            bid,
             spec,
             left_delta=ld,
             right_delta=rd,
         )
-        delta = _jv.read_join_view_delta(spark, jv_root, str(batch_id))
+        delta = _jv.read_join_view_delta(spark, jv_root, bid)
         if delta is not None:
             _rl.update_rollup_store(
                 spark,
                 rollup_store,
                 delta,
-                str(batch_id),
+                bid,
                 ts_col=ts_col,
                 type_col=type_col,
                 user_col=user_col,
                 value_col=value_col,
             )
         logger.info(
-            "cascade: batch %d view=%s rollup_rows=%s",
-            batch_id,
+            "cascade: batch %s view=%s rollup_rows=%s",
+            bid,
             counts,
             counts["view_delta_rows"],
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
             folded_jv = _jv.compact_join_view(
-                spark, jv_root, spec, exclude=(str(batch_id),)
+                spark, jv_root, spec, exclude=(bid,)
             )
             folded_rl = _rl.compact_rollup_store(
-                spark, rollup_store, exclude=(str(batch_id),)
+                spark, rollup_store, exclude=(bid,)
             )
             logger.info(
                 "cascade: folded view=%s rollup=%d after batch %d",

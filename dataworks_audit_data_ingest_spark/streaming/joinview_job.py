@@ -29,6 +29,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..incremental.store import resolve_stream_batch_id
 from ..incremental.joinview import (
     JoinViewSpec,
     compact_join_view,
@@ -98,19 +99,22 @@ def start_join_view_maintenance_stream(
     def one_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)
+        # the family-wide padded id convention (store.pad_batch_id),
+        # with the bare-id replay guard for stores written pre-padding
+        bid = resolve_stream_batch_id(spark, f"{root}/left", batch_id)
         ld, rd = split_sides(batch_df, side_col, left_cols, right_cols)
         counts = update_join_view(
             spark,
             root,
-            str(batch_id),
+            bid,
             spec,
             left_delta=ld,
             right_delta=rd,
         )
-        logger.info("join-view maintenance: batch %d %s", batch_id, counts)
+        logger.info("join-view maintenance: batch %s %s", bid, counts)
         if compact_every and (batch_id + 1) % compact_every == 0:
             folded = compact_join_view(
-                spark, root, spec, exclude=(str(batch_id),)
+                spark, root, spec, exclude=(bid,)
             )
             logger.info(
                 "join-view maintenance: folded %s after batch %d",

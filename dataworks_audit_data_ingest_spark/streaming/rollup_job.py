@@ -25,6 +25,7 @@ import logging
 from pyspark.sql import DataFrame
 
 from ..incremental.rollup import update_rollup_store
+from ..incremental.store import resolve_stream_batch_id
 
 logger = logging.getLogger(__name__)
 
@@ -58,22 +59,27 @@ def start_rollup_maintenance_stream(
     def one_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..incremental.rollup import compact_rollup_store
 
+        # the family-wide padded id convention (store.pad_batch_id),
+        # with the bare-id replay guard for stores written pre-padding
+        bid = resolve_stream_batch_id(
+            batch_df.sparkSession, rollup_store, batch_id
+        )
         update_rollup_store(
             batch_df.sparkSession,
             rollup_store,
             batch_df,
-            str(batch_id),
+            bid,
             ts_col=ts_col,
             type_col=type_col,
             user_col=user_col,
             value_col=value_col,
         )
-        logger.info("rollup maintenance: committed batch %d", batch_id)
+        logger.info("rollup maintenance: committed batch %s", bid)
         if compact_every and (batch_id + 1) % compact_every == 0:
             folded = compact_rollup_store(
                 batch_df.sparkSession,
                 rollup_store,
-                exclude=(str(batch_id),),
+                exclude=(bid,),
             )
             logger.info(
                 "rollup maintenance: folded %d partitions after batch %d",

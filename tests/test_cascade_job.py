@@ -199,8 +199,8 @@ def test_crash_between_store_commits_converges(spark, tmp_path, monkeypatch):
     # the window is real: the view store holds batch 1, the rollup not
     import os
 
-    assert os.path.isdir(f"{jv_root}/view/batch_id=1")
-    assert not os.path.isdir(f"{rl_store}/batch_id=1")
+    assert os.path.isdir(f"{jv_root}/view/batch_id=000000000001")
+    assert not os.path.isdir(f"{rl_store}/batch_id=000000000001")
 
     monkeypatch.setattr(cj._rl, "update_rollup_store", real)
     _start(

@@ -123,3 +123,98 @@ def test_unknown_op_tag_fails_loudly(spark, tmp_path):
         raise AssertionError("stream should have failed on the typo'd op")
     except Exception as e:
         assert "unknown tags" in str(e) or "upsrt" in str(e)
+
+
+SEQ_SCHEMA = SCHEMA + ", seq long"
+
+# one micro-batch, physically SHUFFLED (a multi-partition source's
+# interleaving), logically ordered by seq. Exercises: the Debezium
+# same-key UPDATE encoding (delete old image + insert new image — the
+# batch API's ambiguous clash), insert-then-delete (net absent), and a
+# key move with a later re-ordering.
+SEQ_ROWS = [  # written in this scrambled order on purpose
+    {"side": "left", "op": "upsert", "lid": 1, "k": 10, "lval": "a2", "seq": 4},
+    {"side": "left", "op": "delete", "lid": 2, "k": 20, "seq": 6},
+    {"side": "right", "op": "upsert", "rid": 100, "k": 10, "rval": "X", "seq": 2},
+    {"side": "left", "op": "upsert", "lid": 3, "k": 10, "lval": "c-moved", "seq": 10},
+    {"side": "left", "op": "delete", "lid": 1, "k": 10, "seq": 3},
+    {"side": "left", "op": "upsert", "lid": 2, "k": 20, "lval": "b", "seq": 5},
+    {"side": "left", "op": "upsert", "lid": 1, "k": 10, "lval": "a", "seq": 1},
+    {"side": "right", "op": "upsert", "rid": 101, "k": 20, "rval": "Y", "seq": 7},
+    {"side": "left", "op": "upsert", "lid": 3, "k": 20, "lval": "c", "seq": 8},
+    {"side": "left", "op": "delete", "lid": 3, "k": 20, "seq": 9},
+]
+# resolved final states: left {1:(10,a2), 3:(10,c-moved)} (lid 2
+# insert-then-delete nets to absent), right {100, 101} -> pairs at k=10
+SEQ_WANT = {(10, 1, "a2", 100, "X"), (10, 3, "c-moved", 100, "X")}
+
+
+def _start_seq(spark, src, root, ckpt, seq_col):
+    stream = spark.readStream.schema(SEQ_SCHEMA).json(str(src))
+    return start_cdc_join_view_stream(
+        stream,
+        root,
+        ckpt,
+        SPEC,
+        left_cols=LEFT_COLS,
+        right_cols=RIGHT_COLS,
+        seq_col=seq_col,
+    )
+
+
+def test_seq_col_resolves_within_batch_reorder(spark, tmp_path):
+    """r11 ADVICE: with a monotone sequence column the job resolves a
+    reordered multi-op micro-batch to its final op per (side, key, id)
+    — including the Debezium update encoding — instead of either
+    corrupting the z-set or rejecting the batch."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "batch.json").write_text(
+        "\n".join(json.dumps(r) for r in SEQ_ROWS)
+    )
+    root, ckpt = str(tmp_path / "jv"), str(tmp_path / "ckpt")
+    _start_seq(spark, src, root, ckpt, "seq").awaitTermination()
+    assert _got(spark, root) == SEQ_WANT
+
+
+def test_same_feed_without_seq_is_rejected_loudly(spark, tmp_path):
+    """The identical one-batch feed WITHOUT seq resolution must fail
+    with the ambiguity error (naming the Debezium encoding), not
+    silently pick an order."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "batch.json").write_text(
+        "\n".join(json.dumps(r) for r in SEQ_ROWS)
+    )
+    q = _start_seq(
+        spark, src, str(tmp_path / "jv"), str(tmp_path / "ckpt"), None
+    )
+    try:
+        q.awaitTermination()
+        raise AssertionError("un-sequenced ambiguous batch must fail")
+    except Exception as e:
+        # whichever batch-contract guard fires first (the duplicate-
+        # upsert-id check precedes the upsert+delete clash), the feed
+        # is rejected loudly rather than silently picking an order
+        msg = str(e)
+        assert (
+            "Debezium" in msg or "ambiguous" in msg or "repeats" in msg
+        )
+
+
+def test_seq_tie_on_same_version_fails_loudly(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"side": "left", "op": "upsert", "lid": 1, "k": 10, "lval": "a", "seq": 1},
+        {"side": "left", "op": "delete", "lid": 1, "k": 10, "seq": 1},
+    ]
+    (src / "batch.json").write_text("\n".join(json.dumps(r) for r in rows))
+    q = _start_seq(
+        spark, src, str(tmp_path / "jv"), str(tmp_path / "ckpt"), "seq"
+    )
+    try:
+        q.awaitTermination()
+        raise AssertionError("tied top seq must fail")
+    except Exception as e:
+        assert "unrecoverable" in str(e) or "seq" in str(e)

@@ -120,7 +120,7 @@ def test_in_stream_compaction_bounds_partitions_and_preserves_report(
     # End state: one compacted partition + the in-flight batch 5.
     assert len(parts) == 2
     assert sum("__compacted_" in n for n in parts) == 1
-    assert "batch_id=5" in parts
+    assert "batch_id=000000000005" in parts
 
     stream2 = (
         spark.readStream.schema(schema)

@@ -364,3 +364,30 @@ def test_checkpoint_replayable_ids_reports_uncommitted_batch(spark, tmp_path):
     assert out.select("doc_id").distinct().count() == len(docs)
     store = spark.read.parquet(f"{base}/store")
     assert store.count() == store.select("chunk_hash").distinct().count()
+
+
+def test_stream_batch_id_convention_and_replay_guard(spark, tmp_path):
+    """One id convention across every streaming rung (r11 verdict #4):
+    micro-batch ints commit zero-padded, and the only exception is the
+    upgrade boundary — a batch the pre-padding binary already committed
+    BARE replays under its bare id so the overwrite hits the same
+    partition instead of duplicating rows under the padded name."""
+    from pyspark.sql import functions as F
+
+    from dataworks_audit_data_ingest_spark.incremental.store import (
+        commit_batch_partition,
+        pad_batch_id,
+        resolve_stream_batch_id,
+    )
+
+    store = str(tmp_path / "s")
+    # store not yet created -> padded from birth
+    assert resolve_stream_batch_id(spark, store, 7) == pad_batch_id(7)
+    assert pad_batch_id(10) > pad_batch_id(9)  # the lexicographic point
+
+    # a pre-upgrade BARE partition for this exact batch -> bare reused
+    df = spark.range(3).select(F.col("id").alias("v"))
+    commit_batch_partition(df, store, "7")
+    assert resolve_stream_batch_id(spark, store, 7) == "7"
+    # any other batch stays padded (migration completes from here on)
+    assert resolve_stream_batch_id(spark, store, 8) == pad_batch_id(8)
