@@ -41,4 +41,9 @@ from .rollup import (  # noqa: F401
     read_rollup_grain,
     update_rollup_store,
 )
+from .rollup_cdc import (  # noqa: F401
+    compact_cdc_rollup,
+    read_cdc_rollup,
+    update_cdc_rollup,
+)
 from .runner import IncrementalJob, run_incremental  # noqa: F401

@@ -3530,3 +3530,312 @@ def q267_cdc_feed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root.rsplit("/", 1)[0], ignore_errors=True)
     return report
+
+
+# ---------------------------------------------------------------------------
+# q269 — recompute-on-retract: MIN/MAX (non-additive, non-retractable)
+# maintained through the full CDC workload. q267 proves the additive
+# signed fold; min/max cannot subtract a retraction (the max carries no
+# record of the runners-up), so retraction-touched groups get a
+# group-pruned snapshot recomputed from the net view while untouched
+# groups stay on the O(Δ) additive path (incremental/rollup_cdc.py).
+# The deletes/updates/key-move all shift group extremes; one stale
+# snapshot or resurrected add partial breaks the hash.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q269_cdc_minmax_rollup",
+    sql=f"""
+    WITH final_orders AS (
+        SELECT o_orderkey,
+               CASE WHEN {_Q265_MOVE_L} THEN o_custkey + 1
+                    ELSE o_custkey END AS c_custkey,
+               CASE WHEN {_Q265_UPD_L} THEN '1-UPDATED'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_totalprice
+        FROM orders
+        WHERE NOT ({_Q265_DEL_L})
+    ), final_cust AS (
+        SELECT c_custkey,
+               CASE WHEN {_Q265_UPD_R} THEN 'SEG-UPDATED'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+        WHERE NOT ({_Q265_DEL_R})
+    )
+    SELECT c.c_mktsegment,
+           o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({_Q260_CENTS}) AS BIGINT) AS revenue_cents,
+           CAST(MIN({_Q260_CENTS}) AS BIGINT) AS min_cents,
+           CAST(MAX({_Q260_CENTS}) AS BIGINT) AS max_cents
+    FROM final_orders o
+    JOIN final_cust c ON c.c_custkey = o.c_custkey
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+    ORDER BY c.c_mktsegment, o.o_orderpriority
+    """,
+    tags=("incremental", "joinview", "cdc", "rollup", "agg"),
+)
+def q269_cdc_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX maintained under full CDC via recompute-on-retract
+    (`incremental/rollup_cdc.py`): the q265 workload runs (inserts,
+    deletes, value updates, a key move, mid-stream semantic
+    compaction) and after each batch the signed change feed updates a
+    grain store — retraction-touched (segment, priority) groups get a
+    snapshot recomputed from the net view PRUNED to those groups; all
+    other groups fold additively from the feed's insert rows without
+    any store or view read. The resolved report (latest snapshot per
+    group + adds from strictly later batches) must hash-match DuckDB's
+    closed-form final state, min and max included — aggregates no
+    signed fold can maintain.
+
+    Scale shape: the hot path is O(Δ) map-side partials; the retract
+    path's recompute input is the net view semi-joined to the touched
+    groups (broadcast — the touched set is bounded by the batch's
+    retraction groups, not by history)."""
+    import shutil
+    import tempfile
+
+    from ..incremental.joinview_cdc import (
+        read_join_view_cdc,
+        read_join_view_cdc_delta,
+    )
+    from ..incremental.rollup_cdc import read_cdc_rollup, update_cdc_rollup
+
+    tmp = tempfile.mkdtemp(prefix="q269_cdc_")
+    root, store = f"{tmp}/view", f"{tmp}/rollup"
+    groups = ("c_mktsegment", "o_orderpriority")
+
+    def fold(bid: str) -> None:
+        feed = read_join_view_cdc_delta(spark, root, bid)
+        view = read_join_view_cdc(spark, root)
+        update_cdc_rollup(
+            spark,
+            store,
+            feed,
+            view,
+            bid,
+            group_cols=groups,
+            value_expr=_Q260_CENTS,
+        )
+
+    try:
+        _run_q265_cdc_batches(spark, sf_dir, root, on_batch=fold)
+        report = (
+            read_cdc_rollup(spark, store, groups)
+            .select(
+                "c_mktsegment",
+                "o_orderpriority",
+                F.col("n").alias("n_orders"),
+                F.col("total").alias("revenue_cents"),
+                F.col("vmin").alias("min_cents"),
+                F.col("vmax").alias("max_cents"),
+            )
+            .orderBy("c_mktsegment", "o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return report
+
+
+# ---------------------------------------------------------------------------
+# q268 — the streaming CDC cascade END-TO-END: the q265 change workload
+# spilled as a multiplexed (side, op)-tagged file feed, consumed by a
+# REAL Structured Streaming query (streaming/cascade_cdc_job.py, one
+# foreachBatch maintaining the CDC view AND the additive rollup from
+# its signed feed, with a mid-stream four-store fold). The registry's
+# other streaming-shaped queries evaluate batch twins; this one runs
+# the actual stream — availableNow, file source, pinned mtime order —
+# and the maintained rollup must hash-match the closed form.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q268_cdc_cascade_stream",
+    sql=REGISTRY["q265_cdc_join_view_report"].sql,
+    tags=("incremental", "joinview", "cdc", "cascade", "streaming"),
+)
+def q268_cdc_cascade_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming CDC cascade driven end-to-end: four multiplexed
+    change chunks (inserts both sides, order deletes, priority updates,
+    customer deletes/updates, the key-move idiom) are spilled one file
+    per micro-batch with strictly increasing mtimes (the file source
+    orders by mtime in MILLISECONDS — ties would scramble CDC op
+    order), then `start_cdc_rollup_cascade_stream` consumes them with
+    ``compact_every=3`` (all four stores fold mid-stream, current batch
+    excluded). The additive rollup — maintained purely from the view's
+    signed change feed inside the same callback, never reading the
+    view — must match DuckDB's one-shot closed form of the final state.
+
+    Scale shape: per micro-batch the same delta-sized joins as q265
+    plus an O(Δ-groups) map-side fold; the feed is consumed in the
+    callback that produced it (consume-before-fold), so no stage ever
+    reads history."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..incremental.joinview import JoinViewSpec
+    from ..streaming.cascade_cdc_job import (
+        read_additive_rollup,
+        start_cdc_rollup_cascade_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="q268_cdc_")
+    src = f"{tmp}/src"
+    os.makedirs(src)
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    spec = JoinViewSpec(
+        key="c_custkey",
+        left_id="o_orderkey",
+        right_id="c_custkey",
+        n_buckets=8,
+    )
+
+    def mux(df: DataFrame, side: str, op: str) -> DataFrame:
+        cols = {c: F.col(c) for c in df.columns}
+        return df.select(
+            F.lit(side).alias("side"),
+            F.lit(op).alias("op"),
+            cols.get("o_orderkey", F.lit(None).cast("bigint")).alias(
+                "o_orderkey"
+            ),
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            cols.get("o_totalprice", F.lit(None).cast("double")).alias(
+                "o_totalprice"
+            ),
+            cols.get("o_orderpriority", F.lit(None).cast("string")).alias(
+                "o_orderpriority"
+            ),
+            cols.get("c_mktsegment", F.lit(None).cast("string")).alias(
+                "c_mktsegment"
+            ),
+        )
+
+    def lcls(i: int) -> DataFrame:
+        return orders.filter(F.expr(f"o_orderkey % 4 = {i}"))
+
+    def rcls(i: int) -> DataFrame:
+        return cust.filter(F.expr(f"c_custkey % 3 = {i}"))
+
+    moved = orders.filter(F.expr(_Q265_MOVE_L))
+    chunks = [
+        mux(lcls(0), "left", "upsert").unionByName(
+            mux(rcls(0), "right", "upsert")
+        ),
+        mux(lcls(1), "left", "upsert")
+        .unionByName(
+            mux(
+                orders.filter(F.expr(_Q265_DEL_L)).select(
+                    "c_custkey", "o_orderkey"
+                ),
+                "left",
+                "delete",
+            )
+        )
+        .unionByName(mux(rcls(1), "right", "upsert")),
+        mux(
+            lcls(2).unionByName(
+                orders.filter(F.expr(_Q265_UPD_L)).withColumn(
+                    "o_orderpriority", F.lit("1-UPDATED")
+                )
+            ),
+            "left",
+            "upsert",
+        )
+        .unionByName(mux(rcls(2), "right", "upsert"))
+        .unionByName(
+            mux(
+                cust.filter(F.expr(_Q265_DEL_R)).select("c_custkey"),
+                "right",
+                "delete",
+            )
+        ),
+        mux(
+            lcls(3).unionByName(
+                moved.withColumn("c_custkey", F.expr("c_custkey + 1"))
+            ),
+            "left",
+            "upsert",
+        )
+        .unionByName(
+            mux(moved.select("c_custkey", "o_orderkey"), "left", "delete")
+        )
+        .unionByName(
+            mux(
+                cust.filter(F.expr(_Q265_UPD_R)).withColumn(
+                    "c_mktsegment", F.lit("SEG-UPDATED")
+                ),
+                "right",
+                "upsert",
+            )
+        ),
+    ]
+
+    try:
+        # one file per chunk, strictly increasing mtimes -> one chunk
+        # per micro-batch in feed order
+        t0 = 1_600_000_000
+        for i, chunk in enumerate(chunks):
+            stage = f"{tmp}/stage{i}"
+            chunk.coalesce(1).write.parquet(stage)
+            part = next(
+                n for n in os.listdir(stage) if n.endswith(".parquet")
+            )
+            dst = f"{src}/c{i}.parquet"
+            shutil.move(f"{stage}/{part}", dst)
+            os.utime(dst, (t0 + i, t0 + i))
+            shutil.rmtree(stage)
+        schema = spark.read.parquet(f"{src}/c0.parquet").schema
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        start_cdc_rollup_cascade_stream(
+            stream,
+            f"{tmp}/jv",
+            f"{tmp}/rollup",
+            f"{tmp}/ckpt",
+            spec,
+            left_cols=(
+                "o_orderkey",
+                "c_custkey",
+                "o_totalprice",
+                "o_orderpriority",
+            ),
+            right_cols=("c_custkey", "c_mktsegment"),
+            group_cols=("c_mktsegment", "o_orderpriority"),
+            value_expr=_Q260_CENTS,
+            compact_every=3,
+        ).awaitTermination()
+
+        report = (
+            read_additive_rollup(
+                spark,
+                f"{tmp}/rollup",
+                ("c_mktsegment", "o_orderpriority"),
+            )
+            .select(
+                "c_mktsegment",
+                "o_orderpriority",
+                F.col("n").cast("bigint").alias("n_orders"),
+                F.col("total").cast("bigint").alias("revenue_cents"),
+            )
+            .orderBy("c_mktsegment", "o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return report

@@ -151,3 +151,25 @@ def test_crash_between_view_and_rollup_commits_converges(
         spark, src, jv_root, rl_store, ckpt, compact_every=None
     ).awaitTermination()
     assert _report(spark, rl_store) == WANT
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q268_partition_invariant(spark):
+    from dataworks_audit_data_ingest_spark.queries.streaming_shaped import (
+        q268_cdc_cascade_stream,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        rows = {}
+        for n in ("7", before):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            rows[n] = [
+                tuple(r) for r in q268_cdc_cascade_stream(spark, SF).collect()
+            ]
+        assert rows["7"] == rows[before]
+        assert rows[before]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
