@@ -25,6 +25,17 @@ per-query minima themselves were already in ``queries_spread``). The
 frozen headline ``value`` (mean) is untouched; when load_avg exceeds ~2×
 the bench's own parallelism headroom, judge on ``value_min`` — the
 minimum is far more robust to external load than the mean (PERF.md).
+
+Cold-start self-diagnosis (round-11 lesson: the first post-suite anchor
+read 2× and burned a B-A-B adjudication cycle on what was just an
+evicted page cache): the JSON line additively carries ``warmup_sec``
+(wall time of the fixed warm-up block — table counts + one decode
+materialization; its nominal is machine-stable), ``first_run_inflation``
+(median over queries of first-sample ÷ min-sample — a cold cache
+inflates exactly the first samples), and ``cold_start`` (true when
+either signal trips: warm-up > 1.5× nominal, or inflation > 1.5).
+A ``cold_start: true`` anchor should be re-run before reaching for
+A/B adjudication; the headline fields are untouched.
 """
 
 from __future__ import annotations
@@ -79,9 +90,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
 
-    # warm-up: JVM, parquet footers for every table, Python worker pool
+    # warm-up: JVM, parquet footers for every table, Python worker pool.
+    # Timed: its nominal wall is machine-stable, so a big excess means
+    # the page cache was evicted (e.g. right after an hour-long suite)
+    # and the anchor should be re-run rather than A/B-adjudicated.
     from dataworks_audit_data_ingest_spark.tables import TABLE_NAMES, table
 
+    w0 = time.perf_counter()
     try:
         for t in TABLE_NAMES:
             table(spark, sf_dir, t).count()
@@ -90,10 +105,13 @@ def main() -> None:
         ).save()
     except Exception as e:  # noqa: BLE001 — warm-up failure must not kill the run
         print(f"bench: warm-up failed: {type(e).__name__}: {e}", file=sys.stderr)
+    warmup_sec = round(time.perf_counter() - w0, 3)
+    warm_nominal = float(os.environ.get("SPARK_GRAFT_WARM_NOMINAL", "20"))
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
+    inflations: list[float] = []
     for name in BENCH_QUERIES:
         samples: list[float] = []
         for _ in range(n_runs):
@@ -112,6 +130,8 @@ def main() -> None:
         if samples:
             timings[name] = round(sum(samples) / len(samples), 3)
             spreads[name] = [round(min(samples), 3), round(max(samples), 3)]
+            if len(samples) > 1 and min(samples) > 0:
+                inflations.append(samples[0] / min(samples))
         else:
             timings[name] = -1.0
             spreads[name] = [-1.0, -1.0]
@@ -140,6 +160,21 @@ def main() -> None:
                 "value_min": round(sum(spreads[n][0] for n in ok), 3),
                 "load_avg_start": load_start,
                 "load_avg_end": load_end,
+                # cold-start diagnostics (module docstring): re-run a
+                # cold_start anchor before A/B adjudication
+                "warmup_sec": warmup_sec,
+                "first_run_inflation": (
+                    round(sorted(inflations)[len(inflations) // 2], 3)
+                    if inflations
+                    else -1.0
+                ),
+                "cold_start": bool(
+                    warmup_sec > 1.5 * warm_nominal
+                    or (
+                        inflations
+                        and sorted(inflations)[len(inflations) // 2] > 1.5
+                    )
+                ),
             }
         )
     )

@@ -48,10 +48,14 @@ def fingerprint(plan: str) -> dict[str, int]:
 # Stable non-bench shapes worth guarding too (round 10): classic TPC-H
 # plans and the Spark 4 SQL-surface queries whose plans must never grow a
 # Python eval or lose a broadcast. Round 11 adds the three guardable
-# round-10 shapes (q261 checksum, q262 allocation, q263 recursive path).
-# Queries materializing temp state (q254/q260/q264/q265 stores, q255
-# XML) return checkpoint scans — nothing to guard; their plan evidence
-# is the store modules' drills and PERF.md's cross-scale shuffle rows.
+# round-10 shapes (q261 checksum, q262 allocation, q263 recursive path);
+# round 12 adds q266 (the verifier audit: candidate generation + two
+# scoring legs — a stable, Python-eval-free, broadcast-preserving
+# shape, unlike its checkpoint-scan siblings).
+# Queries materializing temp state (q254/q260/q264/q265/q267/q268/q269
+# stores, q255 XML) return checkpoint scans — nothing to guard; their
+# plan evidence is the store modules' drills and PERF.md's cross-scale
+# shuffle rows.
 GUARDED_EXTRAS = (
     "q250_ship_lag_priority",
     "q251_bracket_revenue",
@@ -64,6 +68,7 @@ GUARDED_EXTRAS = (
     "q261_table_checksum",
     "q262_neyman_allocation",
     "q263_cheapest_journey_path",
+    "q266_semantic_store_verifier_audit",
 )
 
 
