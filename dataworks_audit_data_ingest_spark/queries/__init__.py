@@ -34,17 +34,20 @@ from . import graph_shaped  # noqa: E402,F401
 # verbatim output of `python tools/rotation.py --emit --as-of 11` over the
 # r01–r11 driver history (DRIVER_PRIORITY_AS_OF_ROUND pins which history it
 # was computed from; tests/test_cli_operators.py asserts the paste matches
-# the computation, so hand-drift is a test failure). No never-run queries
-# remain, so the slate is pure stalest-first: the FIFTEEN r06-latest rows
-# lead (q16/q170/q173/q174/q175/q17/q26/q28/q29/q30/q31/q33/q34/q34b/q98
+# the computation, so hand-drift is a test failure). The round-12 queries
+# (q269 recompute-on-retract min/max, q268 streaming CDC cascade) lead
+# as never-run; then stalest-first: the FIFTEEN r06-latest rows
+# (q16/q170/q173/q174/q175/q17/q26/q28/q29/q30/q31/q33/q34/q34b/q98
 # — the full r06 staleness floor, all judge-verified green in the r11
-# session), then 35 of the 50 r07-latest rows fill the remaining slots
-# (15 + 35); the r07 tail rotates in on the next emission. The four
+# session), then 33 of the 50 r07-latest rows fill the remaining slots
+# (2 + 15 + 33); the r07 tail rotates in on the next emission. The four
 # rows-only queries (q42/q74/q16s/q59, sql=None) are excluded from
 # emission — they can only ever produce a `no_oracle` driver row; their
 # evidence is pytest plus a green oracle-backed twin each.
 DRIVER_PRIORITY_AS_OF_ROUND = 11
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "q269_cdc_minmax_rollup",
+    "q268_cdc_cascade_stream",
     "q16_acctbal_deciles",
     "q170_hard_negatives",
     "q173_skew_aware_join",
@@ -93,8 +96,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q37_distribution_ranks",
     "q37b_zscore_outliers",
     "q38_full_outer_join",
-    "q39_map_functions",
-    "q43_correlated_min",
 )
 
 
