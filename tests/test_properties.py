@@ -656,7 +656,17 @@ def _one_batch_ops(side_ids):
 
 @given(
     batches=st.lists(
-        st.tuples(_one_batch_ops(_CDC_IDS), _one_batch_ops(_CDC_IDS)),
+        st.tuples(
+            _one_batch_ops(_CDC_IDS),
+            _one_batch_ops(_CDC_IDS),
+            # r11 verdict #6: compaction is part of the fuzzed op
+            # sequence, not a fixed drill point — after any batch the
+            # store may fold with the current batch excluded (the
+            # streaming rung's discipline) or fold EVERYTHING (legal
+            # when nothing can replay), so the staged-swap + rank
+            # ordering is exercised under random interleavings
+            st.sampled_from(("none", "excl_current", "fold_all")),
+        ),
         min_size=1,
         max_size=3,
     )
@@ -664,14 +674,17 @@ def _one_batch_ops(side_ids):
 @settings(max_examples=12, deadline=None)
 def test_cdc_view_matches_dict_model_property(batches, spark, tmp_path_factory):
     """For ANY sequence of CDC batches (random upserts/deletes on both
-    sides, id and key collisions common), the net view equals the dict
-    model's current_A ⋈ current_B. Same-version upsert+delete clashes
-    are resolved model-side by dropping the delete (the engine rejects
-    the ambiguous batch; the model must feed it something legal)."""
+    sides, id and key collisions common) interleaved with RANDOM
+    semantic compactions (current-batch-excluded or fold-everything),
+    the net view equals the dict model's current_A ⋈ current_B.
+    Same-version upsert+delete clashes are resolved model-side by
+    dropping the delete (the engine rejects the ambiguous batch; the
+    model must feed it something legal)."""
     from pyspark.sql import functions as F  # noqa: F401
 
     from dataworks_audit_data_ingest_spark.incremental import (
         JoinViewSpec,
+        compact_join_view_cdc,
         read_join_view_cdc,
         update_join_view_cdc,
     )
@@ -680,7 +693,7 @@ def test_cdc_view_matches_dict_model_property(batches, spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("cdc_prop") / "view")
     lmodel: dict = {}
     rmodel: dict = {}
-    for i, (lops, rops) in enumerate(batches):
+    for i, (lops, rops, compact_choice) in enumerate(batches):
         (lu, ld), (ru, rd) = lops, rops
         # legalize the random ops to the engine's contract:
         # (a) a delete of a (key, id) version the same batch upserts is
@@ -731,6 +744,9 @@ def test_cdc_view_matches_dict_model_property(batches, spark, tmp_path_factory):
                     del model[i_]
             for i_, k, v in ups:
                 model[i_] = (i_, k, v)
+        if compact_choice != "none":
+            exclude = (f"b{i}",) if compact_choice == "excl_current" else ()
+            compact_join_view_cdc(spark, root, spec, exclude=exclude)
 
     got = read_join_view_cdc(spark, root)
     want = sorted(
