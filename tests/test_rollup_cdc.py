@@ -185,3 +185,37 @@ def test_q269_partition_invariant(spark):
         assert rows[before]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_forget_key_from_grain_store(spark, tmp_path):
+    """GDPR over the key-in-grain store: the shared partition-rewrite
+    forget erases the subject's grain rows (adds AND snapshots) across
+    every batch partition, other groups' state untouched — the same
+    erasure story as the additive rollup store, retraction machinery
+    included."""
+    from dataworks_audit_data_ingest_spark.incremental.forget import (
+        forget_ids_from_store,
+    )
+
+    root, store = str(tmp_path / "jv"), str(tmp_path / "rl")
+    grain = ("seg", "lid")
+    _run_batch(
+        spark, root, store, "b0", group_cols=grain,
+        left_upserts=spark.createDataFrame(
+            [(1, 10, 5), (2, 10, 7), (3, 20, 9)], L
+        ),
+        right_upserts=spark.createDataFrame(
+            [(100, 10, "A"), (101, 20, "A")], R
+        ),
+    )
+    # a retraction so the subject also has a SNAPSHOT row in history
+    _run_batch(
+        spark, root, store, "b1", group_cols=grain,
+        left_deletes=spark.createDataFrame([(3, 20)], "lid int, k int"),
+    )
+    removed = forget_ids_from_store(spark, store, [1], id_col="lid")
+    assert sum(removed.values()) > 0
+    raw = spark.read.parquet(store)
+    assert raw.filter(F.col("lid") == 1).count() == 0
+    report = read_cdc_rollup(spark, store, grain)
+    assert {(r.seg, r.lid) for r in report.collect()} == {("A", 2)}
