@@ -31,11 +31,26 @@ read 2× and burned a B-A-B adjudication cycle on what was just an
 evicted page cache): the JSON line additively carries ``warmup_sec``
 (wall time of the fixed warm-up block — table counts + one decode
 materialization; its nominal is machine-stable), ``first_run_inflation``
-(median over queries of first-sample ÷ min-sample — a cold cache
-inflates exactly the first samples), and ``cold_start`` (true when
-either signal trips: warm-up > 1.5× nominal, or inflation > 1.5).
+(median over queries of first-sample ÷ min-sample), and ``cold_start``
+(true when either signal trips: warm-up > 1.3× nominal, or inflation
+> 2.0). Calibrated on round-12 quads: warmup_sec reads 23.8 s
+immediately after the 74-min suite and 20.8 s on a partially-evicted
+cache (a 1.7×-inflated anchor) vs 14.8–17.5 s genuinely warm (nominal
+default 15 → trip above 19.5), while first_run_inflation sits at
+~1.54 in STEADY state
+(per-sample codegen compile — intrinsic, not thermal), so only a
+uniform ≥2× inflation — the r11 anomaly's actual shape — trips it.
 A ``cold_start: true`` anchor should be re-run before reaching for
 A/B adjudication; the headline fields are untouched.
+
+``cpu_steal_pct`` (round 12): percent of CPU time stolen by the
+hypervisor during the run (/proc/stat steal delta) — the round-12
+closing anchors degraded 27.8 → 61.5 s at load_avg 0.2 and zero PSI
+with ALL cold-start signals green, and the explanation was 7 %+ idle
+steal from a noisy neighbor on the shared host. Steal is invisible to
+loadavg; when it is non-trivial (> ~2 %), wall-clock anchors from that
+window are not comparable across rounds — record, wait, or judge on a
+low-steal re-run.
 """
 
 from __future__ import annotations
@@ -79,6 +94,18 @@ BENCH_QUERIES = [
 ]
 
 
+def _cpu_times() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -86,6 +113,7 @@ def main() -> None:
         load_start = round(os.getloadavg()[0], 2)
     except OSError:  # platform without getloadavg
         load_start = -1.0
+    steal0, total0 = _cpu_times()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
@@ -106,7 +134,7 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — warm-up failure must not kill the run
         print(f"bench: warm-up failed: {type(e).__name__}: {e}", file=sys.stderr)
     warmup_sec = round(time.perf_counter() - w0, 3)
-    warm_nominal = float(os.environ.get("SPARK_GRAFT_WARM_NOMINAL", "20"))
+    warm_nominal = float(os.environ.get("SPARK_GRAFT_WARM_NOMINAL", "15"))
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
@@ -142,6 +170,12 @@ def main() -> None:
         load_end = round(os.getloadavg()[0], 2)
     except OSError:
         load_end = -1.0
+    steal1, total1 = _cpu_times()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
+        if total1 > total0
+        else -1.0
+    )
     print(
         json.dumps(
             {
@@ -160,6 +194,7 @@ def main() -> None:
                 "value_min": round(sum(spreads[n][0] for n in ok), 3),
                 "load_avg_start": load_start,
                 "load_avg_end": load_end,
+                "cpu_steal_pct": steal_pct,
                 # cold-start diagnostics (module docstring): re-run a
                 # cold_start anchor before A/B adjudication
                 "warmup_sec": warmup_sec,
@@ -169,10 +204,10 @@ def main() -> None:
                     else -1.0
                 ),
                 "cold_start": bool(
-                    warmup_sec > 1.5 * warm_nominal
+                    warmup_sec > 1.3 * warm_nominal
                     or (
                         inflations
-                        and sorted(inflations)[len(inflations) // 2] > 1.5
+                        and sorted(inflations)[len(inflations) // 2] > 2.0
                     )
                 ),
             }
