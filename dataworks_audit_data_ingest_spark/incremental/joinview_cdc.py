@@ -153,6 +153,7 @@ def _ops_current(
     spec: JoinViewSpec,
     id_col: str,
     probe: DataFrame | None,
+    any_op: bool = False,
 ) -> DataFrame | None:
     """Resolved CURRENT rows of one side as of before ``batch_id``:
     per ``(key, id)``, the latest op wins and a tombstone means absent.
@@ -222,11 +223,16 @@ def _ops_current(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(spec.key, id_col).orderBy(F.col(_RANK_COL).desc())
-    cur = (
-        ops.withColumn("__rn__", F.row_number().over(w))
-        .filter((F.col("__rn__") == 1) & (F.col(OP_COL) == "u"))
+    cur = ops.withColumn("__rn__", F.row_number().over(w)).filter(
+        F.col("__rn__") == 1
     )
-    drop = [_RANK_COL, "__rn__", OP_COL]
+    if not any_op:
+        # the CURRENT side: a latest-op tombstone means absent. The
+        # any_op=True variant keeps tombstones — the seq watermark must
+        # compare an incoming op against the latest op of ANY kind, or
+        # a stale re-insert after a delete would slip past validation.
+        cur = cur.filter(F.col(OP_COL) == "u")
+    drop = [_RANK_COL, "__rn__"] + ([] if any_op else [OP_COL])
     if BUCKET_COL in cur.columns:
         drop.append(BUCKET_COL)
     return cur.drop(*drop)
@@ -258,14 +264,18 @@ def _null_fill_deletes(
     template: DataFrame,
     spec: JoinViewSpec,
     id_col: str,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Tombstone rows in the op store's full schema: key + id from the
     delete feed, every other column a typed NULL (only identity matters
     for a tombstone; uniform schema keeps the partition union loud on
-    genuine drift)."""
+    genuine drift). ``keep`` names extra delete-feed columns carried
+    into the tombstone — the seq watermark rides there: a tombstone
+    must remember WHEN it deleted, or a stale re-insert arriving after
+    it could not be rejected."""
     cols = []
     for f in template.schema.fields:
-        if f.name in (spec.key, id_col):
+        if f.name in (spec.key, id_col) or f.name in keep:
             cols.append(F.col(f.name))
         elif f.name == OP_COL:
             continue
@@ -284,12 +294,24 @@ def update_join_view_cdc(
     left_deletes: DataFrame | None = None,
     right_upserts: DataFrame | None = None,
     right_deletes: DataFrame | None = None,
+    seq_col: str | None = None,
 ) -> dict[str, int]:
     """Apply one CDC batch to the maintained view. Upserts carry full
     rows (insert-or-replace by the side's id); deletes must carry the
     ``(key, id)`` of the version being removed — the old row image every
     real change feed ships. Returns per-feed row counts plus the view
-    delta's insert/retraction counts."""
+    delta's insert/retraction counts.
+
+    ``seq_col`` names a monotone per-entity sequence (an LSN) carried
+    by EVERY op on both sides; the engine then ENFORCES cross-batch
+    commit order per ``(key, id)``: an op whose seq is ≤ the stored
+    latest op's seq (tombstones included — a tombstone remembers when
+    it deleted) fails the batch loudly instead of silently resurrecting
+    or stranding a version. The seq rides in the op log as watermark
+    metadata and never reaches the view rows. All-or-nothing per store:
+    a store born with seq tracking must always be updated with it, and
+    a store born without cannot adopt it mid-stream (the op-log
+    partition schemas must union)."""
     batch_id = _valid_id(batch_id)
     feeds = {
         "left": (left_upserts, left_deletes, spec.left_id),
@@ -308,24 +330,46 @@ def update_join_view_cdc(
 
     counts: dict[str, int] = {}
     checked: dict[str, tuple[DataFrame | None, DataFrame | None]] = {}
+    seq_req = [seq_col] if seq_col is not None else []
     for side, (ups, dels, id_col) in feeds.items():
         if ups is not None:
-            _check_cols(ups, [spec.key, id_col], f"{side} upserts")
+            _check_cols(ups, [spec.key, id_col, *seq_req], f"{side} upserts")
             ups = ups.localCheckpoint(eager=True)
             counts[f"{side}_upserts"] = ups.count()
-            _reject_nulls(ups, [spec.key, id_col], f"{side} upserts")
+            _reject_nulls(
+                ups, [spec.key, id_col, *seq_req], f"{side} upserts"
+            )
             _reject_dup_ids(ups, id_col, side)
         else:
             counts[f"{side}_upserts"] = 0
         if dels is not None:
-            _check_cols(dels, [spec.key, id_col], f"{side} deletes")
+            _check_cols(dels, [spec.key, id_col, *seq_req], f"{side} deletes")
             dels = dels.select(
-                *_pair_cols(spec.key, id_col)
+                *_pair_cols(spec.key, id_col), *seq_req
             ).distinct().localCheckpoint(
                 eager=True
             )
             counts[f"{side}_deletes"] = dels.count()
-            _reject_nulls(dels, [spec.key, id_col], f"{side} deletes")
+            _reject_nulls(
+                dels, [spec.key, id_col, *seq_req], f"{side} deletes"
+            )
+            if seq_col is not None:
+                # distinct() above is over (pair, seq): the same version
+                # deleted twice under different seqs is an ordering
+                # ambiguity, not a no-op
+                dup = (
+                    dels.groupBy(*_pair_cols(spec.key, id_col))
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .collect()
+                )
+                if dup:
+                    raise ValueError(
+                        f"{side} batch deletes the same ({spec.key}, "
+                        f"{id_col}) version under two different "
+                        f"{seq_col} values — ambiguous feed"
+                    )
         else:
             counts[f"{side}_deletes"] = 0
         if ups is not None and dels is not None:
@@ -349,10 +393,11 @@ def update_join_view_cdc(
     left_upserts, left_deletes = checked["left"]
     right_upserts, right_deletes = checked["right"]
 
+    shared_ok = {spec.key} | set(seq_req)
     if left_upserts is not None and right_upserts is not None:
         overlap = (
             set(left_upserts.columns) & set(right_upserts.columns)
-        ) - {spec.key}
+        ) - shared_ok
         if overlap:
             raise ValueError(
                 f"non-key columns {sorted(overlap)} exist on both sides; "
@@ -376,16 +421,81 @@ def update_join_view_cdc(
 
     probe = _keys(left_upserts, left_deletes, right_upserts, right_deletes)
 
-    a_cur = _ops_current(
-        spark, left_store, batch_id, spec, spec.left_id, probe
+    # with seq tracking the same pruned read serves both the watermark
+    # validation (latest op of ANY kind, tombstones included) and the
+    # current side (its op=='u' restriction) — one store scan, not two
+    a_latest = _ops_current(
+        spark, left_store, batch_id, spec, spec.left_id, probe,
+        any_op=seq_col is not None,
     )
-    b_cur = _ops_current(
-        spark, right_store, batch_id, spec, spec.right_id, probe
+    b_latest = _ops_current(
+        spark, right_store, batch_id, spec, spec.right_id, probe,
+        any_op=seq_col is not None,
     )
-    if a_cur is not None:
-        a_cur = a_cur.localCheckpoint(eager=True)
-    if b_cur is not None:
-        b_cur = b_cur.localCheckpoint(eager=True)
+    if a_latest is not None:
+        a_latest = a_latest.localCheckpoint(eager=True)
+    if b_latest is not None:
+        b_latest = b_latest.localCheckpoint(eager=True)
+    if seq_col is None:
+        a_cur, b_cur = a_latest, b_latest
+    else:
+        for which, latest in (("left", a_latest), ("right", b_latest)):
+            if latest is not None and seq_col not in latest.columns:
+                raise ValueError(
+                    f"the {which} op log was written WITHOUT {seq_col!r}"
+                    " — seq tracking is all-or-nothing per store (the"
+                    " partition schemas must union); rebuild or compact-"
+                    "migrate the store to adopt it"
+                )
+        a_cur = (
+            a_latest.filter(F.col(OP_COL) == "u").drop(OP_COL)
+            if a_latest is not None
+            else None
+        )
+        b_cur = (
+            b_latest.filter(F.col(OP_COL) == "u").drop(OP_COL)
+            if b_latest is not None
+            else None
+        )
+        # the watermark: every incoming op must advance its version's
+        # seq past the stored latest op — tombstones included, or a
+        # stale re-insert arriving after its delete would resurrect
+        for side, latest, ups, dels, id_col in (
+            ("left", a_latest, left_upserts, left_deletes, spec.left_id),
+            ("right", b_latest, right_upserts, right_deletes, spec.right_id),
+        ):
+            if latest is None:
+                continue
+            pcols = _pair_cols(spec.key, id_col)
+            parts = [
+                d.select(*pcols, seq_col)
+                for d in (ups, dels)
+                if d is not None
+            ]
+            if not parts:
+                continue
+            incoming = parts[0]
+            for p in parts[1:]:
+                incoming = incoming.unionByName(p)
+            stored = latest.filter(F.col(seq_col).isNotNull()).select(
+                *pcols, F.col(seq_col).alias("__stored_seq__")
+            )
+            bad = (
+                incoming.join(stored, on=pcols, how="inner")
+                .filter(F.col(seq_col) <= F.col("__stored_seq__"))
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                r = bad[0]
+                raise ValueError(
+                    f"{side} op arrives OUT OF ORDER: ({spec.key}="
+                    f"{r[spec.key]!r}, {id_col}={r[id_col]!r}) carries "
+                    f"{seq_col}={r[seq_col]!r} but the op log already "
+                    f"holds {seq_col}={r['__stored_seq__']!r} for that "
+                    "version — the feed reordered across batches; CDC "
+                    "ops must arrive in per-entity commit order"
+                )
 
     # the batch-local overlap check above cannot see columns committed
     # in EARLIER batches of the opposite side (the insert-only view's
@@ -398,13 +508,31 @@ def update_join_view_cdc(
     ):
         if ups is None or opp is None:
             continue
-        overlap = (set(ups.columns) & set(opp.columns)) - {spec.key}
+        overlap = (set(ups.columns) & set(opp.columns)) - shared_ok
         if overlap:
             raise ValueError(
                 f"non-key columns {sorted(overlap)} exist on both the "
                 f"incoming {which} upserts and the STORED opposite side; "
                 "rename before maintaining the view"
             )
+
+    # the seq watermark is op-log metadata: it must not reach the view
+    # rows (both sides carry it under ONE name — a joined row would
+    # collide), so every delta-math input sheds it here; the COMMIT
+    # section below uses the *_store variants that keep it
+    left_ups_store, right_ups_store = left_upserts, right_upserts
+    left_dels_store, right_dels_store = left_deletes, right_deletes
+    if seq_col is not None:
+
+        def _shed(df: DataFrame | None) -> DataFrame | None:
+            return df.drop(seq_col) if df is not None else None
+
+        left_upserts = _shed(left_upserts)
+        right_upserts = _shed(right_upserts)
+        left_deletes = _shed(left_deletes)
+        right_deletes = _shed(right_deletes)
+        a_cur = _shed(a_cur)
+        b_cur = _shed(b_cur)
 
     r_a = _as_pairs([left_upserts, left_deletes], spec.key, spec.left_id)
     r_b = _as_pairs([right_upserts, right_deletes], spec.key, spec.right_id)
@@ -474,10 +602,17 @@ def update_join_view_cdc(
 
     # side op-log commits LAST (the insert-only store's crash argument:
     # a replay recomputes the identical delta against identical old
-    # sides whichever subset of commits survived)
+    # sides whichever subset of commits survived); the *_store variants
+    # keep the seq watermark the delta math shed
     for side, store, ups, dels, id_col in (
-        ("left", left_store, left_upserts, left_deletes, spec.left_id),
-        ("right", right_store, right_upserts, right_deletes, spec.right_id),
+        ("left", left_store, left_ups_store, left_dels_store, spec.left_id),
+        (
+            "right",
+            right_store,
+            right_ups_store,
+            right_dels_store,
+            spec.right_id,
+        ),
     ):
         ops = None
         if ups is not None:
@@ -503,7 +638,9 @@ def update_join_view_cdc(
                 # real data
                 pass
             else:
-                tomb = _null_fill_deletes(dels, template, spec, id_col)
+                tomb = _null_fill_deletes(
+                    dels, template, spec, id_col, keep=tuple(seq_req)
+                )
                 tomb = tomb.withColumn(OP_COL, F.lit("d"))
                 ops = tomb if ops is None else ops.unionByName(tomb)
         if ops is not None:
@@ -605,6 +742,7 @@ def compact_join_view_cdc(
     root: str,
     spec: JoinViewSpec,
     exclude: tuple[str, ...] = (),
+    seq_col: str | None = None,
 ) -> dict[str, int]:
     """Fold each store to its SEMANTIC state under the staged-swap crash
     protocol (`joinview._compact_store_safe`): the sides fold to their
@@ -614,7 +752,14 @@ def compact_join_view_cdc(
     replayable batches), plus a CDC-specific one enforced here: every
     excluded batch must sort AFTER every folded one, because the
     compacted partition ranks before all live batches and a folded-over
-    middle batch would misorder resolution."""
+    middle batch would misorder resolution.
+
+    ``seq_col``: a seq-tracked store (see `update_join_view_cdc`) must
+    compact with the SAME seq_col — its fold keeps each version's
+    latest op of ANY kind, so a tombstone survives as a watermark
+    record and a stale re-insert arriving after the fold is still
+    rejected. (The price: deleted versions' tombstones persist through
+    compaction; GDPR forget still removes them physically.)"""
     from pyspark.sql.window import Window
 
     recover_pending_forgets(spark, root)
@@ -626,11 +771,12 @@ def compact_join_view_cdc(
             w = Window.partitionBy(spec.key, id_col).orderBy(
                 F.col(_RANK_COL).desc()
             )
-            return (
-                ops.withColumn("__rn__", F.row_number().over(w))
-                .filter((F.col("__rn__") == 1) & (F.col(OP_COL) == "u"))
-                .drop(_RANK_COL, "__rn__")
+            folded = ops.withColumn("__rn__", F.row_number().over(w)).filter(
+                F.col("__rn__") == 1
             )
+            if seq_col is None:
+                folded = folded.filter(F.col(OP_COL) == "u")
+            return folded.drop(_RANK_COL, "__rn__")
 
         out[side] = _compact_store_safe(
             spark,

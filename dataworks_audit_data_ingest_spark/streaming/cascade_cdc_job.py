@@ -160,10 +160,13 @@ def start_cdc_rollup_cascade_stream(
                 batch_df, spec, side_col, seq_col
             ).localCheckpoint(eager=True)
         legs = split_cdc_ops(
-            batch_df, spec, side_col, op_col, left_cols, right_cols
+            batch_df, spec, side_col, op_col, left_cols, right_cols,
+            seq_col=seq_col,
         )
         bid = pad_batch_id(batch_id)
-        counts = update_join_view_cdc(spark, jv_root, bid, spec, **legs)
+        counts = update_join_view_cdc(
+            spark, jv_root, bid, spec, seq_col=seq_col, **legs
+        )
         feed = read_join_view_cdc_delta(spark, jv_root, bid)
         if feed is not None:
             commit_batch_partition(
@@ -174,7 +177,7 @@ def start_cdc_rollup_cascade_stream(
         logger.info("cdc cascade: batch %s view=%s", bid, counts)
         if compact_every and (batch_id + 1) % compact_every == 0:
             folded_jv = compact_join_view_cdc(
-                spark, jv_root, spec, exclude=(bid,)
+                spark, jv_root, spec, exclude=(bid,), seq_col=seq_col
             )
             folded_rl = compact_additive_rollup(
                 spark, rollup_store, group_cols, exclude=(bid,)

@@ -34,11 +34,15 @@ re-insert inside one micro-batch folds to the correct final op instead
 of corrupting the z-set, and a top-seq TIE on the same version (order
 genuinely unrecoverable) fails loudly. This also accepts the Debezium
 encoding of a same-key UPDATE as delete(old image) + insert(new image),
-which the core batch API rejects as ambiguous. Cross-batch order still
-rides on the source: a feed keyed by the CDC key (the Debezium default,
-one key → one partition → offsets consumed in order) satisfies it;
-a same-key stream split across partitions does not — no within-batch
-resolution can recover order the source has already lost.
+which the core batch API rejects as ambiguous. Cross-batch order is
+ENFORCED too (round 12): the resolved ops commit WITH their seq, the
+op log keeps each version's latest seq — tombstones included — and
+`update_join_view_cdc(seq_col=...)` rejects any later op whose seq
+does not advance past it, so a same-key stream split across partitions
+(order the source already lost) fails loudly at the batch boundary
+instead of leaving a stale version alive. A feed keyed by the CDC key
+(the Debezium default, one key → one partition → offsets consumed in
+order) never trips either check.
 """
 
 from __future__ import annotations
@@ -69,6 +73,7 @@ def split_cdc_ops(
     op_col: str,
     left_cols: Sequence[str],
     right_cols: Sequence[str],
+    seq_col: str | None = None,
 ) -> dict[str, DataFrame | None]:
     """One micro-batch of a (side, op)-tagged multiplexed change stream
     → the four feed legs `update_join_view_cdc` takes (None for an
@@ -95,6 +100,8 @@ def split_cdc_ops(
             "op in (upsert, delete)"
         )
 
+    extra = [seq_col] if seq_col is not None else []
+
     def leg(side: str, op: str, cols: Sequence[str]) -> DataFrame | None:
         if not tags.get((side, op)):
             return None
@@ -104,8 +111,8 @@ def split_cdc_ops(
         if op == "delete":
             id_col = spec.left_id if side == "left" else spec.right_id
             sel = [spec.key] if spec.key == id_col else [spec.key, id_col]
-            return rows.select(*sel)
-        return rows.select(*cols)
+            return rows.select(*sel, *extra)
+        return rows.select(*cols, *extra)
 
     return {
         "left_upserts": leg("left", "upsert", left_cols),
@@ -213,14 +220,17 @@ def start_cdc_join_view_stream(
                 batch_df, spec, side_col, seq_col
             ).localCheckpoint(eager=True)
         legs = split_cdc_ops(
-            batch_df, spec, side_col, op_col, left_cols, right_cols
+            batch_df, spec, side_col, op_col, left_cols, right_cols,
+            seq_col=seq_col,
         )
         bid = pad_batch_id(batch_id)
-        counts = update_join_view_cdc(spark, root, bid, spec, **legs)
+        counts = update_join_view_cdc(
+            spark, root, bid, spec, seq_col=seq_col, **legs
+        )
         logger.info("cdc join view: batch %s %s", bid, counts)
         if compact_every and (batch_id + 1) % compact_every == 0:
             folded = compact_join_view_cdc(
-                spark, root, spec, exclude=(bid,)
+                spark, root, spec, exclude=(bid,), seq_col=seq_col
             )
             logger.info(
                 "cdc join view: folded %s after batch %s", folded, bid

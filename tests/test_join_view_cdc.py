@@ -591,3 +591,93 @@ def test_torn_forget_intent_rolls_back(spark, tmp_path):
         spark.read.parquet(f"{root}/left").filter(F.col("lid") == 1).count()
         > 0
     )
+
+
+SEQ_L = "lid int, k int, lval string, seq long"
+SEQ_DEL = "lid int, k int, seq long"
+
+
+def test_seq_watermark_rejects_stale_ops(spark, tmp_path):
+    """Cross-batch commit-order enforcement (round 12): with seq_col,
+    an op whose seq does not advance past the stored latest op for its
+    (key, id) — tombstones included — fails loudly instead of silently
+    corrupting the z-set; the watermark never reaches the view rows."""
+    root = str(tmp_path / "cdc")
+    update_join_view_cdc(
+        spark, root, "b0", SPEC, seq_col="seq",
+        left_upserts=spark.createDataFrame([(1, 10, "a", 1)], SEQ_L),
+        right_upserts=spark.createDataFrame(
+            [(100, 10, "X", 2)], "rid int, k int, rval string, seq long"
+        ),
+    )
+    update_join_view_cdc(
+        spark, root, "b1", SPEC, seq_col="seq",
+        left_upserts=spark.createDataFrame([(1, 10, "a2", 5)], SEQ_L),
+    )
+    # stale delete: seq 4 < stored 5
+    with pytest.raises(ValueError, match="OUT OF ORDER"):
+        update_join_view_cdc(
+            spark, root, "b2", SPEC, seq_col="seq",
+            left_deletes=spark.createDataFrame([(1, 10, 4)], SEQ_DEL),
+        )
+    update_join_view_cdc(
+        spark, root, "b2", SPEC, seq_col="seq",
+        left_deletes=spark.createDataFrame([(1, 10, 6)], SEQ_DEL),
+    )
+    # stale RE-INSERT after the delete: the tombstone remembers seq 6
+    with pytest.raises(ValueError, match="OUT OF ORDER"):
+        update_join_view_cdc(
+            spark, root, "b3", SPEC, seq_col="seq",
+            left_upserts=spark.createDataFrame([(1, 10, "zombie", 5)], SEQ_L),
+        )
+    update_join_view_cdc(
+        spark, root, "b3", SPEC, seq_col="seq",
+        left_upserts=spark.createDataFrame([(1, 10, "back", 7)], SEQ_L),
+    )
+    got = read_join_view_cdc(spark, root)
+    assert "seq" not in got.columns
+    assert [tuple(r) for r in got.collect()] == [(10, 1, "back", 100, "X")]
+
+
+def test_seq_watermark_survives_compaction(spark, tmp_path):
+    """A seq-tracked store compacts with seq_col: tombstones persist as
+    watermark records, so a stale re-insert arriving AFTER the fold is
+    still rejected (the plain fold would have absorbed the tombstone
+    and resurrected the version silently)."""
+    root = str(tmp_path / "cdc")
+    update_join_view_cdc(
+        spark, root, "b0", SPEC, seq_col="seq",
+        left_upserts=spark.createDataFrame([(1, 10, "a", 1)], SEQ_L),
+        right_upserts=spark.createDataFrame(
+            [(100, 10, "X", 2)], "rid int, k int, rval string, seq long"
+        ),
+    )
+    update_join_view_cdc(
+        spark, root, "b1", SPEC, seq_col="seq",
+        left_deletes=spark.createDataFrame([(1, 10, 3)], SEQ_DEL),
+    )
+    compact_join_view_cdc(spark, root, SPEC, seq_col="seq")
+    with pytest.raises(ValueError, match="OUT OF ORDER"):
+        update_join_view_cdc(
+            spark, root, "b2", SPEC, seq_col="seq",
+            left_upserts=spark.createDataFrame([(1, 10, "zombie", 2)], SEQ_L),
+        )
+    update_join_view_cdc(
+        spark, root, "b2", SPEC, seq_col="seq",
+        left_upserts=spark.createDataFrame([(1, 10, "back", 4)], SEQ_L),
+    )
+    got = read_join_view_cdc(spark, root)
+    assert [tuple(r) for r in got.collect()] == [(10, 1, "back", 100, "X")]
+
+
+def test_seq_adoption_on_legacy_store_rejected(spark, tmp_path):
+    root = str(tmp_path / "cdc")
+    update_join_view_cdc(
+        spark, root, "b0", SPEC,
+        left_upserts=_left(spark, [(1, 10, "a")]),
+    )
+    with pytest.raises(ValueError, match="WITHOUT"):
+        update_join_view_cdc(
+            spark, root, "b1", SPEC, seq_col="seq",
+            left_upserts=spark.createDataFrame([(1, 10, "a2", 5)], SEQ_L),
+        )

@@ -218,3 +218,46 @@ def test_seq_tie_on_same_version_fails_loudly(spark, tmp_path):
         raise AssertionError("tied top seq must fail")
     except Exception as e:
         assert "unrecoverable" in str(e) or "seq" in str(e)
+
+
+def test_seq_cross_batch_misorder_fails_loudly(spark, tmp_path):
+    """Round 12: seq_col is enforced ACROSS micro-batches too — the op
+    log keeps each version's latest seq (tombstones included), so a
+    feed that re-orders a delete after its row's later re-insert into
+    the NEXT micro-batch fails with the out-of-order error instead of
+    leaving a stale version alive."""
+    import os
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"side": "left", "op": "upsert", "lid": 1, "k": 10,
+         "lval": "v2", "seq": 5},
+        # the stale delete of v1 arrives in the NEXT micro-batch
+        {"side": "left", "op": "delete", "lid": 1, "k": 10, "seq": 4},
+    ]
+    t0 = time.time() - 3600
+    for i, row in enumerate(rows):
+        p = src / f"c{i}.json"
+        p.write_text(json.dumps(row))
+        os.utime(p, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema(SEQ_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_cdc_join_view_stream(
+        stream,
+        str(tmp_path / "jv"),
+        str(tmp_path / "ckpt"),
+        SPEC,
+        left_cols=LEFT_COLS,
+        right_cols=RIGHT_COLS,
+        seq_col="seq",
+    )
+    try:
+        q.awaitTermination()
+        raise AssertionError("cross-batch misordered feed must fail")
+    except Exception as e:
+        assert "OUT OF ORDER" in str(e)
