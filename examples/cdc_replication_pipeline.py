@@ -9,10 +9,13 @@ sides; this is the TWO-site shape a 100 TB replicated mirror actually
 runs:
 
   1. maintain the primary ``orders ⋈ customer`` CDC view through change
-     waves (update, delete, key move) and SHIP each batch's signed
-     feed (`read_join_view_cdc_delta`) to the replica — which is just
-     the shipped partitions netted on read (z-sets replicate by
-     append: no replica-side merge logic at all);
+     waves (update, delete, key move) and SHIP the signed deltas with
+     `incremental/replicate.py::ship_view_deltas` — cursor-FREE
+     catch-up transport (the replica's own partition listing is the
+     cursor, so a shipper that was down for two waves resumes by
+     listing, not by remembering); the replica is just the shipped
+     partitions netted on read (z-sets replicate by append: no
+     replica-side merge logic at all);
   2. after every wave, anti-entropy audit: `table_fingerprint` the
      primary's net view vs the replica's net, per month — one scan
      each side, (month, count, checksum) partials, no rows move;
@@ -60,15 +63,15 @@ from dataworks_audit_data_ingest_spark.incremental.joinview import (  # noqa: E4
     recover_pending_forgets,
 )
 from dataworks_audit_data_ingest_spark.incremental.joinview_cdc import (  # noqa: E402
-    DIFF_COL,
     forget_right_ids_from_cdc_view,
     read_current_side,
     read_join_view_cdc,
-    read_join_view_cdc_delta,
     update_join_view_cdc,
 )
-from dataworks_audit_data_ingest_spark.incremental.store import (  # noqa: E402
-    commit_batch_partition,
+from dataworks_audit_data_ingest_spark.incremental.replicate import (  # noqa: E402
+    read_replica,
+    repair_replica,
+    ship_view_deltas,
 )
 from dataworks_audit_data_ingest_spark.session import get_spark  # noqa: E402
 from dataworks_audit_data_ingest_spark.tables import table  # noqa: E402
@@ -96,25 +99,6 @@ def _with_audit_cols(df):
     )
 
 
-def _ship(spark, root, replica, bid):
-    """Replication transport: the batch's signed feed, appended verbatim
-    under the same batch id. Nothing else crosses the wire."""
-    feed = read_join_view_cdc_delta(spark, root, bid)
-    if feed is not None:
-        commit_batch_partition(feed, replica, bid)
-
-
-def _replica_net(spark, replica):
-    df = spark.read.parquet(replica)
-    content = [c for c in df.columns if c not in (DIFF_COL, "batch_id")]
-    return (
-        df.groupBy(*content)
-        .agg(F.sum(DIFF_COL).alias("__net__"))
-        .filter(F.col("__net__") > 0)
-        .drop("__net__")
-    )
-
-
 def _diverging_months(spark, root, replica):
     fa = table_fingerprint(
         _with_audit_cols(read_join_view_cdc(spark, root)),
@@ -122,7 +106,7 @@ def _diverging_months(spark, root, replica):
         _CONTENT,
     )
     fb = table_fingerprint(
-        _with_audit_cols(_replica_net(spark, replica)), ["month"], _CONTENT
+        _with_audit_cols(read_replica(spark, replica)), ["month"], _CONTENT
     )
     return [r["month"] for r in fingerprint_diff(fa, fb).collect()]
 
@@ -142,21 +126,22 @@ def run_example(sf_dir: str) -> int:
     tmp = tempfile.mkdtemp(prefix="cdc_repl_")
     root, replica = f"{tmp}/view", f"{tmp}/replica"
 
-    # 1. seed + change waves, shipping the signed feed after each
+    # 1. seed + change waves; the shipper runs AFTER wave 1 and again
+    # after wave 3 — catch-up transport needs no cursor, the replica's
+    # partition listing is the cursor
     update_join_view_cdc(
         spark, root, "0000", SPEC, left_upserts=orders, right_upserts=cust
     )
-    _ship(spark, root, replica, "0000")
     upd = orders.filter(F.expr("o_orderkey % 10 = 1")).withColumn(
         "o_orderpriority", F.lit("1-CORRECTED")
     )
     update_join_view_cdc(spark, root, "0001", SPEC, left_upserts=upd)
-    _ship(spark, root, replica, "0001")
+    out = ship_view_deltas(spark, root, replica)
+    assert out["shipped"] == ["0000", "0001"], out
     cancelled = orders.filter(F.expr("o_orderkey % 10 = 2")).select(
         "c_custkey", "o_orderkey"
     )
     update_join_view_cdc(spark, root, "0002", SPEC, left_deletes=cancelled)
-    _ship(spark, root, replica, "0002")
     moved = orders.filter(F.expr("o_orderkey % 10 = 3"))
     update_join_view_cdc(
         spark,
@@ -166,7 +151,8 @@ def run_example(sf_dir: str) -> int:
         left_upserts=moved.withColumn("c_custkey", F.expr("c_custkey + 1")),
         left_deletes=moved.select("c_custkey", "o_orderkey"),
     )
-    _ship(spark, root, replica, "0003")
+    out = ship_view_deltas(spark, root, replica)  # the shipper was away
+    assert out["shipped"] == ["0002", "0003"], out
     assert _diverging_months(spark, root, replica) == [], (
         "replica diverged after clean replication"
     )
@@ -176,17 +162,21 @@ def run_example(sf_dir: str) -> int:
     diverged = _diverging_months(spark, root, replica)
     assert diverged, "corruption went undetected"
 
-    # 3. z-set repair: signed corrections for the diverged months only
-    view = _with_audit_cols(read_join_view_cdc(spark, root))
-    rep = _with_audit_cols(_replica_net(spark, replica))
+    # 3. z-set repair scoped to the diverged months: the scope rides on
+    # o_orderdate (a real view column), derived from the months the
+    # fingerprints localized — the repair reads only the damaged slice
     months = [m for m in diverged]
-    v = view.filter(F.col("month").isin(months)).drop("month", "cents")
-    r = rep.filter(F.col("month").isin(months)).drop("month", "cents")
-    corrections = (
-        v.exceptAll(r).withColumn(DIFF_COL, F.lit(1))
-        .unionByName(r.exceptAll(v).withColumn(DIFF_COL, F.lit(-1)))
+    scope = (
+        read_join_view_cdc(spark, root)
+        .filter(F.trunc("o_orderdate", "month").isin(months))
+        .select("o_orderdate")
+        .distinct()
     )
-    commit_batch_partition(corrections, replica, "0004")
+    rep = repair_replica(
+        spark, root, replica, "0004",
+        scope=scope, scope_cols=("o_orderdate",),
+    )
+    assert rep["correction_rows"] > 0
     assert _diverging_months(spark, root, replica) == [], (
         "repair did not converge"
     )
