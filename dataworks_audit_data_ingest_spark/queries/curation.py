@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import duckdb_hash32, spark_hash32
-from ..tables import table
+from ..tables import spread, table
 from .base import register
 
 # ---------------------------------------------------------------------------
@@ -266,13 +266,22 @@ def q82_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _grams(docs: DataFrame) -> DataFrame:
-        return docs.filter(F.size(F.split("text", " ")) >= _NGRAM).select(
+        # Split once into a materialized column: the previous form re-ran
+        # SPLIT(text) inside the TRANSFORM lambda, i.e. once per gram
+        # position — O(words²) splits per document (guide §1.2: fix the
+        # per-task work). CollapseProject keeps the multiply-referenced,
+        # non-cheap `ws` alias as its own projection, so the split really
+        # happens once per row.
+        ws = docs.select(
+            "doc_id", "source", F.split("text", " ").alias("ws")
+        ).filter(F.size("ws") >= _NGRAM)
+        return ws.select(
             "doc_id",
             "source",
             F.explode(
                 F.expr(
-                    f"TRANSFORM(SEQUENCE(1, SIZE(SPLIT(text, ' ')) - {_NGRAM - 1}), "
-                    f"i -> ARRAY_JOIN(SLICE(SPLIT(text, ' '), i, {_NGRAM}), ' '))"
+                    f"TRANSFORM(SEQUENCE(1, SIZE(ws) - {_NGRAM - 1}), "
+                    f"i -> ARRAY_JOIN(SLICE(ws, i, {_NGRAM}), ' '))"
                 )
             ).alias("gram"),
         )
@@ -283,14 +292,19 @@ def q82_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     contaminated = (
-        _grams(seeded.filter(F.col("doc_id") % _BENCH_MOD != 0))
+        # spread: the corpus-side 8-gram explode is ~97/98ths of the work
+        # and otherwise runs inside the single-task fixture scan.
+        _grams(spread(seeded.filter(F.col("doc_id") % _BENCH_MOD != 0), sf_dir, "doc_id"))
         .join(F.broadcast(bench), "gram", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     return (
-        d.join(contaminated, "doc_id", "left")
+        # contaminated is ~|docs|/SEED_MOD rows of one bigint — broadcast it
+        # so the corpus side of this left join is never exchanged (was a
+        # SortMergeJoin that shuffled+sorted all of `documents`).
+        d.join(F.broadcast(contaminated), "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

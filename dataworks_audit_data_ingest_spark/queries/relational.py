@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import table
+from ..tables import spread, table
 from .base import davg, dsum, q4, q4_col, register
 
 # Shared portable expressions (identical text runs in Spark SQL and DuckDB).
@@ -59,7 +59,17 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp_ntz"))
+        # spread: the 9 decimal-exact aggregates are the per-row cost here
+        # (measured 6× the scan); on the unsplittable fixture they must not
+        # run in the single scan task. Decimal sums are exact/associative,
+        # so the result is partition-invariant. No-op on splittable input.
+        spread(
+            li.filter(
+                F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp_ntz")
+            ),
+            sf_dir,
+            "l_orderkey",
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.expr(dsum("l_quantity", "sum_qty")),

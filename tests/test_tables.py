@@ -62,3 +62,50 @@ def test_both_forms_load_identically(spark, tmp_path):
     rows_ns = table(spark, str(d_ns), "events").orderBy("event_id").collect()
     rows_us = table(spark, str(d_us), "events").orderBy("event_id").collect()
     assert rows_ns == rows_us
+
+
+# ---------------------------------------------------------------------------
+# spread(): the scale-adaptive map-stage parallelizer (round-12 optimization)
+# ---------------------------------------------------------------------------
+
+
+def test_spread_parallelizes_small_local_fixture(spark):
+    from dataworks_audit_data_ingest_spark.tables import spread
+
+    sf = "/root/testdata/sf0.001"
+    df = table(spark, sf, "lineitem")
+    out = spread(df, sf, "l_orderkey")
+    cores = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() == cores * 2
+    # identical rows, only placement changed
+    assert out.count() == df.count()
+
+
+def test_spread_noop_when_input_not_statable(spark):
+    """A non-local (or missing) path means the input cannot be proven tiny:
+    spread must be the identity so a 100 TB scan is never re-shuffled."""
+    from dataworks_audit_data_ingest_spark.tables import spread
+
+    sf = "/root/testdata/sf0.001"
+    df = table(spark, sf, "lineitem")
+    out = spread(df, "hdfs://nowhere/warehouse/lineitem", "l_orderkey")
+    assert out is df
+
+
+def test_spread_keyed_result_invariance(spark):
+    """Decimal-exact aggregation is partition-invariant: spread must not
+    change any aggregate value (the oracle sweep checks this end-to-end;
+    this pins it at unit level)."""
+    from pyspark.sql import functions as F
+
+    from dataworks_audit_data_ingest_spark.tables import spread
+
+    sf = "/root/testdata/sf0.001"
+    df = table(spark, sf, "lineitem")
+    agg = lambda d: (  # noqa: E731
+        d.groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("s"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert agg(df) == agg(spread(df, sf, "l_orderkey"))
