@@ -157,7 +157,10 @@ def q81_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle bytes ∝ distinct words per doc, never all-pairs anything."""
     d = table(spark, sf_dir, "documents")
     wc = (
-        d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("w"))
+        # spread: the token explode + per-(doc,word) partial agg otherwise
+        # run in the single-task fixture scan.
+        spread(d, sf_dir, "doc_id")
+        .select("doc_id", "source", F.explode(F.split("text", " ")).alias("w"))
         .groupBy("doc_id", "source", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import duckdb_hash32, spark_hash32, universal_hash
-from ..tables import table
+from ..tables import spread, table
 from .base import register
 
 # ---------------------------------------------------------------------------
@@ -203,7 +203,10 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     corpus = d.select("doc_id", "text").unionByName(_variants(d))
-    bands = _spark_bands(_spark_sigs(corpus))
+    # spread: the shingle explode + per-shingle MD5 + 12 partial-MIN
+    # aggregates are the dominant per-row work and otherwise run in the
+    # union's two single-task fixture scans.
+    bands = _spark_bands(_spark_sigs(spread(corpus, sf_dir, "doc_id")))
     return lsh_candidate_pairs(bands).orderBy("doc_a", "doc_b")
 
 
@@ -406,10 +409,20 @@ def _spark_simhash_sigs(corpus: DataFrame, bits: int = _SIM_BITS) -> DataFrame:
     tokens = corpus.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).distinct()
-    h = spark_hash32("token", "sim")
-    h2 = spark_hash32("token", "sim2")
+    # Hoist the two MD5 hashes into one projection: inlining them into the
+    # 32/64 SUM(CASE ...) aggregate expressions made every bit position
+    # re-derive its source hash (guide §1.2 per-task work). Each hash column
+    # is referenced by >1 aggregate, so CollapseProject keeps the projection
+    # and each row pays exactly two MD5s.
+    tokens = tokens.select(
+        "doc_id",
+        F.expr(spark_hash32("token", "sim")).alias("h_sim"),
+        F.expr(spark_hash32("token", "sim2")).alias("h_sim2"),
+    )
+
     def src(j):
-        return f"SHIFTRIGHT({h}, {j})" if j < 32 else f"SHIFTRIGHT({h2}, {j - 32})"
+        return f"SHIFTRIGHT(h_sim, {j})" if j < 32 else f"SHIFTRIGHT(h_sim2, {j - 32})"
+
     bitsums = tokens.groupBy("doc_id").agg(
         *[
             F.expr(

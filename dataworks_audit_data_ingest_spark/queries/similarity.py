@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import duckdb_hash32, spark_hash32
-from ..tables import table
+from ..tables import spread, table
 from .base import register
 from .dedup import _DOT_DEC, spark_cosine
 
@@ -140,7 +140,10 @@ def q55_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SQRT(CAST(AGGREGATE(TRANSFORM(emb, x -> CAST(x * x AS {_DOT_DEC})), "
         f"CAST(0 AS {_DOT_DEC}), (acc, v) -> CAST(acc + v AS {_DOT_DEC})) AS DOUBLE))"
     )
-    base = e.select(
+    # spread: the |q|x|corpus| interpreted ZIP_WITH/AGGREGATE dot products
+    # run in the corpus-side stage; on the unsplittable fixture that stage
+    # is one task. Spread the corpus so pair scoring parallelizes.
+    base = spread(e, sf_dir, "vec_id").select(
         "vec_id",
         F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
     ).withColumn("nrm", F.expr(norm))
@@ -203,7 +206,10 @@ def q56_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning, and the centroid table stays broadcast-sized.
     """
     e = table(spark, sf_dir, "embeddings")
-    elems = e.select(
+    # spread: the posexplode fans each vector into |dim| rows and feeds
+    # three consumers (centroids, queries, candidate scoring) — all of it
+    # otherwise inside the single-task fixture scan.
+    elems = spread(e, sf_dir, "vec_id").select(
         "vec_id",
         "label",
         F.posexplode(F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))")).alias(

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import duckdb_hash32, spark_hash32
-from ..tables import table
+from ..tables import spread, table
 from .base import register
 
 # Marker/stopword list for the heuristics — fixed vocabulary, identical in
@@ -259,19 +259,27 @@ def q65_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     tf = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     term_freq = tf.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    doc_freq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
+    # doc_freq derives from term_freq (one row per (doc, term) already), so
+    # the corpus is exploded and aggregated ONCE instead of twice, and the
+    # second agg shuffles |doc,term| pairs, not |tokens|.
+    doc_freq = term_freq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # n_docs as a broadcast 1-row scalar instead of a per-build .count()
+    # driver action (one Spark job saved per invocation; same value).
+    n_docs = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs")))
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_lin"), F.asc("term"))
     return (
         term_freq.join(F.broadcast(doc_freq), "term")
+        .crossJoin(n_docs)
         .select(
             "doc_id",
             "term",
             "tf",
             "df",
-            (F.col("tf").cast("double") * n_docs / F.col("df")).alias("tfidf_lin"),
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("df")).alias(
+                "tfidf_lin"
+            ),
         )
         .withColumn("term_rank", F.row_number().over(w))
         .filter((F.col("term_rank") <= 3) & (F.col("doc_id") < 100))
