@@ -70,6 +70,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .store import (
+    _sized,
     BATCH_COL,
     COMPACTED_ID,
     _list_partitions,
@@ -150,10 +151,46 @@ def _reject_dup_ids(df: DataFrame, id_col: str, side: str) -> DataFrame:
     return df
 
 
-def _commit_side(df: DataFrame, store: str, batch_id: str, spec: JoinViewSpec) -> None:
+def _persist_count_dedup(
+    df: DataFrame, id_col: str, side: str
+) -> tuple[DataFrame, int]:
+    """localCheckpoint + row count + the _reject_dup_ids guard in ONE
+    Spark job (the eager checkpoint, the count and the dup probe were
+    three separate actions; per-job overhead dominated the incremental
+    drills at fixture scale). Same count, same error, same message."""
+    df = df.localCheckpoint(eager=False)
+    row = (
+        df.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .agg(
+            F.coalesce(F.sum("__c__"), F.lit(0)).alias("n"),
+            F.max("__c__").alias("maxc"),
+            F.max(F.when(F.col("__c__") > 1, F.col(id_col))).alias("dup"),
+        )
+        .collect()[0]
+    )
+    if row["maxc"] is not None and row["maxc"] > 1:
+        raise ValueError(
+            f"{side} delta repeats {id_col}={row['dup']!r} within the "
+            "batch; per-side ids must be unique for the view store to "
+            "stay compaction-safe (see incremental/joinview.py)"
+        )
+    return df, int(row["n"])
+
+
+def _commit_side(
+    df: DataFrame,
+    store: str,
+    batch_id: str,
+    spec: JoinViewSpec,
+    rows: int | None = None,
+) -> None:
     """Commit a side delta under its own batch partition; bucketed layout
-    adds the key-hash directory level the pruned reads rely on."""
-    out = df.withColumn(BATCH_COL, F.lit(_valid_id(batch_id)))
+    adds the key-hash directory level the pruned reads rely on. ``rows``
+    (when the caller already counted the delta) sizes the write's file
+    count to the data instead of the shuffle partitioning (store.py's
+    ``_sized``)."""
+    out = _sized(df, rows).withColumn(BATCH_COL, F.lit(_valid_id(batch_id)))
     parts = [BATCH_COL]
     if spec.n_buckets:
         out = out.withColumn(
@@ -271,15 +308,17 @@ def update_join_view(
     counts = {"left_rows": 0, "right_rows": 0, "view_delta_rows": 0}
     # persist the deltas: each feeds an id-uniqueness check, up to two
     # join terms, and its store commit — one materialization, not four
-    # recomputations of the caller's lineage
+    # recomputations of the caller's lineage. The count and the dup-id
+    # guard come out of ONE aggregate job over the lazily-materialized
+    # checkpoint (was three actions per delta).
     if left_delta is not None:
-        left_delta = left_delta.localCheckpoint(eager=True)
-        counts["left_rows"] = left_delta.count()
-        _reject_dup_ids(left_delta, spec.left_id, "left")
+        left_delta, counts["left_rows"] = _persist_count_dedup(
+            left_delta, spec.left_id, "left"
+        )
     if right_delta is not None:
-        right_delta = right_delta.localCheckpoint(eager=True)
-        counts["right_rows"] = right_delta.count()
-        _reject_dup_ids(right_delta, spec.right_id, "right")
+        right_delta, counts["right_rows"] = _persist_count_dedup(
+            right_delta, spec.right_id, "right"
+        )
 
     left_store = _side_path(root, "left")
     right_store = _side_path(root, "right")
@@ -340,23 +379,26 @@ def update_join_view(
         view_delta = deltas[0]
         for d in deltas[1:]:
             view_delta = view_delta.unionByName(d)
-        view_delta = view_delta.localCheckpoint(eager=True)
+        # lazy checkpoint: the count materializes it (was two jobs)
+        view_delta = view_delta.localCheckpoint(eager=False)
         counts["view_delta_rows"] = view_delta.count()
         # flat layout for the view store: its reads are whole-view
-        _commit_plain(view_delta, view_store, batch_id)
+        _commit_plain(view_delta, view_store, batch_id, counts["view_delta_rows"])
     # side commits LAST: on any crash ordering the replay finds either
     # no trace of this batch or its own (excluded-on-read) partitions,
     # and recomputes the identical delta either way
     if left_delta is not None:
-        _commit_side(left_delta, left_store, batch_id, spec)
+        _commit_side(left_delta, left_store, batch_id, spec, counts["left_rows"])
     if right_delta is not None:
-        _commit_side(right_delta, right_store, batch_id, spec)
+        _commit_side(right_delta, right_store, batch_id, spec, counts["right_rows"])
     return counts
 
 
-def _commit_plain(df: DataFrame, store: str, batch_id: str) -> None:
+def _commit_plain(
+    df: DataFrame, store: str, batch_id: str, rows: int | None = None
+) -> None:
     # the shared store commit IS this discipline — one definition
-    commit_batch_partition(df, store, batch_id)
+    commit_batch_partition(df, store, batch_id, rows)
 
 
 def _read_all(spark: SparkSession, store: str) -> DataFrame | None:

@@ -120,6 +120,69 @@ def _reject_nulls(df: DataFrame, cols: list[str], what: str) -> None:
         )
 
 
+def _persist_checked_feed(
+    df: DataFrame,
+    req_cols: list[str],
+    group_cols: list[str],
+    what: str,
+    *,
+    dup_msg: str | None = None,
+) -> tuple[DataFrame, int, object]:
+    """localCheckpoint + the per-feed guards in ONE Spark job.
+
+    The previous shape ran four actions per feed (eager checkpoint,
+    count, NULL probe, duplicate probe); at fixture scale the per-job
+    overhead dominated the CDC drills (guide §1.2: remove passes). This
+    computes row count, NULL violations over ``req_cols``, and duplicate
+    ``group_cols`` detection from one two-stage aggregate over the
+    lazily-materialized checkpoint — identical errors, identical counts,
+    one job. ``dup_msg`` enables the duplicate guard ({} formatted with
+    an offending group value when available)."""
+    df = df.localCheckpoint(eager=False)
+    nul = None
+    for c in req_cols:
+        n = F.col(c).isNull()
+        nul = n if nul is None else nul | n
+    if dup_msg is None:
+        # the duplicate guard cannot fire: a single partial+final global
+        # aggregate suffices — no per-group exchange
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(nul.cast("int")), F.lit(0)).alias("n_nul"),
+        ).collect()[0]
+        if row["n_nul"] > 0:
+            raise ValueError(
+                f"{what} contains NULL in {req_cols}; keys and ids must "
+                "be non-null (an inner join can never match a NULL key, "
+                "and a NULL id can never be upserted over or deleted)"
+            )
+        return df, int(row["n"]), None
+    per = (
+        df.select(*group_cols, nul.cast("int").alias("__nul__"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("__c__"),
+            F.sum("__nul__").alias("__n_nul__"),
+        )
+    )
+    row = per.agg(
+        F.coalesce(F.sum("__c__"), F.lit(0)).alias("n"),
+        F.coalesce(F.sum("__n_nul__"), F.lit(0)).alias("n_nul"),
+        F.max("__c__").alias("maxc"),
+        F.max(F.when(F.col("__c__") > 1, F.col(group_cols[0]))).alias("dup0"),
+    ).collect()[0]
+    if row["n_nul"] > 0:
+        # exact _reject_nulls message
+        raise ValueError(
+            f"{what} contains NULL in {req_cols}; keys and ids must be "
+            "non-null (an inner join can never match a NULL key, and a "
+            "NULL id can never be upserted over or deleted)"
+        )
+    if dup_msg is not None and row["maxc"] is not None and row["maxc"] > 1:
+        raise ValueError(dup_msg.format(row["dup0"]))
+    return df, int(row["n"]), row["dup0"]
+
+
 def _rank_of(bid: str) -> str:
     # the compacted partition is the FOLDED PREFIX of the batch history,
     # so it must sort before every live batch id; "" does, for any
@@ -154,6 +217,7 @@ def _ops_current(
     id_col: str,
     probe: DataFrame | None,
     any_op: bool = False,
+    buckets: list[int] | None = None,
 ) -> DataFrame | None:
     """Resolved CURRENT rows of one side as of before ``batch_id``:
     per ``(key, id)``, the latest op wins and a tombstone means absent.
@@ -180,8 +244,9 @@ def _ops_current(
             store,
             len(keep),
         )
-    buckets = None
-    if spec.n_buckets and probe is not None:
+    if buckets is None and spec.n_buckets and probe is not None:
+        # callers updating both sides pass a precomputed bucket set so the
+        # probe's hash-distinct runs once per batch, not once per side
         buckets = [
             r[0]
             for r in probe.select(
@@ -334,42 +399,44 @@ def update_join_view_cdc(
     for side, (ups, dels, id_col) in feeds.items():
         if ups is not None:
             _check_cols(ups, [spec.key, id_col, *seq_req], f"{side} upserts")
-            ups = ups.localCheckpoint(eager=True)
-            counts[f"{side}_upserts"] = ups.count()
-            _reject_nulls(
-                ups, [spec.key, id_col, *seq_req], f"{side} upserts"
+            # checkpoint + count + NULL guard + dup-id guard: ONE job
+            # (message text matches _reject_nulls/_reject_dup_ids)
+            ups, counts[f"{side}_upserts"], _ = _persist_checked_feed(
+                ups,
+                [spec.key, id_col, *seq_req],
+                [id_col],
+                f"{side} upserts",
+                dup_msg=(
+                    f"{side} delta repeats {id_col}={{0!r}} within the "
+                    "batch; per-side ids must be unique for the view "
+                    "store to stay compaction-safe (see "
+                    "incremental/joinview.py)"
+                ),
             )
-            _reject_dup_ids(ups, id_col, side)
         else:
             counts[f"{side}_upserts"] = 0
         if dels is not None:
             _check_cols(dels, [spec.key, id_col, *seq_req], f"{side} deletes")
             dels = dels.select(
                 *_pair_cols(spec.key, id_col), *seq_req
-            ).distinct().localCheckpoint(
-                eager=True
-            )
-            counts[f"{side}_deletes"] = dels.count()
-            _reject_nulls(
-                dels, [spec.key, id_col, *seq_req], f"{side} deletes"
-            )
-            if seq_col is not None:
-                # distinct() above is over (pair, seq): the same version
-                # deleted twice under different seqs is an ordering
-                # ambiguity, not a no-op
-                dup = (
-                    dels.groupBy(*_pair_cols(spec.key, id_col))
-                    .count()
-                    .filter(F.col("count") > 1)
-                    .limit(1)
-                    .collect()
+            ).distinct()
+            # distinct() is over (pair, seq): the same version deleted
+            # twice under different seqs is an ordering ambiguity, not a
+            # no-op — the duplicate-pair guard below catches it (without
+            # seq the distinct makes pairs unique, so it can never fire)
+            dels, counts[f"{side}_deletes"], _ = _persist_checked_feed(
+                dels,
+                [spec.key, id_col, *seq_req],
+                _pair_cols(spec.key, id_col),
+                f"{side} deletes",
+                dup_msg=(
+                    f"{side} batch deletes the same ({spec.key}, "
+                    f"{id_col}) version under two different "
+                    f"{seq_col} values — ambiguous feed"
                 )
-                if dup:
-                    raise ValueError(
-                        f"{side} batch deletes the same ({spec.key}, "
-                        f"{id_col}) version under two different "
-                        f"{seq_col} values — ambiguous feed"
-                    )
+                if seq_col is not None
+                else None,
+            )
         else:
             counts[f"{side}_deletes"] = 0
         if ups is not None and dels is not None:
@@ -421,21 +488,38 @@ def update_join_view_cdc(
 
     probe = _keys(left_upserts, left_deletes, right_upserts, right_deletes)
 
+    # one bucket-set computation for the shared probe (both _ops_current
+    # calls previously re-ran the hash-distinct collect)
+    probe_buckets = None
+    if spec.n_buckets and probe is not None:
+        probe_buckets = [
+            r[0]
+            for r in probe.select(
+                F.pmod(
+                    F.xxhash64(F.col(spec.key)), F.lit(spec.n_buckets)
+                ).cast("int")
+            )
+            .distinct()
+            .collect()
+        ]
+
     # with seq tracking the same pruned read serves both the watermark
     # validation (latest op of ANY kind, tombstones included) and the
     # current side (its op=='u' restriction) — one store scan, not two
     a_latest = _ops_current(
         spark, left_store, batch_id, spec, spec.left_id, probe,
-        any_op=seq_col is not None,
+        any_op=seq_col is not None, buckets=probe_buckets,
     )
     b_latest = _ops_current(
         spark, right_store, batch_id, spec, spec.right_id, probe,
-        any_op=seq_col is not None,
+        any_op=seq_col is not None, buckets=probe_buckets,
     )
+    # lazy checkpoints: the first consuming job materializes them once;
+    # an eager checkpoint here was a dedicated extra job per side
     if a_latest is not None:
-        a_latest = a_latest.localCheckpoint(eager=True)
+        a_latest = a_latest.localCheckpoint(eager=False)
     if b_latest is not None:
-        b_latest = b_latest.localCheckpoint(eager=True)
+        b_latest = b_latest.localCheckpoint(eager=False)
     if seq_col is None:
         a_cur, b_cur = a_latest, b_latest
     else:
@@ -589,15 +673,23 @@ def update_join_view_cdc(
         view_delta = deltas[0]
         for d in deltas[1:]:
             view_delta = view_delta.unionByName(d)
-        view_delta = view_delta.localCheckpoint(eager=True)
-        counts["view_inserts"] = view_delta.filter(
-            F.col(DIFF_COL) > 0
-        ).count()
-        counts["view_retractions"] = view_delta.filter(
-            F.col(DIFF_COL) < 0
-        ).count()
+        view_delta = view_delta.localCheckpoint(eager=False)
+        # both signed counts in one job (was checkpoint + two counts)
+        stats = view_delta.agg(
+            F.coalesce(
+                F.sum(F.when(F.col(DIFF_COL) > 0, 1).otherwise(0)), F.lit(0)
+            ).alias("ins"),
+            F.coalesce(
+                F.sum(F.when(F.col(DIFF_COL) < 0, 1).otherwise(0)), F.lit(0)
+            ).alias("ret"),
+        ).collect()[0]
+        counts["view_inserts"] = int(stats["ins"])
+        counts["view_retractions"] = int(stats["ret"])
         commit_batch_partition(
-            view_delta, view_store, batch_id
+            view_delta,
+            view_store,
+            batch_id,
+            counts["view_inserts"] + counts["view_retractions"],
         )
 
     # side op-log commits LAST (the insert-only store's crash argument:
@@ -644,7 +736,13 @@ def update_join_view_cdc(
                 tomb = tomb.withColumn(OP_COL, F.lit("d"))
                 ops = tomb if ops is None else ops.unionByName(tomb)
         if ops is not None:
-            _commit_side(ops, store, batch_id, spec)
+            _commit_side(
+                ops,
+                store,
+                batch_id,
+                spec,
+                counts[f"{side}_upserts"] + counts[f"{side}_deletes"],
+            )
     return counts
 
 

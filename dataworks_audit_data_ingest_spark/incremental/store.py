@@ -177,13 +177,35 @@ def _valid_id(batch_id) -> str:
     return s
 
 
+# Target rows per output file for batch commits whose size the caller
+# already knows (~hundreds of MB at typical row widths — guide §6 file
+# sizing). A delta-sized batch then produces delta-sized FILE COUNTS:
+# without this, every tiny commit wrote one near-empty file per shuffle
+# partition and the partitioned-write commit protocol dominated the
+# incremental drills (measured 0.9 s → 0.35 s per fixture-scale commit).
+_ROWS_PER_FILE = 4_000_000
+
+
+def _sized(df: DataFrame, rows: int | None) -> DataFrame:
+    """Coalesce a KNOWN-size (already materialized/checkpointed) batch to
+    ceil(rows / _ROWS_PER_FILE) write tasks; identity when size unknown.
+    Scale-adaptive by data volume: a 400M-row delta still writes ~100
+    files in parallel."""
+    if rows is None:
+        return df
+    return df.coalesce(max(1, -(-rows // _ROWS_PER_FILE)))
+
+
 def commit_batch_partition(
-    df: DataFrame, store_path: str, batch_id: str
+    df: DataFrame, store_path: str, batch_id: str, rows: int | None = None
 ) -> None:
     """Write ``df`` as the store's ``batch_id=<id>`` partition via dynamic
-    overwrite (replay ⇒ identical rewrite of exactly this partition)."""
+    overwrite (replay ⇒ identical rewrite of exactly this partition).
+    ``rows``: the caller's already-computed batch count — enables the
+    file-count sizing of :func:`_sized` without an extra job."""
     (
-        df.withColumn(BATCH_COL, F.lit(_valid_id(batch_id)))
+        _sized(df, rows)
+        .withColumn(BATCH_COL, F.lit(_valid_id(batch_id)))
         .write.mode("overwrite")
         .partitionBy(BATCH_COL)
         .option("partitionOverwriteMode", "dynamic")
