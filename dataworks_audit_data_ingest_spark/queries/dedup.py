@@ -2850,7 +2850,13 @@ def q192_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     corpus = d.select("doc_id", "text").unionByName(_variants(d))
-    pairs = lsh_candidate_pairs(_spark_bands(_spark_sigs(corpus)))
+    # pairs feed BOTH the CC iteration and the final leak join; assign
+    # feeds three branches (the counts agg and both pair sides) — without
+    # the checkpoints each consumer re-runs the full LSH pipeline
+    # (measured 4.9 -> 3.6 s, values identical)
+    pairs = lsh_candidate_pairs(_spark_bands(_spark_sigs(corpus))).localCheckpoint(
+        eager=False
+    )
     cc = connected_components(pairs).select(
         F.col("node_id").alias("doc_id"), "cluster_id"
     )
@@ -2872,6 +2878,7 @@ def q192_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(split(doc_h)).alias("split_doc"),
             F.expr(split(clu_h)).alias("split_cluster"),
         )
+        .localCheckpoint(eager=False)
     )
     counts = assign.agg(
         F.sum(F.when(F.col("split_doc") == "train", 1).otherwise(0))

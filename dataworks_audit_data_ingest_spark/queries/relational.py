@@ -63,12 +63,14 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (measured 6× the scan); on the unsplittable fixture they must not
         # run in the single scan task. Decimal sums are exact/associative,
         # so the result is partition-invariant. No-op on splittable input.
+        # Keyed on a column the aggregation already reads (l_extendedprice,
+        # high-cardinality) so the spread does not widen the pruned scan.
         spread(
             li.filter(
                 F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp_ntz")
             ),
             sf_dir,
-            "l_orderkey",
+            "l_extendedprice",
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(

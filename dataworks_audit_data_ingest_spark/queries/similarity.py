@@ -143,10 +143,15 @@ def q55_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: the |q|x|corpus| interpreted ZIP_WITH/AGGREGATE dot products
     # run in the corpus-side stage; on the unsplittable fixture that stage
     # is one task. Spread the corpus so pair scoring parallelizes.
-    base = spread(e, sf_dir, "vec_id").select(
-        "vec_id",
-        F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
-    ).withColumn("nrm", F.expr(norm))
+    base = (
+        spread(e, sf_dir, "vec_id")
+        .select(
+            "vec_id",
+            F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        )
+        .withColumn("nrm", F.expr(norm))
+        .localCheckpoint(eager=False)
+    )
     q = base.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("eq"),
@@ -209,12 +214,20 @@ def q56_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: the posexplode fans each vector into |dim| rows and feeds
     # three consumers (centroids, queries, candidate scoring) — all of it
     # otherwise inside the single-task fixture scan.
-    elems = spread(e, sf_dir, "vec_id").select(
-        "vec_id",
-        "label",
-        F.posexplode(F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))")).alias(
-            "pos", "v"
-        ),
+    # elems feeds FOUR evaluations (centroid build, routing queries, the
+    # candidate probe, and the broadcast query re-join); the checkpoint
+    # runs the explode pipeline once and each consumer reads the cached
+    # |dim|x|vectors| rows
+    elems = (
+        spread(e, sf_dir, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(
+                F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))")
+            ).alias("pos", "v"),
+        )
+        .localCheckpoint(eager=False)
     )
     centroids = elems.groupBy("label", "pos").agg(
         (
@@ -480,7 +493,13 @@ def q89_ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (near-duplicate pile-ups) take the q51 bucket-cap guard
     unchanged since the join key has the same shape."""
     e = table(spark, sf_dir, "embeddings")
-    bands = _srp_bands(e)
+    # signatures are consumed by BOTH sides of the bucket self-join, and
+    # the query side's vec_id filter breaks subtree identity so exchange
+    # reuse cannot kick in — without the checkpoint the whole explode →
+    # broadcast-hyperplane join → 16-way MIN aggregation pipeline runs
+    # twice (guide §5: localCheckpoint to cut a reused lineage; measured
+    # 1.51 -> 1.29 s min, values identical)
+    bands = _srp_bands(e).localCheckpoint(eager=False)
     cands = (
         bands.filter(F.col("vec_id") < _N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), "band", "bval")
@@ -496,10 +515,17 @@ def q89_ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SQRT(CAST(AGGREGATE(TRANSFORM(emb, x -> CAST(x * x AS {_DOT_DEC})), "
         f"CAST(0 AS {_DOT_DEC}), (acc, v) -> CAST(acc + v AS {_DOT_DEC})) AS DOUBLE))"
     )
-    base = e.select(
-        "vec_id",
-        F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
-    ).withColumn("nrm", F.expr(norm))
+    # base feeds two differently-aliased broadcast builds (query and
+    # neighbor side); the checkpoint computes the per-vector decimal-fold
+    # norm once instead of once per build
+    base = (
+        e.select(
+            "vec_id",
+            F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        )
+        .withColumn("nrm", F.expr(norm))
+        .localCheckpoint(eager=False)
+    )
     dot = (
         f"AGGREGATE(ZIP_WITH(eq, et, (p, v) -> CAST(p * v AS {_DOT_DEC})), "
         f"CAST(0 AS {_DOT_DEC}), (acc, v) -> CAST(acc + v AS {_DOT_DEC}))"
