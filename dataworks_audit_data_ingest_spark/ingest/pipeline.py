@@ -141,7 +141,13 @@ def encrypt_files(df: DataFrame, pem: bytes, key_id: str) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(batches, schema=_ENC_SCHEMA)
+    # guide §4: only the columns the kernel touches cross the Arrow
+    # boundary — without the select, `path` and `length` ride every batch
+    # (and an opaque function over extra columns defeats column pruning
+    # at the scan).
+    return df.select("day", "basename", "content").mapInPandas(
+        batches, schema=_ENC_SCHEMA
+    )
 
 
 _AUDIT_SCHEMA = "day string, basename string, s3_key string, n_bytes long"
@@ -192,7 +198,10 @@ def encrypt_and_upload(df: DataFrame, cfg: IngestConfig) -> DataFrame:
                 out["n_bytes"].append(len(rec.ciphertext))
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(batches, schema=_AUDIT_SCHEMA)
+    # guide §4: ship only the three columns the fused kernel reads
+    return df.select("day", "basename", "content").mapInPandas(
+        batches, schema=_AUDIT_SCHEMA
+    )
 
 
 def upload_partition_factory(cfg: IngestConfig):

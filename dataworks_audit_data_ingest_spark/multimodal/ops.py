@@ -93,14 +93,30 @@ def _decode_payloads(payloads: list, mode: str) -> tuple[list, list]:
     return types, metas
 
 
-def decode_media_batches(df: DataFrame, mode: str = "fake") -> DataFrame:
+def decode_media_batches(
+    df: DataFrame, mode: str = "fake", passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Decode/feature-extract media payloads via Arrow-batched mapInPandas.
 
     At 100 TB: one decoder per task, batches sized by
     ``spark.sql.execution.arrow.maxRecordsPerBatch``; CPU-heavy decode scales
     with executors and never funnels through the driver.
+
+    ``passthrough`` names metadata columns of ``df`` to carry through the
+    kernel unchanged (guide §4: the alternative — re-joining the decode
+    output back to the source on doc_id — pays a second scan plus a join
+    exchange just to re-attach columns the batch already had in hand).
+    Only list cheap metadata columns: everything named here crosses the
+    Arrow boundary with the payload.
     """
     _require_pillow_for(mode)
+    by_name = {f.name: f for f in df.schema.fields}
+    missing = [c for c in passthrough if c not in by_name]
+    if missing:
+        raise ValueError(f"passthrough columns not in the frame: {missing}")
+    schema = MEDIA_SCHEMA + "".join(
+        f", {c} {by_name[c].dataType.simpleString()}" for c in passthrough
+    )
 
     def decode(batches: Iterator) -> Iterator:
         import hashlib
@@ -109,21 +125,24 @@ def decode_media_batches(df: DataFrame, mode: str = "fake") -> DataFrame:
 
         for pdf in batches:
             types, metas = _decode_payloads(list(pdf["payload"]), mode)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": types,
-                    "n_bytes": [m["n_bytes"] for m in metas],
-                    "width": [m["width"] for m in metas],
-                    "height": [m["height"] for m in metas],
-                    "n_frames": [m["n_frames"] for m in metas],
-                    "checksum": [
-                        hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]
-                    ],
-                }
-            )
+            cols = {
+                "doc_id": pdf["doc_id"],
+                "media_type": types,
+                "n_bytes": [m["n_bytes"] for m in metas],
+                "width": [m["width"] for m in metas],
+                "height": [m["height"] for m in metas],
+                "n_frames": [m["n_frames"] for m in metas],
+                "checksum": [
+                    hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]
+                ],
+            }
+            for c in passthrough:
+                cols[c] = pdf[c]
+            yield pd.DataFrame(cols)
 
-    return df.select("doc_id", "payload").mapInPandas(decode, schema=MEDIA_SCHEMA)
+    return df.select("doc_id", "payload", *passthrough).mapInPandas(
+        decode, schema=schema
+    )
 
 
 def decode_media_batches_arrow(df: DataFrame, mode: str = "fake") -> DataFrame:

@@ -205,8 +205,13 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.select("doc_id", "text").unionByName(_variants(d))
     # spread: the shingle explode + per-shingle MD5 + 12 partial-MIN
     # aggregates are the dominant per-row work and otherwise run in the
-    # union's two single-task fixture scans.
-    bands = _spark_bands(_spark_sigs(spread(corpus, sf_dir, "doc_id")))
+    # union's two single-task fixture scans. The bands checkpoint stops
+    # the self-join's second side from re-running that pipeline when
+    # exchange reuse fails to fire (same pattern as q89; interleaved A/B
+    # med 1.55 s vs 1.67 s, values identical).
+    bands = _spark_bands(_spark_sigs(spread(corpus, sf_dir, "doc_id"))).localCheckpoint(
+        eager=False
+    )
     return lsh_candidate_pairs(bands).orderBy("doc_a", "doc_b")
 
 

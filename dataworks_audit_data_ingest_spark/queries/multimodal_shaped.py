@@ -48,11 +48,16 @@ def q70_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's ASCII() mirrors).
     """
     d = table(spark, sf_dir, "documents")
-    media = decode_media_batches(with_media_payload(d))
-    src = d.select("doc_id", "source")
+    # source rides THROUGH the Arrow kernel (passthrough) instead of being
+    # re-attached by a join against a second scan of the same table —
+    # guide §4: the kernel already holds the row, so shipping one small
+    # string column beats a join exchange plus a duplicate scan (low-steal
+    # interleaved A/B med 0.64 s vs 0.87 s). Deliberately NOT spread: a
+    # pre-decode repartition shuffles the payload bytes themselves and
+    # measured ~2x slower than the single-task decode at fixture scale.
+    media = decode_media_batches(with_media_payload(d), passthrough=("source",))
     return (
-        media.join(src, "doc_id")
-        .groupBy("source")
+        media.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_media"),
             F.sum("n_bytes").alias("total_bytes"),

@@ -211,23 +211,18 @@ def q56_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning, and the centroid table stays broadcast-sized.
     """
     e = table(spark, sf_dir, "embeddings")
-    # spread: the posexplode fans each vector into |dim| rows and feeds
-    # three consumers (centroids, queries, candidate scoring) — all of it
-    # otherwise inside the single-task fixture scan.
-    # elems feeds FOUR evaluations (centroid build, routing queries, the
-    # candidate probe, and the broadcast query re-join); the checkpoint
-    # runs the explode pipeline once and each consumer reads the cached
-    # |dim|x|vectors| rows
-    elems = (
-        spread(e, sf_dir, "vec_id")
-        .select(
-            "vec_id",
-            "label",
-            F.posexplode(
-                F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))")
-            ).alias("pos", "v"),
-        )
-        .localCheckpoint(eager=False)
+    # Deliberately NOT spread and NOT checkpointed: a low-steal interleaved
+    # A/B (6 samples each) measured the plain pipeline fastest (min 1.34 s
+    # vs 1.42 spread vs 2.04 spread+checkpoint at sf0.1) — the explode's
+    # consumers all sit behind partial aggregation or broadcast builds, so
+    # repartitioning or materializing the |dim|x|vectors| rows costs more
+    # than recomputing them from the 10 MB scan.
+    elems = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "pos", "v"
+        ),
     )
     centroids = elems.groupBy("label", "pos").agg(
         (
@@ -497,8 +492,8 @@ def q89_ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the query side's vec_id filter breaks subtree identity so exchange
     # reuse cannot kick in — without the checkpoint the whole explode →
     # broadcast-hyperplane join → 16-way MIN aggregation pipeline runs
-    # twice (guide §5: localCheckpoint to cut a reused lineage; measured
-    # 1.51 -> 1.29 s min, values identical)
+    # twice (guide §5: localCheckpoint to cut a reused lineage; low-steal
+    # interleaved A/B: med 1.29 s vs 1.52 s plain, values identical)
     bands = _srp_bands(e).localCheckpoint(eager=False)
     cands = (
         bands.filter(F.col("vec_id") < _N_QUERIES)
@@ -515,17 +510,14 @@ def q89_ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SQRT(CAST(AGGREGATE(TRANSFORM(emb, x -> CAST(x * x AS {_DOT_DEC})), "
         f"CAST(0 AS {_DOT_DEC}), (acc, v) -> CAST(acc + v AS {_DOT_DEC})) AS DOUBLE))"
     )
-    # base feeds two differently-aliased broadcast builds (query and
-    # neighbor side); the checkpoint computes the per-vector decimal-fold
-    # norm once instead of once per build
-    base = (
-        e.select(
-            "vec_id",
-            F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
-        )
-        .withColumn("nrm", F.expr(norm))
-        .localCheckpoint(eager=False)
-    )
+    # base is NOT checkpointed: the two broadcast builds each recompute the
+    # norm, but a low-steal interleaved A/B measured the checkpoint slower
+    # (med 1.53 vs 1.29 s with only the bands checkpoint) — materializing
+    # the full embedding arrays costs more than the duplicate norm fold.
+    base = e.select(
+        "vec_id",
+        F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    ).withColumn("nrm", F.expr(norm))
     dot = (
         f"AGGREGATE(ZIP_WITH(eq, et, (p, v) -> CAST(p * v AS {_DOT_DEC})), "
         f"CAST(0 AS {_DOT_DEC}), (acc, v) -> CAST(acc + v AS {_DOT_DEC}))"
