@@ -57,7 +57,17 @@ def _ship_package(spark: SparkSession) -> None:
 
 
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs; safe and idempotent on externally-owned sessions."""
+    """Apply runtime confs; safe and idempotent on externally-owned sessions.
+
+    Applied once per session object: every ``conf.set`` is a py4j round
+    trip, and ``table()`` calls tune() on every load — at ~40 table loads
+    per bench pass the re-pinning was measurable driver latency
+    (optimization round 12, guide §5 "the driver should do almost no
+    work"). Callers that deliberately change a session conf afterwards
+    (tests do, temporarily) own the restore, exactly as before.
+    """
+    if getattr(spark, "_dwadi_tuned", False):
+        return spark
     for k, v in _RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
@@ -66,6 +76,7 @@ def tune(spark: SparkSession) -> SparkSession:
             # individual loaders have fallbacks where it matters.
             pass
     _ship_package(spark)
+    spark._dwadi_tuned = True
     return spark
 
 

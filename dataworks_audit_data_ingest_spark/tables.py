@@ -40,10 +40,38 @@ TABLE_NAMES = (
 )
 
 
+# Inferred-schema cache: spark.read.parquet() re-reads the file footer on
+# every call to infer the schema, a driver-side cost paid per table() load
+# (~40 loads per bench pass — measured at ~25 % of the bench's per-query
+# floor; guide §5 "the driver should do almost no data work"). The schema is
+# metadata, not data: caching it is what a catalog does in production. The
+# key includes mtime+size so a rewritten fixture path (pytest tmp dirs,
+# overwritten stores) re-infers; non-local / unstat-able paths skip the
+# cache and infer exactly as before.
+_SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
+
+
+def _cached_schema(spark: SparkSession, path: str):
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    key = (path, st.st_mtime_ns, st.st_size)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = sch
+    return sch
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing types to match the DuckDB oracle."""
     tune(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _cached_schema(spark, path)
+    df = (spark.read.schema(schema) if schema is not None else spark.read).parquet(
+        path
+    )
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
