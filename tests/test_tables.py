@@ -109,3 +109,42 @@ def test_spread_keyed_result_invariance(spark):
         .collect()
     )
     assert agg(df) == agg(spread(df, sf, "l_orderkey"))
+
+
+def test_schema_cache_invalidates_on_rewrite(spark, tmp_path):
+    """The inferred-schema cache (optimization round 12) keys on
+    (path, mtime_ns, size): rewriting a fixture path with a DIFFERENT
+    schema must re-infer, never serve the stale cached one."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], pa.int64())}), path
+    )
+    first = table(spark, str(tmp_path), "documents")
+    assert first.columns == ["doc_id"]
+    time.sleep(0.02)  # guard coarse mtime granularity on odd filesystems
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["a", "b"], pa.string()),
+            }
+        ),
+        path,
+    )
+    second = table(spark, str(tmp_path), "documents")
+    assert second.columns == ["doc_id", "text"]
+    assert second.count() == 2
+
+
+def test_schema_cache_returns_identical_schema_on_hit(spark):
+    """A cache hit must hand back the same schema inference would produce
+    (the real fixture exercises decimals, timestamps, and arrays)."""
+    sf = "/root/testdata/sf0.001"
+    cached = table(spark, sf, "lineitem").schema  # second call = cache hit
+    fresh = spark.read.parquet(f"{sf}/lineitem.parquet").schema
+    assert cached == fresh
