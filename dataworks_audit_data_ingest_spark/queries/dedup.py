@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import duckdb_hash32, spark_hash32, universal_hash
-from ..tables import spread, table
+from ..tables import table
 from .base import register
 
 # ---------------------------------------------------------------------------
@@ -203,15 +203,16 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     corpus = d.select("doc_id", "text").unionByName(_variants(d))
-    # spread: the shingle explode + per-shingle MD5 + 12 partial-MIN
-    # aggregates are the dominant per-row work and otherwise run in the
-    # union's two single-task fixture scans. The bands checkpoint stops
-    # the self-join's second side from re-running that pipeline when
-    # exchange reuse fails to fire (same pattern as q89; interleaved A/B
-    # med 1.55 s vs 1.67 s, values identical).
-    bands = _spark_bands(_spark_sigs(spread(corpus, sf_dir, "doc_id"))).localCheckpoint(
-        eager=False
-    )
+    # Round 13: the round-12 spread + bands localCheckpoint pair was a
+    # driver-measured 0.63× regression (BENCH_r12: 1.84 → 2.92 s, minima
+    # moved too). Re-adjudicated with 8-sample interleaved A/Bs: plain
+    # med 1.52 s (max 1.98) vs spread-only 1.55 (max 2.32) vs
+    # spread+ckpt 1.85 (max 2.90) — materializing the 4-rows-per-doc
+    # bands costs more than recomputing the signature pipeline on the
+    # second join side, and the spread is a wash once the checkpoint is
+    # gone. Reverted to the r11 shape (guide §5: materialize only when
+    # recomputation provably exceeds materialization — here it does not).
+    bands = _spark_bands(_spark_sigs(corpus))
     return lsh_candidate_pairs(bands).orderBy("doc_a", "doc_b")
 
 

@@ -143,6 +143,11 @@ def q55_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: the |q|x|corpus| interpreted ZIP_WITH/AGGREGATE dot products
     # run in the corpus-side stage; on the unsplittable fixture that stage
     # is one task. Spread the corpus so pair scoring parallelizes.
+    # Round 13: the round-12 lazy checkpoint ("neutral, kept") removed —
+    # an 8-sample interleaved A/B shows it losing outright (med 0.77 s
+    # with vs 0.61 s without; same mechanism as the q89/q51 driver
+    # regressions: materializing full embedding arrays costs more than
+    # the broadcast side's recompute).
     base = (
         spread(e, sf_dir, "vec_id")
         .select(
@@ -150,7 +155,6 @@ def q55_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
         )
         .withColumn("nrm", F.expr(norm))
-        .localCheckpoint(eager=False)
     )
     q = base.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -488,13 +492,14 @@ def q89_ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (near-duplicate pile-ups) take the q51 bucket-cap guard
     unchanged since the join key has the same shape."""
     e = table(spark, sf_dir, "embeddings")
-    # signatures are consumed by BOTH sides of the bucket self-join, and
-    # the query side's vec_id filter breaks subtree identity so exchange
-    # reuse cannot kick in — without the checkpoint the whole explode →
-    # broadcast-hyperplane join → 16-way MIN aggregation pipeline runs
-    # twice (guide §5: localCheckpoint to cut a reused lineage; low-steal
-    # interleaved A/B: med 1.29 s vs 1.52 s plain, values identical)
-    bands = _srp_bands(e).localCheckpoint(eager=False)
+    # Round 13: the round-12 bands localCheckpoint was a driver-measured
+    # 0.82× regression (BENCH_r12: 1.25 → 1.52 s). Re-adjudicated with an
+    # 8-sample interleaved A/B: plain med 1.17 s (min 0.91) vs 1.57 s
+    # (min 1.24) with the checkpoint — recomputing the signature pipeline
+    # on the second join side is cheaper than materializing the bands
+    # (guide §5: materialize only when recomputation provably exceeds
+    # materialization). Removed; back to the r11 shape.
+    bands = _srp_bands(e)
     cands = (
         bands.filter(F.col("vec_id") < _N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), "band", "bval")
@@ -511,9 +516,9 @@ def q89_ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(0 AS {_DOT_DEC}), (acc, v) -> CAST(acc + v AS {_DOT_DEC})) AS DOUBLE))"
     )
     # base is NOT checkpointed: the two broadcast builds each recompute the
-    # norm, but a low-steal interleaved A/B measured the checkpoint slower
-    # (med 1.53 vs 1.29 s with only the bands checkpoint) — materializing
-    # the full embedding arrays costs more than the duplicate norm fold.
+    # norm, but interleaved A/Bs (rounds 12 and 13) measured every
+    # checkpoint variant slower — materializing the full embedding arrays
+    # costs more than the duplicate norm fold.
     base = e.select(
         "vec_id",
         F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),

@@ -68,15 +68,20 @@ def tune(spark: SparkSession) -> SparkSession:
     """
     if getattr(spark, "_dwadi_tuned", False):
         return spark
+    all_set = True
     for k, v in _RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             # Conf not settable at runtime in this deployment — keep going;
-            # individual loaders have fallbacks where it matters.
-            pass
+            # individual loaders have fallbacks where it matters. Leave the
+            # tuned flag unset so the next load retries (ADVICE round 13:
+            # a restricted deployment must not be locked out of the confs
+            # forever by one failed attempt).
+            all_set = False
     _ship_package(spark)
-    spark._dwadi_tuned = True
+    if all_set:
+        spark._dwadi_tuned = True
     return spark
 
 

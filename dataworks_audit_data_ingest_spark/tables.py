@@ -20,6 +20,7 @@ generation loads to the same ``ts: timestamp`` column.
 from __future__ import annotations
 
 import os
+import stat
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,10 +46,16 @@ TABLE_NAMES = (
 # (~40 loads per bench pass — measured at ~25 % of the bench's per-query
 # floor; guide §5 "the driver should do almost no data work"). The schema is
 # metadata, not data: caching it is what a catalog does in production. The
-# key includes mtime+size so a rewritten fixture path (pytest tmp dirs,
+# entry stores mtime+size so a rewritten fixture path (pytest tmp dirs,
 # overwritten stores) re-infers; non-local / unstat-able paths skip the
-# cache and infer exactly as before.
-_SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
+# cache and infer exactly as before. Indexed by path (round 13, ADVICE):
+# a rewrite REPLACES the old entry instead of accumulating one per
+# (path, mtime, size) forever. Directories also skip the cache: a
+# Spark-written parquet directory can be rewritten in place with part
+# files of the same names, leaving the directory inode's mtime/size a
+# weak invalidation signal — and a stale explicit schema would silently
+# null-fill missing columns rather than error.
+_SCHEMA_CACHE: dict[str, tuple[int, int, object]] = {}
 
 
 def _cached_schema(spark: SparkSession, path: str):
@@ -56,11 +63,13 @@ def _cached_schema(spark: SparkSession, path: str):
         st = os.stat(path)
     except OSError:
         return None
-    key = (path, st.st_mtime_ns, st.st_size)
-    sch = _SCHEMA_CACHE.get(key)
-    if sch is None:
-        sch = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[key] = sch
+    if stat.S_ISDIR(st.st_mode):
+        return None
+    hit = _SCHEMA_CACHE.get(path)
+    if hit is not None and (hit[0], hit[1]) == (st.st_mtime_ns, st.st_size):
+        return hit[2]
+    sch = spark.read.parquet(path).schema
+    _SCHEMA_CACHE[path] = (st.st_mtime_ns, st.st_size, sch)
     return sch
 
 
@@ -126,9 +135,16 @@ def _local_bytes(sf_dir: str) -> int:
         return -1
 
 
-def spread(df: DataFrame, sf_dir: str, *keys: str, mult: int = 2) -> DataFrame:
+def spread(df: DataFrame, sf_dir: str, *keys: str, mult: int = 1) -> DataFrame:
     """Repartition ``df`` for map-side parallelism iff the source dir is a
-    small local fixture whose parquet cannot be split ``cores`` ways."""
+    small local fixture whose parquet cannot be split ``cores`` ways.
+
+    ``mult=1`` (exactly defaultParallelism partitions) since round 13: an
+    interleaved A/B on every spread user showed cores×2 only doubled the
+    post-spread task count and its scheduling overhead at fixture scale
+    (q01 med 0.90 s vs 1.35 s, q81 0.56 vs 0.82, q82 0.83 vs 0.97,
+    q55 0.56 vs 0.61); one wave of tasks is enough to fill the cores.
+    """
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
     gate = _SPREAD_GATE.get((sf_dir, cores))
