@@ -19,6 +19,8 @@ from datetime import datetime, timezone
 
 from pyspark.sql import SparkSession
 
+from ..functions.localrel import local_rows_df
+
 _SCHEMA = (
     "operation string, n_affected long, detail string, recorded_at timestamp"
 )
@@ -37,6 +39,6 @@ def record_audit(
     # naive value would be re-interpreted in session-local time and
     # shift recorded_at by the UTC offset on non-UTC sessions.
     row = [(operation, int(n_affected), detail, datetime.now(timezone.utc))]
-    spark.createDataFrame(row, _SCHEMA).coalesce(1).write.mode(
+    local_rows_df(spark, row, _SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(audit_path)

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..functions.localrel import local_rows_df
 
 from ..functions.graph import connected_components
 from .store import commit_batch_partition, read_store_excluding_batch
@@ -269,7 +270,8 @@ def forget_ids_from_cc_store(
         members.withColumn("token", F.lit(token)).write.parquet(
             pending_path
         )
-    subjects = labels.sparkSession.createDataFrame(
+    subjects = local_rows_df(
+        labels.sparkSession,
         [(i,) for i in id_list],
         labels.select("node_id").schema,
     )

@@ -37,6 +37,8 @@ from collections.abc import Sequence
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localrel import local_rows_df
+
 from .store import _list_partitions, commit_batch_partition
 
 
@@ -245,7 +247,8 @@ def persist_forget_intent(
         fs, jvm = _root_fs(spark, root)
         fs.delete(jvm.org.apache.hadoop.fs.Path(pend), True)
         return None
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(side, id_col, bool(bucketed), audit_path)],
         "side string, id_col string, bucketed boolean, audit_path string",
     ).coalesce(1).write.parquet(f"{pend}/meta")

@@ -69,6 +69,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localrel import local_rows_df
 from .store import (
     _sized,
     BATCH_COL,
@@ -669,8 +670,10 @@ def _compact_store_safe(
         f"{store}/{_FOLD_TMP}{tok}"
     )
     # the commit point: once this manifest exists the fold is the truth
-    spark.createDataFrame(
-        [(dirs[bid],) for bid in foldable], "dir string"
+    # (a JVM literal relation: createDataFrame's python-RDD write costs
+    # ~4 s per fold at local[32] — functions/localrel.py)
+    local_rows_df(
+        spark, [(dirs[bid],) for bid in foldable], "dir string"
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{store}/{_FOLD_COMMIT}{tok}"
     )

@@ -396,12 +396,17 @@ def update_join_view_cdc(
     counts: dict[str, int] = {}
     checked: dict[str, tuple[DataFrame | None, DataFrame | None]] = {}
     seq_req = [seq_col] if seq_col is not None else []
-    for side, (ups, dels, id_col) in feeds.items():
+
+    def _check_side(
+        side: str,
+    ) -> tuple[DataFrame | None, DataFrame | None, dict[str, int]]:
+        ups, dels, id_col = feeds[side]
+        side_counts: dict[str, int] = {}
         if ups is not None:
             _check_cols(ups, [spec.key, id_col, *seq_req], f"{side} upserts")
             # checkpoint + count + NULL guard + dup-id guard: ONE job
             # (message text matches _reject_nulls/_reject_dup_ids)
-            ups, counts[f"{side}_upserts"], _ = _persist_checked_feed(
+            ups, side_counts[f"{side}_upserts"], _ = _persist_checked_feed(
                 ups,
                 [spec.key, id_col, *seq_req],
                 [id_col],
@@ -414,7 +419,7 @@ def update_join_view_cdc(
                 ),
             )
         else:
-            counts[f"{side}_upserts"] = 0
+            side_counts[f"{side}_upserts"] = 0
         if dels is not None:
             _check_cols(dels, [spec.key, id_col, *seq_req], f"{side} deletes")
             dels = dels.select(
@@ -424,7 +429,7 @@ def update_join_view_cdc(
             # twice under different seqs is an ordering ambiguity, not a
             # no-op — the duplicate-pair guard below catches it (without
             # seq the distinct makes pairs unique, so it can never fire)
-            dels, counts[f"{side}_deletes"], _ = _persist_checked_feed(
+            dels, side_counts[f"{side}_deletes"], _ = _persist_checked_feed(
                 dels,
                 [spec.key, id_col, *seq_req],
                 _pair_cols(spec.key, id_col),
@@ -438,7 +443,7 @@ def update_join_view_cdc(
                 else None,
             )
         else:
-            counts[f"{side}_deletes"] = 0
+            side_counts[f"{side}_deletes"] = 0
         if ups is not None and dels is not None:
             clash = ups.join(
                 dels, on=_pair_cols(spec.key, id_col), how="left_semi"
@@ -456,7 +461,21 @@ def update_join_view_cdc(
                     " key-moving update is delete(old key) + upsert(new"
                     " key), which IS allowed in one batch"
                 )
-        checked[side] = (ups, dels)
+        return ups, dels, side_counts
+
+    # the two sides' guard jobs are independent — overlap them (guide
+    # §2.6); results land in `checked`/`counts` in a fixed order so
+    # error precedence (left first) matches the former sequential loop
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for side, res in zip(
+            ("left", "right"),
+            pool.map(_check_side, ("left", "right")),
+        ):
+            ups, dels, side_counts = res
+            checked[side] = (ups, dels)
+            counts.update(side_counts)
     left_upserts, left_deletes = checked["left"]
     right_upserts, right_deletes = checked["right"]
 
@@ -695,17 +714,12 @@ def update_join_view_cdc(
     # side op-log commits LAST (the insert-only store's crash argument:
     # a replay recomputes the identical delta against identical old
     # sides whichever subset of commits survived); the *_store variants
-    # keep the seq watermark the delta math shed
-    for side, store, ups, dels, id_col in (
-        ("left", left_store, left_ups_store, left_dels_store, spec.left_id),
-        (
-            "right",
-            right_store,
-            right_ups_store,
-            right_dels_store,
-            spec.right_id,
-        ),
-    ):
+    # keep the seq watermark the delta math shed. The two sides write to
+    # disjoint directories — overlap them (guide §2.6); the crash
+    # argument is order-free across the two commits (any surviving
+    # subset replays identically), only view-before-sides matters.
+    def _commit_one_side(args) -> None:
+        side, store, ups, dels, id_col = args
         ops = None
         if ups is not None:
             ops = ups.withColumn(OP_COL, F.lit("u"))
@@ -743,6 +757,29 @@ def update_join_view_cdc(
                 spec,
                 counts[f"{side}_upserts"] + counts[f"{side}_deletes"],
             )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(
+            pool.map(
+                _commit_one_side,
+                (
+                    (
+                        "left",
+                        left_store,
+                        left_ups_store,
+                        left_dels_store,
+                        spec.left_id,
+                    ),
+                    (
+                        "right",
+                        right_store,
+                        right_ups_store,
+                        right_dels_store,
+                        spec.right_id,
+                    ),
+                ),
+            )
+        )
     return counts
 
 
@@ -858,11 +895,13 @@ def compact_join_view_cdc(
     record and a stale re-insert arriving after the fold is still
     rejected. (The price: deleted versions' tombstones persist through
     compaction; GDPR forget still removes them physically.)"""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql.window import Window
 
     recover_pending_forgets(spark, root)
-    out: dict[str, int] = {}
-    for side in ("left", "right"):
+
+    def _fold_side(side: str) -> int:
         id_col = spec.left_id if side == "left" else spec.right_id
 
         def _fold_ops(ops: DataFrame, id_col=id_col) -> DataFrame:
@@ -876,7 +915,7 @@ def compact_join_view_cdc(
                 folded = folded.filter(F.col(OP_COL) == "u")
             return folded.drop(_RANK_COL, "__rn__")
 
-        out[side] = _compact_store_safe(
+        return _compact_store_safe(
             spark,
             _side_path(root, side),
             exclude,
@@ -897,15 +936,29 @@ def compact_join_view_cdc(
             .withColumn(DIFF_COL, F.lit(1))
         )
 
-    out["view"] = _compact_store_safe(
-        spark,
-        _side_path(root, "view"),
-        exclude,
-        bucketed=False,
-        fold_fn=_fold_view,
-        rank_col=_RANK_COL,
-    )
-    return out
+    def _fold_view_store() -> int:
+        return _compact_store_safe(
+            spark,
+            _side_path(root, "view"),
+            exclude,
+            bucketed=False,
+            fold_fn=_fold_view,
+            rank_col=_RANK_COL,
+        )
+
+    # The three stores live in disjoint directories and their folds share
+    # no state — overlap them from a small thread pool so each fold's
+    # driver-side latency (listings, manifest commit, swap) and job tail
+    # back-fills the others' idle executors (guide §2.6 "overlap
+    # independent jobs"). Crash windows are unchanged: each fold is the
+    # same staged-swap protocol, recovered per store.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = {
+            "left": pool.submit(_fold_side, "left"),
+            "right": pool.submit(_fold_side, "right"),
+            "view": pool.submit(_fold_view_store),
+        }
+        return {name: f.result() for name, f in futs.items()}
 
 
 def forget_left_ids_from_cdc_view(

@@ -48,6 +48,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localrel import local_rows_df
+
 from .store import BATCH_COL, _list_partitions, _valid_id, commit_batch_partition
 
 # exact integer cents — the portable money idiom (queries/base.py): FLOOR
@@ -332,7 +334,8 @@ def compact_rollup_store(
     token = uuid.uuid4().hex[:12]
     target = _COMPACT_PART.format(token=token)
     sidecar = f"{store_path}/{_COMPACT_PREFIX}{token}"
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(b, target) for b in sorted(foldable)],
         "folded_id string, target string",
     ).coalesce(1).write.parquet(sidecar)

@@ -21,6 +21,8 @@ from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.localrel import local_rows_df
+
 from ..session import tune
 from .crypto import eax_decrypt
 from .pipeline import IngestConfig
@@ -83,7 +85,7 @@ def read_encrypted_objects(
     paginator = client.get_paginator("list_objects_v2")
     for page in paginator.paginate(Bucket=cfg.s3_bucket, Prefix=cfg.s3_prefix):
         keys.extend(o["Key"] for o in page.get("Contents", []))
-    keys_df = spark.createDataFrame([(k,) for k in keys], "s3_key string")
+    keys_df = local_rows_df(spark, [(k,) for k in keys], "s3_key string")
 
     bucket, region, endpoint, extra = (
         cfg.s3_bucket,

@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..session import tune
 from .pipeline import IngestConfig
+from ..functions.localrel import local_rows_df
 from .decrypt import _unwrap_session_key
 
 _ROT_SCHEMA = "s3_key string, rotated boolean, status string"
@@ -93,7 +94,7 @@ def rotate_envelope_keys(
         keys.extend(o["Key"] for o in page.get("Contents", []))
     if not keys:
         return 0
-    keys_df = spark.createDataFrame([(k,) for k in keys], "s3_key string")
+    keys_df = local_rows_df(spark, [(k,) for k in keys], "s3_key string")
 
     bucket, region, endpoint, extra = (
         cfg.s3_bucket,

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..functions.localrel import local_rows_df
 
 from ..tables import table
 from .base import register
@@ -1715,8 +1716,8 @@ def q151_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").alias("total"))
-    expected = spark.createDataFrame(
-        [(d, p) for d, p in _BENFORD_PPM.items()], "digit long, exp_ppm long"
+    expected = local_rows_df(
+        spark, [(d, p) for d, p in _BENFORD_PPM.items()], "digit long, exp_ppm long"
     )
     return (
         F.broadcast(expected)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..functions.localrel import local_rows_df
 
 from ..tables import spread, table
 from .base import davg, dsum, q4, q4_col, register
@@ -414,7 +415,8 @@ def q24_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this stays a map-only pass over orders.
     """
     o = table(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
+    bands = local_rows_df(
+        spark,
         [
             ("low", 0.0, 50_000.0),
             ("mid", 50_000.0, 150_000.0),

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..functions.localrel import local_rows_df
 
 from ..functions.hashing import duckdb_hash32, spark_hash32
 from ..tables import spread, table
@@ -663,7 +664,7 @@ def q100_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
         .alias("cum"),
     )
-    pcts = spark.createDataFrame([(p,) for p in _VC_PCTS], "pct int")
+    pcts = local_rows_df(spark, [(p,) for p in _VC_PCTS], "pct int")
     return (
         ranked.crossJoin(F.broadcast(tot))
         .join(
