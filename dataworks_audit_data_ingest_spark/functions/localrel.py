@@ -44,6 +44,11 @@ def local_rows_df(
     rows = list(rows)
     if not rows or len(rows) > _MAX_LITERAL_ROWS:
         return spark.createDataFrame(rows, schema)
+    # Types and values match createDataFrame exactly; a field whose
+    # literals are all non-null may come out non-nullABLE where
+    # createDataFrame would say nullable — a strictly tighter schema,
+    # accepted everywhere a nullable field is (parquet write, unions,
+    # joins), and parquet read-back normalizes to nullable anyway.
     try:
         structs = [
             F.struct(
@@ -54,12 +59,14 @@ def local_rows_df(
             )
             for row in rows
         ]
+        return (
+            spark.range(1)
+            .select(F.explode(F.array(*structs)).alias("__row__"))
+            .select("__row__.*")
+            .to(schema)
+        )
     except Exception:
-        # a value lit() cannot express (exotic nested type) — the slow
-        # path is still the correct one
+        # a value lit() cannot express (maps, exotic nested types —
+        # surfaces either at lit() or at plan analysis) — the slow path
+        # is still the correct one
         return spark.createDataFrame(rows, schema)
-    return (
-        spark.range(1)
-        .select(F.explode(F.array(*structs)).alias("__row__"))
-        .select("__row__.*")
-    )
