@@ -29,6 +29,7 @@ import logging
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.sampling import merge_reservoirs, weighted_bottom_k
+from ..functions.localrel import local_rows_df
 from ..incremental.swap import recover_swapped, staged_overwrite, swapped_exists
 
 logger = logging.getLogger(__name__)
@@ -73,7 +74,7 @@ def read_reservoir(spark: SparkSession, path: str) -> DataFrame | None:
             return None
         try:
             df = spark.read.parquet(p)
-            return spark.createDataFrame(df.collect(), df.schema)
+            return local_rows_df(spark, df.collect(), df.schema)
         except Exception as e:  # noqa: BLE001 — re-raise non-race errors
             java = getattr(e, "java_exception", None)
             klass = java.getClass().getName() if java is not None else ""
@@ -94,7 +95,7 @@ def read_reservoir(spark: SparkSession, path: str) -> DataFrame | None:
     # directly and let any real error surface instead of masking it as
     # "no reservoir"
     df = spark.read.parquet(path)
-    return spark.createDataFrame(df.collect(), df.schema)
+    return local_rows_df(spark, df.collect(), df.schema)
 
 
 def update_reservoir(
@@ -119,8 +120,10 @@ def update_reservoir(
     # and staged_overwrite would otherwise rewrite the directory while
     # the plan still scans it
     rows = merged.collect()  # <= k rows by construction — driver-small
+    # JVM literal relation: a python-RDD-backed write costs ~4 s per
+    # micro-batch at local[32] (functions/localrel.py)
     staged_overwrite(
-        spark.createDataFrame(rows, merged.schema), reservoir_path
+        local_rows_df(spark, rows, merged.schema), reservoir_path
     )
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import spark_hash32
+from ..functions.localrel import local_rows_df
 
 _STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on")
 
@@ -249,7 +250,7 @@ def token_budget_sample(
     for r in sorted(totals, key=lambda r: r["_pid"]):
         offsets.append((int(r["_pid"]), acc))
         acc += int(r["_tot"])
-    off_df = spark.createDataFrame(offsets or [], "_pid bigint, _off bigint")
+    off_df = local_rows_df(spark, offsets or [], "_pid bigint, _off bigint")
     w = (
         Window.partitionBy("_pid")
         .orderBy("_h", id_col)
