@@ -22,13 +22,47 @@ cost (guide §7.3).
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 from collections.abc import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import StructType
 
 _MAX_LITERAL_ROWS = 200
+
+# Python-side type verification for the common scalar field types,
+# mirroring createDataFrame's construction-time checks: a wrong-typed
+# value must NOT reach lit().cast() — the cast error would only surface
+# at action time, and on an ANSI-off session would become a silent NULL
+# (a NULLed fold-manifest dir or audit row, with no error anywhere).
+# A value outside this table (or a field type not listed) falls back to
+# createDataFrame, which raises its usual verifier error.
+_SCALAR_OK = (
+    (T.StringType, str),
+    (T.BooleanType, bool),
+    ((T.ByteType, T.ShortType, T.IntegerType, T.LongType), int),
+    ((T.FloatType, T.DoubleType), (int, float)),
+    (T.DecimalType, (int, _decimal.Decimal)),
+    (T.TimestampType, _dt.datetime),
+    (T.TimestampNTZType, _dt.datetime),
+    (T.DateType, (_dt.date,)),
+    (T.BinaryType, (bytes, bytearray)),
+)
+
+
+def _value_ok(v, dtype) -> bool:
+    if v is None:
+        return True
+    for dts, pys in _SCALAR_OK:
+        if isinstance(dtype, dts):
+            # bool is an int subclass; only BooleanType may take it
+            if isinstance(v, bool) and not isinstance(dtype, T.BooleanType):
+                return False
+            return isinstance(v, pys)
+    return False  # non-scalar field types take the general slow path
 
 
 def local_rows_df(
@@ -43,6 +77,16 @@ def local_rows_df(
         schema = StructType.fromDDL(schema)
     rows = list(rows)
     if not rows or len(rows) > _MAX_LITERAL_ROWS:
+        return spark.createDataFrame(rows, schema)
+    # Fall back (and let createDataFrame raise its standard errors) on
+    # arity mismatch or any value the scalar-type table does not bless —
+    # the literal path must never silently truncate or NULL a row.
+    n = len(schema.fields)
+    if any(len(row) != n for row in rows) or any(
+        not _value_ok(row[i], f.dataType)
+        for row in rows
+        for i, f in enumerate(schema.fields)
+    ):
         return spark.createDataFrame(rows, schema)
     # Types and values match createDataFrame exactly; a field whose
     # literals are all non-null may come out non-nullABLE where

@@ -105,7 +105,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # local[N] (measured: q01's 9 decimal aggregates cost ~1.3 s single-threaded
 # vs 0.26 s for the same shape in doubles; the scan itself is 0.2 s).
 #
-# ``spread(df, sf_dir, *keys)`` hash-repartitions onto cores×2 partitions so
+# ``spread(df, sf_dir, *keys)`` hash-repartitions onto cores×mult (default
+# mult=1 since round 13 — one wave of tasks fills the cores; ×2 only
+# doubled scheduling overhead, A/B'd per user) partitions so
 # that heavy per-row work parallelizes — but ONLY when the input genuinely
 # cannot be split that wide: the gate estimates the scan's natural split
 # count from the local fixture directory's on-disk bytes (cached per dir;

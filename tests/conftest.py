@@ -167,8 +167,15 @@ def pytest_collection_modifyitems(config, items):
 
         names = sorted(all_queries())
         oracle_fast = {n: (i % 4 == 0) for i, n in enumerate(names)}
-    except Exception:
-        pass
+    except Exception as e:  # noqa: BLE001 — sampling must fail CLOSED
+        import warnings
+
+        warnings.warn(
+            f"oracle-sweep sampling could not load the registry ({e!r}); "
+            "marking the WHOLE sweep slow so the default run stays inside "
+            "the verify window",
+            stacklevel=1,
+        )
     for item in items:
         base = os.path.basename(str(item.fspath))
         if base in _SLOW_FILES:
@@ -176,5 +183,8 @@ def pytest_collection_modifyitems(config, items):
             continue
         if base == "test_queries_oracle.py" and item.originalname in _ORACLE_SWEEPS:
             param = item.callspec.params.get("name") if hasattr(item, "callspec") else None
-            if param is not None and not oracle_fast.get(param, True):
+            # unknown names default to SLOW (fail closed): if the
+            # registry import breaks, the fast run loses the sample
+            # rather than silently re-busting the ~40-min window
+            if param is not None and not oracle_fast.get(param, False):
                 item.add_marker(slow)

@@ -94,3 +94,30 @@ def test_inexpressible_values_fall_back(spark):
 def test_arity_mismatch_raises(spark, bad):
     with pytest.raises(Exception):
         local_rows_df(spark, bad, "a string, b string").collect()
+
+
+def test_extra_fields_raise_like_createDataFrame(spark):
+    """A row LONGER than the schema must error (createDataFrame's length
+    verifier), never silently truncate (code-review round 13)."""
+    with pytest.raises(Exception):
+        local_rows_df(spark, [(1, 2)], "a bigint").collect()
+
+
+def test_wrong_typed_value_raises_at_construction(spark):
+    """A value of the wrong Python type for a scalar field must take the
+    createDataFrame path and raise its construction-time verifier error —
+    the literal path's cast would only fail at ACTION time, and on an
+    ANSI-off session would become a silent NULL (code-review round 13)."""
+    with pytest.raises(Exception):
+        df = local_rows_df(spark, [("abc",)], "i bigint")
+        df.collect()
+
+
+def test_wrong_type_never_silently_nulls_even_ansi_off(spark):
+    prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception):
+            local_rows_df(spark, [("abc",)], "i bigint").collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
